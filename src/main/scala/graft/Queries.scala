@@ -1,0 +1,575 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** The full named-query surface: one entry per implemented operator from
+  * SURVEY.md §2 (+ north-star extensions), each with a DuckDB oracle twin
+  * where SQL-expressible (None → driver rows-only check).
+  *
+  * Conventions (SURVEY §5.2/§7.3): every oracle-facing query ends in a
+  * total-order `orderBy`; double sums go through decimal; group keys are
+  * strings; no wall-clock — the reference hour is the literal
+  * [[Queries.RefHour]].
+  */
+object Queries {
+
+  /** Explicit stand-in for the reference's `utcnow()` default
+    * (rds_pgbadger.py:81) — inside the events table's 2024-01 span, hour
+    * 02 so the `ref - 5h` midnight-straddle branch is exercised.
+    */
+  val RefHour = "2024-01-15-02"
+  val MaxRecords = 5
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def cat(s: SparkSession, d: String) =
+    LogCatalog.catalogFromEvents(s, d)
+
+  // ---- shared DuckDB SQL fragments -------------------------------------
+
+  private val CatalogCte =
+    "SELECT DISTINCT 'postgresql.log.' || strftime(ts, '%Y-%m-%d-%H') AS file_name FROM events"
+
+  private val DayExpr =
+    "CASE WHEN regexp_extract(file_name, '(\\d{4}-\\d{2}-\\d{2})', 1) = '' THEN 'unknown' ELSE regexp_extract(file_name, '(\\d{4}-\\d{2}-\\d{2})', 1) END"
+
+  /** DuckDB twin of LogLines.synthesizeLines — must build byte-identical
+    * strings (same printf, same modular host/pid derivation).
+    */
+  private val LinesCte =
+    """SELECT event_id,
+      | strftime(ts, '%Y-%m-%d %H:%M:%S') || ' UTC:10.0.0.' || (user_id % 250)::varchar ||
+      | '(51234):user' || user_id::varchar || '@prod:[' || (user_id % 97 + 10000)::varchar || ']:' ||
+      | CASE WHEN event_type = 'error'
+      |   THEN 'ERROR:  relation "missing_' || (event_id % 5)::varchar || '" does not exist'
+      |   ELSE 'LOG:  duration: ' || printf('%.2f', value) || ' ms  statement: SELECT * FROM t' ||
+      |        (event_id % 7)::varchar || ' WHERE id = ' || event_id::varchar ||
+      |        ' AND name = ''u' || user_id::varchar || ''''
+      | END AS line
+      |FROM events""".stripMargin
+
+  private val PrefixRe =
+    "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}) UTC:([^:]*):([^@:]*)@([^:]*):\\[(\\d+)\\]:([A-Z]+):"
+
+  private val DurExpr =
+    "CASE WHEN regexp_extract(line, 'duration: ([0-9.]+) ms', 1) = '' THEN NULL ELSE regexp_extract(line, 'duration: ([0-9.]+) ms', 1)::double END"
+
+  private val ShinglesCte =
+    """SELECT doc_id, unnest(list_transform(
+      |   generate_series(1, len(string_split(text, ' ')) - 2),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+      |FROM documents""".stripMargin
+
+  private val MinhashCte =
+    s"""mh AS (SELECT doc_id, seed, min(md5(seed::varchar || '|' || sh)) AS mh
+       | FROM sh, generate_series(0, ${Dedup.NumMinhashSeeds - 1}) g(seed)
+       | GROUP BY doc_id, seed)""".stripMargin
+
+  private val BandsCte =
+    s"""bands AS (SELECT doc_id, seed // ${Dedup.BandSize} AS band,
+       |  md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+       | FROM mh GROUP BY doc_id, seed // ${Dedup.BandSize})""".stripMargin
+
+  private def cosSql(a: String, b: String) =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  private val DecSum = "CAST(sum(value::decimal(18,2)) AS double)"
+
+  // SimHash bit expressions, generated once for both engines.
+  private val simhashBitSumsSql = (0 until Dedup.SimhashBits).map(i =>
+    s"sum(CASE WHEN (h & ${1L << i}) != 0 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+  private val simhashSigSql = (0 until Dedup.SimhashBits).map(i =>
+    s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+  private val SimhashCte =
+    s"""wh AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 8))::bigint AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |bits AS (SELECT doc_id, $simhashBitSumsSql FROM wh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simhashSigSql AS simhash FROM bits)""".stripMargin
+
+  private val Stop = "('the','a','an','of','to','and','in','is')"
+
+  // ---- registry --------------------------------------------------------
+
+  /** name -> (spark query, optional DuckDB oracle). */
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // ===== Tier A: the reference's own dataflow (SURVEY §2.1-2.8) =====
+
+    ("a1_catalog_topk",
+      (s: SparkSession, d: String) =>
+        LogCatalog.selectLogFiles(cat(s, d), RefHour, MaxRecords),
+      Some(LogCatalog.selectLogFilesOracleSql(RefHour, MaxRecords))),
+
+    ("a2_filter_name_contains",
+      (s: SparkSession, d: String) => cat(s, d)
+        .filter(col("file_name").contains("2024-01-15"))
+        .orderBy(col("file_name")),
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT file_name FROM catalog
+        |WHERE contains(file_name, '2024-01-15') ORDER BY file_name""".stripMargin)),
+
+    ("a3_filter_open_hour",
+      (s: SparkSession, d: String) => cat(s, d)
+        .filter(col("file_name").contains("2024-01-15") &&
+          !col("file_name").endsWith(RefHour))
+        .orderBy(col("file_name")),
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT file_name FROM catalog
+        |WHERE contains(file_name, '2024-01-15') AND NOT ends_with(file_name, '$RefHour')
+        |ORDER BY file_name""".stripMargin)),
+
+    ("a4_dedup_days",
+      (s: SparkSession, d: String) => cat(s, d)
+        .select(Digest.extractDate(col("file_name")).as("day"))
+        .distinct().orderBy(col("day")),
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT DISTINCT $DayExpr AS day FROM catalog ORDER BY day""".stripMargin)),
+
+    ("a5_extract_date_fallback",
+      (s: SparkSession, d: String) => cat(s, d)
+        .union(s.range(1).select(lit("not-a-log-name").as("file_name")))
+        .select(col("file_name"),
+          Digest.extractDate(col("file_name")).as("day"))
+        .orderBy(col("file_name")),
+      Some(s"""WITH catalog AS ($CatalogCte),
+        |aug AS (SELECT file_name FROM catalog UNION ALL SELECT 'not-a-log-name')
+        |SELECT file_name, $DayExpr AS day FROM aug ORDER BY file_name""".stripMargin)),
+
+    ("a6_group_day_digest",
+      (s: SparkSession, d: String) => cat(s, d)
+        .groupBy(Digest.extractDate(col("file_name")).as("day"))
+        .agg(Digest.hashListExpr(col("file_name")).as("digest"),
+          count(lit(1)).as("n_files"))
+        .orderBy(col("day")),
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT $DayExpr AS day,
+        |  md5(string_agg(file_name, '' ORDER BY file_name)) AS digest,
+        |  count(*) AS n_files
+        |FROM catalog GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    ("a7_basename",
+      (s: SparkSession, d: String) => cat(s, d)
+        .select(concat(lit("data/db1/"), col("file_name")).as("path"))
+        .select(col("path"),
+          regexp_extract(col("path"), "[^/]+$", 0).as("base"))
+        .orderBy(col("path")),
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT path, regexp_extract(path, '[^/]+$$') AS base
+        |FROM (SELECT 'data/db1/' || file_name AS path FROM catalog)
+        |ORDER BY path""".stripMargin)),
+
+    ("a8_topk_per_day",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("day")).orderBy(col("file_name").desc)
+        cat(s, d)
+          .withColumn("day", Digest.extractDate(col("file_name")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("day"), col("file_name"), col("rnk"))
+          .orderBy(col("day"), col("rnk"))
+      },
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT day, file_name, rnk FROM (
+        |  SELECT day, file_name,
+        |    row_number() OVER (PARTITION BY day ORDER BY file_name DESC) AS rnk
+        |  FROM (SELECT file_name, $DayExpr AS day FROM catalog))
+        |WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin)),
+
+    ("a9_union_day_chunks",
+      (s: SparkSession, d: String) => {
+        val c = cat(s, d)
+        c.filter(col("file_name").contains("2024-01-10"))
+          .union(c.filter(col("file_name").contains("2024-01-11")))
+          .distinct().orderBy(col("file_name"))
+      },
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT DISTINCT file_name FROM (
+        |  SELECT file_name FROM catalog WHERE contains(file_name, '2024-01-10')
+        |  UNION ALL
+        |  SELECT file_name FROM catalog WHERE contains(file_name, '2024-01-11'))
+        |ORDER BY file_name""".stripMargin)),
+
+    ("a10_anti_resolved_days",
+      (s: SparkSession, d: String) => {
+        val resolved = s.createDataFrame(
+          (1 to 7).map(i => Tuple1(f"2024-01-$i%02d"))).toDF("day")
+        cat(s, d)
+          .select(Digest.extractDate(col("file_name")).as("day")).distinct()
+          .join(resolved, Seq("day"), "left_anti")
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT day FROM (SELECT DISTINCT $DayExpr AS day FROM catalog)
+        |WHERE day NOT IN ('2024-01-01','2024-01-02','2024-01-03','2024-01-04','2024-01-05','2024-01-06','2024-01-07')
+        |ORDER BY day""".stripMargin)),
+
+    // ===== Tier B: native pgbadger-report analytics (SURVEY §2.4-2.5) =====
+
+    ("b1_level_counts",
+      (s: SparkSession, d: String) => Reports.levelCounts(ev(s, d)),
+      Some("SELECT event_type AS level, count(*) AS n FROM events GROUP BY event_type ORDER BY level")),
+
+    ("b2_hourly_histogram",
+      (s: SparkSession, d: String) => Reports.hourlyHistogram(ev(s, d)),
+      Some(s"""SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, count(*) AS n,
+        |  $DecSum AS sum_value, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
+
+    ("b3_distinct_entities",
+      (s: SparkSession, d: String) => Reports.distinctEntities(ev(s, d)),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT strftime(ts, '%Y-%m-%d %H:00:00')) AS n_hours
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    ("b4_percentiles",
+      (s: SparkSession, d: String) => Reports.percentiles(ev(s, d)),
+      Some("""SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    ("b5_top_slowest",
+      (s: SparkSession, d: String) => Reports.topSlowestPerClass(ev(s, d), 10),
+      Some("""SELECT event_type, event_id, value, rnk FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 10 ORDER BY event_type, rnk""".stripMargin)),
+
+    ("b6_rolling_hourly_avg",
+      (s: SparkSession, d: String) => Reports.rollingHourlyAvg(ev(s, d)),
+      Some("""WITH hourly AS (
+        |  SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT hour, n,
+        |  round(avg(n) OVER (ORDER BY hour ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+        |FROM hourly ORDER BY hour""".stripMargin)),
+
+    ("b7_severity_day_cube",
+      (s: SparkSession, d: String) => Reports.severityDayCube(ev(s, d)),
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(d, 'ALL') AS day, n
+        |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n
+        |      FROM events GROUP BY GROUPING SETS ((event_type, d), (event_type), (d), ()))
+        |ORDER BY event_type, day""".stripMargin)),
+
+    ("b8_error_rate_hourly",
+      (s: SparkSession, d: String) => Reports.errorRateHourly(ev(s, d)),
+      Some("""SELECT hour, n, n_errors, round(n_errors::double / n, 6) AS error_rate
+        |FROM (SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, count(*) AS n,
+        |        count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        |      FROM events GROUP BY 1)
+        |ORDER BY hour""".stripMargin)),
+
+    ("b9_parse_log_lines",
+      (s: SparkSession, d: String) => LogLines.parsedFromEvents(s, d)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          col("remote_host"), col("usr"), col("db"), col("pid"),
+          col("level"), col("duration_ms"), col("query"))
+        .orderBy(col("event_id")),
+      Some(s"""WITH lines AS ($LinesCte)
+        |SELECT event_id,
+        |  regexp_extract(line, '$PrefixRe', 1) AS ts_str,
+        |  regexp_extract(line, '$PrefixRe', 2) AS remote_host,
+        |  regexp_extract(line, '$PrefixRe', 3) AS usr,
+        |  regexp_extract(line, '$PrefixRe', 4) AS db,
+        |  regexp_extract(line, '$PrefixRe', 5)::int AS pid,
+        |  regexp_extract(line, '$PrefixRe', 6) AS level,
+        |  $DurExpr AS duration_ms,
+        |  regexp_extract(line, 'statement: (.*)$$', 1) AS query
+        |FROM lines ORDER BY event_id""".stripMargin)),
+
+    ("b10_query_class_stats",
+      (s: SparkSession, d: String) =>
+        Reports.queryStats(LogLines.parsedFromEvents(s, d)),
+      Some(s"""WITH lines AS ($LinesCte),
+        |parsed AS (SELECT $DurExpr AS duration_ms,
+        |    regexp_extract(line, 'statement: (.*)$$', 1) AS query FROM lines)
+        |SELECT lower(trim(regexp_replace(regexp_replace(regexp_replace(query,
+        |    '''[^'']*''', '?', 'g'), '\\b\\d+\\b', '?', 'g'), '\\s+', ' ', 'g'))) AS query_norm,
+        |  count(*) AS n_calls, min(duration_ms) AS min_ms, max(duration_ms) AS max_ms,
+        |  CAST(sum(duration_ms::decimal(18,2)) AS double) AS total_ms,
+        |  CAST(sum(duration_ms::decimal(18,2)) AS double) / count(*) AS avg_ms
+        |FROM parsed WHERE duration_ms IS NOT NULL
+        |GROUP BY 1 ORDER BY query_norm""".stripMargin)),
+
+    ("b11_json_props",
+      (s: SparkSession, d: String) => ev(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), Reports.decSum(col("value")).as("sum_value"))
+        .orderBy(col("k")),
+      Some(s"""SELECT json_extract_string(props, '$$.k')::int AS k, count(*) AS n,
+        |  $DecSum AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    ("b12_approx_distinct",
+      (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
+      None),
+
+    ("b13_approx_percentiles",
+      (s: SparkSession, d: String) => Reports.approxPercentiles(ev(s, d)),
+      None),
+
+    // ===== Relational glue: joins / set ops (SURVEY §2.3, §2.7) =====
+
+    ("r1_pricing_summary",
+      (s: SparkSession, d: String) =>
+        Relational.pricingSummary(Tables.lineitem(s, d)),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity::decimal(18,2)) AS double) AS sum_qty,
+        |  CAST(sum(l_extendedprice::decimal(18,2)) AS double) AS sum_base_price,
+        |  CAST(sum(l_extendedprice::decimal(18,2) * (1::decimal(18,2) - l_discount::decimal(18,2))) AS double) AS sum_disc_price,
+        |  CAST(sum(l_quantity::decimal(18,2)) AS double) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= timestamp '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    ("r2_revenue_by_nation",
+      (s: SparkSession, d: String) => Relational.revenueByNation(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d)),
+      Some("""SELECT r_name, n_name,
+        |  CAST(sum(l_extendedprice::decimal(18,2) * (1::decimal(18,2) - l_discount::decimal(18,2))) AS double) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    ("r3_semi_join_big_orders",
+      (s: SparkSession, d: String) => Relational.customersWithBigOrders(
+        Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    ("r4_anti_join_no_orders",
+      (s: SparkSession, d: String) => Relational.customersWithoutOrders(
+        Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    ("r5_top_customers_per_nation",
+      (s: SparkSession, d: String) => Relational.topCustomersPerNation(
+        Tables.customer(s, d), Tables.orders(s, d), Tables.nation(s, d), 3),
+      Some("""WITH spend AS (
+        |  SELECT o_custkey, CAST(sum(o_totalprice::decimal(18,2)) AS double) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT n_name, c_custkey, spend, rnk FROM (
+        |  SELECT n_name, c_custkey, spend,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey ASC) AS rnk
+        |  FROM customer JOIN spend ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin)),
+
+    ("r6_union_months",
+      (s: SparkSession, d: String) =>
+        Relational.unionOrderMonths(Tables.orders(s, d)),
+      Some("""SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-04')
+        |ORDER BY o_custkey""".stripMargin)),
+
+    ("r7_intersect_months",
+      (s: SparkSession, d: String) =>
+        Relational.intersectCustomers(Tables.orders(s, d)),
+      Some("""SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-04'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    ("r8_except_months",
+      (s: SparkSession, d: String) =>
+        Relational.exceptCustomers(Tables.orders(s, d)),
+      Some("""SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-04'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    ("r9_order_priority",
+      (s: SparkSession, d: String) => Relational.orderPriorityCount(
+        Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= timestamp '1997-01-01'
+        |  AND o_orderdate < timestamp '1997-07-01'
+        |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     WHERE l_shipdate > timestamp '1997-01-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ===== North star: dedup / similarity / text analysis =====
+
+    ("n1_exact_dup_groups",
+      (s: SparkSession, d: String) => Dedup.exactDupGroups(docs(s, d)),
+      Some("""SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)),
+
+    ("n2_exact_dedup",
+      (s: SparkSession, d: String) => Dedup.exactDedup(docs(s, d)),
+      Some("""SELECT doc_id FROM (SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |FROM documents GROUP BY 1) ORDER BY doc_id""".stripMargin)),
+
+    ("n3_adjacent_jaccard",
+      (s: SparkSession, d: String) => Dedup.adjacentJaccard(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.ws, b.ws))::double / len(list_distinct(a.ws || b.ws)), 6) AS jaccard
+        |FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id ORDER BY doc_a""".stripMargin)),
+
+    ("n4_minhash_signatures",
+      (s: SparkSession, d: String) => Dedup.minhashSignatures(docs(s, d)),
+      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte
+        |SELECT doc_id, seed, mh FROM mh ORDER BY doc_id, seed""".stripMargin)),
+
+    ("n5_lsh_buckets",
+      (s: SparkSession, d: String) => Dedup.lshBuckets(docs(s, d)),
+      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte
+        |SELECT band, band_key, count(*) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM bands GROUP BY band, band_key HAVING count(*) > 1
+        |ORDER BY band, band_key""".stripMargin)),
+
+    ("n6_minhash_neardup_pairs",
+      (s: SparkSession, d: String) => Dedup.minhashNearDupPairs(docs(s, d), 0.0),
+      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+        |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        |SELECT doc_a, doc_b,
+        |  round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
+        |FROM pairs JOIN w wa ON doc_a = wa.doc_id JOIN w wb ON doc_b = wb.doc_id
+        |WHERE round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.0
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    ("n7_simhash",
+      (s: SparkSession, d: String) => Dedup.simhash(docs(s, d)),
+      Some(s"""WITH $SimhashCte
+        |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin)),
+
+    ("n8_simhash_hamming",
+      (s: SparkSession, d: String) => Dedup.simhashAdjacentHamming(docs(s, d)),
+      Some(s"""WITH $SimhashCte
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id + 1 = b.doc_id ORDER BY doc_a""".stripMargin)),
+
+    ("n9_cosine_topk",
+      (s: SparkSession, d: String) => Similarity.bruteForceTopK(emb(s, d), 10, 5),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q_id, vec_id, ${cosSql("q_emb", "emb")} AS cos
+        |  FROM e, p WHERE vec_id != q_id)
+        |SELECT q_id, vec_id, cos, rnk FROM (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
+    ("n10_lsh_ann_topk",
+      (s: SparkSession, d: String) => Similarity.lshBucketTopK(emb(s, d), 10, 5),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END +
+        |   CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END +
+        |   CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END +
+        |   CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q_id, vec_id, ${cosSql("q_emb", "emb")} AS cos
+        |  FROM e JOIN p ON bucket = q_bucket AND vec_id != q_id)
+        |SELECT q_id, vec_id, cos, rnk FROM (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
+    ("n11_cosine_neardup",
+      (s: SparkSession, d: String) =>
+        Similarity.cosineNearDupPairs(emb(s, d), 0.3, 100),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${cosSql("a.emb", "b.emb")} AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  AND b.vec_id - a.vec_id <= 100
+        |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    ("n12_token_stats_by_source",
+      (s: SparkSession, d: String) => TextAnalysis.tokenStatsBySource(docs(s, d)),
+      Some("""SELECT source, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  sum(length(text)) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    ("n13_quality_by_lang",
+      (s: SparkSession, d: String) => TextAnalysis.qualityByLang(docs(s, d)),
+      Some(s"""WITH q AS (SELECT lang, len(string_split(text, ' ')) AS n_words,
+        |    length(text) AS n_chars,
+        |    round(len(list_filter(string_split(text, ' '), w -> w IN $Stop))::double
+        |      / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(n_words)::double / count(*) AS avg_words,
+        |  sum(n_chars)::double / count(*) AS avg_chars,
+        |  round(CAST(sum(stopword_ratio::decimal(18,6)) AS double) / count(*), 6) AS avg_stopword_ratio
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    ("n14_langid",
+      (s: SparkSession, d: String) => TextAnalysis.langId(docs(s, d)),
+      Some("""WITH s AS (SELECT doc_id, lang,
+        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','ist')))::double / len(string_split(text, ' ')), 6) AS score_de,
+        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','is')))::double / len(string_split(text, ' ')), 6) AS score_en,
+        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','que','es')))::double / len(string_split(text, ' ')), 6) AS score_es,
+        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et','est')))::double / len(string_split(text, ' ')), 6) AS score_fr,
+        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('de','shi','le','bu')))::double / len(string_split(text, ' ')), 6) AS score_zh
+        |  FROM documents),
+        |lng AS (SELECT doc_id, lang, score_en, score_de,
+        |    unnest(['de','en','es','fr','zh']) AS code,
+        |    unnest([score_de, score_en, score_es, score_fr, score_zh]) AS score
+        |  FROM s)
+        |SELECT doc_id, lang, pred, score_en, score_de FROM (
+        |  SELECT doc_id, lang, code AS pred, score_en, score_de,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code ASC) AS rn
+        |  FROM lng)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    ("n15_fingerprints",
+      (s: SparkSession, d: String) => TextAnalysis.fingerprints(docs(s, d)),
+      Some("""SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("n16_fingerprint_dup_groups",
+      (s: SparkSession, d: String) => TextAnalysis.fingerprintDupGroups(docs(s, d)),
+      Some("""SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |  FROM documents)
+        |GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin)),
+
+    ("n17_minhash_fast",
+      (s: SparkSession, d: String) => Dedup.minhashSignaturesFast(docs(s, d)),
+      None),
+  )
+
+  def queries: Map[String, Q] =
+    all.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

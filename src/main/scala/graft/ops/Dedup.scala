@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`
+  * (north star, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. Embedding-cosine near-dup lives in [[Similarity]].
+  *
+  * Scale design:
+  *   - exact dedup = hash-groupBy on a 128-bit content hash — one shuffle
+  *     keyed by digest, map-side combine, no text moves after the hash;
+  *   - MinHash: shingle explosion happens before any shuffle (per-row
+  *     generator inside codegen); signatures reduce via `min` with partial
+  *     aggregation, so shuffle volume is (docs × seeds), not
+  *     (docs × shingles);
+  *   - LSH banding turns all-pairs O(n²) into per-bucket candidate
+  *     generation — the only join is bucket-key equi, and bucket sizes are
+  *     bounded by near-dup cluster sizes, not corpus size;
+  *   - SimHash is a single per-row 32-bit signature (constant state per
+  *     doc); near-dup = low Hamming distance.
+  *
+  * Oracle-facing versions hash with md5 (identical hex in DuckDB); the
+  * `*Fast` twins use xxhash64 (Spark-native, no hex materialization) —
+  * the 100 TB path, checked rows-only.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest; keeper = min doc_id. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("text_hash"))
+
+  /** Exact-dedup keeper set: one surviving row per distinct text. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** 3-word shingles of the `text` column (empty array when < 3 words).
+    * Pure SQL expression (0-based `[i]` indexing) so it stays in codegen.
+    */
+  def shingles: Column = expr(
+    """CASE WHEN size(split(text, ' ')) >= 3 THEN
+      |  transform(sequence(0, size(split(text, ' ')) - 3),
+      |    i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
+      |                   split(text, ' ')[i+2]))
+      |ELSE array() END""".stripMargin)
+
+  val NumMinhashSeeds = 8
+  val BandSize = 2 // → 4 LSH bands
+
+  /** MinHash signatures, long format: (doc_id, seed, mh) — mh is the min
+    * md5 over seed-salted shingles. Partial `min` aggregation makes the
+    * shuffle carry one row per (doc, seed).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles).as("sh"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(NumMinhashSeeds - 1))).as("seed"),
+        col("sh"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed"), lit("|"), col("sh")))).as("mh"))
+      .orderBy(col("doc_id"), col("seed"))
+
+  /** LSH band keys: (doc_id, band, band_key) — band_key digests the band's
+    * minhashes in seed order (the G1 digest shape again).
+    */
+  def lshBandKeys(docs: DataFrame): DataFrame =
+    minhashSignatures(docs)
+      .groupBy(col("doc_id"), floor(col("seed") / BandSize).as("band"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("mh")))),
+        x => x("mh")), "")).as("band_key"))
+
+  /** Buckets holding ≥ 2 docs — the LSH candidate groups. */
+  def lshBuckets(docs: DataFrame): DataFrame =
+    lshBandKeys(docs)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("band"), col("band_key"))
+
+  /** Candidate pairs from any shared bucket, verified with exact Jaccard
+    * over distinct word sets. The join is bucket-equi (no cross product);
+    * distinct pairs dedupe multi-band collisions.
+    */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val bk = lshBandKeys(docs)
+    val pairs = bk.as("l")
+      .join(bk.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val w = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    pairs
+      .join(w.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(w.as("wb"), col("doc_b") === col("wb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("wa.ws"), col("wb.ws"))).cast("double") /
+          size(array_union(col("wa.ws"), col("wb.ws"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram (word-set) Jaccard over adjacent-id pairs — a
+    * deterministic linear-size sample of the pair space used as the
+    * oracle-checkable twin of the LSH candidate path.
+    */
+  def adjacentJaccard(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    w.as("a").join(w.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
+          size(array_union(col("a.ws"), col("b.ws"))), 6).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash per doc from word-occurrence md5s: bit i of the
+    * signature is the sign of Σ_words (2·bit_i(h(word)) − 1).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+    val exploded = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), h.as("h"))
+    val bitSums = (0 until SimhashBits).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
+        .as(s"b$i"))
+    val sig = (0 until SimhashBits).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup: Hamming distance over adjacent-id pairs. */
+  def simhashAdjacentHamming(docs: DataFrame): DataFrame = {
+    val s = simhash(docs)
+    s.as("a").join(s.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .orderBy(col("doc_a"))
+  }
+
+  /** 100 TB-path signature: xxhash64 instead of md5-hex (rows-only check —
+    * hash function is engine-specific).
+    */
+  def minhashSignaturesFast(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles).as("sh"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(NumMinhashSeeds - 1))).as("seed"),
+        col("sh"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(xxhash64(col("seed"), col("sh"))).as("mh"))
+      .orderBy(col("doc_id"), col("seed"))
+}

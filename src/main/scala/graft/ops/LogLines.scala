@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier-B PostgreSQL log-line synthesis, parsing, and query normalization
+  * (SURVEY §2.8 F16-F18; invocation contract at
+  * /root/reference/rds_pgbadger.py:51-63: `--prefix %t:%r:%u@%d:[%p]:
+  * --format stderr`).
+  *
+  * The reference delegates log parsing to the external pgbadger binary; here
+  * it is native column expressions — pure `regexp_extract`/`to_timestamp`,
+  * fully codegen'd, no UDFs — so the parse stays inside WholeStageCodegen
+  * and scales linearly with input splits (a 100 TB log corpus parses as
+  * embarrassingly-parallel parquet/text partitions, no shuffle until the
+  * aggregate).
+  */
+object LogLines {
+
+  /** Deterministic stderr-format lines synthesized from `events` rows
+    * (FIXTURES.md §2.2 shape). `error` events become ERROR lines; others
+    * become LOG duration lines whose statement embeds literals for the
+    * normalizer to strip. Both engines build the identical string, so the
+    * parse is oracle-checkable end-to-end.
+    *
+    * `%t` = `yyyy-MM-dd HH:mm:ss UTC`, `%r` = `10.0.0.<user_id%250>(5<pid>)`,
+    * `%u@%d` = `user<user_id>@prod`, `[%p]` = `[1<user_id%97>]`.
+    */
+  def synthesizeLines(events: DataFrame): DataFrame = {
+    val ts = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss 'UTC'")
+    val host = concat(lit("10.0.0."), pmod(col("user_id"), lit(250)))
+    val pid = pmod(col("user_id"), lit(97)) + lit(10000)
+    val prefix = concat_ws(":",
+      ts, concat(host, lit("(51234)")),
+      concat(lit("user"), col("user_id"), lit("@prod")),
+      concat(lit("["), pid.cast("string"), lit("]")))
+    val durationLine = concat(prefix,
+      lit(":LOG:  duration: "), format_string("%.2f", col("value")),
+      lit(" ms  statement: SELECT * FROM t"), pmod(col("event_id"), lit(7)),
+      lit(" WHERE id = "), col("event_id"),
+      lit(" AND name = 'u"), col("user_id"), lit("'"))
+    val errorLine = concat(prefix,
+      lit(":ERROR:  relation \"missing_"), pmod(col("event_id"), lit(5)),
+      lit("\" does not exist"))
+    events.select(
+      col("event_id"),
+      when(col("event_type") === "error", errorLine)
+        .otherwise(durationLine).as("line"))
+  }
+
+  // One regex per field keeps each extraction independently null-safe and
+  // the whole row parse inside codegen (SURVEY §2.10: no UDF needed).
+  private val PrefixRe =
+    "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}) UTC:([^:]*):([^@:]*)@([^:]*):\\[(\\d+)\\]:([A-Z]+):"
+
+  /** Parse `line` into the SURVEY §1.1 log-line struct columns. */
+  def parseLines(lines: DataFrame): DataFrame = lines.select(
+    col("event_id"),
+    to_timestamp(regexp_extract(col("line"), PrefixRe, 1),
+      "yyyy-MM-dd HH:mm:ss").as("ts"),
+    regexp_extract(col("line"), PrefixRe, 2).as("remote_host"),
+    regexp_extract(col("line"), PrefixRe, 3).as("usr"),
+    regexp_extract(col("line"), PrefixRe, 4).as("db"),
+    regexp_extract(col("line"), PrefixRe, 5).cast("int").as("pid"),
+    regexp_extract(col("line"), PrefixRe, 6).as("level"),
+    regexp_extract(col("line"), ":[A-Z]+:  (.*)$", 1).as("message"),
+    durationMs(col("line")).as("duration_ms"),
+    regexp_extract(col("line"), "statement: (.*)$", 1).as("query"))
+
+  /** F17: `duration: X ms` → double (null when absent). */
+  def durationMs(line: Column): Column = {
+    val m = regexp_extract(line, "duration: ([0-9.]+) ms", 1)
+    when(m === "", lit(null)).otherwise(m).cast("double")
+  }
+
+  /** F18: query-class normalization — numeric literals and single-quoted
+    * strings collapse to `?`, whitespace collapses, lowercased.
+    */
+  def normalizeQuery(q: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(regexp_replace(
+      q, "'[^']*'", "?"), "\\b\\d+\\b", "?"), "\\s+", " ")))
+
+  /** Synthesized-then-parsed lines for a scale dir. */
+  def parsedFromEvents(spark: SparkSession, dir: String): DataFrame =
+    parseLines(synthesizeLines(Tables.events(spark, dir)))
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins-as-glue + set ops (SURVEY §2.3, §2.7, §7.2 step 4) over the
+  * TPC-H-ish tables.
+  *
+  * The reference has no joins; its two join-shaped structures are the
+  * anti-membership day guard (rds_pgbadger.py:106 → LEFT ANTI) and the
+  * Luigi stage correlation keyed by file_name (→ broadcast equi inner).
+  * These queries exercise exactly those shapes at relational scale.
+  *
+  * Scale posture: dimension tables (region/nation/customer/supplier) are
+  * `broadcast()` so fact-side scans never shuffle for the join; only
+  * aggregates shuffle, on low-cardinality keys with map-side combine. The
+  * one fact-fact join (lineitem ⋈ orders) is a key-equi shuffle join that
+  * AQE converts/skew-splits as needed at real scale.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary — the flagship scan+agg. Filter pushes
+    * to parquet; sums are decimal-exact (see Reports.decSum).
+    */
+  def pricingSummary(li: DataFrame): DataFrame = {
+    val disc = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    li.filter(col("l_shipdate") <= lit("2001-09-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Reports.decSum(col("l_quantity")).as("sum_qty"),
+        Reports.decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        (Reports.decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Revenue per region/nation: fact ⋈ fact shuffle join, then three
+    * broadcast dim joins, then a tiny-key aggregate.
+    */
+  def revenueByNation(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** LEFT SEMI — customers having at least one finished high-value order
+    * (the EXISTS shape; broadcast of the *probe-filtered* build side).
+    */
+  def customersWithBigOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 200000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** LEFT ANTI — customers with no orders at all (the `not in resolved`
+    * day-guard shape, rds_pgbadger.py:106, at relational scale).
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Window over a join: rank customers by order spend within nation. */
+  def topCustomersPerNation(customer: DataFrame, orders: DataFrame,
+                            nation: DataFrame, k: Int): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(Reports.decSum(col("o_totalprice")).as("spend"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("spend").desc, col("c_custkey").asc)
+    customer.join(spend, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("spend"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
+  /** UNION ALL of two per-period slices then de-dup — the day-chunk `extend`
+    * + distinct shape (rds_pgbadger.py:100,109; SURVEY §2.7).
+    */
+  def unionOrderMonths(orders: DataFrame): DataFrame = {
+    val m = date_format(col("o_orderdate"), "yyyy-MM")
+    val a = orders.filter(m === "1997-03").select(col("o_custkey"))
+    val b = orders.filter(m === "1997-04").select(col("o_custkey"))
+    a.union(b).distinct().orderBy(col("o_custkey"))
+  }
+
+  /** INTERSECT / EXCEPT exercised once each (no reference counterpart —
+    * SURVEY §2.7 oracle-checked extras).
+    */
+  def intersectCustomers(orders: DataFrame): DataFrame = {
+    val m = date_format(col("o_orderdate"), "yyyy-MM")
+    orders.filter(m === "1997-03").select(col("o_custkey"))
+      .intersect(orders.filter(m === "1997-04").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  def exceptCustomers(orders: DataFrame): DataFrame = {
+    val m = date_format(col("o_orderdate"), "yyyy-MM")
+    orders.filter(m === "1997-03").select(col("o_custkey"))
+      .except(orders.filter(m === "1997-04").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** TPC-H Q4 shape: order-priority count with an EXISTS semi join against
+    * late lineitems.
+    */
+  def orderPriorityCount(orders: DataFrame, li: DataFrame): DataFrame =
+    orders.filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .join(li.filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier-B report aggregates (SURVEY §2.4 G4-G8, §2.5 W2-W3) — the native
+  * re-implementation of the analytics the reference outsources to pgbadger
+  * (/root/reference/rds_pgbadger.py:51-63).
+  *
+  * Scale posture: every aggregate here is a hash aggregate with automatic
+  * partial (map-side) combine, shuffling only the grouping keys — hour
+  * buckets, severity levels, normalized query classes — whose cardinality
+  * is tiny relative to input rows, so reduce-side state stays bounded at
+  * 100 TB. Windows partition by low-cardinality keys (event_type / hour)
+  * and never use a global unpartitioned ordering except behind a `limit`
+  * (which Catalyst plans as TakeOrderedAndProject).
+  *
+  * Determinism for the DuckDB oracle (SURVEY §7.3.1/4): double sums go
+  * through `decimal(18,2)` so partial-aggregation order cannot change the
+  * result; averages are exact decimal sums divided by counts; group keys
+  * are strings (hours via date_format) to dodge timestamp-precision skew.
+  */
+object Reports {
+
+  /** Exact, order-insensitive sum of a 2-decimal double column. */
+  def decSum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def hourStr(c: Column): Column =
+    date_format(date_trunc("hour", c), "yyyy-MM-dd HH:00:00")
+
+  /** G6: event-class tallies (severity levels ← event_type). */
+  def levelCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type").as("level"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("level"))
+
+  /** G7: hourly activity histogram — counts, exact value sum, distinct users. */
+  def hourlyHistogram(events: DataFrame): DataFrame =
+    events.groupBy(hourStr(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"))
+
+  /** G4: per-normalized-query-class duration stats over parsed log lines. */
+  def queryStats(parsed: DataFrame): DataFrame =
+    parsed.filter(col("duration_ms").isNotNull)
+      .select(LogLines.normalizeQuery(col("query")).as("query_norm"),
+        col("duration_ms"))
+      .groupBy(col("query_norm"))
+      .agg(count(lit(1)).as("n_calls"),
+        min(col("duration_ms")).as("min_ms"),
+        max(col("duration_ms")).as("max_ms"),
+        decSum(col("duration_ms")).as("total_ms"),
+        (decSum(col("duration_ms")) / count(lit(1))).as("avg_ms"))
+      .orderBy(col("query_norm"))
+
+  /** G5: distinct-entity counts per severity class (exact). */
+  def distinctEntities(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(hourStr(col("ts"))).as("n_hours"))
+      .orderBy(col("event_type"))
+
+  /** G5 at scale: HLL++ approximate distincts (rows-only check — the
+    * sketch is engine-specific by nature).
+    */
+  def approxDistinctEntities(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** G8: duration percentiles per class — exact `percentile` so the DuckDB
+    * `quantile_cont` oracle matches (both linear-interpolate); rounded to
+    * pin the last ulp. `percentile_approx` is the 100 TB path (rows-only).
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  def approxPercentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)")
+        .as("pcts"))
+      .orderBy(col("event_type"))
+
+  /** G6 cross-tab: severity × day via GROUPING SETS (report subtotal rows). */
+  def severityDayCube(events: DataFrame): DataFrame = {
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    events.select(col("event_type"), day.as("day"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")),
+          Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"), col("n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** W2: top-N slowest "queries" (highest value) per class, ranked.
+    * Per-partition top-K via window row_number — each class sorts locally
+    * after one hash partition shuffle; no global sort.
+    */
+  def topSlowestPerClass(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events.select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  /** W3: 4-hour moving average of hourly event counts (report trend line). */
+  def rollingHourlyAvg(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(hourStr(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("hour")).rowsBetween(-3, 0)
+    hourly.withColumn("moving_avg",
+        round(avg(col("n")).over(w), 6))
+      .orderBy(col("hour"))
+  }
+
+  /** Error-rate per hour: conditional counts then a deterministic division. */
+  def errorRateHourly(events: DataFrame): DataFrame =
+    events.groupBy(hourStr(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .withColumn("error_rate",
+        round(col("n_errors").cast("double") / col("n"), 6))
+      .orderBy(col("hour"))
+}

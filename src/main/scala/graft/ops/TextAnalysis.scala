@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (BASELINE.json north star): token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * All pure column expressions — per-row, no shuffle until the final small
+  * aggregate, so they stream over a 100 TB corpus at scan speed inside
+  * WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count + a BPE-ish subword proxy (runs of letters,
+    * digits, or single punctuation — the common pre-tokenizer regex shape).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(words(col("text"))).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .as("subword_tokens"),
+        length(col("text")).as("n_chars_measured"))
+
+  /** Per-source token totals — the corpus-accounting roll-up. */
+  def tokenStatsBySource(docs: DataFrame): DataFrame =
+    tokenCounts(docs).join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_tokens"),
+        sum(col("n_chars_measured")).as("total_chars"))
+      .orderBy(col("source"))
+
+  private val Stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
+  /** Quality signals per doc: length, word count, mean word length,
+    * stopword ratio, punctuation ratio, uppercase ratio — the standard
+    * heuristic-filter feature set.
+    */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws)
+    val stopHits = size(filter(ws, w => w.isin(Stopwords: _*)))
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+    val upper = length(regexp_replace(col("text"), "[^A-Z]", ""))
+    docs.select(col("doc_id"), col("lang"),
+      length(col("text")).as("n_chars"),
+      nWords.as("n_words"),
+      round((length(col("text")) - nWords + 1).cast("double") / nWords, 6)
+        .as("mean_word_len"),
+      round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
+      round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+      round(upper.cast("double") / length(col("text")), 6).as("upper_ratio"))
+  }
+
+  /** Corpus quality roll-up per lang (exact decimal averages). */
+  def qualityByLang(docs: DataFrame): DataFrame =
+    qualityFeatures(docs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_words")).cast("double") / count(lit(1))).as("avg_words"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        round(sum(col("stopword_ratio").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_stopword_ratio"))
+      .orderBy(col("lang"))
+
+  /** Language-ID n-gram heuristic: score = stopword-list hit fraction per
+    * candidate language; argmax wins (tie → lexicographic). The scoring
+    * machinery is the real deliverable; the tiny marker lists stand in for
+    * real per-language n-gram profiles.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "is"),
+    "es" -> Seq("el", "la", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "bu"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val scored = LangMarkers.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (code, markers)) =>
+        df.withColumn(s"score_$code",
+          round(size(filter(ws, w => w.isin(markers: _*))).cast("double") /
+            size(ws), 6))
+    }
+    val best = LangMarkers.map { case (code, _) =>
+      struct(col(s"score_$code").as("score"),
+        lit(code).as("code"))
+    }
+    // argmax: sort (score asc, code desc) and take last = highest score,
+    // lexicographically-first code on ties.
+    scored.withColumn("pred",
+        element_at(array_sort(array(best: _*),
+          (l, r) => when(l("score") < r("score"), -1)
+            .when(l("score") > r("score"), 1)
+            .otherwise(when(l("code") > r("code"), -1)
+              .when(l("code") < r("code"), 1).otherwise(0))), -1)("code"))
+      .select(col("doc_id"), col("lang"), col("pred"),
+        col("score_en"), col("score_de"))
+  }
+
+  /** Document fingerprint: MD5 over the sorted distinct word set — an
+    * order/multiplicity-insensitive content signature (the G1 digest shape
+    * applied per-row via sort_array on the word set).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
+        .as("fingerprint"))
+
+  /** Fingerprint-duplicate groups: docs sharing a word-set signature. */
+  def fingerprintDupGroups(docs: DataFrame): DataFrame =
+    fingerprints(docs)
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fingerprint"))
+}
