@@ -565,6 +565,26 @@ object Queries {
     ("n17_minhash_fast",
       (s: SparkSession, d: String) => Dedup.minhashSignaturesFast(docs(s, d)),
       None),
+
+    // ===== Streaming twin + multimodal plumbing =====
+
+    // Batch twin of streaming/Hourly.hourlyAgg — identical plan the
+    // streaming spec replays through MemoryStream (SURVEY §2.9).
+    ("s1_hourly_agg",
+      (s: SparkSession, d: String) => graft.streaming.Hourly.hourlyAgg(ev(s, d))
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n, $DecSum AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+
+    // Binary payload → mapPartitions feature extraction (decode stubbed,
+    // plumbing real — see sources/Multimodal.scala). Rows-only check.
+    ("m1_multimodal_features",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.featureStats(s, d),
+      None),
   )
 
   def queries: Map[String, Q] =

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink semantics mirroring the reference's targets (SURVEY §2.1 S5-S7).
+  *
+  * The reference writes each artifact to `data/{db}/{file}` /
+  * `reports/{db}/{file}.html` via Luigi `LocalTarget.temporary_path()` —
+  * write-to-temp then atomic rename (/root/reference/rds_pgbadger.py:44-49)
+  * — and *skips* any task whose target already exists (Luigi memoization of
+  * `output()`, :25-26,70-71). The Spark equivalents:
+  *
+  *   - atomicity: Spark's FileOutputCommitter already stages every write
+  *     under `_temporary/` and renames on commit — same contract, free;
+  *   - memoization / idempotence: `SaveMode.Ignore` per path, or dynamic
+  *     partition overwrite for per-partition re-runs (re-running one hour
+  *     replaces exactly that hour's partition, never the whole table);
+  *   - the S3 copy (rds_pgbadger.py:25-31) is the same `write` against an
+  *     `s3a://` URI — auth/credentials belong to the cluster's Hadoop
+  *     conf, exactly as SigV4 signing was the AWS SDK's job.
+  */
+object Sinks {
+
+  /** Luigi-style memoized write: no-op if the target already exists. */
+  def writeIfAbsent(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Ignore).parquet(path)
+
+  /** Re-runnable partitioned write: overwrites only the partitions present
+    * in `df` (the hour being re-processed), leaves the rest of the table
+    * untouched. This is the 100 TB-safe idempotence story: a failed hourly
+    * job re-runs without rewriting history.
+    */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.withColumn("p_day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_day")
+      .parquet(path)
+  }
+}

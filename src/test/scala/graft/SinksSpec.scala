@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+
+/** S5-S7 sink semantics: memoized write (Luigi `output().exists()` skip)
+  * and dynamic-partition idempotent re-run.
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeIfAbsent is a no-op when the target exists (S7)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/t"
+    Sinks.writeIfAbsent(Seq(1, 2, 3).toDF("x"), dir)
+    Sinks.writeIfAbsent(Seq(99).toDF("x"), dir) // must be ignored
+    val got = spark.read.parquet(dir).as[Int].collect().sorted
+    assert(got === Array(1, 2, 3))
+  }
+
+  test("partitioned overwrite replaces only the re-run day (S5/S7)") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/p"
+    val day1 = Seq(("2024-01-01 10:00:00", 1), ("2024-01-02 10:00:00", 2))
+      .toDF("ts", "x").withColumn("ts", col("ts").cast("timestamp"))
+    Sinks.writePartitionedByDay(day1, "ts", dir)
+    // re-run day 2 with corrected data; day 1 must survive untouched
+    val rerun = Seq(("2024-01-02 11:00:00", 20))
+      .toDF("ts", "x").withColumn("ts", col("ts").cast("timestamp"))
+    Sinks.writePartitionedByDay(rerun, "ts", dir)
+    val got = spark.read.parquet(dir).select("x").as[Int].collect().sorted
+    assert(got === Array(1, 20))
+  }
+}
