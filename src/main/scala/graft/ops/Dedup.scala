@@ -52,28 +52,46 @@ object Dedup {
   val NumMinhashSeeds = 8
   val BandSize = 2 // → 4 LSH bands
 
-  /** MinHash signatures, long format: (doc_id, seed, mh) — mh is the min
-    * md5 over seed-salted shingles. Partial `min` aggregation makes the
-    * shuffle carry one row per (doc, seed).
+  /** All [[NumMinhashSeeds]] minhashes in ONE per-row pass via the custom
+    * [[graft.functions.MinHashSignature]] expression — no shingle
+    * explosion, no shuffle at all (the explode→groupBy(min) form shuffles
+    * docs×shingles×seeds rows at 100 TB; this shuffles nothing).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles).as("sh"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(NumMinhashSeeds - 1))).as("seed"),
-        col("sh"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed"), lit("|"), col("sh")))).as("mh"))
+  private def minhashWide(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.MinHash.signature(col("text"), NumMinhashSeeds).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until NumMinhashSeeds).map(i =>
+          element_at(col("sig"), i + 1).as(s"m$i")): _*)
+
+  /** MinHash signatures, long format: (doc_id, seed, mh) — mh is the min
+    * md5 over seed-salted shingles (unpivoted from the wide form).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val stackArgs = (0 until NumMinhashSeeds)
+      .map(i => s"$i, m$i").mkString(", ")
+    minhashWide(docs)
+      .selectExpr("doc_id",
+        s"stack($NumMinhashSeeds, $stackArgs) AS (seed, mh)")
       .orderBy(col("doc_id"), col("seed"))
+  }
 
   /** LSH band keys: (doc_id, band, band_key) — band_key digests the band's
-    * minhashes in seed order (the G1 digest shape again).
+    * minhashes in seed order (the G1 digest shape again). Derived straight
+    * from the wide signature row: zero extra shuffles.
     */
-  def lshBandKeys(docs: DataFrame): DataFrame =
-    minhashSignatures(docs)
-      .groupBy(col("doc_id"), floor(col("seed") / BandSize).as("band"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x("mh")), "")).as("band_key"))
+  def lshBandKeys(docs: DataFrame): DataFrame = {
+    val nBands = NumMinhashSeeds / BandSize
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat((0 until BandSize)
+        .map(j => col(s"m${b * BandSize + j}")): _*)).as(s"bk$b")
+    }
+    val stackArgs = (0 until nBands).map(b => s"${b}L, bk$b").mkString(", ")
+    minhashWide(docs)
+      .select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id", s"stack($nBands, $stackArgs) AS (band, band_key)")
+  }
 
   /** Buckets holding ≥ 2 docs — the LSH candidate groups. */
   def lshBuckets(docs: DataFrame): DataFrame =
@@ -85,18 +103,22 @@ object Dedup {
       .orderBy(col("band"), col("band_key"))
 
   /** Candidate pairs from any shared bucket, verified with exact Jaccard
-    * over distinct word sets. The join is bucket-equi (no cross product);
+    * over distinct word sets. Pairs are generated per-bucket from a
+    * collected id list (bounded by near-dup cluster size) — no self-join,
+    * so the expensive minhash subtree is computed once, not twice;
     * distinct pairs dedupe multi-band collisions.
     */
   def minhashNearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val bk = lshBandKeys(docs)
-    val pairs = bk.as("l")
-      .join(bk.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_key") === col("r.band_key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = lshBandKeys(docs)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> named_struct('doc_a', x, 'doc_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
     val w = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
     pairs
@@ -154,15 +176,15 @@ object Dedup {
       .orderBy(col("doc_a"))
   }
 
-  /** 100 TB-path signature: xxhash64 instead of md5-hex (rows-only check —
-    * hash function is engine-specific).
+  /** 100 TB-path signature: xxhash64 longs instead of md5-hex (rows-only
+    * check — hash is engine-specific), via the zero-shuffle custom
+    * expression [[graft.functions.MinHashSignatureFast]].
     */
   def minhashSignaturesFast(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles).as("sh"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(NumMinhashSeeds - 1))).as("seed"),
-        col("sh"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(xxhash64(col("seed"), col("sh"))).as("mh"))
+    docs.select(col("doc_id"),
+        graft.functions.MinHashFast.signature(col("text"), NumMinhashSeeds)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("seed", "mh")))
       .orderBy(col("doc_id"), col("seed"))
 }

@@ -53,19 +53,20 @@ object LogLines {
   private val PrefixRe =
     "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}) UTC:([^:]*):([^@:]*)@([^:]*):\\[(\\d+)\\]:([A-Z]+):"
 
-  /** Parse `line` into the SURVEY §1.1 log-line struct columns. */
-  def parseLines(lines: DataFrame): DataFrame = lines.select(
-    col("event_id"),
-    to_timestamp(regexp_extract(col("line"), PrefixRe, 1),
-      "yyyy-MM-dd HH:mm:ss").as("ts"),
-    regexp_extract(col("line"), PrefixRe, 2).as("remote_host"),
-    regexp_extract(col("line"), PrefixRe, 3).as("usr"),
-    regexp_extract(col("line"), PrefixRe, 4).as("db"),
-    regexp_extract(col("line"), PrefixRe, 5).cast("int").as("pid"),
-    regexp_extract(col("line"), PrefixRe, 6).as("level"),
-    regexp_extract(col("line"), ":[A-Z]+:  (.*)$", 1).as("message"),
-    durationMs(col("line")).as("duration_ms"),
-    regexp_extract(col("line"), "statement: (.*)$", 1).as("query"))
+  /** Parse `line` into the SURVEY §1.1 log-line struct columns — one regex
+    * pass per line via [[graft.functions.ParseLogLine]] (the per-field
+    * `regexp_extract` composition re-matched the same prefix 6-8×; field
+    * semantics are identical).
+    */
+  def parseLines(lines: DataFrame): DataFrame = lines
+    .select(col("event_id"),
+      graft.functions.ParseLogLine.parse(col("line")).as("p"))
+    .select(col("event_id"),
+      to_timestamp(col("p.ts_str"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      col("p.remote_host").as("remote_host"), col("p.usr").as("usr"),
+      col("p.db").as("db"), col("p.pid").as("pid"),
+      col("p.level").as("level"), col("p.message").as("message"),
+      col("p.duration_ms").as("duration_ms"), col("p.query").as("query"))
 
   /** F17: `duration: X ms` → double (null when absent). */
   def durationMs(line: Column): Column = {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Dedup operators: the custom MinHashSignature expression must equal the
+  * compositional explode→groupBy(min) form it replaced, and shingle /
+  * simhash edge cases hold.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different words here entirely now"),
+    (3L, "too short"),            // < 3 words → no shingles
+    (4L, "the quick brown fox jumps over the lazy dog") // dup of 0
+  ).toDF("doc_id", "text")
+
+  test("custom MinHashSignature ≡ compositional explode/groupBy(min) form") {
+    val viaExpr = Dedup.minhashSignatures(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaComposition = docs
+      .select(col("doc_id"), explode(Dedup.shingles).as("sh"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${Dedup.NumMinhashSeeds - 1})")).as("seed"),
+        col("sh"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed"), lit("|"), col("sh")))).as("mh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaExpr === viaComposition)
+  }
+
+  test("short texts yield no signature rows (explode-form parity)") {
+    val ids = Dedup.minhashSignatures(docs)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids === Set(0L, 1L, 2L, 4L))
+  }
+
+  test("identical docs share every band; near-identical share some bucket") {
+    val buckets = Dedup.lshBuckets(docs).collect()
+    // docs 0 and 4 are identical → all 4 bands collide
+    val with04 = buckets.filter(r => r.getAs[Long]("min_doc") == 0L &&
+      r.getAs[Long]("max_doc") >= 4L)
+    assert(with04.length === Dedup.NumMinhashSeeds / Dedup.BandSize)
+  }
+
+  test("near-dup pairs rank exact dup above near dup") {
+    val pairs = Dedup.minhashNearDupPairs(docs, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 4L)
+    assert(exact.exists(_._3 === 1.0))
+    assert(pairs.forall(p => p._3 <= 1.0 && p._3 >= 0.0))
+  }
+
+  test("simhash: identical docs equal, distinct docs differ (hamming)") {
+    val h = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) === h(4L))
+    assert(h(0L) !== h(2L))
+  }
+
+  test("minhashSignaturesFast emits long signatures for eligible docs") {
+    val rows = Dedup.minhashSignaturesFast(docs).collect()
+    assert(rows.length === 4 * Dedup.NumMinhashSeeds)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.ops.Similarity
+
+/** The codegen'd DotProduct expression must equal the higher-order-function
+  * composition it replaced, on both codegen and interpreted paths; cosine
+  * search invariants hold on the real embeddings table.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("DotProduct ≡ aggregate(zip_with(...)) composition") {
+    val vecs = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(0.0, 0.0)),
+      (Array(-1.5, 2.25, 1e-8, 123456.789), Array(2.0, -0.5, 1e8, 0.001))
+    ).toDF("a", "b")
+    val got = vecs.select(VectorOps.dot(col("a"), col("b"))).as[Double].collect()
+    val want = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("DotProduct on real embeddings matches HOF form bit-exactly") {
+    val e = graft.ops.Tables.embeddings(spark, dir).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = e.select(
+      VectorOps.dot(col("v"), col("v")).as("custom"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("custom") =!= col("hof")).count() === 0)
+  }
+
+  test("self-cosine is 1; brute-force top-k is ranked and bounded") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val self = emb.limit(5)
+      .select(round(Similarity.cosine(col("embedding"), col("embedding")), 9))
+      .as[Double].collect()
+    assert(self.forall(v => math.abs(v - 1.0) < 1e-9))
+    val topk = Similarity.bruteForceTopK(emb, 3, 5).collect()
+    assert(topk.length === 15)
+    // per probe: cos non-increasing with rank
+    topk.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN results are a subset of the probe's sign bucket") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val buckets = emb.select(col("vec_id"),
+      Similarity.signBucket(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ann = Similarity.lshBucketTopK(emb, 3, 5).collect()
+    ann.foreach { r =>
+      assert(buckets(r.getAs[Long]("vec_id")) === buckets(r.getAs[Long]("q_id")))
+    }
+  }
+}
