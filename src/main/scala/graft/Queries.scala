@@ -210,6 +210,34 @@ object Queries {
         |WHERE day NOT IN ('2024-01-01','2024-01-02','2024-01-03','2024-01-04','2024-01-05','2024-01-06','2024-01-07')
         |ORDER BY day""".stripMargin)),
 
+    // Same digest as a6 but through the single-pass typed Aggregator
+    // (G1's second implementation, SURVEY §2.10) — same oracle proves the
+    // two forms agree through the full gate, not just in unit tests.
+    ("a6b_group_day_digest_udaf",
+      (s: SparkSession, d: String) => cat(s, d)
+        .groupBy(Digest.extractDate(col("file_name")).as("day"))
+        .agg(Digest.hashListUdaf(col("file_name")).as("digest"),
+          count(lit(1)).as("n_files"))
+        .orderBy(col("day")),
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT $DayExpr AS day,
+        |  md5(string_agg(file_name, '' ORDER BY file_name)) AS digest,
+        |  count(*) AS n_files
+        |FROM catalog GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // F14/F3: ARN field extraction (rds_download_log.py:13-19) modeled
+    // relationally over synthetic instance ARNs built from nation rows.
+    ("a11_arn_region",
+      (s: SparkSession, d: String) => Tables.nation(s, d)
+        .select(concat(lit("arn:aws:rds:region-"), col("n_name"),
+          lit(":123456789:db:inst"), col("n_nationkey")).as("arn"))
+        .select(col("arn"), split(col("arn"), ":")(3).as("region"))
+        .orderBy(col("arn")),
+      Some("""SELECT arn, string_split(arn, ':')[4] AS region
+        |FROM (SELECT 'arn:aws:rds:region-' || n_name || ':123456789:db:inst' || n_nationkey::varchar AS arn
+        |      FROM nation)
+        |ORDER BY arn""".stripMargin)),
+
     // ===== Tier B: native pgbadger-report analytics (SURVEY §2.4-2.5) =====
 
     ("b1_level_counts",
