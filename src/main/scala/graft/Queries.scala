@@ -238,6 +238,18 @@ object Queries {
         |      FROM nation)
         |ORDER BY arn""".stripMargin)),
 
+    // F10/F11: md5 + sha256 content hashes side by side (sha2 is the
+    // reference's SigV4 payload hash, rds_download_log.py:26-34).
+    ("a12_content_hashes",
+      (s: SparkSession, d: String) => cat(s, d)
+        .select(col("file_name"), md5(col("file_name")).as("md5_hash"),
+          sha2(col("file_name"), 256).as("sha256_hash"))
+        .orderBy(col("file_name")),
+      Some(s"""WITH catalog AS ($CatalogCte)
+        |SELECT file_name, md5(file_name) AS md5_hash,
+        |  sha256(file_name) AS sha256_hash
+        |FROM catalog ORDER BY file_name""".stripMargin)),
+
     // ===== Tier B: native pgbadger-report analytics (SURVEY §2.4-2.5) =====
 
     ("b1_level_counts",

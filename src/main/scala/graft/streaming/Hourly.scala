@@ -46,8 +46,10 @@ object Hourly {
     // Stream with the RAW on-disk schema (ts as nano-long), then apply the
     // same µs conversion Tables.events does for batch.
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source needs a directory; glob-filter down to the table file
     val stream = spark.readStream.schema(rawSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     hourlyAgg(stream)
       .writeStream

@@ -61,4 +61,21 @@ class StreamingSpec extends SparkSpec {
       assert(closed === batch)
     } finally q.stop()
   }
+
+  test("file-source AvailableNow stream over the events parquet emits closed windows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Hourly.streamFromParquet(spark, "/root/testdata/sf0.001",
+      s"$tmp/ckpt", s"$tmp/out")
+    val out = spark.read.parquet(s"$tmp/out")
+    val batch = Hourly.hourlyAgg(
+      graft.ops.Tables.events(spark, "/root/testdata/sf0.001"))
+    // emitted windows must be exactly a prefix of the batch result: every
+    // emitted row appears in the batch twin, only watermark-open windows
+    // may be withheld
+    assert(out.count() > 0)
+    assert(out.exceptAll(batch).count() === 0)
+    val withheld = batch.exceptAll(out)
+    val maxClosed = out.agg(max(col("hour_start"))).head().getTimestamp(0)
+    assert(withheld.filter(col("hour_start") < maxClosed).count() === 0)
+  }
 }
