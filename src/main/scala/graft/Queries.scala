@@ -602,6 +602,10 @@ object Queries {
         |  FROM documents)
         |GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin)),
 
+    ("n18_winnow_matches",
+      (s: SparkSession, d: String) => TextAnalysis.winnowMatches(docs(s, d)),
+      None),
+
     ("n17_minhash_fast",
       (s: SparkSession, d: String) => Dedup.minhashSignaturesFast(docs(s, d)),
       None),

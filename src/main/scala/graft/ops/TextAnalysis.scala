@@ -112,6 +112,19 @@ object TextAnalysis {
       md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
         .as("fingerprint"))
 
+  /** Winnowing (rolling-hash) fingerprints — the MOSS shared-substring
+    * primitive; docs sharing any fingerprint share a substring of length
+    * ≥ w + k − 1. Shuffles only (fingerprint, doc_id) pairs.
+    */
+  def winnowMatches(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.Winnow.fingerprints(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+
   /** Fingerprint-duplicate groups: docs sharing a word-set signature. */
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     fingerprints(docs)
