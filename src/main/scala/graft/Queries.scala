@@ -602,6 +602,30 @@ object Queries {
         |  FROM documents)
         |GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint""".stripMargin)),
 
+    ("n19_train_split_counts",
+      (s: SparkSession, d: String) => TextAnalysis.splitCounts(docs(s, d)),
+      Some("""SELECT lang, split, count(*) AS n_docs FROM (
+        |  SELECT lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |    FROM documents))
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    ("n20_vocabulary",
+      (s: SparkSession, d: String) => TextAnalysis.vocabulary(docs(s, d), 100),
+      Some("""SELECT word, count(*) AS tf FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY tf DESC, word ASC LIMIT 100""".stripMargin)),
+
+    // Connected components over LSH candidate pairs → dedup clusters
+    // (iterative min-label propagation; rows-only — recursive).
+    ("n21_dup_clusters",
+      (s: SparkSession, d: String) => Dedup.dupClusters(
+        Dedup.minhashNearDupPairs(docs(s, d), 0.0)
+          .select(col("doc_a"), col("doc_b"))),
+      None),
+
     ("n18_winnow_matches",
       (s: SparkSession, d: String) => TextAnalysis.winnowMatches(docs(s, d)),
       None),

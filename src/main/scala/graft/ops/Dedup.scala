@@ -176,6 +176,48 @@ object Dedup {
       .orderBy(col("doc_a"))
   }
 
+  /** Connected components over near-dup pairs → dedup clusters, the final
+    * step of a dedup pipeline (keep one representative per cluster).
+    * Iterative min-label propagation: each round joins current labels
+    * across edges (both directions) and takes the min; converges in
+    * O(log(diameter)) rounds — the standard large-scale approach (the
+    * driver loop holds only a convergence flag, never data).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // materialize the edge list once — every iteration (and the
+    // convergence check) would otherwise recompute the upstream pair
+    // pipeline (minhash, LSH, jaccard) from scratch per round
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    // Min-label propagation strictly decreases Σlabel until the fixpoint,
+    // so convergence is a cheap scalar check on the checkpointed frame —
+    // no extra join per round.
+    var prevSum = Long.MinValue
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val updated = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = true) // truncate lineage per round
+      val row = updated.agg(sum(col("label"))).head()
+      val s = if (row.isNullAt(0)) Long.MinValue + 1 else row.getLong(0)
+      converged = s == prevSum || row.isNullAt(0) // empty graph → done
+      prevSum = s
+      labels = updated
+      i += 1
+    }
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .orderBy(col("cluster"))
+  }
+
   /** 100 TB-path signature: xxhash64 longs instead of md5-hex (rows-only
     * check — hash is engine-specific), via the zero-shuffle custom
     * expression [[graft.functions.MinHashSignatureFast]].

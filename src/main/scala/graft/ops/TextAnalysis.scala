@@ -125,6 +125,36 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
       .orderBy(col("fp"))
 
+  /** Deterministic train/val/test split: md5-derived bucket in [0,100) —
+    * stable across runs/engines (unlike sample()), stratifiable by any
+    * key, and pure map-side at any scale.
+    */
+  def splitAssignment(docs: DataFrame): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100))
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Split sizes per lang — the stratification report. */
+  def splitCounts(docs: DataFrame): DataFrame =
+    splitAssignment(docs)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+
+  /** Corpus vocabulary: top-K words by document frequency (ties → word
+    * asc). Shuffles (word, partial counts) only; at 100 TB this is the
+    * canonical word-count with a TakeOrdered tail.
+    */
+  def vocabulary(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("word").asc)
+      .limit(k)
+
   /** Fingerprint-duplicate groups: docs sharing a word-set signature. */
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     fingerprints(docs)

@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpec {
     assert(h(0L) !== h(2L))
   }
 
+  test("dupClusters: chain of pairs collapses to one cluster with min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Long]]("members").toList)).toMap
+    assert(got === Map(1L -> List(1L, 2L, 3L, 9L), 5L -> List(5L, 6L)))
+  }
+
   test("minhashSignaturesFast emits long signatures for eligible docs") {
     val rows = Dedup.minhashSignaturesFast(docs).collect()
     assert(rows.length === 4 * Dedup.NumMinhashSeeds)
