@@ -353,6 +353,27 @@ object Queries {
         |  $DecSum AS sum_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
 
+    // Malformed-line accounting: the reference silently writes failed
+    // downloads INTO the log file (rds_download_log.py:49-50 →
+    // rds_pgbadger.py:74-75, the silent-corruption bug SURVEY §3.3 flags);
+    // here unparseable lines are first-class, counted per batch.
+    ("b14_parse_error_rate",
+      (s: SparkSession, d: String) => {
+        val lines = LogLines.synthesizeLines(ev(s, d))
+          .union(s.range(1).select(lit(-1L).as("event_id"),
+            lit("No access key is available.").as("line")))
+        LogLines.parseLines(lines)
+          .select(when(col("level") === "", 1).otherwise(0).as("bad"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("bad")).as("n_bad"))
+          .withColumn("bad_rate", round(col("n_bad").cast("double") / col("n_lines"), 8))
+      },
+      Some(s"""WITH lines AS ($LinesCte),
+        |aug AS (SELECT line FROM lines UNION ALL SELECT 'No access key is available.')
+        |SELECT count(*) AS n_lines,
+        |  sum(CASE WHEN regexp_extract(line, '$PrefixRe', 6) = '' THEN 1 ELSE 0 END) AS n_bad,
+        |  round(sum(CASE WHEN regexp_extract(line, '$PrefixRe', 6) = '' THEN 1 ELSE 0 END)::double / count(*), 8) AS bad_rate
+        |FROM aug""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),
