@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.ops.{LogLines, Tables}
+
+/** The facade end to end: a directory of hourly `postgresql.log.*` files →
+  * select → ingest → parse → report sections → memoized publish; re-run is
+  * a no-op (Luigi-style idempotence).
+  */
+class GraftSpec extends SparkSpec {
+
+  private def writeLogDir(): String = {
+    val root = Files.createTempDirectory("graft_pipeline").toString
+    val lines = LogLines.synthesizeLines(
+        Tables.events(spark, "/root/testdata/sf0.001"))
+      .select(col("line"), regexp_extract(col("line"),
+        "^(\\d{4}-\\d{2}-\\d{2}) (\\d{2})", 1).as("d"),
+        regexp_extract(col("line"), "^\\d{4}-\\d{2}-\\d{2} (\\d{2})", 1).as("h"))
+      .collect()
+    lines.groupBy(r => s"${r.getString(1)}-${r.getString(2)}").foreach {
+      case (hour, rows) =>
+        Files.write(Paths.get(root, s"postgresql.log.$hour"),
+          rows.map(_.getString(0)).toSeq.asJava, UTF_8)
+    }
+    root
+  }
+
+  test("full pipeline: select → read → parse → reports → idempotent publish") {
+    val logDir = writeLogDir()
+    val out = Files.createTempDirectory("graft_reports").toString
+    // pick a reference hour that exists mid-corpus (events span 2024-01)
+    Graft.runReportPipeline(spark, logDir, out, "2024-01-15-02", 5)
+
+    val selected = Graft.selectLogFiles(spark, logDir, "2024-01-15-02", 5)
+    val sel = selected.collect().map(_.getString(0))
+    assert(sel.length === 5)
+    assert(!sel.exists(_.endsWith("2024-01-15-02"))) // open hour dropped
+
+    val levels = spark.read.parquet(s"$out/level_counts")
+    assert(levels.count() > 0)
+    val totalLines = spark.read.parquet(s"$out/hourly_histogram")
+      .agg(sum(col("n"))).head().getLong(0)
+    // exactly the lines of the 5 selected hourly files
+    val expected = Graft.readLogLines(spark, logDir, selected).count()
+    assert(totalLines === expected)
+
+    // idempotence: re-run must not duplicate or change outputs
+    val before = levels.collect().toSet
+    Graft.runReportPipeline(spark, logDir, out, "2024-01-15-02", 5)
+    assert(spark.read.parquet(s"$out/level_counts").collect().toSet === before)
+  }
+}

@@ -41,6 +41,22 @@ class SourcesSpec extends SparkSpec {
     assert(viaFiles === direct)
   }
 
+  test("date-partitioned layout prunes partitions at the scan (SURVEY §4)") {
+    val root = Files.createTempDirectory("graft_part").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("p_day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.partitionBy("p_day").mode("overwrite").parquet(root)
+
+    val pruned = spark.read.parquet(root)
+      .filter(col("p_day") === "2024-01-15")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("2024-01-15"))
+    // the pruned read returns exactly that day's rows
+    val want = ev.filter(col("p_day") === "2024-01-15").count()
+    assert(pruned.count() === want && want > 0)
+  }
+
   test("binaryFile source lists file metadata (S1 catalog analog)") {
     val root = Files.createTempDirectory("graft_bin").toString
     Seq("x").toDF("v").coalesce(1).write.mode("overwrite").text(root + "/f1")
