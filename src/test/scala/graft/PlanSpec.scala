@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape regression guards: the scale-critical physical properties
+  * (pushdown, pruning, broadcast, top-K without global sort, zero-shuffle
+  * minhash) asserted on the real queries so a refactor can't silently
+  * trade them away (SURVEY §4, "Optimize for scale").
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("r1: shipdate filter pushed to the parquet scan; columns pruned") {
+    val p = plan("r1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+  }
+
+  test("r2: all dimension joins broadcast (no dim-side shuffle)") {
+    val p = plan("r2_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("a1: planner compiles to TakeOrderedAndProject reading only ts") {
+    val p = plan("a1_catalog_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("ReadSchema: struct<ts:bigint>"))
+  }
+
+  test("n4: minhash plan has no shuffle exchange before the signature") {
+    // the custom expression computes signatures map-side; the only
+    // exchange allowed is the final presentation sort
+    val p = plan("n4_minhash_signatures")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "minhash must not hash-shuffle; found one in:\n" + p)
+  }
+
+  test("n9: probe side broadcast; no cartesian on the corpus") {
+    val p = plan("n9_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("b2: single hash-aggregate pair with partial aggregation") {
+    val p = plan("b2_hourly_histogram")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"))
+  }
+}
