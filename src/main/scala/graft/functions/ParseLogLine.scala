@@ -30,9 +30,13 @@ case class ParseLogLine(child: Expression)
 
   @transient private lazy val prefixRe = Pattern.compile(
     "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}) UTC:([^:]*):([^@:]*)@([^:]*):\\[(\\d+)\\]:([A-Z]+):")
-  @transient private lazy val msgRe = Pattern.compile(":[A-Z]+:  (.*)$")
+  // DOTALL so stitched multi-line records keep their continuation text in
+  // message/query; single-line inputs (the oracle surface) are unaffected.
+  @transient private lazy val msgRe =
+    Pattern.compile(":[A-Z]+:  (.*)$", Pattern.DOTALL)
   @transient private lazy val durRe = Pattern.compile("duration: ([0-9.]+) ms")
-  @transient private lazy val queryRe = Pattern.compile("statement: (.*)$")
+  @transient private lazy val queryRe =
+    Pattern.compile("statement: (.*)$", Pattern.DOTALL)
 
   private def u(s: String) = UTF8String.fromString(s)
 

@@ -84,4 +84,52 @@ object LogLines {
   /** Synthesized-then-parsed lines for a scale dir. */
   def parsedFromEvents(spark: SparkSession, dir: String): DataFrame =
     parseLines(synthesizeLines(Tables.events(spark, dir)))
+
+  /** A raw line is a record start iff it matches the `%t:` prefix start;
+    * anything else (leading whitespace, bare SQL) continues the previous
+    * record — real pg logs wrap multi-line statements and DETAIL blocks
+    * this way.
+    */
+  private val RecordStart = "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2} UTC:.*".r
+
+  /** Multi-line record stitching (SURVEY §7.3.3, previously deferred).
+    *
+    * Continuation lines are order-dependent, so stitching happens at file
+    * granularity: input is one row per (file_name, whole file text) — the
+    * `wholetext` read shape — and each file is stitched in a single
+    * forward pass, in parallel across files. The reference's unit of work
+    * is the hourly file (bounded size) so per-file memory is bounded; at
+    * 100 TB the same pass runs per file-split with a boundary fix-up
+    * (first partial record of each split joined to the previous split's
+    * tail), which this per-file form is the degenerate case of.
+    */
+  def stitchLines(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("file_name"), col("text")).as[(String, String)]
+      .flatMap { case (file, text) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+        var cur: StringBuilder = null
+        var idx = 0L
+        text.split("\n", -1).foreach { raw =>
+          if (RecordStart.pattern.matcher(raw).matches()) {
+            if (cur != null) out += ((file, idx, cur.toString)); idx += 1
+            cur = new StringBuilder(raw)
+          } else if (cur != null && raw.nonEmpty) {
+            cur.append('\n').append(raw)
+          } // leading junk before the first record start is dropped
+        }
+        if (cur != null) out += ((file, idx, cur.toString))
+        out
+      }
+      .toDF("file_name", "record_idx", "line")
+  }
+
+  /** wholetext read → stitch → parse: the full multi-line ingestion path. */
+  def parseLogDirectory(spark: SparkSession, logDir: String): DataFrame = {
+    val files = spark.read.option("wholetext", "true").text(logDir)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file_name"),
+        col("value").as("text"))
+    parseLines(stitchLines(files).withColumnRenamed("record_idx", "event_id"))
+  }
 }
