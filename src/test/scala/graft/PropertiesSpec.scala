@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{Digest, LogCatalog, LogLines}
+
+/** The SURVEY §5.2.3 property suite over random catalogs/strings:
+  * top-K ⊆ sorted prefix (W1/O1-O2), open-hour exclusion (P3), day-set
+  * dedup (P4), date-or-'unknown' extraction (F8/G2), plus normalization
+  * idempotence (F18).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 12): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val hourGen: Gen[String] = for {
+    day <- Gen.choose(1, 28)
+    month <- Gen.choose(1, 12)
+    hour <- Gen.choose(0, 23)
+  } yield f"2019-$month%02d-$day%02d-$hour%02d"
+
+  private val catalogGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(hourGen).map(_.distinct.take(40)
+      .map(h => s"error/postgresql.log.$h"))
+
+  private val refGen: Gen[(List[String], String, Int)] = for {
+    cat <- catalogGen
+    ref <- hourGen
+    k <- Gen.choose(1, 10)
+  } yield (cat, ref, k)
+
+  test("property: selectLogFiles(k) is a prefix of the sorted closed-file list (W1)") {
+    check(Prop.forAll(refGen) { case (cat, ref, k) =>
+      val catalog = cat.toDF("file_name")
+      val got = LogCatalog.selectLogFiles(catalog, ref, k)
+        .as[String].collect().toList
+      // reference semantics computed directly in Scala
+      val days = (0 until math.max(k / 24, 1)).map(i =>
+        java.time.LocalDateTime.parse(ref + ":00",
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH:mm"))
+          .minusDays(i).toLocalDate.toString) :+
+        java.time.LocalDateTime.parse(ref + ":00",
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH:mm"))
+          .minusHours(k).toLocalDate.toString
+      val eligible = cat.filter(f => days.exists(f.contains))
+        .filterNot(_.endsWith(ref))
+        .filter(_.takeRight(13) <= ref) // format is sort-compatible
+        .sortBy((f: String) => f.takeRight(13)).reverse
+      got == eligible.take(k)
+    })
+  }
+
+  test("property: no selected file ends with the reference hour (P3)") {
+    check(Prop.forAll(refGen) { case (cat, ref, k) =>
+      !LogCatalog.selectLogFiles(cat.toDF("file_name"), ref, k)
+        .as[String].collect().exists(_.endsWith(ref))
+    })
+  }
+
+  test("property: extracted day-set is duplicate-free (P4)") {
+    check(Prop.forAll(catalogGen) { cat =>
+      val days = cat.toDF("file_name")
+        .select(Digest.extractDate(col("file_name")).as("day"))
+        .distinct().as[String].collect()
+      days.length == days.distinct.length
+    })
+  }
+
+  test("property: extractDate yields a real date or 'unknown' (F8/G2)") {
+    val anyStr = Gen.listOfN(12, Gen.asciiPrintableChar).map(_.mkString)
+    check(Prop.forAll(Gen.oneOf(anyStr, hourGen.map("x" + _))) { s =>
+      val got = Seq(s).toDF("f")
+        .select(Digest.extractDate(col("f"))).as[String].head()
+      got == "unknown" || got.matches("\\d{4}-\\d{2}-\\d{2}")
+    })
+  }
+
+  test("property: query normalization is idempotent (F18)") {
+    val sqlGen = for {
+      n <- Gen.choose(0, 999)
+      s <- Gen.alphaNumStr.map(_.take(6))
+    } yield s"SELECT * FROM t WHERE id = $n AND name = '$s'  AND  x=$n"
+    check(Prop.forAll(sqlGen) { q =>
+      val once = Seq(q).toDF("q")
+        .select(LogLines.normalizeQuery(col("q")).as("n1"))
+        .select(col("n1"), LogLines.normalizeQuery(col("n1")).as("n2"))
+        .head()
+      once.getString(0) == once.getString(1)
+    })
+  }
+}
