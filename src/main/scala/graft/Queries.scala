@@ -639,6 +639,23 @@ object Queries {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY tf DESC, word ASC LIMIT 100""".stripMargin)),
 
+    // The composite training-corpus pipeline: exact dedup → quality
+    // filter → deterministic split → per-(lang, split) accounting.
+    ("n22_training_corpus",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.trainingCorpusCounts(docs(s, d)),
+      Some(s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |q AS (SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS nw,
+        |    round(len(list_filter(string_split(d.text, ' '), w -> w IN $Stop))::double
+        |      / len(string_split(d.text, ' ')), 6) AS sr,
+        |    ('0x' || substring(md5(d.doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
+        |SELECT lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(nw) AS total_tokens
+        |FROM q WHERE nw >= 30 AND sr <= 0.3
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
     // Connected components over LSH candidate pairs → dedup clusters
     // (iterative min-label propagation; rows-only — recursive).
     ("n21_dup_clusters",

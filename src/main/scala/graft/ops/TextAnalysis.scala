@@ -155,6 +155,30 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("word").asc)
       .limit(k)
 
+  /** The composite training-data preparation pipeline: exact dedup →
+    * quality filter → deterministic split → per-(lang, split) corpus
+    * accounting. Each stage is one of the operators above; chained, they
+    * are the end-to-end "prepare a training corpus" job. Shuffles: one
+    * dedup hash-group, one broadcast-able keeper semi join, one final
+    * tiny-key aggregate.
+    */
+  def trainingCorpusCounts(docs: DataFrame): DataFrame = {
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val ws = words(col("text"))
+    val stopRatio = round(
+      size(filter(ws, w => w.isin(Stopwords: _*))).cast("double") / size(ws), 6)
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), size(ws).as("n_words"),
+        stopRatio.as("stop_ratio"))
+      .filter(col("n_words") >= 30 && col("stop_ratio") <= 0.3)
+      .join(splitAssignment(docs).select(col("doc_id"), col("split")), "doc_id")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Fingerprint-duplicate groups: docs sharing a word-set signature. */
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     fingerprints(docs)
