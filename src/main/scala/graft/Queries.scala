@@ -570,6 +570,12 @@ object Queries {
         |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // IVF ANN with deterministically-trained k-means centroids (rows-only:
+    // float averaging is engine-specific; reproducible across runs).
+    ("n23_ivf_ann_topk",
+      (s: SparkSession, d: String) => Similarity.ivfTopK(emb(s, d), 10, 5),
+      None),
+
     ("n12_token_stats_by_source",
       (s: SparkSession, d: String) => TextAnalysis.tokenStatsBySource(docs(s, d)),
       Some("""SELECT source, count(*) AS n_docs,

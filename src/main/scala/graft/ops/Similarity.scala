@@ -89,6 +89,72 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF (inverted-file) ANN with deterministically-trained centroids:
+    * Lloyd's k-means entirely in DataFrame ops — init = the first
+    * `nCentroids` vectors, `iters` fixed assignment/update rounds (fixed
+    * everything → reproducible across runs), then probe only the
+    * `nProbe` nearest cells per query.
+    *
+    * Scale shape: training shuffles (cell, partial-sum) pairs with
+    * map-side combine (centroids broadcast each round); search is a
+    * broadcast of (probe, cell) against a cell-partitioned corpus —
+    * at 100 TB the corpus would be written bucketed by cell so a probe
+    * touches only its cells' files.
+    */
+  def ivfTopK(emb: DataFrame, nProbes: Int, k: Int,
+              nCentroids: Int = 16, iters: Int = 3, nProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val e = withNorm(emb).localCheckpoint(eager = true)
+    // --- train ---
+    var centroids = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(spark.createDataFrame(
+        centroids.toSeq.map { case (id, v) => (id, v.toSeq) })
+        .toDF("cid", "cemb"))
+      val assigned = assignCells(e, cdf)
+      centroids = assigned
+        .groupBy(col("cid"))
+        .agg(array((0 until 64).map(i =>
+          avg(element_at(col("emb"), i + 1))): _*).as("mean"))
+        .collect().map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Double]]("mean").toArray))
+    }
+    val cdf = broadcast(spark.createDataFrame(
+      centroids.toSeq.map { case (id, v) => (id, v.toSeq) })
+      .toDF("cid", "cemb"))
+    // --- index: corpus rows with their cell ---
+    val indexed = assignCells(e, cdf)
+    // --- search: probes scan their nProbe nearest cells only ---
+    val probeCells = assignCells(
+      e.filter(col("vec_id") < nProbes), cdf, nProbe)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cid"))
+    val scored = indexed.join(broadcast(probeCells),
+        indexed("cid") === probeCells("cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Nearest `take` centroid cell(s) per vector (L2 via dot expansions). */
+  private def assignCells(e: DataFrame, centroids: DataFrame,
+                          take: Int = 1): DataFrame = {
+    val d2 = dot(col("emb"), col("emb")) -
+      lit(2.0) * dot(col("emb"), col("cemb")) +
+      dot(col("cemb"), col("cemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    e.crossJoin(centroids)
+      .withColumn("d2", d2)
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= take)
+      .drop("d2", "crnk")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label and an id-distance
     * band so the pair space stays linear-ish in corpus size.
     */

@@ -51,6 +51,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: well-formed top-k with real recall against brute force") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val ivf = Similarity.ivfTopK(emb, 5, 5).collect()
+    assert(ivf.groupBy(_.getAs[Long]("q_id")).forall(_._2.length <= 5))
+    assert(ivf.nonEmpty)
+    val bf = Similarity.bruteForceTopK(emb, 5, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val hits = ivf.count(r =>
+      bf.contains((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))))
+    // approximate search: some overlap with exact results must exist
+    assert(hits > 0, s"IVF found none of the true top-5 (${ivf.length} results)")
+  }
+
+  test("IVF ANN is reproducible across runs (deterministic training)") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val a = Similarity.ivfTopK(emb, 3, 3).collect().map(_.toString).toSeq
+    val b = Similarity.ivfTopK(emb, 3, 3).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("LSH ANN results are a subset of the probe's sign bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val buckets = emb.select(col("vec_id"),
