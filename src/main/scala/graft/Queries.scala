@@ -374,6 +374,51 @@ object Queries {
         |  round(sum(CASE WHEN regexp_extract(line, '$PrefixRe', 6) = '' THEN 1 ELSE 0 END)::double / count(*), 8) AS bad_rate
         |FROM aug""".stripMargin)),
 
+    // Gap-based sessionization (pgbadger sessions/connections view):
+    // 30-min inactivity gap, µs-exact boundary math in both engines.
+    ("b15_sessionize",
+      (s: SparkSession, d: String) => Reports.sessionize(ev(s, d), 30),
+      Some(s"""WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${30 * 60 * 1000000L}
+        |      THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec,
+        |  $DecSum AS sum_value
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin)),
+
+    ("b16_session_stats",
+      (s: SparkSession, d: String) => Reports.sessionStats(ev(s, d), 30),
+      Some(s"""WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${30 * 60 * 1000000L}
+        |      THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+        |  FROM sessions GROUP BY user_id, session_seq)
+        |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+        |  max(duration_sec) AS max_session_sec
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),
@@ -472,6 +517,30 @@ object Queries {
         |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
         |                     WHERE l_shipdate > timestamp '1997-01-01')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    ("r10_forecast_revenue",
+      (s: SparkSession, d: String) =>
+        Relational.forecastRevenue(Tables.lineitem(s, d)),
+      Some("""SELECT CAST(sum(l_extendedprice::decimal(18,2) * l_discount::decimal(18,2)) AS double) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp '1997-01-01' AND l_shipdate < timestamp '1998-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin)),
+
+    ("r11_shipping_priority",
+      (s: SparkSession, d: String) => Relational.shippingPriority(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d), 10),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(l_extendedprice::decimal(18,2) * (1::decimal(18,2) - l_discount::decimal(18,2))) AS double) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp '1997-06-01'
+        |  AND l_shipdate > timestamp '1997-06-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
 
     // ===== North star: dedup / similarity / text analysis =====
 

@@ -115,6 +115,38 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** TPC-H Q6 shape: pure filter + global aggregate — the maximal
+    * pushdown/pruning case (no shuffle at all beyond the final reduce).
+    */
+  def forecastRevenue(li: DataFrame): DataFrame =
+    li.filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.04, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q3 shape: selective join + aggregate + ranked top-K. */
+  def shippingPriority(li: DataFrame, orders: DataFrame,
+                       customer: DataFrame, k: Int): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+      .join(li.filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
   /** TPC-H Q4 shape: order-priority count with an EXISTS semi join against
     * late lineitems.
     */

@@ -126,6 +126,44 @@ object Reports {
       .orderBy(col("hour"))
   }
 
+  /** Gap-based sessionization — pgbadger's sessions/connections view over
+    * raw events: a new session starts when a user's gap from their
+    * previous event exceeds `gapMinutes`. Classic lag → flag → running
+    * cumulative-sum session id; one shuffle on user_id, windows sort
+    * within partition only.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    // microsecond-exact gap math (unix_micros ≡ DuckDB epoch_us) so the
+    // boundary decision can't diverge on sub-second truncation
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(byUser)
+    val newSession = when(prev.isNull, 1)
+      .when(us - prev > gapMinutes * 60L * 1000000L, 1)
+      .otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_seq", sum(col("new_s"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(1000000L)).cast("long").as("duration_sec"),
+        decSum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Per-user session stats roll-up (the report section shape). */
+  def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("duration_sec")).as("max_session_sec"))
+      .orderBy(col("user_id"))
+
   /** Error-rate per hour: conditional counts then a deterministic division. */
   def errorRateHourly(events: DataFrame): DataFrame =
     events.groupBy(hourStr(col("ts")).as("hour"))
