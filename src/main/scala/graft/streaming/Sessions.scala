@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming gap-based sessionization — the arbitrary-stateful-op surface
+  * (`flatMapGroupsWithState` + event-time timeout). Batch twin:
+  * [[graft.ops.Reports.sessionize]] (query `b15`).
+  *
+  * State per user is one open session (constant size); a session closes
+  * and is emitted when (a) a new event arrives more than `gapMinutes`
+  * after the last one, or (b) the event-time watermark passes the
+  * session's gap horizon (the timeout) — so state is bounded by active
+  * users, not history, and late events within the watermark still extend
+  * their session. This is the streaming twin of the reference's
+  * "open hour may still be written" rule applied to sessions.
+  */
+object Sessions {
+
+  case class Ev(ts: Timestamp, user_id: Long, value: Double)
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+                           n_events: Long, duration_sec: Long, sum_value: Double)
+
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int,
+                       watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val keyEnc = Encoders.scalaLong
+
+    def close(userId: Long, s: OpenSession): ClosedSession =
+      ClosedSession(userId, new Timestamp(s.startUs / 1000),
+        s.n, (s.lastUs - s.startUs) / 1000000L, math.round(s.sum * 100) / 100.0)
+
+    def fn(userId: Long, batch: Iterator[Ev],
+           state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (batch.isEmpty && state.hasTimedOut) {
+        // watermark passed the gap horizon → the open session is final
+        val out = state.getOption.map(close(userId, _)).iterator
+        state.remove()
+        return out
+      }
+      val evs = batch.toArray.sortBy(e => e.ts.getTime * 1000)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var cur = state.getOption
+      for (e <- evs) {
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(s) if us - s.lastUs > gapUs =>
+            closed += close(userId, s)
+            cur = Some(OpenSession(us, us, 1, e.value))
+          case Some(s) =>
+            cur = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
+              s.n + 1, s.sum + e.value))
+          case None =>
+            cur = Some(OpenSession(us, us, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // time out once the watermark passes last-event + gap
+        state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60L * 1000)
+      }
+      closed.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
