@@ -419,6 +419,34 @@ object Queries {
         |  max(duration_sec) AS max_session_sec
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Pivot cross-tab: days × severity counts as columns (the wide report
+    // layout; values enumerated so the column order is deterministic).
+    ("b17_pivot_severity",
+      (s: SparkSession, d: String) => ev(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day")),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // Value-distribution histogram: fixed-width buckets (report latency
+    // distribution shape; floor keeps both engines identical).
+    ("b18_value_histogram",
+      (s: SparkSession, d: String) => ev(s, d)
+        .select(floor(col("value") / 5).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(floor(value / 5) AS bigint) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),
