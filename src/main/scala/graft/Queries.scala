@@ -767,6 +767,14 @@ object Queries {
           .select(col("doc_a"), col("doc_b"))),
       None),
 
+    // Same clusters via O(log n)-round large-star/small-star (the 100 TB
+    // path; rows-only — iterative).
+    ("n24_dup_clusters_logn",
+      (s: SparkSession, d: String) => Dedup.dupClustersLogN(
+        Dedup.minhashNearDupPairs(docs(s, d), 0.0)
+          .select(col("doc_a"), col("doc_b"))),
+      None),
+
     ("n18_winnow_matches",
       (s: SparkSession, d: String) => TextAnalysis.winnowMatches(docs(s, d)),
       None),

@@ -218,6 +218,69 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** O(log n)-round connected components: alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the 100 TB twin of [[dupClusters]]'s min-label
+    * propagation, which needs O(diameter) rounds. Each phase is one
+    * groupBy over the (bounded, shrinking) edge list:
+    *
+    *   large-star: every neighbor larger than u links to the minimum of
+    *   u's closed neighborhood; small-star: the smaller/equal neighbors
+    *   (and u) link to that minimum. Alternating them contracts every
+    *   component to a star rooted at its minimum id.
+    *
+    * Output schema matches [[dupClusters]]; DedupSpec proves equality on
+    * random graphs.
+    */
+  def dupClustersLogN(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+    def canonical(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      // neighborhoods over both directions
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val withMin = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"),
+          collect_list(col("v")).as("vs"))
+        .select(col("u"), col("m"), explode(col("vs")).as("v"))
+      val linked =
+        if (large) withMin.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else withMin.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(withMin.select(col("u"), col("m")))
+      canonical(linked)
+    }
+
+    var edges = canonical(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(eager = true)
+      // star edges always point (larger -> smaller); fixpoint when the
+      // canonical edge set is unchanged
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    // edges are now (member -> root); roots themselves appear as u=v-free
+    val members = edges.select(col("v").as("cluster"), col("u").as("id"))
+      .union(edges.select(col("v").as("cluster"), col("v").as("id")))
+      .distinct()
+    members.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .orderBy(col("cluster"))
+  }
+
   /** 100 TB-path signature: xxhash64 longs instead of md5-hex (rows-only
     * check — hash is engine-specific), via the zero-shuffle custom
     * expression [[graft.functions.MinHashSignatureFast]].

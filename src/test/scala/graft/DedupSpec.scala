@@ -70,6 +70,25 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> List(1L, 2L, 3L, 9L), 5L -> List(5L, 6L)))
   }
 
+  test("property: large-star/small-star CC ≡ min-label propagation") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgesGen = Gen.listOfN(15, for {
+      a <- Gen.choose(0L, 18L); b <- Gen.choose(0L, 18L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+      .suchThat(_.nonEmpty)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5),
+      Prop.forAll(edgesGen) { es =>
+        val pairs = es.toDF("doc_a", "doc_b")
+        def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0),
+            r.getAs[scala.collection.Seq[Long]]("members").toList)).toSet
+        norm(graft.ops.Dedup.dupClusters(pairs)) ==
+          norm(graft.ops.Dedup.dupClustersLogN(pairs))
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("minhashSignaturesFast emits long signatures for eligible docs") {
     val rows = Dedup.minhashSignaturesFast(docs).collect()
     assert(rows.length === 4 * Dedup.NumMinhashSeeds)
