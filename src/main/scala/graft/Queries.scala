@@ -447,6 +447,30 @@ object Queries {
       Some("""SELECT CAST(floor(value / 5) AS bigint) AS bucket, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Distribution window functions over per-user spend: ntile quartiles,
+    // cumulative distribution, percent rank (report "top X%" sections).
+    ("b19_user_value_distribution",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("total").asc, col("user_id").asc)
+        ev(s, d).groupBy(col("user_id"))
+          .agg(Reports.decSum(col("value")).as("total"))
+          .select(col("user_id"), col("total"),
+            ntile(4).over(w).as("quartile"),
+            round(cume_dist().over(w), 6).as("cdist"),
+            round(percent_rank().over(w), 6).as("prank"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH spend AS (
+        |  SELECT user_id, $DecSum AS total FROM events GROUP BY user_id)
+        |SELECT user_id, total,
+        |  ntile(4) OVER w AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  round(percent_rank() OVER w, 6) AS prank
+        |FROM spend
+        |WINDOW w AS (ORDER BY total ASC, user_id ASC)
+        |ORDER BY user_id""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),
@@ -758,6 +782,26 @@ object Queries {
         |  count(*) AS n_docs, sum(nw) AS total_tokens
         |FROM q WHERE nw >= 30 AND sr <= 0.3
         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    ("n25_tfidf_top_terms",
+      (s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(docs(s, d), 5),
+      Some("""WITH tfc AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1, 2),
+        |dfc AS (
+        |  SELECT word, count(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents)
+        |  GROUP BY word),
+        |scored AS (
+        |  SELECT doc_id, word,
+        |    round(tf * ln((SELECT count(*) FROM documents)::double / df), 6) AS tfidf
+        |  FROM tfc JOIN dfc USING (word))
+        |SELECT doc_id, word, tfidf, rnk FROM (
+        |  SELECT doc_id, word, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)),
 
     // Connected components over LSH candidate pairs → dedup clusters
     // (iterative min-label propagation; rows-only — recursive).

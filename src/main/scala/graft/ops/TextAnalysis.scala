@@ -179,6 +179,31 @@ object TextAnalysis {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** TF-IDF: top-`k` highest-scoring terms per document. tf = in-doc
+    * count, idf = ln(N / df) over distinct-word document frequency.
+    * Two shuffles (df aggregate, per-doc rank); the df table is tiny
+    * (vocabulary-sized) and broadcast into the scoring join.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docs.select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Fingerprint-duplicate groups: docs sharing a word-set signature. */
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     fingerprints(docs)
