@@ -594,6 +594,27 @@ object Queries {
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
 
+    ("r12_left_outer_summary",
+      (s: SparkSession, d: String) => Relational.customerOrderSummary(
+        Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""SELECT c_custkey, c_name,
+        |  coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0.0) AS spend
+        |FROM customer LEFT OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(o_totalprice::decimal(18,2)) AS double) AS spend
+        |  FROM orders GROUP BY o_custkey) s ON c_custkey = s.o_custkey
+        |ORDER BY c_custkey""".stripMargin)),
+
+    ("r13_full_outer_churn",
+      (s: SparkSession, d: String) => Relational.customerChurn(Tables.orders(s, d)),
+      Some("""SELECT coalesce(a.ck, b.ck) AS o_custkey,
+        |  CASE WHEN a.ck IS NULL THEN 'gained'
+        |       WHEN b.ck IS NULL THEN 'lost' ELSE 'retained' END AS status
+        |FROM (SELECT DISTINCT o_custkey AS ck FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-03') a
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS ck FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-04') b
+        |  ON a.ck = b.ck
+        |ORDER BY o_custkey""".stripMargin)),
+
     // ===== North star: dedup / similarity / text analysis =====
 
     ("n1_exact_dup_groups",

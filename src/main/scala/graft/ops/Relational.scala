@@ -147,6 +147,38 @@ object Relational {
       .limit(k)
   }
 
+  /** LEFT OUTER + null handling: every customer with their order count
+    * and spend, zeros for the order-less (the report join shape where
+    * absence must show as 0, not vanish).
+    */
+  def customerOrderSummary(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Reports.decSum(col("o_totalprice")).as("spend"))
+    customer.join(spend, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** FULL OUTER over two period slices with null-safe labeling — both-side
+    * presence classification (gained/lost/retained customers).
+    */
+  def customerChurn(orders: DataFrame): DataFrame = {
+    val m = date_format(col("o_orderdate"), "yyyy-MM")
+    val a = orders.filter(m === "1997-03").select(col("o_custkey").as("ck_a"))
+      .distinct()
+    val b = orders.filter(m === "1997-04").select(col("o_custkey").as("ck_b"))
+      .distinct()
+    a.join(b, col("ck_a") === col("ck_b"), "full_outer")
+      .select(coalesce(col("ck_a"), col("ck_b")).as("o_custkey"),
+        when(col("ck_a").isNull, "gained")
+          .when(col("ck_b").isNull, "lost")
+          .otherwise("retained").as("status"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** TPC-H Q4 shape: order-priority count with an EXISTS semi join against
     * late lineitems.
     */

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Remaining streaming building blocks of a production ingest path:
+  * watermarked streaming deduplication, stream-static enrichment joins,
+  * and an idempotent `foreachBatch` sink.
+  */
+object Enrich {
+
+  /** Exactly-once-per-key ingestion: drop duplicate events by id while
+    * only retaining state within the watermark — the streaming twin of
+    * exact dedup (`n1`), with state bounded by the dedup horizon instead
+    * of history.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: each micro-batch joins the (small, cached)
+    * static dimension — broadcast per batch, no stream-side state.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** foreachBatch sink writing each micro-batch via dynamic partition
+    * overwrite keyed by day — re-processing a batch overwrites exactly its
+    * partitions (idempotent replay, the S5-S7 semantics in streaming form).
+    */
+  def writeBatchIdempotent(out: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.sources.Sinks.writePartitionedByDay(
+      batch.withColumn("batch_id", lit(batchId)), "ts", out)
+}
