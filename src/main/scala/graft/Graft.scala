@@ -63,6 +63,30 @@ object Graft {
       "error_rate_hourly" -> Reports.errorRateHourly(ev))
   }
 
+  /** Reference-faithful per-file granularity: every report section keyed
+    * and partitioned by source file, one output partition per log file —
+    * the Spark shape of "one pgbadger HTML per downloaded log"
+    * (rds_pgbadger.py:44-45). Downstream reads of a single file's report
+    * prune to its partition.
+    */
+  def runPerFileReports(spark: SparkSession, logDir: String, outDir: String,
+                        referenceDateHour: String, maxRecords: Int = 5): Unit = {
+    val selected = selectLogFiles(spark, logDir, referenceDateHour, maxRecords)
+    val files = selected.collect().map(r => s"$logDir/${r.getString(0)}").toSeq
+    val parsed = spark.read.text(files: _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file_name"),
+        graft.functions.ParseLogLine.parse(col("value")).as("p"))
+      .select(col("file_name"), col("p.level").as("level"),
+        col("p.duration_ms").as("duration_ms"))
+    val perFile = parsed
+      .groupBy(col("file_name"), col("level"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("duration_ms").cast("decimal(18,2)")).cast("double")
+          .as("total_ms"))
+    perFile.write.mode("overwrite").partitionBy("file_name")
+      .parquet(s"$outDir/per_file_level_stats")
+  }
+
   /** The whole reference workflow, end to end: plan → extract → transform
     * → load, with memoized (re-runnable) outputs per section.
     */

@@ -1,0 +1,46 @@
+package graft
+import org.apache.spark.sql.functions._
+/** Dev utility: derive a ~Nx larger dataset from sf0.1 under /tmp (id
+  * offsets keep keys consistent) and time key queries — a local check
+  * that nothing scales superlinearly before real-cluster scale.
+  */
+object ScaleSanity {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(5)
+    val out = s"/tmp/graft_sf_x$mult"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      def rep(t: String, idCols: Seq[String], perCopy: Long): Unit = {
+        val base = if (t == "events") ops.Tables.events(spark, src)
+          else spark.read.parquet(s"$src/$t.parquet")
+        val big = (0 until mult).map { i =>
+          idCols.foldLeft(base)((df, c) =>
+            df.withColumn(c, col(c) + lit(i * perCopy)))
+        }.reduce(_ union _)
+        big.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      rep("lineitem", Seq("l_orderkey"), 10000000L)
+      rep("orders", Seq("o_orderkey"), 10000000L)
+      rep("customer", Seq("c_custkey"), 10000000L)
+      rep("events", Seq("event_id"), 10000000L)
+      rep("documents", Seq("doc_id"), 10000000L)
+      rep("embeddings", Seq("vec_id"), 10000000L)
+      Seq("region", "nation", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet") }
+    }
+    for (name <- Seq("r1_pricing_summary", "r2_revenue_by_nation",
+        "b2_hourly_histogram", "b15_sessionize", "n4_minhash_signatures",
+        "n9_cosine_topk", "n1_exact_dup_groups")) {
+      val t0 = System.nanoTime()
+      Queries.queries(name)(spark, out).count()
+      println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $name")
+    }
+    spark.stop()
+  }
+}

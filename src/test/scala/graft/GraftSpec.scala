@@ -54,4 +54,17 @@ class GraftSpec extends SparkSpec {
     Graft.runReportPipeline(spark, logDir, out, "2024-01-15-02", 5)
     assert(spark.read.parquet(s"$out/level_counts").collect().toSet === before)
   }
+
+  test("per-file reports: one partition per selected log file") {
+    val logDir = writeLogDir()
+    val out = java.nio.file.Files.createTempDirectory("graft_pf").toString
+    Graft.runPerFileReports(spark, logDir, out, "2024-01-15-02", 5)
+    val stats = spark.read.parquet(s"$out/per_file_level_stats")
+    val files = stats.select("file_name").distinct().count()
+    assert(files === 5)
+    // partition pruning reaches the scan when reading one file's report
+    val one = stats.filter(col("file_name") === "postgresql.log.2024-01-15-01")
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(one.count() > 0)
+  }
 }
