@@ -824,6 +824,35 @@ object Queries {
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)),
 
+    // Train/test decontamination: test docs sharing a content fingerprint
+    // with any train doc (the eval-leakage check).
+    ("n26_decontamination",
+      (s: SparkSession, d: String) => TextAnalysis.decontamination(docs(s, d)),
+      Some("""WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |    FROM documents)),
+        |j AS (SELECT fp.doc_id, fingerprint, split FROM fp JOIN sp USING (doc_id))
+        |SELECT t.doc_id AS test_doc, tr.doc_id AS train_doc, t.fingerprint
+        |FROM j t JOIN j tr ON t.fingerprint = tr.fingerprint
+        |WHERE t.split = 'test' AND tr.split = 'train'
+        |ORDER BY test_doc, train_doc""".stripMargin)),
+
+    // Quality-aware keeper per near-dup cluster (rows-only: clusters are
+    // iterative upstream).
+    ("n27_keep_best",
+      (s: SparkSession, d: String) => Dedup.keepBestPerCluster(
+        Dedup.dupClusters(Dedup.minhashNearDupPairs(docs(s, d), 0.0)
+          .select(col("doc_a"), col("doc_b"))),
+        docs(s, d)),
+      None),
+
     // Connected components over LSH candidate pairs → dedup clusters
     // (iterative min-label propagation; rows-only — recursive).
     ("n21_dup_clusters",

@@ -26,6 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Quality-aware keeper selection: given near-dup clusters, keep the
+    * best-scoring member (longest text here; any score column works) —
+    * the policy step after cluster detection. max_by keeps selection in
+    * one aggregate pass; ties break to the smaller doc_id via the
+    * (score, -id) struct ordering.
+    */
+  def keepBestPerCluster(clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters.select(col("cluster"), explode(col("members")).as("doc_id"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("score")),
+        "doc_id")
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid")))
+        .as("best"), count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("best.nid")).as("keeper"),
+        col("best.score").as("keeper_score"), col("n_members"))
+      .orderBy(col("cluster"))
+
   /** Exact dedup: group by content digest; keeper = min doc_id. */
   def exactDupGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("text_hash"))

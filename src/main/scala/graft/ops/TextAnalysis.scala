@@ -204,6 +204,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Train/test decontamination: test-split documents whose content
+    * fingerprint also appears in the train split — the leakage check every
+    * eval pipeline needs. One fingerprint hash-join; at 100 TB the
+    * fingerprint table is the join key, never the text.
+    */
+  def decontamination(docs: DataFrame): DataFrame = {
+    val fp = fingerprints(docs)
+      .join(splitAssignment(docs).select(col("doc_id"), col("split")), "doc_id")
+    fp.filter(col("split") === "test").as("t")
+      .join(fp.filter(col("split") === "train").as("tr"),
+        col("t.fingerprint") === col("tr.fingerprint"))
+      .select(col("t.doc_id").as("test_doc"),
+        col("tr.doc_id").as("train_doc"),
+        col("t.fingerprint").as("fingerprint"))
+      .orderBy(col("test_doc"), col("train_doc"))
+  }
+
   /** Fingerprint-duplicate groups: docs sharing a word-set signature. */
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     fingerprints(docs)

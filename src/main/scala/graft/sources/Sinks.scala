@@ -26,6 +26,23 @@ object Sinks {
   def writeIfAbsent(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Ignore).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * `targetFiles` files (the operational fix for accumulating tiny
+    * micro-batch outputs — at scale, run per partition with dynamic
+    * overwrite so history is untouched).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFiles: Int): Unit = {
+    val tmp = path + "_compacting"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Re-runnable partitioned write: overwrites only the partitions present
     * in `df` (the hour being re-processed), leaves the rest of the table
     * untouched. This is the 100 TB-safe idempotence story: a failed hourly

@@ -19,6 +19,28 @@ class SinksSpec extends SparkSpec {
     assert(got === Array(1, 2, 3))
   }
 
+  test("compaction collapses many small files without changing data") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    spark.range(1000).repartition(50).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 40)
+    Sinks.compact(spark, dir, 2)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after <= 2)
+    assert(spark.read.parquet(dir).count() === 1000L)
+  }
+
+  test("schema-merge read spans evolving parquet versions") {
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 9.0)).toDF("id", "v1", "v2_added").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "v1", "v2_added", "p"))
+    assert(merged.filter(col("v2_added").isNull).count() === 1)
+  }
+
   test("partitioned overwrite replaces only the re-run day (S5/S7)") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/p"
     val day1 = Seq(("2024-01-01 10:00:00", 1), ("2024-01-02 10:00:00", 2))
