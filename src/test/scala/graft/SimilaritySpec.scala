@@ -71,6 +71,26 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bucket-partitioned ANN index: probes prune to their partition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    // materialize the index: corpus partitioned by sign bucket — the
+    // "bucket key becomes the partition key" scale path
+    emb.withColumn("bucket", Similarity.signBucket(col("embedding")))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+    val index = spark.read.parquet(tmp)
+    val probeBucket = index.filter(col("vec_id") === 7L)
+      .select("bucket").head().getInt(0)
+    val cell = index.filter(col("bucket") === probeBucket)
+    val plan = cell.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(probeBucket.toString))
+    // searching inside the cell gives the same answer as filtering in memory
+    val inMem = emb.withColumn("bucket", Similarity.signBucket(col("embedding")))
+      .filter(col("bucket") === probeBucket).count()
+    assert(cell.count() === inMem)
+  }
+
   test("LSH ANN results are a subset of the probe's sign bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val buckets = emb.select(col("vec_id"),
