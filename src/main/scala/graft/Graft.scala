@@ -87,6 +87,37 @@ object Graft {
       .parquet(s"$outDir/per_file_level_stats")
   }
 
+  /** Windowed backfill — the reference's MainTask over a date range: run
+    * the per-reference-hour pipeline for every hour in [fromHour, toHour]
+    * (`yyyy-MM-dd-HH`, inclusive), with Luigi-style memoization: an hour
+    * whose output exists is skipped, so an interrupted backfill resumes
+    * where it stopped. Returns the hours actually processed.
+    */
+  def backfill(spark: SparkSession, logDir: String, outDir: String,
+               fromHour: String, toHour: String,
+               maxRecords: Int = 5): Seq[String] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
+    var h = java.time.LocalDateTime.parse(fromHour + ":00",
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH:mm"))
+    val end = java.time.LocalDateTime.parse(toHour + ":00",
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH:mm"))
+    val processed = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (!h.isAfter(end)) {
+      val hour = h.format(fmt)
+      val target = s"$outDir/hour=$hour"
+      if (!new java.io.File(s"$target/_SUCCESS").exists()) {
+        val selected = selectLogFiles(spark, logDir, hour, maxRecords)
+        val parsed = readLogLines(spark, logDir, selected)
+        graft.ops.Reports.levelCounts(parsed
+            .select(col("level").as("event_type")))
+          .write.mode("overwrite").parquet(target)
+        processed += hour
+      }
+      h = h.plusHours(1)
+    }
+    processed.toSeq
+  }
+
   /** The whole reference workflow, end to end: plan → extract → transform
     * → load, with memoized (re-runnable) outputs per section.
     */

@@ -24,6 +24,19 @@ object Enrich {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
 
+  /** Streaming near-dup suppression: fingerprint each incoming document
+    * (order/multiplicity-insensitive word-set signature) and keep only the
+    * first arrival per fingerprint within the watermark — the streaming
+    * twin of fingerprint dedup (`n15`/`n16`), state bounded by the
+    * horizon. Input needs (ts, doc_id, text).
+    */
+  def dedupDocsStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** foreachBatch sink writing each micro-batch via dynamic partition
     * overwrite keyed by day — re-processing a batch overwrites exactly its
     * partitions (idempotent replay, the S5-S7 semantics in streaming form).

@@ -35,6 +35,46 @@ class EnrichStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: reordered duplicate docs are suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.Enrich.dedupDocsStream(
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("docdedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"),
+        (ts("2024-01-01 10:01:00"), 2L, "fox brown quick the"), // same set
+        (ts("2024-01-01 10:02:00"), 3L, "entirely different words"))
+      q.processAllAvailable()
+      val kept = spark.table("docdedup_test").select("doc_id")
+        .as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger paces one log file per micro-batch (S1 pagination analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pace").toString
+    Seq("a").toDF("v").write.parquet(s"$dir/f1")
+    Seq("b").toDF("v").write.parquet(s"$dir/f2")
+    Seq("c").toDF("v").write.parquet(s"$dir/f3")
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .schema("v string")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        if (b.count() > 0) batches.incrementAndGet(); ()
+      })
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches.get() === 3) // one file per micro-batch
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((8L, "gold"), (46L, "silver")).toDF("user_id", "tier")

@@ -55,6 +55,21 @@ class GraftSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/level_counts").collect().toSet === before)
   }
 
+  test("backfill memoizes: second run over the same window is a no-op") {
+    val logDir = writeLogDir()
+    val out = java.nio.file.Files.createTempDirectory("graft_bf").toString
+    val first = Graft.backfill(spark, logDir, out,
+      "2024-01-15-01", "2024-01-15-03")
+    assert(first === Seq("2024-01-15-01", "2024-01-15-02", "2024-01-15-03"))
+    val second = Graft.backfill(spark, logDir, out,
+      "2024-01-15-01", "2024-01-15-03")
+    assert(second.isEmpty)
+    // extending the window only processes the new hours
+    val third = Graft.backfill(spark, logDir, out,
+      "2024-01-15-01", "2024-01-15-04")
+    assert(third === Seq("2024-01-15-04"))
+  }
+
   test("per-file reports: one partition per selected log file") {
     val logDir = writeLogDir()
     val out = java.nio.file.Files.createTempDirectory("graft_pf").toString
