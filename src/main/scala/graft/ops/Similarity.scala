@@ -105,6 +105,7 @@ object Similarity {
               nCentroids: Int = 16, iters: Int = 3, nProbe: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     val e = withNorm(emb).localCheckpoint(eager = true)
+    val dims = e.select(size(col("emb"))).head().getInt(0)
     // --- train ---
     var centroids = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
@@ -117,7 +118,7 @@ object Similarity {
       val assigned = assignCells(e, cdf)
       centroids = assigned
         .groupBy(col("cid"))
-        .agg(array((0 until 64).map(i =>
+        .agg(array((0 until dims).map(i =>
           avg(element_at(col("emb"), i + 1))): _*).as("mean"))
         .collect().map(r => (r.getLong(0),
           r.getAs[scala.collection.Seq[Double]]("mean").toArray))
