@@ -47,6 +47,16 @@ object Graft {
       lines.withColumn("event_id", monotonically_increasing_id()))
   }
 
+  /** Parsed lines instrumented with `observe()` metrics — pipeline
+    * telemetry (rows, parse failures, max duration) collected as a side
+    * effect of the run, no extra pass over the data.
+    */
+  def parsedWithMetrics(parsed: DataFrame): DataFrame =
+    parsed.observe("parse_metrics",
+      count(lit(1)).as("n_lines"),
+      count(when(col("level") === "", 1)).as("n_unparsed"),
+      max(col("duration_ms")).as("max_duration_ms"))
+
   /** Every pgbadger-style report section off one parsed-lines frame. */
   def reportSections(parsed: DataFrame): Map[String, DataFrame] = {
     val ev = parsed.select(col("ts"), col("level").as("event_type"),

@@ -70,6 +70,16 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> List(1L, 2L, 3L, 9L), 5L -> List(5L, 6L)))
   }
 
+  test("custom ShingleGenerator (UDTF) ≡ transform+explode composition") {
+    val viaGen = docs.select(col("doc_id"),
+        graft.functions.ShingleGenerator.shingles(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val viaExplode = docs.select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaGen.toSeq === viaExplode.toSeq)
+  }
+
   test("property: large-star/small-star CC ≡ min-label propagation") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val edgesGen = Gen.listOfN(15, for {

@@ -70,6 +70,33 @@ class GraftSpec extends SparkSpec {
     assert(third === Seq("2024-01-15-04"))
   }
 
+  test("observe() metrics ride along with the pipeline run") {
+    import scala.collection.mutable
+    val captured = mutable.Map.empty[String, Any]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("parse_metrics").foreach { row =>
+          captured += ("n_lines" -> row.getAs[Long]("n_lines"),
+            "n_unparsed" -> row.getAs[Long]("n_unparsed"))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val parsed = graft.ops.LogLines.parsedFromEvents(spark, "/root/testdata/sf0.001")
+      Graft.parsedWithMetrics(parsed).count()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (captured.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(captured.get("n_lines").contains(1000L))
+      assert(captured.get("n_unparsed").contains(0L))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("per-file reports: one partition per selected log file") {
     val logDir = writeLogDir()
     val out = java.nio.file.Files.createTempDirectory("graft_pf").toString
