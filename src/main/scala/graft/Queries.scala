@@ -853,6 +853,12 @@ object Queries {
         docs(s, d)),
       None),
 
+    // Group-level MinHash sketch merge: per-source signatures (elementwise
+    // min) → estimated cross-source similarity, no pairwise doc compare.
+    ("n28_source_similarity",
+      (s: SparkSession, d: String) => Dedup.sourceSimilarity(docs(s, d)),
+      None),
+
     // Connected components over LSH candidate pairs → dedup clusters
     // (iterative min-label propagation; rows-only — recursive).
     ("n21_dup_clusters",

@@ -26,6 +26,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Group-level MinHash: a whole group's signature is the elementwise min
+    * of its members' signatures (the mergeability that makes MinHash a
+    * sketch — union = min). Per-source signatures then estimate
+    * cross-source content similarity as the fraction of matching
+    * components, without ever comparing documents pairwise.
+    */
+  def sourceSimilarity(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("source"),
+        graft.functions.MinHashFast.signature(col("text"), NumMinhashSeeds)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .groupBy(col("source"))
+      .agg(array((0 until NumMinhashSeeds).map(i =>
+        min(element_at(col("sig"), i + 1))): _*).as("sig"))
+    sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        round(expr(
+          s"""size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))
+             | / cast(${NumMinhashSeeds} as double)""".stripMargin)
+          , 6).as("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Quality-aware keeper selection: given near-dup clusters, keep the
     * best-scoring member (longest text here; any score column works) —
     * the policy step after cluster detection. max_by keeps selection in

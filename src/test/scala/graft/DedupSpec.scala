@@ -99,6 +99,20 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("sourceSimilarity: identical sources score 1, disjoint score low") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "eta theta iota kappa lambda mu", "s1"),
+      (3L, "alpha beta gamma delta epsilon zeta", "s2"), // = doc 1
+      (4L, "eta theta iota kappa lambda mu", "s2"),      // = doc 2
+      (5L, "wholly unrelated text content entirely different", "s3")
+    ).toDF("doc_id", "text", "source")
+    val sim = graft.ops.Dedup.sourceSimilarity(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(sim(("s1", "s2")) === 1.0) // same content → identical signatures
+    assert(sim(("s1", "s3")) < 1.0)
+  }
+
   test("minhashSignaturesFast emits long signatures for eligible docs") {
     val rows = Dedup.minhashSignaturesFast(docs).collect()
     assert(rows.length === 4 * Dedup.NumMinhashSeeds)
