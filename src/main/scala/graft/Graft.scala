@@ -111,11 +111,15 @@ object Graft {
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH:mm"))
     val end = java.time.LocalDateTime.parse(toHour + ":00",
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH:mm"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
     val processed = scala.collection.mutable.ArrayBuffer.empty[String]
     while (!h.isAfter(end)) {
       val hour = h.format(fmt)
       val target = s"$outDir/hour=$hour"
-      if (!new java.io.File(s"$target/_SUCCESS").exists()) {
+      // Hadoop FS so the memo check works on s3a/hdfs targets, not just
+      // the local filesystem
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$target/_SUCCESS"))) {
         val selected = selectLogFiles(spark, logDir, hour, maxRecords)
         val parsed = readLogLines(spark, logDir, selected)
         graft.ops.Reports.levelCounts(parsed
