@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.Reports
+
+/** Hand-computed expectations for the report aggregates (SURVEY §5.2.2)
+  * on tiny literal frames.
+  */
+class ReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val ev = Seq(
+    (1L, ts("2024-01-01 10:05:00"), 100L, "click", 10.0),
+    (2L, ts("2024-01-01 10:15:00"), 100L, "error", 20.0),
+    (3L, ts("2024-01-01 11:05:00"), 200L, "click", 30.0),
+    (4L, ts("2024-01-01 11:06:00"), 200L, "click", 40.0),
+    (5L, ts("2024-01-02 09:00:00"), 100L, "error", 50.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("hourlyHistogram: counts, exact sums, distinct users per hour") {
+    val got = Reports.hourlyHistogram(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01 10:00:00", 2L, 30.0, 1L),
+      ("2024-01-01 11:00:00", 2L, 70.0, 1L),
+      ("2024-01-02 09:00:00", 1L, 50.0, 1L)))
+  }
+
+  test("severityDayCube: subtotal rows sum correctly") {
+    val rows = Reports.severityDayCube(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("ALL", "ALL")) === 5L)
+    assert(rows(("click", "ALL")) === 3L)
+    assert(rows(("ALL", "2024-01-01")) === 4L)
+    assert(rows(("error", "2024-01-02")) === 1L)
+  }
+
+  test("errorRateHourly: rates are n_errors/n") {
+    val got = Reports.errorRateHourly(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("2024-01-01 10:00:00") === 0.5)
+    assert(got("2024-01-01 11:00:00") === 0.0)
+    assert(got("2024-01-02 09:00:00") === 1.0)
+  }
+
+  test("rollingHourlyAvg: trailing-4 window means") {
+    val got = Reports.rollingHourlyAvg(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // hours: (10h,2) (11h,2) (09h next day,1) ordered by hour string
+    assert(got.toSeq === Seq(
+      ("2024-01-01 10:00:00", 2L, 2.0),
+      ("2024-01-01 11:00:00", 2L, 2.0),
+      ("2024-01-02 09:00:00", 1L, 1.666667))) // round(5/3, 6)
+  }
+
+  test("sessionize: hand-built sessions with exact boundaries") {
+    // user 100: 10:05, 10:15 (same session), gap > 30min → 2024-01-02 new
+    val got = Reports.sessionize(ev, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // (user, session_seq, n_events, duration_sec)
+    assert(got.toSeq === Seq(
+      (100L, 1L, 2L, 600L), (100L, 2L, 1L, 0L),
+      (200L, 1L, 2L, 60L)))
+  }
+
+  test("sessionize: exactly-at-gap boundary stays in the same session") {
+    val e2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "click", 1.0), // exactly 30 min
+      (3L, ts("2024-01-01 11:00:01"), 1L, "click", 1.0)  // 30m01s → new
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Reports.sessionize(e2, 30).collect().map(_.getLong(1))
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("topSlowestPerClass: rank and tiebreak by event_id") {
+    val got = Reports.topSlowestPerClass(ev, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      ("click", 4L, 1), ("click", 3L, 2),
+      ("error", 5L, 1), ("error", 2L, 2)))
+  }
+}
