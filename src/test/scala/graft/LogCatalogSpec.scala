@@ -54,6 +54,21 @@ class LogCatalogSpec extends SparkSpec {
     assert(got.length === 8)
   }
 
+  test("planner: k ≥ 48 walks multiple day chunks (F15 path)") {
+    // k=48 → k/24 = 2 day-chunks: ref day + previous day; straddle day =
+    // ref - 48h = two days back, also listed
+    val wide = catalog(
+      (Seq("2019-04-02-01", "2019-04-02-00") ++
+        (0 to 23).map(h => f"2019-04-01-$h%02d") ++
+        (20 to 23).map(h => f"2019-03-31-$h%02d")) // straddle day tail
+        .map(h => s"error/postgresql.log.$h"): _*)
+    val got = LogCatalog.selectLogFiles(wide, "2019-04-02-02", 48)
+      .as[String].collect()
+    assert(got.length === 30) // 2 + 24 + 4 qualifying closed files
+    assert(got.head === "error/postgresql.log.2019-04-02-01")
+    assert(got.last === "error/postgresql.log.2019-03-31-20")
+  }
+
   test("planner plan compiles to TakeOrderedAndProject (no global sort)") {
     val plan = LogCatalog.selectLogFiles(fixture, ref, 5)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Tables, TextAnalysis}
+
+/** Hand-computed text-analysis expectations + split/vocab/decontamination
+  * behavior.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAssignment: deterministic, complete, roughly 80/10/10") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val counts = TextAnalysis.splitAssignment(docs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(n === 500.0)
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts("val") / n > 0.04 && counts("val") / n < 0.18)
+    assert(counts("test") / n > 0.04 && counts("test") / n < 0.18)
+    // deterministic across invocations
+    val again = TextAnalysis.splitAssignment(docs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
+  test("vocabulary: exact top-k with tf-desc, word-asc tiebreak") {
+    val docs = Seq((1L, "b a a c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+  }
+
+  test("decontamination finds planted cross-split duplicate") {
+    // craft doc ids whose md5-bucket puts one in train and one in test,
+    // sharing the same word set
+    val buckets = (0L until 200L).map { id =>
+      id -> (BigInt("0" + java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).take(4).map("%02x".format(_)).mkString, 16) % 100).toInt
+    }
+    val trainId = buckets.find(_._2 < 80).get._1
+    val testId = buckets.find(_._2 >= 90).get._1
+    val docs = Seq(
+      (trainId, "shared leaked content here", "en"),
+      (testId, "here content leaked shared", "en"), // same word set
+      (buckets.find(b => b._2 < 80 && b._1 != trainId).get._1,
+        "innocent unrelated text", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.decontamination(docs).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === testId && got.head.getLong(1) === trainId)
+  }
+
+  test("tokenCounts: whitespace and subword counts on literals") {
+    val docs = Seq((1L, "ab cd3 ef")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs).head()
+    assert(r.getInt(1) === 3) // ws tokens
+    assert(r.getInt(2) === 4) // ab, cd, 3, ef
+  }
+
+  test("trainingCorpusCounts keeps only quality keepers") {
+    val long30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long30, "en", "s", 0L),
+      (2L, long30, "en", "s", 0L),       // exact dup of 1 → dropped
+      (3L, "too short", "en", "s", 0L))  // quality-filtered
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.trainingCorpusCounts(docs).collect()
+    assert(got.map(_.getLong(2)).sum === 1L) // exactly one survivor
+  }
+}
