@@ -471,6 +471,43 @@ object Queries {
         |WINDOW w AS (ORDER BY total ASC, user_id ASC)
         |ORDER BY user_id""".stripMargin)),
 
+    // As-of-style latest snapshot: each user's last event at a cutoff
+    // (the "state as of T" lookup).
+    ("b20_latest_per_user",
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev(s, d).filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+            col("event_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, event_type
+        |FROM (SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < timestamp '2024-01-15 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // MapType surface: JSON props as map<string,int>, exploded and
+    // aggregated per key.
+    ("b21_props_map",
+      (s: SparkSession, d: String) => ev(s, d)
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+          .as(Seq("key", "value")))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .orderBy(col("key")),
+      Some("""SELECT key, count(*) AS n,
+        |  sum(json_extract_string(props, key)::int) AS total
+        |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+        |GROUP BY key ORDER BY key""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),
