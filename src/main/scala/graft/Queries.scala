@@ -896,6 +896,22 @@ object Queries {
       (s: SparkSession, d: String) => Dedup.sourceSimilarity(docs(s, d)),
       None),
 
+    // Corpus mixing: halve sources src0-src4, keep the rest whole;
+    // deterministic md5-bucket sampling so both engines agree exactly.
+    ("n29_corpus_mix",
+      (s: SparkSession, d: String) => TextAnalysis.mixReport(docs(s, d),
+        (0 to 4).map(i => s"src$i" -> 0.5).toMap, 1.0),
+      Some("""WITH b AS (SELECT source,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS bucket
+        |  FROM documents),
+        |kept AS (SELECT source, count(*) AS n_kept FROM b
+        |  WHERE bucket < (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |    THEN 50 ELSE 100 END)
+        |  GROUP BY source)
+        |SELECT b.source, count(*) AS n_total, coalesce(max(n_kept), 0) AS n_kept
+        |FROM b LEFT OUTER JOIN kept ON b.source = kept.source
+        |GROUP BY b.source ORDER BY b.source""".stripMargin)),
+
     // Connected components over LSH candidate pairs → dedup clusters
     // (iterative min-label propagation; rows-only — recursive).
     ("n21_dup_clusters",

@@ -221,6 +221,33 @@ object TextAnalysis {
       .orderBy(col("test_doc"), col("train_doc"))
   }
 
+  /** Corpus mixing: deterministic weighted downsampling per source (the
+    * training-mix policy — e.g. halve low-quality sources, keep curated
+    * ones whole). A doc survives iff its md5 bucket < weight·100, so the
+    * mix is reproducible across runs and engines, and map-side only.
+    */
+  def mixCorpus(docs: DataFrame, weights: Map[String, Double],
+                defaultWeight: Double): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100))
+    val weightCol = weights.foldLeft(lit(defaultWeight * 100)) {
+      case (acc, (src, w)) => when(col("source") === src, w * 100).otherwise(acc)
+    }
+    docs.filter(bucket < weightCol)
+  }
+
+  /** Kept-vs-total accounting of a corpus mix. */
+  def mixReport(docs: DataFrame, weights: Map[String, Double],
+                defaultWeight: Double): DataFrame = {
+    val kept = mixCorpus(docs, weights, defaultWeight)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Fingerprint-duplicate groups: docs sharing a word-set signature. */
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     fingerprints(docs)
