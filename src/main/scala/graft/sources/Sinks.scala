@@ -26,6 +26,17 @@ object Sinks {
   def writeIfAbsent(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Ignore).parquet(path)
 
+  /** Globally key-clustered write: range-repartition then sort within
+    * partitions, so every output file covers a disjoint key range and
+    * parquet min/max row-group stats prune point/range reads — the
+    * sorted-layout half of the bucketing story.
+    */
+  def writeClusteredBy(df: DataFrame, keyCol: String, numFiles: Int,
+                       path: String): Unit =
+    df.repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Small-file compaction: rewrite a parquet directory into
     * `targetFiles` files (the operational fix for accumulating tiny
     * micro-batch outputs — at scale, run per partition with dynamic

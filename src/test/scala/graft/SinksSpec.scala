@@ -19,6 +19,24 @@ class SinksSpec extends SparkSpec {
     assert(got === Array(1, 2, 3))
   }
 
+  test("clustered write produces disjoint per-file key ranges") {
+    val dir = Files.createTempDirectory("graft_cluster").toString + "/t"
+    val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Sinks.writeClusteredBy(li, "l_orderkey", 4, dir)
+    // per-file min/max must not overlap across files
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping ranges: $hi vs $lo")
+    }
+    assert(spark.read.parquet(dir).count() === li.count())
+  }
+
   test("compaction collapses many small files without changing data") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     spark.range(1000).repartition(50).write.parquet(dir)
