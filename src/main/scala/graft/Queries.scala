@@ -348,10 +348,10 @@ object Queries {
           col("value"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), Reports.decSum(col("value")).as("sum_value"))
-        .orderBy(col("k")),
+        .orderBy(col("k").asc_nulls_last), // Spark defaults NULLS FIRST, DuckDB LAST
       Some(s"""SELECT json_extract_string(props, '$$.k')::int AS k, count(*) AS n,
         |  $DecSum AS sum_value
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+        |FROM events GROUP BY 1 ORDER BY k NULLS LAST""".stripMargin)),
 
     // Malformed-line accounting: the reference silently writes failed
     // downloads INTO the log file (rds_download_log.py:49-50 →

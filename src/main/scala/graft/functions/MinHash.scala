@@ -47,7 +47,9 @@ case class MinHashSignature(child: Expression, numSeeds: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val words = input.toString.split(' ')
+    // limit -1 keeps trailing empty tokens — matches Spark SQL split()
+    // and DuckDB string_split (Scala's split(Char) drops them)
+    val words = input.toString.split(" ", -1)
     if (words.length < 3) return null
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[String](numSeeds)

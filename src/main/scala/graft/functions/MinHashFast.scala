@@ -22,7 +22,8 @@ case class MinHashSignatureFast(child: Expression, numSeeds: Int)
   override def prettyName: String = "minhash_signature_fast"
 
   override def nullSafeEval(input: Any): Any = {
-    val words = input.toString.split(' ')
+    // limit -1 keeps trailing empty tokens — see MinHashSignature
+    val words = input.toString.split(" ", -1)
     if (words.length < 3) return null
     val mins = Array.fill[Long](numSeeds)(Long.MaxValue)
     var i = 0

@@ -45,7 +45,11 @@ case class ParseLogLine(child: Expression)
     val m = prefixRe.matcher(line)
     val (ts, host, usr, db, pid, level) =
       if (m.find()) (m.group(1), m.group(2), m.group(3), m.group(4),
-        java.lang.Integer.valueOf(m.group(5)), m.group(6))
+        // overflowing pids become null, same as the regexp_extract +
+        // cast("int") composition (never crash the task on one bad line)
+        try java.lang.Integer.valueOf(m.group(5))
+        catch { case _: NumberFormatException => null },
+        m.group(6))
       else ("", "", "", "", null, "")
     val msgM = msgRe.matcher(line)
     val msg = if (msgM.find()) msgM.group(1) else ""

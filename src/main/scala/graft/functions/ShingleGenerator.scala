@@ -26,7 +26,8 @@ case class ShingleGenerator(child: Expression, n: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Iterator.empty
-    val words = v.toString.split(' ')
+    // limit -1 keeps trailing empty tokens — matches SQL split semantics
+    val words = v.toString.split(" ", -1)
     if (words.length < n) return Iterator.empty
     (0 to words.length - n).iterator.map { i =>
       InternalRow(UTF8String.fromString(

@@ -223,7 +223,7 @@ object Dedup {
     * O(log(diameter)) rounds — the standard large-scale approach (the
     * driver loop holds only a convergence flag, never data).
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // materialize the edge list once — every iteration (and the
     // convergence check) would otherwise recompute the upstream pair
     // pipeline (minhash, LSH, jaccard) from scratch per round
@@ -252,6 +252,12 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // silent truncation would return SPLIT clusters — fail loudly instead
+    // (min-label needs O(diameter) rounds; for long chains at scale use
+    // dupClustersLogN)
+    require(converged,
+      s"dupClusters did not converge in $maxIters rounds; " +
+        "component diameter exceeds the iteration bound — use dupClustersLogN")
     labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_docs"),
         sort_array(collect_list(col("id"))).as("members"))
@@ -311,6 +317,8 @@ object Dedup {
       edges = next
       i += 1
     }
+    require(converged,
+      s"dupClustersLogN did not converge in $maxIters rounds")
     // edges are now (member -> root); roots themselves appear as u=v-free
     val members = edges.select(col("v").as("cluster"), col("u").as("id"))
       .union(edges.select(col("v").as("cluster"), col("v").as("id")))

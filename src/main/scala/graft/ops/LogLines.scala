@@ -125,11 +125,24 @@ object LogLines {
       .toDF("file_name", "record_idx", "line")
   }
 
-  /** wholetext read → stitch → parse: the full multi-line ingestion path. */
+  /** wholetext read → stitch → parse: the full multi-line ingestion path.
+    * `event_id` is derived from (file, record index) so ids never collide
+    * across files, and the file identity survives parsing.
+    */
   def parseLogDirectory(spark: SparkSession, logDir: String): DataFrame = {
     val files = spark.read.option("wholetext", "true").text(logDir)
       .select(element_at(split(input_file_name(), "/"), -1).as("file_name"),
         col("value").as("text"))
-    parseLines(stitchLines(files).withColumnRenamed("record_idx", "event_id"))
+    stitchLines(files)
+      .withColumn("event_id",
+        xxhash64(col("file_name"), col("record_idx")))
+      .select(col("file_name"), col("event_id"),
+        graft.functions.ParseLogLine.parse(col("line")).as("p"))
+      .select(col("file_name"), col("event_id"),
+        to_timestamp(col("p.ts_str"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("p.remote_host").as("remote_host"), col("p.usr").as("usr"),
+        col("p.db").as("db"), col("p.pid").as("pid"),
+        col("p.level").as("level"), col("p.message").as("message"),
+        col("p.duration_ms").as("duration_ms"), col("p.query").as("query"))
   }
 }

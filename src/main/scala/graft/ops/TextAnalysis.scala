@@ -25,9 +25,15 @@ object TextAnalysis {
           .as("subword_tokens"),
         length(col("text")).as("n_chars_measured"))
 
-  /** Per-source token totals — the corpus-accounting roll-up. */
+  /** Per-source token totals — the corpus-accounting roll-up. One pass:
+    * token expressions computed alongside `source` on the scan row (a
+    * doc_id re-join here would shuffle the whole corpus twice just to
+    * recover a column the row already has).
+    */
   def tokenStatsBySource(docs: DataFrame): DataFrame =
-    tokenCounts(docs).join(docs.select(col("doc_id"), col("source")), "doc_id")
+    docs.select(col("source"),
+        size(words(col("text"))).as("ws_tokens"),
+        length(col("text")).as("n_chars_measured"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws_tokens")).as("total_tokens"),

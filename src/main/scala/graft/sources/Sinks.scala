@@ -44,14 +44,23 @@ object Sinks {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int): Unit = {
-    val tmp = path + "_compacting"
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // the path's own filesystem (s3a/hdfs/local), not the default FS
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap via renames so a crash never leaves the table missing: the old
+    // data stays readable (at dst or at _precompact) until the new copy is
+    // in place; only then is the backup removed
+    fs.delete(old, true)
+    require(fs.rename(dst, old), s"compact: could not stash $dst")
+    if (!fs.rename(tmp, dst)) { // restore on failure
+      fs.rename(old, dst)
+      throw new java.io.IOException(s"compact: rename into $dst failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Re-runnable partitioned write: overwrites only the partitions present

@@ -37,11 +37,22 @@ object Enrich {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
-  /** foreachBatch sink writing each micro-batch via dynamic partition
-    * overwrite keyed by day — re-processing a batch overwrites exactly its
-    * partitions (idempotent replay, the S5-S7 semantics in streaming form).
+  /** foreachBatch sink with exactly-once replay semantics: partitions are
+    * keyed by (day, batch_id), so a re-run of a failed batch (same
+    * batchId — Spark replays with the original id) overwrites exactly its
+    * own partitions, while later batches that touch the same day land in
+    * their own batch_id partitions and never clobber earlier ones.
+    * (Partitioning by day alone would silently drop prior batches' rows
+    * whenever two batches share a day.)
     */
-  def writeBatchIdempotent(out: String)(batch: DataFrame, batchId: Long): Unit =
-    graft.sources.Sinks.writePartitionedByDay(
-      batch.withColumn("batch_id", lit(batchId)), "ts", out)
+  def writeBatchIdempotent(out: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch
+      .withColumn("p_day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("p_day", "batch_id")
+      .parquet(out)
+  }
 }

@@ -47,10 +47,14 @@ object Hourly {
     // same µs conversion Tables.events does for batch.
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source needs a directory; glob-filter down to the table file
-    val stream = spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same schema guard as Tables.events: only nano-long ts needs converting
+    val stream =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     hourlyAgg(stream)
       .writeStream
       .outputMode("append")

@@ -31,6 +31,11 @@ object Sessions {
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val keyEnc = Encoders.scalaLong
 
+    // microsecond-exact event time (getTime truncates to ms; getNanos
+    // carries the fraction) — matches the batch twin's unix_micros math
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
     def close(userId: Long, s: OpenSession): ClosedSession =
       ClosedSession(userId, new Timestamp(s.startUs / 1000),
         s.n, (s.lastUs - s.startUs) / 1000000L, math.round(s.sum * 100) / 100.0)
@@ -43,11 +48,11 @@ object Sessions {
         state.remove()
         return out
       }
-      val evs = batch.toArray.sortBy(e => e.ts.getTime * 1000)
+      val evs = batch.toArray.sortBy(e => micros(e.ts))
       val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
       var cur = state.getOption
       for (e <- evs) {
-        val us = e.ts.getTime * 1000
+        val us = micros(e.ts)
         cur match {
           case Some(s) if us - s.lastUs > gapUs =>
             closed += close(userId, s)

@@ -15,7 +15,9 @@ class DedupSpec extends SparkSpec {
     (1L, "the quick brown fox jumps over the lazy cat"),
     (2L, "completely different words here entirely now"),
     (3L, "too short"),            // < 3 words → no shingles
-    (4L, "the quick brown fox jumps over the lazy dog") // dup of 0
+    (4L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+    (5L, "trailing space text "), // trailing empty token (split parity)
+    (6L, "double  space words inside")
   ).toDF("doc_id", "text")
 
   test("custom MinHashSignature ≡ compositional explode/groupBy(min) form") {
@@ -35,7 +37,15 @@ class DedupSpec extends SparkSpec {
   test("short texts yield no signature rows (explode-form parity)") {
     val ids = Dedup.minhashSignatures(docs)
       .select("doc_id").distinct().as[Long].collect().toSet
-    assert(ids === Set(0L, 1L, 2L, 4L))
+    assert(ids === Set(0L, 1L, 2L, 4L, 5L, 6L))
+  }
+
+  test("dupClusters handles a chain longer than the old iteration bound") {
+    val chain = (1L to 14L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.dupClusters(chain).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[scala.collection.Seq[Long]]("members").toList ===
+      (1L to 15L).toList)
   }
 
   test("identical docs share every band; near-identical share some bucket") {
@@ -115,6 +125,6 @@ class DedupSpec extends SparkSpec {
 
   test("minhashSignaturesFast emits long signatures for eligible docs") {
     val rows = Dedup.minhashSignaturesFast(docs).collect()
-    assert(rows.length === 4 * Dedup.NumMinhashSeeds)
+    assert(rows.length === 6 * Dedup.NumMinhashSeeds)
   }
 }

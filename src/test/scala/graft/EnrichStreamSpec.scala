@@ -105,15 +105,21 @@ class EnrichStreamSpec extends SparkSpec {
       mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
         (2L, ts("2024-01-02 10:00:00"), 2.0))
       q.processAllAvailable()
-      val first = spark.read.parquet(out).count()
-      assert(first === 2L)
-      // "replay" of day 2 with a corrected value must replace, not append
-      mem.addData((2L, ts("2024-01-02 10:00:00"), 20.0))
+      assert(spark.read.parquet(out).count() === 2L)
+      // a LATER batch touching the same day must not clobber earlier rows
+      mem.addData((3L, ts("2024-01-02 11:00:00"), 4.0))
       q.processAllAvailable()
-      val rows = spark.read.parquet(out)
-        .select("event_id", "value").collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      assert(rows === Map(1L -> 1.0, 2L -> 20.0))
+      assert(spark.read.parquet(out).count() === 3L)
     } finally q.stop()
+    // a REPLAY (same batchId, as Spark does on recovery) overwrites
+    // exactly its own partitions — no duplicates
+    import spark.implicits._
+    val replay = Seq((9L, ts("2024-01-03 10:00:00"), 8.0))
+      .toDF("event_id", "ts", "value")
+    Enrich.writeBatchIdempotent(out)(replay, 7L)
+    Enrich.writeBatchIdempotent(out)(replay, 7L)
+    val day3 = spark.read.parquet(out)
+      .filter(col("p_day") === "2024-01-03").count()
+    assert(day3 === 1L)
   }
 }

@@ -43,6 +43,28 @@ class LogLinesSpec extends SparkSpec {
     assert(got === "select * from t where id = ? and name = ? and x=?")
   }
 
+  test("overflowing pid yields null, not a crashed task") {
+    val r = LogLines.parseLines(Seq(
+      1L -> "2019-04-01 10:02:03 UTC:h:u@d:[99999999999]:LOG:  x"
+    ).toDF("event_id", "line")).head()
+    assert(r.getAs[Any]("pid") === null)
+    assert(r.getAs[String]("level") === "LOG")
+  }
+
+  test("parseLogDirectory: unique event_ids and file identity across files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pld").toString
+    val line1 = "2019-04-01 10:00:00 UTC:h:u@d:[1]:LOG:  one"
+    val line2 = "2019-04-01 11:00:00 UTC:h:u@d:[2]:LOG:  two"
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "f1.log"),
+      java.util.List.of(line1, line2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "f2.log"),
+      java.util.List.of(line1, line2))
+    val parsed = LogLines.parseLogDirectory(spark, root)
+    assert(parsed.count() === 4)
+    assert(parsed.select("event_id").distinct().count() === 4)
+    assert(parsed.select("file_name").distinct().count() === 2)
+  }
+
   test("synthesize→parse round-trips on real events (b9 shape)") {
     val n = LogLines.parsedFromEvents(spark, "/root/testdata/sf0.001")
       .filter(col("level").isin("LOG", "ERROR") && col("pid").isNotNull)
