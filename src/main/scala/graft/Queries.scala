@@ -508,6 +508,39 @@ object Queries {
         |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
         |GROUP BY key ORDER BY key""".stripMargin)),
 
+    // Native session_window operator — must agree with the first-principles
+    // lag→flag→cumsum construction the oracle uses (b15's machinery):
+    // window.start = first event, window.end = last event + gap.
+    ("b22_session_window",
+      (s: SparkSession, d: String) => ev(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some(s"""WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${30 * 60 * 1000000L}
+        |      THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),
