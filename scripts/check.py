@@ -58,6 +58,15 @@ def compare(name, a, b):
         return f"columns differ: spark={acols} duck={bcols}"
     if len(a) != len(b):
         return f"row count differs: spark={len(a)} duck={len(b)}"
+    # Driver parity: the driver hashes pandas-materialized values, so a DuckDB
+    # HUGEINT (object dtype) vs Spark BIGINT (int64) mismatches even when
+    # numerically equal. Width differences within a kind (int32 vs int64) DID
+    # hash-match in round 1, so compare dtype *kind* only.
+    for c in acols:
+        ak, bk = a[c].dtype.kind, b[c].dtype.kind
+        if ak != bk:
+            return (f"col {c} dtype kind differs: spark={a[c].dtype} "
+                    f"duck={b[c].dtype} (driver hash would mismatch)")
     a = a[acols].sort_values(acols).reset_index(drop=True)
     b = b[bcols].sort_values(bcols).reset_index(drop=True)
     for c in acols:

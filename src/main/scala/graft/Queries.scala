@@ -94,6 +94,24 @@ object Queries {
 
   private val Stop = "('the','a','an','of','to','and','in','is')"
 
+  /** Connected components over the LSH candidate pairs, computed exactly in
+    * DuckDB via a recursive reachability CTE (cluster = min reachable id).
+    * Candidate pairs at threshold 0.0 need no jaccard filter (always ≥ 0).
+    * Must be prefixed with WITH RECURSIVE by the caller.
+    */
+  private val CcClustersCte =
+    s"""sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+       |cpairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+       |  UNION SELECT doc_b, doc_a FROM cpairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   /** name -> (spark query, optional DuckDB oracle). */
@@ -370,7 +388,7 @@ object Queries {
       Some(s"""WITH lines AS ($LinesCte),
         |aug AS (SELECT line FROM lines UNION ALL SELECT 'No access key is available.')
         |SELECT count(*) AS n_lines,
-        |  sum(CASE WHEN regexp_extract(line, '$PrefixRe', 6) = '' THEN 1 ELSE 0 END) AS n_bad,
+        |  CAST(sum(CASE WHEN regexp_extract(line, '$PrefixRe', 6) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
         |  round(sum(CASE WHEN regexp_extract(line, '$PrefixRe', 6) = '' THEN 1 ELSE 0 END)::double / count(*), 8) AS bad_rate
         |FROM aug""".stripMargin)),
 
@@ -390,9 +408,9 @@ object Queries {
         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM flagged)
-        |SELECT user_id, session_seq, count(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec,
+        |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
         |  $DecSum AS sum_value
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin)),
@@ -413,9 +431,9 @@ object Queries {
         |  FROM flagged),
         |per_session AS (
         |  SELECT user_id, session_seq, count(*) AS n_events,
-        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+        |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec
         |  FROM sessions GROUP BY user_id, session_seq)
-        |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
         |  max(duration_sec) AS max_session_sec
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
@@ -504,7 +522,7 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
         .orderBy(col("key")),
       Some("""SELECT key, count(*) AS n,
-        |  sum(json_extract_string(props, key)::int) AS total
+        |  CAST(sum(json_extract_string(props, key)::int) AS BIGINT) AS total
         |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
         |GROUP BY key ORDER BY key""".stripMargin)),
 
@@ -791,8 +809,8 @@ object Queries {
     ("n12_token_stats_by_source",
       (s: SparkSession, d: String) => TextAnalysis.tokenStatsBySource(docs(s, d)),
       Some("""SELECT source, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS total_tokens,
-        |  sum(length(text)) AS total_chars
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     ("n13_quality_by_lang",
@@ -870,7 +888,7 @@ object Queries {
         |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
         |SELECT lang,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-        |  count(*) AS n_docs, sum(nw) AS total_tokens
+        |  count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_tokens
         |FROM q WHERE nw >= 30 AND sr <= 0.3
         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
@@ -914,20 +932,35 @@ object Queries {
         |WHERE t.split = 'test' AND tr.split = 'train'
         |ORDER BY test_doc, train_doc""".stripMargin)),
 
-    // Quality-aware keeper per near-dup cluster (rows-only: clusters are
-    // iterative upstream).
+    // Quality-aware keeper per near-dup cluster; oracled via the recursive
+    // CC CTE + argmax on (score DESC, doc_id ASC).
     ("n27_keep_best",
       (s: SparkSession, d: String) => Dedup.keepBestPerCluster(
         Dedup.dupClusters(Dedup.minhashNearDupPairs(docs(s, d), 0.0)
           .select(col("doc_a"), col("doc_b"))),
         docs(s, d)),
-      None),
+      Some(s"""WITH RECURSIVE $CcClustersCte,
+        |scored AS (SELECT lbl.cluster, lbl.id AS doc_id, length(d.text) AS score
+        |  FROM lbl JOIN documents d ON lbl.id = d.doc_id)
+        |SELECT cluster, doc_id AS keeper, score AS keeper_score, n_members FROM (
+        |  SELECT cluster, doc_id, score,
+        |    count(*) OVER (PARTITION BY cluster) AS n_members,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
     // Group-level MinHash sketch merge: per-source signatures (elementwise
     // min) → estimated cross-source similarity, no pairwise doc compare.
     ("n28_source_similarity",
       (s: SparkSession, d: String) => Dedup.sourceSimilarity(docs(s, d)),
-      None),
+      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte,
+        |srcsig AS (SELECT d.source, m.seed, min(m.mh) AS mh
+        |  FROM mh m JOIN documents d USING (doc_id) GROUP BY d.source, m.seed)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::double
+        |    / ${Dedup.NumMinhashSeeds}, 6) AS est_jaccard
+        |FROM srcsig a JOIN srcsig b ON a.seed = b.seed AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Corpus mixing: halve sources src0-src4, keep the rest whole;
     // deterministic md5-bucket sampling so both engines agree exactly.
@@ -946,20 +979,32 @@ object Queries {
         |GROUP BY b.source ORDER BY b.source""".stripMargin)),
 
     // Connected components over LSH candidate pairs → dedup clusters
-    // (iterative min-label propagation; rows-only — recursive).
+    // (iterative min-label propagation). Oracled exactly: DuckDB computes
+    // the same components via recursive reachability. Members are emitted
+    // as a joined string — comparators can't hash array cells.
     ("n21_dup_clusters",
       (s: SparkSession, d: String) => Dedup.dupClusters(
         Dedup.minhashNearDupPairs(docs(s, d), 0.0)
-          .select(col("doc_a"), col("doc_b"))),
-      None),
+          .select(col("doc_a"), col("doc_b")))
+        .withColumn("members",
+          array_join(transform(col("members"), _.cast("string")), ",")),
+      Some(s"""WITH RECURSIVE $CcClustersCte
+        |SELECT cluster, count(*) AS n_docs,
+        |  array_to_string(list_sort(list(id)), ',') AS members
+        |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     // Same clusters via O(log n)-round large-star/small-star (the 100 TB
-    // path; rows-only — iterative).
+    // path); identical oracle — both variants must agree exactly.
     ("n24_dup_clusters_logn",
       (s: SparkSession, d: String) => Dedup.dupClustersLogN(
         Dedup.minhashNearDupPairs(docs(s, d), 0.0)
-          .select(col("doc_a"), col("doc_b"))),
-      None),
+          .select(col("doc_a"), col("doc_b")))
+        .withColumn("members",
+          array_join(transform(col("members"), _.cast("string")), ",")),
+      Some(s"""WITH RECURSIVE $CcClustersCte
+        |SELECT cluster, count(*) AS n_docs,
+        |  array_to_string(list_sort(list(id)), ',') AS members
+        |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     ("n18_winnow_matches",
       (s: SparkSession, d: String) => TextAnalysis.winnowMatches(docs(s, d)),

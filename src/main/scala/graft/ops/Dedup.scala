@@ -33,8 +33,11 @@ object Dedup {
     * components, without ever comparing documents pairwise.
     */
   def sourceSimilarity(docs: DataFrame): DataFrame = {
+    // md5-salted signature (not the xxhash64 Fast twin) so the estimate is
+    // oracle-checkable — same merge shape either way: per-source min is a
+    // partial aggregate, so shuffle volume is sources × seeds.
     val sig = docs.select(col("source"),
-        graft.functions.MinHashFast.signature(col("text"), NumMinhashSeeds)
+        graft.functions.MinHash.signature(col("text"), NumMinhashSeeds)
           .as("sig"))
       .filter(col("sig").isNotNull)
       .groupBy(col("source"))
@@ -57,8 +60,8 @@ object Dedup {
     */
   def keepBestPerCluster(clusters: DataFrame, docs: DataFrame): DataFrame =
     clusters.select(col("cluster"), explode(col("members")).as("doc_id"))
-      .join(docs.select(col("doc_id"), length(col("text")).as("score")),
-        "doc_id")
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("score")), "doc_id")
       .groupBy(col("cluster"))
       .agg(max(struct(col("score"), (-col("doc_id")).as("nid")))
         .as("best"), count(lit(1)).as("n_members"))

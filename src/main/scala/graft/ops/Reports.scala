@@ -87,6 +87,12 @@ object Reports {
     events.groupBy(col("event_type"))
       .agg(expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)")
         .as("pcts"))
+      // Scalar columns, not an array: the downstream comparator (and most
+      // report sinks) can't hash array cells.
+      .select(col("event_type"),
+        col("pcts").getItem(0).as("p50"),
+        col("pcts").getItem(1).as("p90"),
+        col("pcts").getItem(2).as("p99"))
       .orderBy(col("event_type"))
 
   /** G6 cross-tab: severity × day via GROUPING SETS (report subtotal rows). */
