@@ -3,7 +3,11 @@
 scale dir, then execute each oracle_sql.json entry in DuckDB against the same
 parquet tables and compare (schema, row count, values).
 
-Usage: python3 scripts/check.py [sfDir] [outDir] [--no-verify] [names...]
+Usage: python3 scripts/check.py [sfDir] [outDir] [--no-verify] [--ordered] [names...]
+
+--ordered compares rows in emitted order instead of sorting both sides
+first, validating the every-query-ends-in-a-total-order convention (sound
+because Verify coalesces each result to a single parquet file).
 """
 import json, math, subprocess, sys
 import duckdb
@@ -44,7 +48,8 @@ def main():
             duck_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0]}"); bad += 1; continue
-        res = compare(name, spark_df, duck_df)
+        res = compare(name, spark_df, duck_df,
+                      ordered="--ordered" in sys.argv)
         if res is None:
             print(f"ok   {name} ({len(spark_df)} rows)"); ok += 1
         else:
@@ -52,7 +57,7 @@ def main():
     print(f"\n{ok} ok, {bad} failed")
     sys.exit(1 if bad else 0)
 
-def compare(name, a, b):
+def compare(name, a, b, ordered=False):
     acols, bcols = sorted(a.columns), sorted(b.columns)
     if acols != bcols:
         return f"columns differ: spark={acols} duck={bcols}"
@@ -67,8 +72,12 @@ def compare(name, a, b):
         if ak != bk:
             return (f"col {c} dtype kind differs: spark={a[c].dtype} "
                     f"duck={b[c].dtype} (driver hash would mismatch)")
-    a = a[acols].sort_values(acols).reset_index(drop=True)
-    b = b[bcols].sort_values(bcols).reset_index(drop=True)
+    if ordered:
+        a = a[acols].reset_index(drop=True)
+        b = b[bcols].reset_index(drop=True)
+    else:
+        a = a[acols].sort_values(acols).reset_index(drop=True)
+        b = b[bcols].sort_values(bcols).reset_index(drop=True)
     for c in acols:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):

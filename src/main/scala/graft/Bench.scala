@@ -39,19 +39,30 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       Future {
         val s0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
-        }
-        name -> (System.nanoTime() - s0) / 1e9
+        // Full materialization: `df.count()` lets Catalyst prune every
+        // unreferenced projection (md5/sha2/fingerprint columns would be
+        // optimized away) and drop sorts — toRdd.count() executes the
+        // complete physical plan, producing every output column.
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - s0) / 1e9, ok)
       }
     }
     val results = futures.map(f => Await.result(f, Duration.Inf))
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query reports -1 so a broken query can never flatter (or
+    // silently inflate) the numbers; `failed` lists them for the driver.
+    val qs = results.map { case (k, v, ok) =>
+        s"\"" + k + "\":" + (if (ok) v else -1.0)
+      }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,8 +68,12 @@ object Graft {
       "query_stats" -> Reports.queryStats(parsed),
       "distinct_entities" -> Reports.distinctEntities(ev),
       "percentiles" -> Reports.percentiles(ev),
+      // tiebreak on a hash of stable parsed columns, not
+      // monotonically_increasing_id — ids depend on partition layout, so
+      // tie-broken output would differ run to run
       "top_slowest" -> Reports.topSlowestPerClass(
-        ev.withColumn("event_id", monotonically_increasing_id()), 10),
+        ev.withColumn("event_id",
+          xxhash64(col("ts"), col("user_id"), col("query"))), 10),
       "error_rate_hourly" -> Reports.errorRateHourly(ev))
   }
 
@@ -142,5 +146,56 @@ object Graft {
     reportSections(parsed).foreach { case (section, df) =>
       Sinks.writeIfAbsent(df, s"$outDir/$section")
     }
+  }
+
+  /** CLI entry mirroring the reference's click command
+    * (rds_pgbadger.py:132-149): required source/target locations (flag or
+    * env var, like click's `envvar=`), optional `--reference-datetime`
+    * defaulting to the current UTC hour (the reference's
+    * `utcnow()` default, rds_pgbadger.py:81 — the CLI boundary is the one
+    * place wall-clock belongs; library code always takes it explicitly).
+    *
+    * Usage:
+    *   graft.Graft --log-dir DIR --out-dir DIR
+    *     [--reference-datetime "yyyy-MM-dd HH:mm[:ss]" | yyyy-MM-dd-HH]
+    *     [--max-records N]
+    * Env fallbacks: GRAFT_LOG_DIR, GRAFT_OUT_DIR (bucket/instance in the
+    * reference become the log-dir URI here — s3a://bucket/path works).
+    */
+  def main(args: Array[String]): Unit = {
+    val opts = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case flag if flag.startsWith("--") && i + 1 < args.length =>
+          opts(flag.drop(2)) = args(i + 1); i += 2
+        case other =>
+          throw new IllegalArgumentException(s"unexpected argument: $other")
+      }
+    }
+    def required(flag: String, env: String): String =
+      opts.get(flag).orElse(sys.env.get(env)).getOrElse(
+        throw new IllegalArgumentException(s"missing --$flag (or $$$env)"))
+    val logDir = required("log-dir", "GRAFT_LOG_DIR")
+    val outDir = required("out-dir", "GRAFT_OUT_DIR")
+    val refHour = opts.get("reference-datetime")
+      .map { s => // click.DateTime-style or already yyyy-MM-dd-HH
+        if (s.matches("\\d{4}-\\d{2}-\\d{2}-\\d{2}")) s
+        else java.time.LocalDateTime.parse(s.replace(' ', 'T') +
+            (if (s.length == 10) "T00:00" else ""))
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd-HH"))
+      }
+      .getOrElse(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")))
+    val maxRecords = opts.get("max-records").map(_.toInt).getOrElse(5)
+    val hadSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = SparkSession.builder()
+      .appName("graft-report-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try runReportPipeline(spark, logDir, outDir, refHour, maxRecords)
+    finally if (!hadSession) spark.stop() // don't kill a caller's session
   }
 }

@@ -230,9 +230,9 @@ object Dedup {
     // materialize the edge list once — every iteration (and the
     // convergence check) would otherwise recompute the upstream pair
     // pipeline (minhash, LSH, jaccard) from scratch per round
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = true)
+    val edges = Checkpoints.cut(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     // Min-label propagation strictly decreases Σlabel until the fixpoint,
@@ -245,9 +245,9 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val updated = labels.union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(eager = true) // truncate lineage per round
+      val updated = Checkpoints.cut( // truncate lineage per round
+        labels.union(viaNeighbors)
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
       val row = updated.agg(sum(col("label"))).head()
       val s = if (row.isNullAt(0)) Long.MinValue + 1 else row.getLong(0)
       converged = s == prevSum || row.isNullAt(0) // empty graph → done
@@ -305,14 +305,13 @@ object Dedup {
       canonical(linked)
     }
 
-    var edges = canonical(
-        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-      .localCheckpoint(eager = true)
+    var edges = Checkpoints.cut(canonical(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = star(star(edges, large = true), large = false)
-        .localCheckpoint(eager = true)
+      val next = Checkpoints.cut(
+        star(star(edges, large = true), large = false))
       // star edges always point (larger -> smaller); fixpoint when the
       // canonical edge set is unchanged
       converged = next.count() == edges.count() &&

@@ -104,8 +104,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, nProbes: Int, k: Int,
               nCentroids: Int = 16, iters: Int = 3, nProbe: Int = 2): DataFrame = {
     val spark = emb.sparkSession
-    val e = withNorm(emb).localCheckpoint(eager = true)
-    val dims = e.select(size(col("emb"))).head().getInt(0)
+    val e = Checkpoints.cut(withNorm(emb))
     // --- train ---
     var centroids = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
@@ -116,10 +115,15 @@ object Similarity {
         centroids.toSeq.map { case (id, v) => (id, v.toSeq) })
         .toDF("cid", "cemb"))
       val assigned = assignCells(e, cdf)
+      // ONE aggregate pair (array-sum + count) regardless of dims — the
+      // per-dimension `avg(emb[i])` form is 1024 aggregate buffers at
+      // 1024-dim and blows past codegen limits long before 100 TB.
       centroids = assigned
         .groupBy(col("cid"))
-        .agg(array((0 until dims).map(i =>
-          avg(element_at(col("emb"), i + 1))): _*).as("mean"))
+        .agg(graft.functions.VectorSum.vecSum(col("emb")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("s"), _ / col("n")).as("mean"))
         .collect().map(r => (r.getLong(0),
           r.getAs[scala.collection.Seq[Double]]("mean").toArray))
     }

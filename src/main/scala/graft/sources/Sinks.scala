@@ -41,6 +41,15 @@ object Sinks {
     * `targetFiles` files (the operational fix for accumulating tiny
     * micro-batch outputs — at scale, run per partition with dynamic
     * overwrite so history is untouched).
+    *
+    * Consistency contract: the rename-swap assumes single-writer and
+    * NO concurrent readers — the table path is briefly absent between the
+    * two renames, and a crash in that window leaves the data at
+    * `_precompact` (recover by renaming it back). On object stores (s3a)
+    * "rename" is a non-atomic copy+delete, widening that window to the
+    * copy duration; for concurrently-read tables on object stores use a
+    * versioned directory + pointer file (or a table format with atomic
+    * commits) instead of this swap.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int): Unit = {

@@ -57,9 +57,17 @@ object Sessions {
           case Some(s) if us - s.lastUs > gapUs =>
             closed += close(userId, s)
             cur = Some(OpenSession(us, us, 1, e.value))
+          case Some(s) if s.startUs - us > gapUs =>
+            // late event predating the open session by more than the gap:
+            // it belongs to an earlier session, not this one — emit it as
+            // its own closed session (its siblings already closed)
+            closed += close(userId, OpenSession(us, us, 1, e.value))
           case Some(s) =>
-            cur = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
-              s.n + 1, s.sum + e.value))
+            // a late-but-in-gap event may predate the open session's
+            // start: extend BACKWARD too, matching the batch twin which
+            // sees events globally sorted
+            cur = Some(OpenSession(math.min(s.startUs, us),
+              math.max(s.lastUs, us), s.n + 1, s.sum + e.value))
           case None =>
             cur = Some(OpenSession(us, us, 1, e.value))
         }

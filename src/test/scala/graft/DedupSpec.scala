@@ -80,6 +80,20 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> List(1L, 2L, 3L, 9L), 5L -> List(5L, 6L)))
   }
 
+  test("dupClusters under reliable checkpointing matches the default mode") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 9L))
+      .toDF("doc_a", "doc_b")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Long]]("members").toList)).toSet
+    val local = norm(graft.ops.Dedup.dupClusters(pairs))
+    spark.conf.set(graft.ops.Checkpoints.ReliableConf, "true")
+    try {
+      assert(norm(graft.ops.Dedup.dupClusters(pairs)) === local)
+      assert(norm(graft.ops.Dedup.dupClustersLogN(pairs)) === local)
+    } finally spark.conf.unset(graft.ops.Checkpoints.ReliableConf)
+  }
+
   test("custom ShingleGenerator (UDTF) ≡ transform+explode composition") {
     val viaGen = docs.select(col("doc_id"),
         graft.functions.ShingleGenerator.shingles(col("text")).as("sh"))

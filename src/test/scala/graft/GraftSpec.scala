@@ -55,6 +55,28 @@ class GraftSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/level_counts").collect().toSet === before)
   }
 
+  test("CLI main: flags → full pipeline on a temp dir; bad args rejected") {
+    val logDir = writeLogDir()
+    val out = Files.createTempDirectory("graft_cli").toString
+    Graft.main(Array(
+      "--log-dir", logDir, "--out-dir", out,
+      "--reference-datetime", "2024-01-15 02:00:00",
+      "--max-records", "5"))
+    assert(spark.read.parquet(s"$out/level_counts").count() > 0)
+    assert(spark.read.parquet(s"$out/top_slowest").count() > 0)
+    // the caller's session must survive main (it didn't create it)
+    assert(!spark.sparkContext.isStopped)
+    // click-style yyyy-MM-dd-HH form accepted too, and memoized re-run
+    Graft.main(Array("--log-dir", logDir, "--out-dir", out,
+      "--reference-datetime", "2024-01-15-02"))
+    intercept[IllegalArgumentException] {
+      Graft.main(Array("--out-dir", out)) // missing required --log-dir
+    }
+    intercept[IllegalArgumentException] {
+      Graft.main(Array("stray"))
+    }
+  }
+
   test("backfill memoizes: second run over the same window is a no-op") {
     val logDir = writeLogDir()
     val out = java.nio.file.Files.createTempDirectory("graft_bf").toString

@@ -43,4 +43,40 @@ class SessionsStreamSpec extends SparkSpec {
           s.n_events == 1 && s.duration_sec == 0))
     } finally q.stop()
   }
+
+  test("late events: in-gap predecessor extends the session backward; " +
+    "beyond-gap predecessor becomes its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Sessions.sessionizeStream(mem.toDS(), gapMinutes = 30,
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("sessions_late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // late, 10 min BEFORE the open session's start but within the gap →
+      // must merge and move session_start back (batch twin sees it sorted)
+      mem.addData(Ev(ts("2024-01-01 09:50:00"), 1L, 2.0))
+      q.processAllAvailable()
+      // late, 2 hours before start (beyond the gap) → its own session,
+      // closed immediately
+      mem.addData(Ev(ts("2024-01-01 07:50:00"), 1L, 4.0))
+      q.processAllAvailable()
+      val earlier = spark.table("sessions_late_test").as[ClosedSession]
+        .collect()
+      assert(earlier.toSeq === Seq(
+        ClosedSession(1L, ts("2024-01-01 07:50:00"), 1, 0, 4.0)))
+
+      // flush via timeout: close the merged session, check the moved start
+      mem.addData(Ev(ts("2024-01-01 20:00:00"), 2L, 8.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 23:00:00"), 2L, 16.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions_late_test").as[ClosedSession].collect()
+      assert(all.exists(s =>
+        s.user_id == 1L && s.session_start == ts("2024-01-01 09:50:00") &&
+          s.n_events == 2 && s.duration_sec == 600 && s.sum_value == 3.0))
+    } finally q.stop()
+  }
 }

@@ -64,6 +64,33 @@ class SimilaritySpec extends SparkSpec {
     assert(hits > 0, s"IVF found none of the true top-5 (${ivf.length} results)")
   }
 
+  test("VectorSum aggregate ≡ per-dimension avg at 256 dims") {
+    val dims = 256
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 50).map(i =>
+      (i % 4L, Seq.fill(dims)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("cid", "emb")
+    val got = df.groupBy(col("cid"))
+      .agg(graft.functions.VectorSum.vecSum(col("emb")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), transform(col("s"), _ / col("n")).as("mean"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("mean")).toMap
+    // driver-side expected means
+    val want = rows.groupBy(_._1).map { case (cid, g) =>
+      cid -> (0 until dims).map(i => g.map(_._2(i)).sum / g.size)
+    }
+    assert(got.keySet === want.keySet)
+    for (cid <- want.keys; i <- 0 until dims)
+      assert(math.abs(got(cid)(i) - want(cid)(i)) < 1e-9,
+        s"cid=$cid dim=$i")
+    // plan: exactly one ObjectHashAggregate pair, not 256 avg buffers
+    val plan = df.groupBy(col("cid"))
+      .agg(graft.functions.VectorSum.vecSum(col("emb")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Aggregate"))
+  }
+
   test("IVF ANN is reproducible across runs (deterministic training)") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val a = Similarity.ivfTopK(emb, 3, 3).collect().map(_.toString).toSeq
