@@ -94,6 +94,25 @@ object Queries {
 
   private val Stop = "('the','a','an','of','to','and','in','is')"
 
+  /** Shared lang-ID scoring (n14 + the n33 confusion roll-up): stopword-hit
+    * fraction per candidate language, argmax with lexicographic tiebreak.
+    */
+  private val LangPredCte =
+    """s AS (SELECT doc_id, lang,
+      |    round(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','ist')))::double / len(string_split(text, ' ')), 6) AS score_de,
+      |    round(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','is')))::double / len(string_split(text, ' ')), 6) AS score_en,
+      |    round(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','que','es')))::double / len(string_split(text, ' ')), 6) AS score_es,
+      |    round(len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et','est')))::double / len(string_split(text, ' ')), 6) AS score_fr,
+      |    round(len(list_filter(string_split(text, ' '), w -> w IN ('de','shi','le','bu')))::double / len(string_split(text, ' ')), 6) AS score_zh
+      |  FROM documents),
+      |lng AS (SELECT doc_id, lang, score_en, score_de,
+      |    unnest(['de','en','es','fr','zh']) AS code,
+      |    unnest([score_de, score_en, score_es, score_fr, score_zh]) AS score
+      |  FROM s),
+      |pred AS (SELECT doc_id, lang, code AS pred, score_en, score_de,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code ASC) AS rn
+      |  FROM lng)""".stripMargin
+
   /** Connected components over the LSH candidate pairs, computed exactly in
     * DuckDB via a recursive reachability CTE (cluster = min reachable id).
     * Candidate pairs at threshold 0.0 need no jaccard filter (always ≥ 0).
@@ -267,6 +286,24 @@ object Queries {
         |SELECT file_name, md5(file_name) AS md5_hash,
         |  sha256(file_name) AS sha256_hash
         |FROM catalog ORDER BY file_name""".stripMargin)),
+
+    // F13 url_encode (the reference quote_plus-es signed-request params,
+    // rds_download_log.py:80,84). Spark's url_encode = java URLEncoder
+    // (space→'+', '*' kept, else %XX); DuckDB lacks the function, so the
+    // oracle encodes the known charset with an explicit replace chain.
+    ("a13_url_encode",
+      (s: SparkSession, d: String) => ev(s, d)
+        .select(col("user_id")).distinct()
+        .select(col("user_id"),
+          url_encode(concat(lit("select * from t where user = 'u"),
+            col("user_id").cast("string"), lit("'"))).as("encoded"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+        |  replace(replace(replace(
+        |    'select * from t where user = ''u' || user_id::varchar || '''',
+        |    '=', '%3D'), '''', '%27'), ' ', '+') AS encoded
+        |FROM (SELECT DISTINCT user_id FROM events)
+        |ORDER BY user_id""".stripMargin)),
 
     // ===== Tier B: native pgbadger-report analytics (SURVEY §2.4-2.5) =====
 
@@ -828,22 +865,78 @@ object Queries {
 
     ("n14_langid",
       (s: SparkSession, d: String) => TextAnalysis.langId(docs(s, d)),
-      Some("""WITH s AS (SELECT doc_id, lang,
-        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','ist')))::double / len(string_split(text, ' ')), 6) AS score_de,
-        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','is')))::double / len(string_split(text, ' ')), 6) AS score_en,
-        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','que','es')))::double / len(string_split(text, ' ')), 6) AS score_es,
-        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et','est')))::double / len(string_split(text, ' ')), 6) AS score_fr,
-        |    round(len(list_filter(string_split(text, ' '), w -> w IN ('de','shi','le','bu')))::double / len(string_split(text, ' ')), 6) AS score_zh
-        |  FROM documents),
-        |lng AS (SELECT doc_id, lang, score_en, score_de,
-        |    unnest(['de','en','es','fr','zh']) AS code,
-        |    unnest([score_de, score_en, score_es, score_fr, score_zh]) AS score
-        |  FROM s)
-        |SELECT doc_id, lang, pred, score_en, score_de FROM (
-        |  SELECT doc_id, lang, code AS pred, score_en, score_de,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code ASC) AS rn
-        |  FROM lng)
+      Some(s"""WITH $LangPredCte
+        |SELECT doc_id, lang, pred, score_en, score_de FROM pred
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Confusion matrix over the heuristic classifier: labeled × predicted
+    // lang counts — the classifier-audit roll-up.
+    ("n33_lang_confusion",
+      (s: SparkSession, d: String) => TextAnalysis.langConfusion(docs(s, d)),
+      Some(s"""WITH $LangPredCte
+        |SELECT lang, pred, count(*) AS n_docs FROM pred
+        |WHERE rn = 1 GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)),
+
+    // Gopher-style repetition signals: distinct-word ratio, top-word
+    // fraction, duplicate-bigram fraction (boilerplate/spam heuristics).
+    ("n30_repetition_quality",
+      (s: SparkSession, d: String) => TextAnalysis.repetitionQuality(docs(s, d)),
+      Some("""WITH wc AS (
+        |  SELECT doc_id, word, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_uniq,
+        |    max(c) AS top_n
+        |  FROM wc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id,
+        |    len(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS n_bg,
+        |    len(list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS n_bg_uniq
+        |  FROM documents)
+        |SELECT a.doc_id, a.n_words,
+        |  round(a.n_uniq::double / a.n_words, 6) AS uniq_word_ratio,
+        |  round(a.top_n::double / a.n_words, 6) AS top_word_frac,
+        |  CASE WHEN b.n_bg > 0
+        |    THEN round(1.0 - b.n_bg_uniq::double / b.n_bg, 6) END AS dup_bigram_frac
+        |FROM agg a JOIN bg b USING (doc_id) ORDER BY a.doc_id""".stripMargin)),
+
+    // Substring-level decontamination: per test doc, the fraction of its
+    // distinct word 5-grams found anywhere in the train split.
+    ("n31_ngram_decontamination",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.ngramDecontamination(docs(s, d), 5),
+      Some("""WITH sp AS (
+        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |    FROM documents)),
+        |g AS (
+        |  SELECT d.doc_id, s.split, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 4),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |      || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+        |      || ' ' || string_split(text, ' ')[i+4]))) AS g
+        |  FROM documents d JOIN sp s USING (doc_id)),
+        |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train')
+        |SELECT t.doc_id AS test_doc, count(*) AS n_grams,
+        |  CAST(count(tr.g) AS BIGINT) AS n_contaminated,
+        |  round(count(tr.g)::double / count(*), 6) AS contamination_frac
+        |FROM g t LEFT OUTER JOIN tr ON t.g = tr.g
+        |WHERE t.split = 'test'
+        |GROUP BY t.doc_id ORDER BY test_doc""".stripMargin)),
+
+    // Per-label embedding norm stats (exact-decimal average of rounded
+    // norms — bit-identical across engines).
+    ("n34_label_norms",
+      (s: SparkSession, d: String) => Similarity.labelNorms(emb(s, d)),
+      Some("""SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+        |    AS decimal(18,6))) AS double) / count(*), 6) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
     ("n15_fingerprints",
       (s: SparkSession, d: String) => TextAnalysis.fingerprints(docs(s, d)),

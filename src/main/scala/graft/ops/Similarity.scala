@@ -160,6 +160,20 @@ object Similarity {
       .drop("d2", "crnk")
   }
 
+  /** Per-label embedding norm statistics — the corpus-level sanity check
+    * on an embedding column (count + exact-decimal average norm). One
+    * tiny-key aggregate; norms are per-row codegen'd dot products.
+    */
+  def labelNorms(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", round(sqrt(dot(col("emb"), col("emb"))), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("nrm").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_norm"))
+      .orderBy(col("label"))
+
   /** Embedding-cosine near-dup pairs, blocked by label and an id-distance
     * band so the pair space stays linear-ish in corpus size.
     */

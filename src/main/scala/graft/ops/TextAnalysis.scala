@@ -185,6 +185,86 @@ object TextAnalysis {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Word n-grams of `text` (empty array when shorter than n) — the
+    * generalized form of [[Dedup.shingles]]'s 3-gram special case.
+    */
+  def ngrams(n: Int): Column = expr(
+    s"""CASE WHEN size(split(text, ' ')) >= $n THEN
+       |  transform(sequence(0, size(split(text, ' ')) - $n),
+       |    i -> concat_ws(' ', ${(0 until n)
+            .map(j => s"split(text, ' ')[i+$j]").mkString(", ")}))
+       |ELSE array() END""".stripMargin)
+
+  /** Gopher-style repetition signals per doc: distinct-word ratio, top
+    * single-word frequency fraction, duplicate-bigram fraction — the
+    * heuristics that catch boilerplate/spam long before a model sees it.
+    *
+    * Scale shape: word frequencies via explode → (doc, word) count with
+    * map-side combine (the canonical word count, never all-pairs); the
+    * bigram ratios are per-row array expressions at scan speed.
+    */
+  def repetitionQuality(docs: DataFrame): DataFrame = {
+    val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val agg = wc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_uniq"),
+        max(col("c")).as("top_n"))
+    val bg = docs.select(col("doc_id"), ngrams(2).as("bg"))
+      .select(col("doc_id"), size(col("bg")).as("n_bg"),
+        size(array_distinct(col("bg"))).as("n_bg_uniq"))
+    agg.join(bg, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_uniq").cast("double") / col("n_words"), 6)
+          .as("uniq_word_ratio"),
+        round(col("top_n").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        when(col("n_bg") > 0,
+          round(lit(1.0) - col("n_bg_uniq").cast("double") / col("n_bg"), 6))
+          .as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Substring-level train/test decontamination: per test doc, the
+    * fraction of its distinct word n-grams that appear anywhere in the
+    * train split (the 13-gram-overlap eval-leakage check; n is a
+    * parameter because the synthetic docs are short). Whole-doc
+    * fingerprint matching ([[decontamination]]) misses partial copies —
+    * this catches them.
+    *
+    * Scale shape: only (gram, doc) pairs shuffle; the train-gram set is
+    * distinct-reduced before the join, and the join key is the gram hash
+    * — the text itself never moves after the scan.
+    */
+  def ngramDecontamination(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
+      .join(splitAssignment(docs).select(col("doc_id"), col("split")), "doc_id")
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(ngrams(n))).as("g"))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("g")).distinct()
+    grams.filter(col("split") === "test")
+      .join(trainGrams.select(col("g"), lit(1L).as("hit")), Seq("g"),
+        "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id").as("test_doc"), col("n_grams"),
+        col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6)
+          .as("contamination_frac"))
+      .orderBy(col("test_doc"))
+  }
+
+  /** Language-ID confusion matrix: labeled lang × predicted lang counts —
+    * the eval roll-up of [[langId]] (how a classifier audit reads at
+    * corpus scale: one tiny aggregate over a map-side scorer).
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+
   /** TF-IDF: top-`k` highest-scoring terms per document. tf = in-doc
     * count, idf = ln(N / df) over distinct-word document frequency.
     * Two shuffles (df aggregate, per-doc rank); the df table is tiny

@@ -118,6 +118,18 @@ class SimilaritySpec extends SparkSpec {
     assert(cell.count() === inMem)
   }
 
+  test("labelNorms: unit vectors average to norm 1.0 exactly") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 7),
+      (2L, Array(0.0f, 1.0f, 0.0f), 7),
+      (3L, Array(0.0f, 0.6f, 0.8f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNorms(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(7) === ((2L, 1.0)))
+    assert(got(9) === ((1L, 1.0)))
+  }
+
   test("LSH ANN results are a subset of the probe's sign bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val buckets = emb.select(col("vec_id"),

@@ -60,6 +60,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(2) === 4) // ab, cd, 3, ef
   }
 
+  test("repetitionQuality: hand-computed ratios, null bigram on 1-word doc") {
+    val docs = Seq(
+      (1L, "a a b"),     // 3 words, 2 uniq, top 'a'=2; bigrams [a a, a b] all uniq
+      (2L, "a a a a"),   // top frac 1.0; bigrams [a a]×3 → dup 2/3
+      (3L, "x"))         // no bigrams → null dup_bigram_frac
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 3L)
+    assert(got(1L).getDouble(2) === 0.666667) // 2/3 uniq
+    assert(got(1L).getDouble(3) === 0.666667) // top 'a' 2/3
+    assert(got(1L).getDouble(4) === 0.0)
+    assert(got(2L).getDouble(2) === 0.25)
+    assert(got(2L).getDouble(3) === 1.0)
+    assert(got(2L).getDouble(4) === 0.666667) // 1 - 1/3
+    assert(got(3L).isNullAt(4))
+  }
+
+  test("ngramDecontamination: planted 5-gram overlap across splits") {
+    val buckets = (0L until 200L).map { id =>
+      id -> (BigInt("0" + java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).take(4).map("%02x".format(_)).mkString, 16) % 100).toInt
+    }
+    val trainId = buckets.find(_._2 < 80).get._1
+    val testId = buckets.find(_._2 >= 90).get._1
+    val docs = Seq(
+      (trainId, "one two three four five six", "en"),
+      // shares exactly the 5-gram "one two three four five" with train;
+      // its other two distinct 5-grams are clean
+      (testId, "zero one two three four five tail", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.ngramDecontamination(docs, 5).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === testId)
+    assert(r.getLong(1) === 3L) // 3 distinct 5-grams in the test doc
+    assert(r.getLong(2) === 1L)
+    assert(r.getDouble(3) === 0.333333)
+  }
+
+  test("langConfusion row counts sum to the corpus size") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val conf = TextAnalysis.langConfusion(docs).collect()
+    assert(conf.map(_.getLong(2)).sum === docs.count())
+    // diagonal exists: at least one language predicted as itself
+    assert(conf.exists(r => r.getString(0) == r.getString(1)))
+  }
+
   test("trainingCorpusCounts keeps only quality keepers") {
     val long30 = (1 to 30).map(i => s"w$i").mkString(" ")
     val docs = Seq(
