@@ -596,6 +596,41 @@ object Queries {
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin)),
 
+    // As-of join: each purchase matched to the user's latest click at or
+    // before it — via tag+union+carry-forward (one shuffle), never a
+    // per-row range scan.
+    ("b23_asof_join",
+      (s: SparkSession, d: String) =>
+        Reports.asofJoin(ev(s, d), "purchase", "click"),
+      Some("""WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |carried AS (
+        |  SELECT user_id, ts, event_id, side,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER w AS asof_id,
+        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER w AS asof_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, side ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, asof_id,
+        |  strftime(asof_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts_str
+        |FROM carried WHERE side = 1 ORDER BY user_id, event_id""".stripMargin)),
+
+    // Banded range join against a broadcast tier table ([lo, hi) buckets).
+    ("b24_value_tiers",
+      (s: SparkSession, d: String) => Reports.valueTierJoin(ev(s, d)),
+      Some(s"""WITH tiers(tier, lo, hi) AS (VALUES
+        |  ${Reports.ValueTiers.map { case (t, lo, hi) =>
+               s"('$t', $lo, $hi)" }.mkString(", ")})
+        |SELECT tier, count(*) AS n, $DecSum AS sum_value
+        |FROM events JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),

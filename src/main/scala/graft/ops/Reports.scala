@@ -95,6 +95,62 @@ object Reports {
         col("pcts").getItem(2).as("p99"))
       .orderBy(col("event_type"))
 
+  /** As-of join: each `leftType` event matched to the user's latest
+    * `rightType` event at-or-before it (ties at equal ts count; among
+    * equal-ts right rows the highest event_id wins).
+    *
+    * Scale shape: the naive formulation is a per-row range scan (a
+    * non-equi join that Catalyst can only plan as a broadcast/cartesian
+    * nested loop). This instead tags both sides, unions them, and
+    * carries the last right row forward with one window over
+    * (user, ts, side, id) — ONE hash shuffle on user_id, linear scan per
+    * partition, no pair blowup at any scale.
+    */
+  def asofJoin(events: DataFrame, leftType: String,
+               rightType: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === rightType, 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("asof_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("asof_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts_str"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Banded (range) join: event values bucketed into a tiny tier table
+    * on [lo, hi) intervals. A non-equi join is a nested loop in Spark —
+    * correct ONLY because the tier side is broadcast and ~constant-sized;
+    * the stream side never shuffles (PlanSpec asserts the
+    * BroadcastNestedLoopJoin). For a LARGE range dim, pre-bucket both
+    * sides to convert to an equi join instead.
+    */
+  val ValueTiers: Seq[(String, Double, Double)] = Seq(
+    ("t0_low", 0.0, 25.0), ("t1_mid", 25.0, 50.0),
+    ("t2_high", 50.0, 75.0), ("t3_top", 75.0, 1e9))
+
+  def valueTierJoin(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tiers = ValueTiers.toDF("tier", "lo", "hi")
+    events.join(broadcast(tiers),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .orderBy(col("tier"))
+  }
+
   /** G6 cross-tab: severity × day via GROUPING SETS (report subtotal rows). */
   def severityDayCube(events: DataFrame): DataFrame = {
     val day = date_format(col("ts"), "yyyy-MM-dd")

@@ -48,4 +48,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(p.contains("partial_"))
   }
+
+  test("b23: as-of join is a window carry-forward, not a range nested loop") {
+    val p = plan("b23_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "as-of must not plan as a pair-blowup join:\n" + p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("b24: range join broadcasts the tiny tier side only") {
+    val p = plan("b24_value_tiers")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the stream (events) side must not exchange before the join
+    assert(!p.split("BroadcastNestedLoopJoin")(1)
+      .contains("Exchange hashpartitioning"))
+  }
+
+  test("n31: gram decontamination joins on the gram key, never cartesian") {
+    val p = plan("n31_ngram_decontamination")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -77,6 +77,26 @@ class ReportsSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L, 2L))
   }
 
+  test("asofJoin: latest prior-or-equal click; null when none precedes") {
+    val e2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0), // no prior click
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),    // equal-ts: max id wins
+      (4L, ts("2024-01-01 10:10:00"), 1L, "purchase", 1.0), // → click 3
+      (5L, ts("2024-01-01 10:20:00"), 1L, "click", 1.0),
+      (6L, ts("2024-01-01 10:20:00"), 1L, "purchase", 1.0), // same-ts click counts
+      (7L, ts("2024-01-01 09:00:00"), 2L, "view", 1.0)      // other type dropped
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Reports.asofJoin(e2, "purchase", "click").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq === Seq((1L, -1L), (4L, 3L), (6L, 5L)))
+  }
+
+  test("valueTierJoin: every event lands in exactly one tier") {
+    val got = Reports.valueTierJoin(ev).collect()
+    assert(got.map(_.getLong(1)).sum === ev.count())
+  }
+
   test("topSlowestPerClass: rank and tiebreak by event_id") {
     val got = Reports.topSlowestPerClass(ev, 2).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
