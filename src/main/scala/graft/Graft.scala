@@ -162,13 +162,25 @@ object Graft {
     * Env fallbacks: GRAFT_LOG_DIR, GRAFT_OUT_DIR (bucket/instance in the
     * reference become the log-dir URI here — s3a://bucket/path works).
     */
+  private val KnownFlags =
+    Set("log-dir", "out-dir", "reference-datetime", "max-records")
+
   def main(args: Array[String]): Unit = {
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case flag if flag.startsWith("--") && i + 1 < args.length =>
-          opts(flag.drop(2)) = args(i + 1); i += 2
+        case flag if flag.startsWith("--") =>
+          val key = flag.drop(2)
+          // click-style strictness: a typo'd flag must error, not silently
+          // fall back to the default
+          if (!KnownFlags(key))
+            throw new IllegalArgumentException(
+              s"unknown option --$key (expected: ${KnownFlags.toSeq.sorted
+                .map("--" + _).mkString(", ")})")
+          if (i + 1 >= args.length)
+            throw new IllegalArgumentException(s"missing value for --$key")
+          opts(key) = args(i + 1); i += 2
         case other =>
           throw new IllegalArgumentException(s"unexpected argument: $other")
       }
@@ -189,13 +201,16 @@ object Graft {
       .getOrElse(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")))
     val maxRecords = opts.get("max-records").map(_.toInt).getOrElse(5)
-    val hadSession = SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession).isDefined
-    val spark = SparkSession.builder()
+    // Reuse a caller's session untouched (builder.config on getOrCreate
+    // would silently rewrite its runtime confs — e.g. the timezone);
+    // configure UTC only on a session this entry point creates itself.
+    val existing = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val spark = existing.getOrElse(SparkSession.builder()
       .appName("graft-report-pipeline")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+      .getOrCreate())
     try runReportPipeline(spark, logDir, outDir, refHour, maxRecords)
-    finally if (!hadSession) spark.stop() // don't kill a caller's session
+    finally if (existing.isEmpty) spark.stop() // never kill a caller's session
   }
 }

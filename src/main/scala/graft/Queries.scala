@@ -627,9 +627,10 @@ object Queries {
       Some(s"""WITH tiers(tier, lo, hi) AS (VALUES
         |  ${Reports.ValueTiers.map { case (t, lo, hi) =>
                s"('$t', $lo, $hi)" }.mkString(", ")})
-        |SELECT tier, count(*) AS n, $DecSum AS sum_value
-        |FROM events JOIN tiers ON value >= lo AND value < hi
-        |GROUP BY tier ORDER BY tier""".stripMargin)),
+        |SELECT coalesce(tier, 'z_unbucketed') AS tier, count(*) AS n,
+        |  $DecSum AS sum_value
+        |FROM events LEFT OUTER JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY 1 ORDER BY tier""".stripMargin)),
 
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),

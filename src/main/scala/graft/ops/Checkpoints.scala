@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage truncation for iterative operators (connected components,
   * k-means): every round must cut the plan or the lineage (and the
@@ -12,11 +13,16 @@ import org.apache.spark.sql.DataFrame
   *     block-manager memory/disk. Fastest, but a lost executor loses the
   *     blocks AND the truncated lineage — fine single-JVM (local[n]),
   *     lossy on a real cluster.
-  *   - `true`: reliable `checkpoint()` to the checkpoint dir (HDFS/object
-  *     store on a cluster) — survives executor loss; the 100 TB setting.
-  *     If no checkpoint dir is configured a temp dir is set (tests /
-  *     local runs); production should point
-  *     `SparkContext.setCheckpointDir` at durable storage.
+  *   - `true`: reliable `checkpoint()` to the checkpoint dir — survives
+  *     executor loss; the 100 TB setting. On a non-local master the
+  *     checkpoint dir MUST be durable shared storage (HDFS/object store)
+  *     set via `SparkContext.setCheckpointDir` — a driver-local temp dir
+  *     would scatter partitions across executors' local disks, so cut()
+  *     refuses to invent one and fails fast instead. Reliable checkpoint
+  *     files are only auto-deleted when
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set it at
+  *     context creation for long-lived jobs, or use a per-job checkpoint
+  *     dir deleted on completion).
   */
 object Checkpoints {
 
@@ -29,10 +35,27 @@ object Checkpoints {
       spark.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
     if (reliable) {
       val sc = spark.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
+      if (sc.getCheckpointDir.isEmpty) {
+        require(sc.isLocal,
+          "reliable checkpoints on a non-local master need " +
+            "SparkContext.setCheckpointDir pointed at durable shared storage")
         sc.setCheckpointDir(
           java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-      df.checkpoint(eager = true)
+      }
+      // checkpoint() runs one job to materialize and a SECOND to write the
+      // checkpoint files; without a persist in between the second job
+      // recomputes the whole plan (RDD.checkpoint contract). Cache first,
+      // write from cache, then drop the cache — the checkpoint files carry
+      // the data from here on.
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint(eager = true)
+      finally cached.unpersist(blocking = false)
     } else df.localCheckpoint(eager = true)
   }
+
+  // Superseded rounds: localCheckpoint blocks are freed by the
+  // ContextCleaner once the driver drops the reference (the loops reassign
+  // their frame each round, so at most ~2 rounds are strongly reachable);
+  // reliable checkpoint FILES need the cleanCheckpoints conf above or a
+  // per-job checkpoint dir deleted on completion.
 }

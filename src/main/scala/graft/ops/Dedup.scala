@@ -82,15 +82,12 @@ object Dedup {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
-  /** 3-word shingles of the `text` column (empty array when < 3 words).
-    * Pure SQL expression (0-based `[i]` indexing) so it stays in codegen.
+  /** 3-word shingles of the `text` column (empty array when < 3 words) —
+    * the single n-gram implementation lives in [[TextAnalysis.ngrams]] so
+    * tokenization can never drift between the dedup and decontamination
+    * paths.
     */
-  def shingles: Column = expr(
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
-      |  transform(sequence(0, size(split(text, ' ')) - 3),
-      |    i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
-      |                   split(text, ' ')[i+2]))
-      |ELSE array() END""".stripMargin)
+  def shingles: Column = TextAnalysis.ngrams(3)
 
   val NumMinhashSeeds = 8
   val BandSize = 2 // → 4 LSH bands

@@ -144,9 +144,12 @@ object Reports {
     val spark = events.sparkSession
     import spark.implicits._
     val tiers = ValueTiers.toDF("tier", "lo", "hi")
+    // left join + residual bucket: a value outside every [lo, hi) (or
+    // NULL) must surface as 'z_unbucketed', never silently vanish from
+    // the accounting
     events.join(broadcast(tiers),
-        col("value") >= col("lo") && col("value") < col("hi"))
-      .groupBy(col("tier"))
+        col("value") >= col("lo") && col("value") < col("hi"), "left_outer")
+      .groupBy(coalesce(col("tier"), lit("z_unbucketed")).as("tier"))
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
       .orderBy(col("tier"))
   }

@@ -120,10 +120,13 @@ object Similarity {
       // 1024-dim and blows past codegen limits long before 100 TB.
       centroids = assigned
         .groupBy(col("cid"))
+        // count non-null embeddings to match what VectorSum summed — a
+        // count(*) would shrink means toward zero in cells with null rows
         .agg(graft.functions.VectorSum.vecSum(col("emb")).as("s"),
-          count(lit(1)).as("n"))
+          count(col("emb")).as("n"))
         .select(col("cid"),
           transform(col("s"), _ / col("n")).as("mean"))
+        .filter(col("mean").isNotNull) // all-null cell: drop, don't NPE
         .collect().map(r => (r.getLong(0),
           r.getAs[scala.collection.Seq[Double]]("mean").toArray))
     }

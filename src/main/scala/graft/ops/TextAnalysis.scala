@@ -185,8 +185,9 @@ object TextAnalysis {
       .orderBy(col("lang"), col("split"))
   }
 
-  /** Word n-grams of `text` (empty array when shorter than n) — the
-    * generalized form of [[Dedup.shingles]]'s 3-gram special case.
+  /** Word n-grams of the `text` column (empty array when shorter than n);
+    * [[Dedup.shingles]] is the 3-gram instance. Kept as a raw SQL
+    * expression so it stays inside codegen.
     */
   def ngrams(n: Int): Column = expr(
     s"""CASE WHEN size(split(text, ' ')) >= $n THEN

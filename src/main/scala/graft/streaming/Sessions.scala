@@ -48,31 +48,28 @@ object Sessions {
         state.remove()
         return out
       }
-      val evs = batch.toArray.sortBy(e => micros(e.ts))
-      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-      var cur = state.getOption
-      for (e <- evs) {
-        val us = micros(e.ts)
-        cur match {
-          case Some(s) if us - s.lastUs > gapUs =>
-            closed += close(userId, s)
-            cur = Some(OpenSession(us, us, 1, e.value))
-          case Some(s) if s.startUs - us > gapUs =>
-            // late event predating the open session by more than the gap:
-            // it belongs to an earlier session, not this one — emit it as
-            // its own closed session (its siblings already closed)
-            closed += close(userId, OpenSession(us, us, 1, e.value))
-          case Some(s) =>
-            // a late-but-in-gap event may predate the open session's
-            // start: extend BACKWARD too, matching the batch twin which
-            // sees events globally sorted
-            cur = Some(OpenSession(math.min(s.startUs, us),
-              math.max(s.lastUs, us), s.n + 1, s.sum + e.value))
-          case None =>
-            cur = Some(OpenSession(us, us, 1, e.value))
-        }
-      }
-      cur.foreach { s =>
+      // Merge the open state session (an interval) and the batch's events
+      // (points) exactly as the batch twin would see them: sort by start,
+      // fold adjacent items whose gap is within gapUs. Late events within
+      // the watermark therefore extend sessions BACKWARD, merge with each
+      // other, and bridge into the open session — byte-identical grouping
+      // to Reports.sessionize over the same data. Everything but the
+      // latest merged session is separated by > gap on both sides and
+      // closes now; the latest stays open for the next batch/timeout.
+      val items = (state.getOption.toList ++
+          batch.map { e =>
+            val us = micros(e.ts); OpenSession(us, us, 1, e.value)
+          })
+        .sortBy(s => (s.startUs, s.lastUs))
+      val merged = items.foldLeft(List.empty[OpenSession]) {
+        case (head :: tail, it) if it.startUs - head.lastUs <= gapUs =>
+          OpenSession(math.min(head.startUs, it.startUs),
+            math.max(head.lastUs, it.lastUs),
+            head.n + it.n, head.sum + it.sum) :: tail
+        case (acc, it) => it :: acc
+      } // head = latest session, tail = earlier closed ones (reversed)
+      val closed = merged.tail.reverse.map(close(userId, _))
+      merged.headOption.foreach { s =>
         state.update(s)
         // time out once the watermark passes last-event + gap
         state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60L * 1000)

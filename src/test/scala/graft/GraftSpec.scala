@@ -75,6 +75,12 @@ class GraftSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graft.main(Array("stray"))
     }
+    intercept[IllegalArgumentException] { // typo'd flag must not default
+      Graft.main(Array("--log-dir", logDir, "--out-dir", out,
+        "--max-record", "7"))
+    }
+    // running inside an existing session must not rewrite its confs
+    assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
   }
 
   test("backfill memoizes: second run over the same window is a no-op") {

@@ -97,6 +97,16 @@ class ReportsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum === ev.count())
   }
 
+  test("valueTierJoin: out-of-range values surface as z_unbucketed") {
+    val e2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", -5.0), // below every tier
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 10.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Reports.valueTierJoin(e2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("t0_low" -> 1L, "z_unbucketed" -> 1L))
+  }
+
   test("topSlowestPerClass: rank and tiebreak by event_id") {
     val got = Reports.topSlowestPerClass(ev, 2).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))

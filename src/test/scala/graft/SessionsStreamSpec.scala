@@ -79,4 +79,35 @@ class SessionsStreamSpec extends SparkSpec {
           s.n_events == 2 && s.duration_sec == 600 && s.sum_value == 3.0))
     } finally q.stop()
   }
+
+  test("multiple beyond-gap late events in one batch sessionize together " +
+    "and bridge into the open session, matching the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Sessions.sessionizeStream(mem.toDS(), gapMinutes = 30,
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("sessions_multi_late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // 09:20 is > gap before the open session start, but 09:40 bridges:
+      // batch-sorted these are ONE session {09:20, 09:40, 10:00} — the
+      // old per-event logic emitted 09:20 as a spurious singleton
+      mem.addData(
+        Ev(ts("2024-01-01 09:20:00"), 1L, 2.0),
+        Ev(ts("2024-01-01 09:40:00"), 1L, 4.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_multi_late_test").count() === 0)
+      // flush and check the single merged session
+      mem.addData(Ev(ts("2024-01-01 20:00:00"), 2L, 8.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 23:00:00"), 2L, 16.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_multi_late_test").as[ClosedSession]
+        .collect().filter(_.user_id == 1L)
+      assert(got.toSeq === Seq(ClosedSession(1L,
+        ts("2024-01-01 09:20:00"), 3, 2400, 7.0)))
+    } finally q.stop()
+  }
 }
