@@ -632,6 +632,21 @@ object Queries {
         |FROM events LEFT OUTER JOIN tiers ON value >= lo AND value < hi
         |GROUP BY 1 ORDER BY tier""".stripMargin)),
 
+    // Interval join (batch twin of the stream-stream attribution join):
+    // all clicks within 30 min before each purchase, per user.
+    ("b25_click_attribution",
+      (s: SparkSession, d: String) =>
+        Reports.clickAttribution(ev(s, d), 30),
+      Some("""SELECT c.user_id, p.event_id AS purchase_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_str,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_str
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),

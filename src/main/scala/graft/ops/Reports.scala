@@ -129,6 +129,31 @@ object Reports {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Click attribution (batch twin of the streaming interval join,
+    * [[graft.streaming.Enrich.attributeStream]]): every click within
+    * `windowMinutes` before each purchase by the same user. Equi key on
+    * user_id keeps the plan a hash/sort-merge join with a range residual
+    * — never a nested loop; per-user time bands bound the pair count.
+    */
+  def clickAttribution(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"interval $windowMinutes minutes"))
+      .select(col("user_id"), col("purchase_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_ts_str"),
+        col("click_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_str"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Banded (range) join: event values bucketed into a tiny tier table
     * on [lo, hi) intervals. A non-equi join is a nested loop in Spark —
     * correct ONLY because the tier side is broadcast and ~constant-sized;

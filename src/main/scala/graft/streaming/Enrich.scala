@@ -37,6 +37,30 @@ object Enrich {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the `window` before it (click attribution). Both
+    * sides are watermarked and the join carries an event-time range
+    * condition, so Spark bounds join state to watermark + window and
+    * evicts old rows — without the range condition state grows forever.
+    * Batch twin: [[graft.ops.Reports.clickAttribution]] (query `b25`);
+    * EnrichStreamSpec proves stream output equals the batch twin.
+    */
+  def attributeStream(clicks: DataFrame, purchases: DataFrame,
+                      window: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p, col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"interval $window"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** foreachBatch sink with exactly-once replay semantics: partitions are
     * keyed by (day, batch_id), so a re-run of a failed batch (same
     * batchId — Spark replays with the original id) overwrites exactly its

@@ -93,6 +93,45 @@ class EnrichStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch attribution twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // (event_id, ts, user_id, event_type)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click"),
+      (3L, ts("2024-01-01 10:20:00"), 1L, "purchase"), // ← clicks 1, 2
+      (4L, ts("2024-01-01 09:40:00"), 1L, "click"),    // 40 min before → out
+      (5L, ts("2024-01-01 11:30:00"), 1L, "purchase"), // no click in window
+      (6L, ts("2024-01-01 10:15:00"), 2L, "click"),
+      (7L, ts("2024-01-01 10:30:00"), 2L, "purchase")) // ← click 6 only
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val pMem = MemoryStream[(Long, Timestamp, Long)]
+    val q = graft.streaming.Enrich.attributeStream(
+        cMem.toDF().toDF("event_id", "ts", "user_id"),
+        pMem.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      rows.filter(_._4 == "click").foreach { r =>
+        cMem.addData((r._1, r._2, r._3))
+      }
+      rows.filter(_._4 == "purchase").foreach { r =>
+        pMem.addData((r._1, r._2, r._3))
+      }
+      q.processAllAvailable()
+      val got = spark.table("attr_test")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      // batch twin over the identical rows
+      val batch = graft.ops.Reports.clickAttribution(
+          rows.toDF("event_id", "ts", "user_id", "event_type")
+            .withColumn("value", lit(1.0)), 30)
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === batch.toSeq)
+      assert(got.toSeq === Seq((3L, 1L), (3L, 2L), (7L, 6L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink replays idempotently (dynamic partition overwrite)") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString

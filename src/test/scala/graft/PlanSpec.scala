@@ -65,6 +65,13 @@ class PlanSpec extends SparkSpec {
       .contains("Exchange hashpartitioning"))
   }
 
+  test("b25: interval join keeps the user_id equi key (no nested loop)") {
+    val p = plan("b25_click_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "interval join must use the equi key:\n" + p)
+  }
+
   test("n31: gram decontamination joins on the gram key, never cartesian") {
     val p = plan("n31_ngram_decontamination")
     assert(!p.contains("CartesianProduct") &&

@@ -79,6 +79,33 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: as-of join (window carry-forward) ≡ naive range formulation") {
+    // random event streams: the union+window implementation must agree
+    // with the quadratic join-then-argmax definition on every input
+    val evGen = Gen.listOfN(25, for {
+      id <- Gen.choose(1L, 1000L)
+      tsSec <- Gen.choose(0L, 3600L)
+      user <- Gen.choose(1L, 3L)
+      kind <- Gen.oneOf("click", "purchase", "view")
+    } yield (id, new java.sql.Timestamp(1704100000000L + tsSec * 1000),
+      user, kind, 1.0)).map(_.distinctBy(_._1))
+    check(Prop.forAll(evGen) { evs =>
+      val df = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = graft.ops.Reports.asofJoin(df, "purchase", "click").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toSet
+      // naive: per purchase, max (ts, event_id) click with ts <= purchase ts
+      val clicks = evs.filter(_._4 == "click")
+      val want = evs.filter(_._4 == "purchase").map { p =>
+        val cands = clicks.filter(c => c._3 == p._3 && !c._2.after(p._2))
+        val best = if (cands.isEmpty) -1L
+          else cands.maxBy(c => (c._2.getTime, c._1))._1
+        (p._1, best)
+      }.toSet
+      got == want
+    }, n = 8)
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)
