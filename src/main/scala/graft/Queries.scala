@@ -1150,6 +1150,14 @@ object Queries {
         |  array_to_string(list_sort(list(id)), ',') AS members
         |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    // Bloom-filter decontamination: broadcast-bloom semi filter instead of
+    // a fingerprint join — the 100 TB path for n26 (rows-only: Bloom bit
+    // layout is engine-specific; the spec proves superset-of-exact).
+    ("n35_bloom_decontamination",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.bloomDecontamination(docs(s, d)),
+      None),
+
     ("n18_winnow_matches",
       (s: SparkSession, d: String) => TextAnalysis.winnowMatches(docs(s, d)),
       None),

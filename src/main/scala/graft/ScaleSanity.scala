@@ -35,10 +35,14 @@ object ScaleSanity {
           .write.mode("overwrite").parquet(s"$out/$t.parquet") }
     }
     for (name <- Seq("r1_pricing_summary", "r2_revenue_by_nation",
-        "b2_hourly_histogram", "b15_sessionize", "n4_minhash_signatures",
-        "n9_cosine_topk", "n1_exact_dup_groups")) {
+        "b2_hourly_histogram", "b15_sessionize", "b23_asof_join",
+        "b25_click_attribution", "n4_minhash_signatures",
+        "n9_cosine_topk", "n1_exact_dup_groups", "n24_dup_clusters_logn",
+        "n30_repetition_quality", "n31_ngram_decontamination")) {
       val t0 = System.nanoTime()
-      Queries.queries(name)(spark, out).count()
+      // full materialization — count() would let Catalyst prune the very
+      // projections being measured (same fix as Bench)
+      Queries.queries(name)(spark, out).queryExecution.toRdd.count()
       println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $name")
     }
     spark.stop()

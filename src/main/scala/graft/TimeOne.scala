@@ -11,7 +11,7 @@ object TimeOne {
     val fn = Queries.queries(args(0))
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      fn(spark, dir).queryExecution.toRdd.count()
       println(s"RUN$i=${(System.nanoTime() - t0) / 1e9}")
     }
     spark.stop()

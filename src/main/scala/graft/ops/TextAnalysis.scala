@@ -131,17 +131,28 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
       .orderBy(col("fp"))
 
-  /** Deterministic train/val/test split: md5-derived bucket in [0,100) —
-    * stable across runs/engines (unlike sample()), stratifiable by any
-    * key, and pure map-side at any scale.
+  /** Deterministic split bucket in [0,100) from the doc id — md5-derived,
+    * stable across runs/engines (unlike sample()), pure map-side.
     */
-  def splitAssignment(docs: DataFrame): DataFrame = {
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+  def splitBucket: Column =
+    pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
       16, 10).cast("long"), lit(100))
-    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"),
-      when(bucket < 80, "train").when(bucket < 90, "val")
-        .otherwise("test").as("split"))
-  }
+
+  /** The train/val/test label as a COLUMN of doc_id — consumers must add
+    * it on their existing scan, never join [[splitAssignment]] back to the
+    * corpus (that plans as a full self-join on doc_id: two pointless
+    * exchanges per use at 100 TB).
+    */
+  def splitCol: Column =
+    when(splitBucket < 80, "train").when(splitBucket < 90, "val")
+      .otherwise("test")
+
+  /** Deterministic train/val/test split as a standalone frame (reporting
+    * surface; derived from [[splitCol]]).
+    */
+  def splitAssignment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), splitBucket.as("bucket"),
+      splitCol.as("split"))
 
   /** Split sizes per lang — the stratification report. */
   def splitCounts(docs: DataFrame): DataFrame =
@@ -177,9 +188,8 @@ object TextAnalysis {
       size(filter(ws, w => w.isin(Stopwords: _*))).cast("double") / size(ws), 6)
     docs.join(keepers, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), size(ws).as("n_words"),
-        stopRatio.as("stop_ratio"))
+        stopRatio.as("stop_ratio"), splitCol.as("split"))
       .filter(col("n_words") >= 30 && col("stop_ratio") <= 0.3)
-      .join(splitAssignment(docs).select(col("doc_id"), col("split")), "doc_id")
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_tokens"))
       .orderBy(col("lang"), col("split"))
@@ -239,8 +249,7 @@ object TextAnalysis {
     */
   def ngramDecontamination(docs: DataFrame, n: Int = 5): DataFrame = {
     val grams = docs
-      .join(splitAssignment(docs).select(col("doc_id"), col("split")), "doc_id")
-      .select(col("doc_id"), col("split"),
+      .select(col("doc_id"), splitCol.as("split"),
         explode(array_distinct(ngrams(n))).as("g"))
     val trainGrams = grams.filter(col("split") === "train")
       .select(col("g")).distinct()
@@ -297,8 +306,10 @@ object TextAnalysis {
     * fingerprint table is the join key, never the text.
     */
   def decontamination(docs: DataFrame): DataFrame = {
-    val fp = fingerprints(docs)
-      .join(splitAssignment(docs).select(col("doc_id"), col("split")), "doc_id")
+    val fp = docs.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
+        .as("fingerprint"),
+      splitCol.as("split"))
     fp.filter(col("split") === "test").as("t")
       .join(fp.filter(col("split") === "train").as("tr"),
         col("t.fingerprint") === col("tr.fingerprint"))
@@ -306,6 +317,35 @@ object TextAnalysis {
         col("tr.doc_id").as("train_doc"),
         col("t.fingerprint").as("fingerprint"))
       .orderBy(col("test_doc"), col("train_doc"))
+  }
+
+  /** Bloom-filter decontamination — the 100 TB path for [[decontamination]]:
+    * instead of shuffling (fingerprint, doc) pairs into a join, aggregate
+    * the train split's fingerprints into ONE Bloom filter (a few MB for
+    * billions of items at 1% fpp), broadcast it, and filter test docs
+    * map-side with `might_contain`. No false negatives: every truly
+    * contaminated test doc is flagged (the spec proves superset-of-exact);
+    * false positives are bounded by `fpp` and can be re-verified with the
+    * exact join on the tiny flagged subset.
+    */
+  def bloomDecontamination(docs: DataFrame,
+                           expectedItems: Long = 1000000L,
+                           fpp: Double = 0.01): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
+        .as("fingerprint"),
+      splitCol.as("split"))
+    // distributed partial blooms merged to one (DataFrameStatFunctions —
+    // the SQL-level bloom_filter_agg is not a registered public function)
+    val bf = fp.filter(col("split") === "train")
+      .stat.bloomFilter("fingerprint", expectedItems, fpp)
+    val bcast = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((s: String) => s != null && bcast.value.mightContainString(s))
+    fp.filter(col("split") === "test")
+      .filter(mightContain(col("fingerprint")))
+      .select(col("doc_id").as("test_doc"), col("fingerprint"))
+      .orderBy(col("test_doc"))
   }
 
   /** Corpus mixing: deterministic weighted downsampling per source (the

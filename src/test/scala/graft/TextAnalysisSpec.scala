@@ -100,6 +100,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(3) === 0.333333)
   }
 
+  test("bloomDecontamination flags a superset of the exact join's test docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val exact = TextAnalysis.decontamination(docs)
+      .select("test_doc").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bloom = TextAnalysis.bloomDecontamination(docs)
+      .select("test_doc")
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives (defining Bloom property)
+    assert(exact.subsetOf(bloom),
+      s"missed: ${exact.diff(bloom)}")
+    // false positives bounded: at 1% fpp the flagged set stays close
+    val nTest = TextAnalysis.splitAssignment(docs)
+      .filter(col("split") === "test").count()
+    assert(bloom.size - exact.size <= math.max(5, nTest / 10))
+  }
+
   test("langConfusion row counts sum to the corpus size") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val conf = TextAnalysis.langConfusion(docs).collect()
