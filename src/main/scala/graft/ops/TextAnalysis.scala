@@ -195,9 +195,22 @@ object TextAnalysis {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Word n-grams over an ALREADY-PROJECTED words-array column. Callers
+    * must bind `split(text)` to a column first — inlining the split makes
+    * every element access re-split the text (O(words²) per row; measured
+    * as the dominant cost of the gram operators before this was hoisted).
+    */
+  def ngramsOf(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(ws, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Word n-grams of the `text` column (empty array when shorter than n);
-    * [[Dedup.shingles]] is the 3-gram instance. Kept as a raw SQL
-    * expression so it stays inside codegen.
+    * [[Dedup.shingles]] is the 3-gram instance. Convenience form of
+    * [[ngramsOf]] for one-shot use — prefer projecting the word array
+    * and calling ngramsOf when the same row computes anything else.
     */
   def ngrams(n: Int): Column = expr(
     s"""CASE WHEN size(split(text, ' ')) >= $n THEN
@@ -210,21 +223,23 @@ object TextAnalysis {
     * single-word frequency fraction, duplicate-bigram fraction — the
     * heuristics that catch boilerplate/spam long before a model sees it.
     *
-    * Scale shape: word frequencies via explode → (doc, word) count with
-    * map-side combine (the canonical word count, never all-pairs); the
-    * bigram ratios are per-row array expressions at scan speed.
+    * Scale shape: ENTIRELY per-row — the top-word frequency uses the
+    * codegen'd [[graft.functions.MaxRunLength]] over the sorted word
+    * array instead of the textbook explode → (doc, word) count → max
+    * (which shuffles docs × words rows twice); uniq/bigram ratios are
+    * array expressions. The whole operator runs at scan speed with zero
+    * shuffles (PlanSpec asserts it).
     */
   def repetitionQuality(docs: DataFrame): DataFrame = {
-    val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("c"))
-    val agg = wc.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_uniq"),
-        max(col("c")).as("top_n"))
-    val bg = docs.select(col("doc_id"), ngrams(2).as("bg"))
-      .select(col("doc_id"), size(col("bg")).as("n_bg"),
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), ngramsOf(col("ws"), 2).as("bg"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).as("n_uniq"),
+        graft.functions.MaxRunLength.ofSorted(array_sort(col("ws")))
+          .as("top_n"),
+        size(col("bg")).as("n_bg"),
         size(array_distinct(col("bg"))).as("n_bg_uniq"))
-    agg.join(bg, "doc_id")
       .select(col("doc_id"), col("n_words"),
         round(col("n_uniq").cast("double") / col("n_words"), 6)
           .as("uniq_word_ratio"),
@@ -250,7 +265,9 @@ object TextAnalysis {
   def ngramDecontamination(docs: DataFrame, n: Int = 5): DataFrame = {
     val grams = docs
       .select(col("doc_id"), splitCol.as("split"),
-        explode(array_distinct(ngrams(n))).as("g"))
+        words(col("text")).as("ws"))
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(ngramsOf(col("ws"), n))).as("g"))
     val trainGrams = grams.filter(col("split") === "train")
       .select(col("g")).distinct()
     grams.filter(col("split") === "test")

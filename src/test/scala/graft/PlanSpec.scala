@@ -72,6 +72,12 @@ class PlanSpec extends SparkSpec {
       "interval join must use the equi key:\n" + p)
   }
 
+  test("n30: repetition signals are per-row — no hash shuffle at all") {
+    val p = plan("n30_repetition_quality")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "repetition quality must not shuffle:\n" + p)
+  }
+
   test("n31: gram decontamination joins on the gram key, never cartesian") {
     val p = plan("n31_ngram_decontamination")
     assert(!p.contains("CartesianProduct") &&

@@ -78,6 +78,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L).isNullAt(4))
   }
 
+  test("MaxRunLength ≡ explode→count→max on real documents (codegen + interpreted)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaExpr = docs.select(col("doc_id"),
+        graft.functions.MaxRunLength.ofSorted(
+          array_sort(split(col("text"), " "))).as("top_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExplode = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("top_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaExplode)
+    // empty array → 0
+    val edge = Seq((1L, Seq.empty[String]), (2L, Seq("x"))).toDF("id", "a")
+      .select(col("id"), graft.functions.MaxRunLength.ofSorted(col("a")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edge === Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("ngramDecontamination: planted 5-gram overlap across splits") {
     val buckets = (0L until 200L).map { id =>
       id -> (BigInt("0" + java.security.MessageDigest.getInstance("MD5")
