@@ -47,19 +47,22 @@ object TextAnalysis {
     * heuristic-filter feature set.
     */
   def qualityFeatures(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val nWords = size(ws)
-    val stopHits = size(filter(ws, w => w.isin(Stopwords: _*)))
+    // hoist the split: every later ws reference is an attribute read, not
+    // a re-split of the text (same fix as ngramsOf)
+    val nWords = size(col("ws"))
+    val stopHits = size(filter(col("ws"), w => w.isin(Stopwords: _*)))
     val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
     val upper = length(regexp_replace(col("text"), "[^A-Z]", ""))
-    docs.select(col("doc_id"), col("lang"),
-      length(col("text")).as("n_chars"),
-      nWords.as("n_words"),
-      round((length(col("text")) - nWords + 1).cast("double") / nWords, 6)
-        .as("mean_word_len"),
-      round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
-      round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
-      round(upper.cast("double") / length(col("text")), 6).as("upper_ratio"))
+    docs.select(col("doc_id"), col("lang"), col("text"),
+        words(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"),
+        nWords.as("n_words"),
+        round((length(col("text")) - nWords + 1).cast("double") / nWords, 6)
+          .as("mean_word_len"),
+        round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
+        round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+        round(upper.cast("double") / length(col("text")), 6).as("upper_ratio"))
   }
 
   /** Corpus quality roll-up per lang (exact decimal averages). */
@@ -86,8 +89,9 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "le", "bu"))
 
   def langId(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val scored = LangMarkers.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+    val ws = col("ws") // hoisted split: attribute reads per score column
+    val scored = LangMarkers.foldLeft(
+        docs.select(col("doc_id"), col("lang"), words(col("text")).as("ws"))) {
       case (df, (code, markers)) =>
         df.withColumn(s"score_$code",
           round(size(filter(ws, w => w.isin(markers: _*))).cast("double") /
@@ -109,14 +113,18 @@ object TextAnalysis {
         col("score_en"), col("score_de"))
   }
 
-  /** Document fingerprint: MD5 over the sorted distinct word set — an
-    * order/multiplicity-insensitive content signature (the G1 digest shape
-    * applied per-row via sort_array on the word set).
+  /** The content-signature COLUMN: MD5 over the sorted distinct word set
+    * — order/multiplicity-insensitive (the G1 digest shape per-row). The
+    * single definition every fingerprint consumer must use (exact dedup
+    * join, Bloom path, streaming near-dup) so the signature can never
+    * drift between them.
     */
+  def fingerprintCol: Column =
+    md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
+
+  /** Per-doc fingerprints frame (reporting surface of [[fingerprintCol]]). */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
-        .as("fingerprint"))
+    docs.select(col("doc_id"), fingerprintCol.as("fingerprint"))
 
   /** Winnowing (rolling-hash) fingerprints — the MOSS shared-substring
     * primitive; docs sharing any fingerprint share a substring of length
@@ -183,11 +191,12 @@ object TextAnalysis {
     val keepers = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val ws = words(col("text"))
     val stopRatio = round(
-      size(filter(ws, w => w.isin(Stopwords: _*))).cast("double") / size(ws), 6)
+      size(filter(col("ws"), w => w.isin(Stopwords: _*))).cast("double") /
+        size(col("ws")), 6)
     docs.join(keepers, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), size(ws).as("n_words"),
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"), size(col("ws")).as("n_words"),
         stopRatio.as("stop_ratio"), splitCol.as("split"))
       .filter(col("n_words") >= 30 && col("stop_ratio") <= 0.3)
       .groupBy(col("lang"), col("split"))
@@ -223,12 +232,12 @@ object TextAnalysis {
     * single-word frequency fraction, duplicate-bigram fraction — the
     * heuristics that catch boilerplate/spam long before a model sees it.
     *
-    * Scale shape: ENTIRELY per-row — the top-word frequency uses the
+    * Scale shape: per-row compute — the top-word frequency uses the
     * codegen'd [[graft.functions.MaxRunLength]] over the sorted word
     * array instead of the textbook explode → (doc, word) count → max
     * (which shuffles docs × words rows twice); uniq/bigram ratios are
-    * array expressions. The whole operator runs at scan speed with zero
-    * shuffles (PlanSpec asserts it).
+    * array expressions. No hash/aggregation shuffle remains (PlanSpec
+    * asserts that); the only exchange is the final presentation sort.
     */
   def repetitionQuality(docs: DataFrame): DataFrame = {
     docs.select(col("doc_id"), words(col("text")).as("ws"))
@@ -323,9 +332,7 @@ object TextAnalysis {
     * fingerprint table is the join key, never the text.
     */
   def decontamination(docs: DataFrame): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
-        .as("fingerprint"),
+    val fp = docs.select(col("doc_id"), fingerprintCol.as("fingerprint"),
       splitCol.as("split"))
     fp.filter(col("split") === "test").as("t")
       .join(fp.filter(col("split") === "train").as("tr"),
@@ -338,24 +345,29 @@ object TextAnalysis {
 
   /** Bloom-filter decontamination — the 100 TB path for [[decontamination]]:
     * instead of shuffling (fingerprint, doc) pairs into a join, aggregate
-    * the train split's fingerprints into ONE Bloom filter (a few MB for
-    * billions of items at 1% fpp), broadcast it, and filter test docs
-    * map-side with `might_contain`. No false negatives: every truly
-    * contaminated test doc is flagged (the spec proves superset-of-exact);
-    * false positives are bounded by `fpp` and can be re-verified with the
-    * exact join on the tiny flagged subset.
+    * the train split's fingerprints into ONE Bloom filter, broadcast it,
+    * and filter test docs map-side with `might_contain`. No false
+    * negatives: every truly contaminated test doc is flagged (the spec
+    * proves superset-of-exact); false positives are bounded by `fpp` and
+    * can be re-verified with the exact join on the tiny flagged subset.
+    *
+    * `expectedItems` sizes the filter; None (default) derives it from a
+    * count of the train split — an undersized Bloom saturates and
+    * silently degrades to flag-everything, so never guess it. NOTE: this
+    * operator runs jobs at CONSTRUCTION time (the count + the bloom
+    * aggregation — `stat.bloomFilter` returns a driver-side sketch, like
+    * [[Similarity.ivfTopK]]'s training collects); it is not a lazy plan.
     */
   def bloomDecontamination(docs: DataFrame,
-                           expectedItems: Long = 1000000L,
+                           expectedItems: Option[Long] = None,
                            fpp: Double = 0.01): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      md5(array_join(array_sort(array_distinct(words(col("text")))), " "))
-        .as("fingerprint"),
+    val fp = docs.select(col("doc_id"), fingerprintCol.as("fingerprint"),
       splitCol.as("split"))
+    val train = fp.filter(col("split") === "train")
+    val items = expectedItems.getOrElse(math.max(1L, train.count()))
     // distributed partial blooms merged to one (DataFrameStatFunctions —
     // the SQL-level bloom_filter_agg is not a registered public function)
-    val bf = fp.filter(col("split") === "train")
-      .stat.bloomFilter("fingerprint", expectedItems, fpp)
+    val bf = train.stat.bloomFilter("fingerprint", items, fpp)
     val bcast = docs.sparkSession.sparkContext.broadcast(bf)
     val mightContain =
       udf((s: String) => s != null && bcast.value.mightContainString(s))
@@ -372,12 +384,10 @@ object TextAnalysis {
     */
   def mixCorpus(docs: DataFrame, weights: Map[String, Double],
                 defaultWeight: Double): DataFrame = {
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-      16, 10).cast("long"), lit(100))
     val weightCol = weights.foldLeft(lit(defaultWeight * 100)) {
       case (acc, (src, w)) => when(col("source") === src, w * 100).otherwise(acc)
     }
-    docs.filter(bucket < weightCol)
+    docs.filter(splitBucket < weightCol)
   }
 
   /** Kept-vs-total accounting of a corpus mix. */

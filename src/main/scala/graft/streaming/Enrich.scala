@@ -32,8 +32,7 @@ object Enrich {
     */
   def dedupDocsStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fingerprint",
-        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+      .withColumn("fingerprint", graft.ops.TextAnalysis.fingerprintCol)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 

@@ -90,11 +90,13 @@ class TextAnalysisSpec extends SparkSpec {
       .groupBy("doc_id").agg(max("count").as("top_n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaExpr === viaExplode)
-    // empty array → 0
-    val edge = Seq((1L, Seq.empty[String]), (2L, Seq("x"))).toDF("id", "a")
+    // edges: empty → 0; null elements break runs and never count
+    val edge = Seq((1L, Seq.empty[String]), (2L, Seq("x")),
+        (3L, Seq("a", "a", null, "b")))
+      .toDF("id", "a")
       .select(col("id"), graft.functions.MaxRunLength.ofSorted(col("a")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(edge === Map(1L -> 0L, 2L -> 1L))
+    assert(edge === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
   test("ngramDecontamination: planted 5-gram overlap across splits") {
