@@ -614,7 +614,7 @@ object Queries {
         |      OVER w AS asof_ts
         |  FROM tagged
         |  WINDOW w AS (PARTITION BY user_id
-        |    ORDER BY ts ASC, side ASC, event_id ASC
+        |    ORDER BY ts ASC NULLS LAST, side ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, asof_id,

@@ -17,12 +17,17 @@ import org.apache.spark.sql.{Encoder, functions}
   * Mean = `transform(vecSum(emb), x -> x / n)` with a single count — one
   * divide after the merge instead of per-dimension averages.
   *
-  * Null/empty inputs are ignored; mixing lengths in one group is a caller
-  * error (first-seen length wins, extra elements of longer rows dropped).
+  * Null/empty inputs are ignored; mixing non-empty lengths in one group
+  * fails fast — silently truncating to the shorter vector would corrupt
+  * the sum.
   */
 class VectorSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
 
   override def zero: Array[Double] = Array.emptyDoubleArray
+
+  private def requireSameLength(a: Int, b: Int): Unit =
+    require(a == b,
+      s"VectorSum: mixed vector lengths in one group ($a vs $b)")
 
   override def reduce(buf: Array[Double], in: Seq[Double]): Array[Double] = {
     if (in == null || in.isEmpty) buf
@@ -32,9 +37,9 @@ class VectorSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
       while (i < in.length) { r(i) = in(i); i += 1 }
       r
     } else {
-      val n = math.min(buf.length, in.length)
+      requireSameLength(buf.length, in.length)
       var i = 0
-      while (i < n) { buf(i) += in(i); i += 1 }
+      while (i < buf.length) { buf(i) += in(i); i += 1 }
       buf
     }
   }
@@ -43,9 +48,9 @@ class VectorSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
-      val n = math.min(a.length, b.length)
+      requireSameLength(a.length, b.length)
       var i = 0
-      while (i < n) { a(i) += b(i); i += 1 }
+      while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }
 

@@ -39,8 +39,19 @@ object Checkpoints {
         require(sc.isLocal,
           "reliable checkpoints on a non-local master need " +
             "SparkContext.setCheckpointDir pointed at durable shared storage")
-        sc.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+        val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+        // reliable checkpoint FILES are only auto-deleted with
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true, which we
+        // can't set on a running context — since WE invented this temp
+        // dir, delete it at JVM exit so repeated local runs don't leak
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          catch { case _: Exception => () } // best-effort cleanup
+        }))
+        sc.setCheckpointDir(dir.toString)
       }
       // checkpoint() runs one job to materialize and a SECOND to write the
       // checkpoint files; without a persist in between the second job

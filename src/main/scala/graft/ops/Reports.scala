@@ -112,8 +112,11 @@ object Reports {
       .filter(col("event_type").isin(leftType, rightType))
       .select(col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === rightType, 0).otherwise(1).as("side"))
+    // asc_nulls_last pins the engine-dependent default (Spark ASC is
+    // NULLS FIRST, DuckDB's is NULLS LAST) so a null ts cannot reorder
+    // the carry-forward between engines; the oracle says NULLS LAST too
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .orderBy(col("ts").asc_nulls_last, col("side").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("asof_id",

@@ -120,10 +120,11 @@ object Similarity {
       // 1024-dim and blows past codegen limits long before 100 TB.
       centroids = assigned
         .groupBy(col("cid"))
-        // count non-null embeddings to match what VectorSum summed — a
-        // count(*) would shrink means toward zero in cells with null rows
+        // count only rows VectorSum actually summed (non-null AND
+        // non-empty) — count(*) or count(emb) would shrink means toward
+        // zero in cells with null or zero-length rows
         .agg(graft.functions.VectorSum.vecSum(col("emb")).as("s"),
-          count(col("emb")).as("n"))
+          count(when(size(col("emb")) > 0, 1)).as("n"))
         .select(col("cid"),
           transform(col("s"), _ / col("n")).as("mean"))
         .filter(col("mean").isNotNull) // all-null cell: drop, don't NPE

@@ -9,26 +9,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (`flatMapGroupsWithState` + event-time timeout). Batch twin:
   * [[graft.ops.Reports.sessionize]] (query `b15`).
   *
-  * State per user is one open session (constant size); a session closes
-  * and is emitted when (a) a new event arrives more than `gapMinutes`
-  * after the last one, or (b) the event-time watermark passes the
-  * session's gap horizon (the timeout) — so state is bounded by active
-  * users, not history, and late events within the watermark still extend
-  * their session. This is the streaming twin of the reference's
-  * "open hour may still be written" rule applied to sessions.
+  * State per user is the list of merged sessions whose gap horizon
+  * (last event + gap) the watermark has not yet passed. A session is
+  * emitted ONLY once the watermark passes its horizon — never eagerly on
+  * an in-batch gap — because a late event still inside the watermark may
+  * predate an earlier gap-separated session and must merge with it (the
+  * same reason Spark's built-in `session_window` holds sessions in state
+  * until the watermark closes them). Within that watermark contract the
+  * emitted grouping is identical to the batch twin over the same data;
+  * events later than the watermark are dropped by the engine before they
+  * reach this operator, exactly as the batch twin never sees rows outside
+  * its input. State is bounded by (active users × sessions inside the
+  * watermark window), not history.
   */
 object Sessions {
 
   case class Ev(ts: Timestamp, user_id: Long, value: Double)
   case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class Held(sessions: Seq[OpenSession])
   case class ClosedSession(user_id: Long, session_start: Timestamp,
                            n_events: Long, duration_sec: Long, sum_value: Double)
 
   def sessionizeStream(events: Dataset[Ev], gapMinutes: Int,
                        watermark: String = "1 hour"): Dataset[ClosedSession] = {
     val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
     implicit val outEnc = Encoders.product[ClosedSession]
-    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val stateEnc = Encoders.product[Held]
     implicit val keyEnc = Encoders.scalaLong
 
     // microsecond-exact event time (getTime truncates to ms; getNanos
@@ -41,22 +48,13 @@ object Sessions {
         s.n, (s.lastUs - s.startUs) / 1000000L, math.round(s.sum * 100) / 100.0)
 
     def fn(userId: Long, batch: Iterator[Ev],
-           state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-      if (batch.isEmpty && state.hasTimedOut) {
-        // watermark passed the gap horizon → the open session is final
-        val out = state.getOption.map(close(userId, _)).iterator
-        state.remove()
-        return out
-      }
-      // Merge the open state session (an interval) and the batch's events
+           state: GroupState[Held]): Iterator[ClosedSession] = {
+      // Merge the held sessions (intervals) and the batch's events
       // (points) exactly as the batch twin would see them: sort by start,
       // fold adjacent items whose gap is within gapUs. Late events within
       // the watermark therefore extend sessions BACKWARD, merge with each
-      // other, and bridge into the open session — byte-identical grouping
-      // to Reports.sessionize over the same data. Everything but the
-      // latest merged session is separated by > gap on both sides and
-      // closes now; the latest stays open for the next batch/timeout.
-      val items = (state.getOption.toList ++
+      // other, and bridge across previously gap-separated sessions.
+      val items = (state.getOption.map(_.sessions).getOrElse(Seq.empty) ++
           batch.map { e =>
             val us = micros(e.ts); OpenSession(us, us, 1, e.value)
           })
@@ -67,14 +65,24 @@ object Sessions {
             math.max(head.lastUs, it.lastUs),
             head.n + it.n, head.sum + it.sum) :: tail
         case (acc, it) => it :: acc
-      } // head = latest session, tail = earlier closed ones (reversed)
-      val closed = merged.tail.reverse.map(close(userId, _))
-      merged.headOption.foreach { s =>
-        state.update(s)
-        // time out once the watermark passes last-event + gap
-        state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60L * 1000)
+      }.reverse // chronological
+
+      // A session is final only when the watermark strictly passes its
+      // horizon (strict: an event AT the watermark is still admitted by
+      // the engine and may merge).
+      val wmMs = state.getCurrentWatermarkMs()
+      val (closable, held) =
+        merged.partition(s => s.lastUs / 1000 + gapMs < wmMs)
+      if (held.isEmpty) state.remove()
+      else {
+        state.update(Held(held))
+        // fire when the watermark passes the earliest held horizon; the
+        // max() guards the engine's timeout > watermark requirement on
+        // the horizon == watermark boundary
+        state.setTimeoutTimestamp(
+          math.max(held.map(_.lastUs / 1000 + gapMs).min, wmMs + 1))
       }
-      closed.iterator
+      closable.map(close(userId, _)).iterator
     }
 
     events

@@ -60,13 +60,11 @@ class SessionsStreamSpec extends SparkSpec {
       mem.addData(Ev(ts("2024-01-01 09:50:00"), 1L, 2.0))
       q.processAllAvailable()
       // late, 2 hours before start (beyond the gap) → its own session,
-      // closed immediately
+      // but HELD (not emitted) until the watermark passes its horizon —
+      // a later in-gap event could still merge with it
       mem.addData(Ev(ts("2024-01-01 07:50:00"), 1L, 4.0))
       q.processAllAvailable()
-      val earlier = spark.table("sessions_late_test").as[ClosedSession]
-        .collect()
-      assert(earlier.toSeq === Seq(
-        ClosedSession(1L, ts("2024-01-01 07:50:00"), 1, 0, 4.0)))
+      assert(spark.table("sessions_late_test").count() === 0)
 
       // flush via timeout: close the merged session, check the moved start
       mem.addData(Ev(ts("2024-01-01 20:00:00"), 2L, 8.0))
@@ -77,6 +75,42 @@ class SessionsStreamSpec extends SparkSpec {
       assert(all.exists(s =>
         s.user_id == 1L && s.session_start == ts("2024-01-01 09:50:00") &&
           s.n_events == 2 && s.duration_sec == 600 && s.sum_value == 3.0))
+      assert(all.exists(s =>
+        s.user_id == 1L && s.session_start == ts("2024-01-01 07:50:00") &&
+          s.n_events == 1 && s.duration_sec == 0))
+    } finally q.stop()
+  }
+
+  test("late event merges with an EARLIER gap-separated session still " +
+    "inside the watermark (no spurious singleton)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Sessions.sessionizeStream(mem.toDS(), gapMinutes = 30,
+        watermark = "6 hours")
+      .writeStream.format("memory").queryName("sessions_heldmerge_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // 12:00 is > gap after 10:00 → two separate sessions, BOTH held
+      // (the old code emitted {10:00} here, so the late 10:10 below
+      // became a spurious singleton)
+      mem.addData(Ev(ts("2024-01-01 12:00:00"), 1L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_heldmerge_test").count() === 0)
+      // late event predating the earlier CLOSED-by-gap session: merges
+      mem.addData(Ev(ts("2024-01-01 10:10:00"), 1L, 4.0))
+      q.processAllAvailable()
+      // flush: watermark far past both horizons
+      mem.addData(Ev(ts("2024-01-01 20:00:00"), 2L, 8.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 23:00:00"), 2L, 16.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_heldmerge_test").as[ClosedSession]
+        .collect().filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(got.toSeq === Seq(
+        ClosedSession(1L, ts("2024-01-01 10:00:00"), 2, 600, 5.0),
+        ClosedSession(1L, ts("2024-01-01 12:00:00"), 1, 0, 2.0)))
     } finally q.stop()
   }
 
