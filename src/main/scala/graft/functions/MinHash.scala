@@ -26,6 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * this expression is a map-side O(shingles×seeds) loop per row with zero
   * shuffle. CodegenFallback is fine — the cost is the MD5 loop itself,
   * not the per-row call.
+  *
+  * Hot-loop shape: because shingles join words with the same single
+  * space that splits them, shingle i's bytes are EXACTLY the contiguous
+  * input byte range [start(i), end(i+2)) — so the loop scans the token
+  * boundaries once and feeds `md.update(bytes, from, len)` slices, with
+  * no per-shingle string or array allocation. Minimums are tracked as
+  * raw 16-byte digests (unsigned byte order ≡ hex lexicographic order)
+  * and hex-encoded once at the end; the MessageDigest is thread-local
+  * (getInstance does a provider lookup per call).
   */
 case class MinHashSignature(child: Expression, numSeeds: Int)
     extends UnaryExpression with CodegenFallback {
@@ -46,30 +55,67 @@ case class MinHashSignature(child: Expression, numSeeds: Int)
     new String(out)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    // limit -1 keeps trailing empty tokens — matches Spark SQL split()
-    // and DuckDB string_split (Scala's split(Char) drops them)
-    val words = input.toString.split(" ", -1)
-    if (words.length < 3) return null
-    val md = MessageDigest.getInstance("MD5")
-    val mins = new Array[String](numSeeds)
+  // "s|" per seed, the digest prefix — computed once, not per shingle
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(numSeeds)(s => (s.toString + "|").getBytes(UTF_8))
+
+  /** unsigned lexicographic compare of equal-length digests (< 0 ⇔ a < b) */
+  private def cmpUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
-    while (i + 2 < words.length) {
-      val sh = words(i) + " " + words(i + 1) + " " + words(i + 2)
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // token boundaries of the single-space split (limit -1 semantics:
+    // empty tokens, including trailing ones, all count)
+    var tokens = 1
+    var p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') tokens += 1
+      p += 1
+    }
+    if (tokens < 3) return null
+    val starts = new Array[Int](tokens + 1)
+    var t = 1
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') { starts(t) = p + 1; t += 1 }
+      p += 1
+    }
+    starts(tokens) = bytes.length + 1 // sentinel: end(k) = starts(k+1) - 1
+
+    val md = MinHashSignature.md5Local.get()
+    val mins = new Array[Array[Byte]](numSeeds)
+    var i = 0
+    while (i + 2 < tokens) {
+      val from = starts(i)
+      val len = starts(i + 3) - 1 - from
       var s = 0
       while (s < numSeeds) {
-        md.reset()
-        val h = hex(md.digest((s.toString + "|" + sh).getBytes(UTF_8)))
-        if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+        md.update(seedPrefixes(s))
+        md.update(bytes, from, len)
+        val d = md.digest() // also resets for the next round
+        if (mins(s) == null || cmpUnsigned(d, mins(s)) < 0) mins(s) = d
         s += 1
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
+    new GenericArrayData(mins.map(m => UTF8String.fromString(hex(m)): Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object MinHashSignature {
+  private[functions] val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 
 object MinHash {

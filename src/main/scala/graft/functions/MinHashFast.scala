@@ -22,20 +22,41 @@ case class MinHashSignatureFast(child: Expression, numSeeds: Int)
   override def prettyName: String = "minhash_signature_fast"
 
   override def nullSafeEval(input: Any): Any = {
-    // limit -1 keeps trailing empty tokens — see MinHashSignature
-    val words = input.toString.split(" ", -1)
-    if (words.length < 3) return null
+    // Shingles join with the same single space that splits them, so
+    // shingle i is the contiguous input byte range [start(i), end(i+2))
+    // — hash straight off the UTF8String's buffer, zero allocation per
+    // shingle. Boundary scan replicates split(" ", -1): empty tokens,
+    // including trailing ones, all count.
+    val u = input.asInstanceOf[UTF8String]
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val len = u.numBytes()
+    var tokens = 1
+    var p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == ' ')
+        tokens += 1
+      p += 1
+    }
+    if (tokens < 3) return null
+    val starts = new Array[Int](tokens + 1)
+    var t = 1
+    p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == ' ') {
+        starts(t) = p + 1; t += 1
+      }
+      p += 1
+    }
+    starts(tokens) = len + 1 // sentinel: end(k) = starts(k+1) - 1
     val mins = Array.fill[Long](numSeeds)(Long.MaxValue)
     var i = 0
-    while (i + 2 < words.length) {
-      val sh = UTF8String.fromString(
-        words(i) + " " + words(i + 1) + " " + words(i + 2))
-      val base = sh.getBaseObject
-      val off = sh.getBaseOffset
-      val len = sh.numBytes()
+    while (i + 2 < tokens) {
+      val from = starts(i)
+      val shLen = starts(i + 3) - 1 - from
       var s = 0
       while (s < numSeeds) {
-        val h = XXH64.hashUnsafeBytes(base, off, len, s.toLong)
+        val h = XXH64.hashUnsafeBytes(base, off + from, shLen, s.toLong)
         if (h < mins(s)) mins(s) = h
         s += 1
       }

@@ -188,23 +188,17 @@ object Dedup {
   val SimhashBits = 32
 
   /** 32-bit SimHash per doc from word-occurrence md5s: bit i of the
-    * signature is the sign of Σ_words (2·bit_i(h(word)) − 1).
+    * signature is the sign of Σ_words (2·bit_i(h(word)) − 1). One
+    * per-row pass via the custom [[graft.functions.SimHash32]]
+    * expression — the explode → groupBy(32 sums) form shuffles
+    * docs×words rows; this shuffles nothing (DedupSpec proves
+    * bit-equality against the compositional form).
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
-    val exploded = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), h.as("h"))
-    val bitSums = (0 until SimhashBits).map(i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
-        .as(s"b$i"))
-    val sig = (0 until SimhashBits).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    exploded.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.SimHash.simhash32(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull) // explode form drops null texts
       .orderBy(col("doc_id"))
-  }
 
   /** SimHash near-dup: Hamming distance over adjacent-id pairs. */
   def simhashAdjacentHamming(docs: DataFrame): DataFrame = {
@@ -235,19 +229,33 @@ object Dedup {
     // Min-label propagation strictly decreases Σlabel until the fixpoint,
     // so convergence is a cheap scalar check on the checkpointed frame —
     // no extra join per round.
-    var prevSum = Long.MinValue
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val updated = Checkpoints.cut( // truncate lineage per round
+      // truncate lineage per round; the cut also makes the frame a plain
+      // scan so the pointer-jump self-join below can't trip Catalyst's
+      // Union constraint-rewrite on duplicate attributes
+      val propagated = Checkpoints.cut(
         labels.union(viaNeighbors)
           .groupBy(col("id")).agg(min(col("label")).as("label")))
-      val row = updated.agg(sum(col("label"))).head()
-      val s = if (row.isNullAt(0)) Long.MinValue + 1 else row.getLong(0)
-      converged = s == prevSum || row.isNullAt(0) // empty graph → done
+      // pointer jumping: label ← label(label). Labels are always node
+      // ids, so every label has its own row; composing the hop with the
+      // neighbor step doubles the propagation distance per round —
+      // O(log diameter) rounds instead of O(diameter), one extra
+      // (AQE-sized) shuffle per round over the checkpointed frame.
+      val updated = propagated
+        .join(propagated.select(col("id").as("label"),
+          col("label").as("l2")), "label")
+        .select(col("id"), col("l2").as("label"))
+      // decimal sum: a BIGINT Σlabel would overflow ANSI arithmetic once
+      // ids × rows get large
+      val row = updated.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      val s = if (row.isNullAt(0)) null else row.getDecimal(0)
+      converged = row.isNullAt(0) || s == prevSum // empty graph → done
       prevSum = s
       labels = updated
       i += 1
@@ -302,17 +310,29 @@ object Dedup {
       canonical(linked)
     }
 
+    def edgeFingerprint(e: DataFrame): (Long, Long) = {
+      // ONE job for the convergence check: the canonical edge SET (distinct
+      // by construction) is unchanged iff (count, XOR of xxhash64(u,v)) is
+      // unchanged (collision odds ~2⁻⁶⁴ — the count+exceptAll form costs
+      // two extra jobs per round; xor, unlike sum, can't overflow under
+      // ANSI mode)
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
     var edges = Checkpoints.cut(canonical(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
-    var converged = false
+    var prev = edgeFingerprint(edges)
+    var converged = prev._1 == 0 // empty graph → done
     var i = 0
     while (!converged && i < maxIters) {
       val next = Checkpoints.cut(
         star(star(edges, large = true), large = false))
       // star edges always point (larger -> smaller); fixpoint when the
       // canonical edge set is unchanged
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val fp = edgeFingerprint(next)
+      converged = fp == prev
+      prev = fp
       edges = next
       i += 1
     }

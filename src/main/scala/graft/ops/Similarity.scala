@@ -103,7 +103,6 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nProbes: Int, k: Int,
               nCentroids: Int = 16, iters: Int = 3, nProbe: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
     val e = Checkpoints.cut(withNorm(emb))
     // --- train ---
     var centroids = e.filter(col("vec_id") < nCentroids)
@@ -111,10 +110,10 @@ object Similarity {
       .collect().map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Double]](1).toArray))
     for (_ <- 1 to iters) {
-      val cdf = broadcast(spark.createDataFrame(
-        centroids.toSeq.map { case (id, v) => (id, v.toSeq) })
-        .toDF("cid", "cemb"))
-      val assigned = assignCells(e, cdf)
+      // assignment is a pure map-side expression over the (bounded,
+      // driver-collected) centroid array — the crossJoin + per-vector
+      // window form shuffles nCentroids × corpus rows every round
+      val assigned = e.withColumn("cid", nearestCells(centroids, 1).getItem(0))
       // ONE aggregate pair (array-sum + count) regardless of dims — the
       // per-dimension `avg(emb[i])` form is 1024 aggregate buffers at
       // 1024-dim and blows past codegen limits long before 100 TB.
@@ -131,14 +130,11 @@ object Similarity {
         .collect().map(r => (r.getLong(0),
           r.getAs[scala.collection.Seq[Double]]("mean").toArray))
     }
-    val cdf = broadcast(spark.createDataFrame(
-      centroids.toSeq.map { case (id, v) => (id, v.toSeq) })
-      .toDF("cid", "cemb"))
-    // --- index: corpus rows with their cell ---
-    val indexed = assignCells(e, cdf)
+    // --- index: corpus rows with their cell (map-side, no shuffle) ---
+    val indexed = e.withColumn("cid", nearestCells(centroids, 1).getItem(0))
     // --- search: probes scan their nProbe nearest cells only ---
-    val probeCells = assignCells(
-      e.filter(col("vec_id") < nProbes), cdf, nProbe)
+    val probeCells = e.filter(col("vec_id") < nProbes)
+      .withColumn("cid", explode(nearestCells(centroids, nProbe)))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("cid"))
     val scored = indexed.join(broadcast(probeCells),
@@ -149,19 +145,24 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Nearest `take` centroid cell(s) per vector (L2 via dot expansions). */
-  private def assignCells(e: DataFrame, centroids: DataFrame,
-                          take: Int = 1): DataFrame = {
-    val d2 = dot(col("emb"), col("emb")) -
-      lit(2.0) * dot(col("emb"), col("cemb")) +
-      dot(col("cemb"), col("cemb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
-    e.crossJoin(centroids)
-      .withColumn("d2", d2)
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") <= take)
-      .drop("d2", "crnk")
+  /** The `take` nearest centroid cells of `col("emb")`, as an array in
+    * ascending-distance order — argmin over L2 via the dot expansion
+    * `cc − 2·⟨emb,c⟩` (the ‖emb‖² term is constant per row and can't
+    * change the ordering). Ties break to the smaller cid through the
+    * (d2, cid) struct ordering, matching the old window's
+    * (d2 asc, cid asc). Pure projection: at 100 TB assignment costs one
+    * codegen'd pass, zero shuffle, versus crossJoin + window moving
+    * nCentroids × corpus rows.
+    */
+  private def nearestCells(centroids: Array[(Long, Array[Double])],
+                           take: Int): Column = {
+    val structs = centroids.map { case (cid, v) =>
+      val cc = v.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) * dot(col("emb"), typedLit(v.toSeq)))
+        .as("d2"), lit(cid).as("cid"))
+    }
+    transform(slice(array_sort(array(structs: _*)), 1, take),
+      s => s.getField("cid"))
   }
 
   /** Per-label embedding norm statistics — the corpus-level sanity check

@@ -71,6 +71,29 @@ class DedupSpec extends SparkSpec {
     assert(h(0L) !== h(2L))
   }
 
+  test("SimHash32 expression equals the compositional explode→groupBy form") {
+    // includes empty tokens (double/trailing spaces) — split(" ", -1)
+    val tricky = docs.union(Seq(
+      (100L, "a  b"), (101L, "a b "), (102L, ""), (103L, "solo"))
+      .toDF("doc_id", "text"))
+    val hExpr = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+    val exploded = tricky
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), hExpr.as("h"))
+    val bitSums = (0 until Dedup.SimhashBits).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
+        .as(s"b$i"))
+    val sig = (0 until Dedup.SimhashBits).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val compositional = exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = Dedup.simhash(tricky).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === compositional)
+  }
+
   test("dupClusters: chain of pairs collapses to one cluster with min label") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 9L))
       .toDF("doc_a", "doc_b")
