@@ -989,6 +989,52 @@ object Queries {
         |    AS decimal(18,6))) AS double) / count(*), 6) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
+    // Normalization/scrub pass: lowercase, digit runs -> <num>, space
+    // collapse, trim — per-row regex chain, identical in both engines
+    // (DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default).
+    ("n36_normalize_redact",
+      (s: SparkSession, d: String) => TextAnalysis.normalizeRedact(docs(s, d)),
+      Some("""SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[0-9]+')) AS n_redacted,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |    ' +', ' ', 'g'))) AS clean_len,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Context-window chunking: 32-word chunks on a 24-word stride
+    // (8-word overlap), last chunk clamped; chunk identity = content md5.
+    ("n37_chunks",
+      (s: SparkSession, d: String) => TextAnalysis.chunkDocs(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws,
+        |  unnest(generate_series(1, greatest(len(ws), 1), 24)) AS s FROM w),
+        |c AS (
+        |  SELECT doc_id, (s - 1) // 24 AS chunk_id,
+        |    list_slice(ws, s, s + 31) AS chunk
+        |  FROM st)
+        |SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Scalar int8 quantization of embeddings: global per-dim (min, max)
+    // stats then round((x-mn)*255/(mx-mn)) codes — double math with a
+    // fixed op order on both sides, so the codes are bit-exact.
+    ("n38_int8_codes",
+      (s: SparkSession, d: String) => Similarity.int8Codes(emb(s, d), 10),
+      Some("""WITH ui AS (
+        |  SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+        |u AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM ui),
+        |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i)
+        |SELECT u.vec_id, u.i AS dim,
+        |  CASE WHEN mx = mn THEN 0
+        |    ELSE CAST(round((x - mn) * 255.0 / (mx - mn), 0) AS BIGINT)
+        |  END AS code
+        |FROM u JOIN mm ON u.i = mm.i
+        |WHERE vec_id < 10 ORDER BY vec_id, dim""".stripMargin)),
+
     ("n15_fingerprints",
       (s: SparkSession, d: String) => TextAnalysis.fingerprints(docs(s, d)),
       Some("""SELECT doc_id,

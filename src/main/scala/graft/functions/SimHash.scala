@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 32-bit SimHash of a text column in ONE per-row pass — no word
+  * explosion, no shuffle.
+  *
+  * Semantics (bit-identical to the explode → groupBy compositional form
+  * and the DuckDB oracle): words are the single-space split of the text
+  * (limit -1 — empty tokens, including trailing ones, all count); per
+  * word, `h` is the first 8 md5 hex chars as an unsigned 32-bit value
+  * (`conv(substring(md5(w), 1, 8), 16, 10)`); signature bit i is set iff
+  * `Σ_words (2·bit_i(h) − 1) > 0`.
+  *
+  * Why custom (SURVEY preference order (b)): the compositional form
+  * shuffles docs × words rows and runs 32 sum aggregates per doc; this
+  * is a map-side O(words) loop per row with zero shuffle — at 100 TB the
+  * signature costs exactly one pass over the text bytes.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // token boundaries of the single-space split (see MinHashSignature)
+    var tokens = 1
+    var p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') tokens += 1
+      p += 1
+    }
+    val starts = new Array[Int](tokens + 1)
+    var t = 1
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') { starts(t) = p + 1; t += 1 }
+      p += 1
+    }
+    starts(tokens) = bytes.length + 1 // sentinel: end(k) = starts(k+1) - 1
+
+    val md = MinHashSignature.md5Local.get()
+    val counts = new Array[Int](32)
+    var k = 0
+    while (k < tokens) {
+      val from = starts(k)
+      val len = starts(k + 1) - 1 - from
+      md.update(bytes, from, len)
+      val d = md.digest() // also resets for the next word
+      // first 8 hex chars = first 4 digest bytes, big-endian unsigned
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var i = 0
+      while (i < 32) {
+        counts(i) += (((h >>> i) & 1L).toInt << 1) - 1
+        i += 1
+      }
+      k += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 32) {
+      if (counts(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash {
+  /** 32-bit SimHash of a text column; null for null text (the explode
+    * form drops those rows — callers filter).
+    */
+  def simhash32(text: Column): Column =
+    Bridge.column(SimHash32(Bridge.expression(text)))
+}

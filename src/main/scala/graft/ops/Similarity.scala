@@ -179,6 +179,42 @@ object Similarity {
           count(lit(1)), 6).as("avg_norm"))
       .orderBy(col("label"))
 
+  /** Scalar (int8) quantization of the embedding column — the 4× memory
+    * cut that makes a 100 TB ANN index fit executor memory. Two passes:
+    *
+    *   1. stats: global per-dimension (min, max) via ONE
+    *      [[graft.functions.VectorMinMax]] aggregate (the posexplode →
+    *      groupBy(dim) form shuffles corpus × dims rows; this shuffles
+    *      two arrays per partition) — bounded driver collect (2 × dims);
+    *   2. encode: `code = round((x − mn) · 255 / (mx − mn))` as a pure
+    *      map-side expression over the broadcast-as-literal ranges.
+    *
+    * Emits the codes for the first `nVecs` vectors (1-based `dim` to
+    * match SQL subscripting); encoding the full corpus is the same
+    * projection without the filter. All math in double with a fixed op
+    * order, so the DuckDB oracle is bit-exact.
+    */
+  def int8Codes(emb: DataFrame, nVecs: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val mmRow = e.agg(
+      graft.functions.VectorMinMax.vecMinMax(col("emb")).as("mm")).head()
+    val mm = mmRow.getStruct(0)
+    val mns = mm.getAs[scala.collection.Seq[Double]](0)
+    val mxs = mm.getAs[scala.collection.Seq[Double]](1)
+    e.filter(col("vec_id") < nVecs)
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        when(element_at(typedLit(mxs), col("pos") + 1) ===
+            element_at(typedLit(mns), col("pos") + 1), lit(0L))
+          .otherwise(round(
+            (col("x") - element_at(typedLit(mns), col("pos") + 1)) * lit(255.0)
+              / (element_at(typedLit(mxs), col("pos") + 1) -
+                 element_at(typedLit(mns), col("pos") + 1)), 0).cast("long"))
+          .as("code"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label and an id-distance
     * band so the pair space stays linear-ish in corpus size.
     */

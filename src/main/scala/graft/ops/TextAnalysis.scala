@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, functions}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`
@@ -409,4 +409,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
       .filter(col("n_docs") > 1)
       .orderBy(col("fingerprint"))
+
+  /** Text normalization + scrubbing — the cleanup pass before any hash,
+    * dedup, or tokenizer sees the text: lowercase, digit runs redacted to
+    * a `<num>` sentinel (the PII/number-scrub shape: same regex chain
+    * works for emails/phones), runs of spaces collapsed, ends trimmed.
+    * Per-row codegen'd regex work, zero shuffle; the normalized text is
+    * emitted as an md5 so the output stays bounded at any corpus size.
+    */
+  def normalizeRedact(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val redacted = regexp_replace(lowered, "[0-9]+", "<num>")
+    val collapsed = trim(regexp_replace(redacted, " +", " "))
+    docs.select(col("doc_id"),
+        regexp_count(lowered, lit("[0-9]+")).as("n_redacted"),
+        length(collapsed).as("clean_len"),
+        md5(collapsed).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-size word chunking with overlap — the context-window prep
+    * step of a training pipeline. Chunk starts step by `stride` (< size
+    * ⇒ overlapping windows); the final chunk clamps at the end of the
+    * doc. One generator expression per row (sequence → transform →
+    * posexplode): no shuffle, no driver involvement — each 100 TB scan
+    * task emits its own chunks. Chunks are identified by content md5 so
+    * the output is audit-sized at any scale.
+    */
+  def chunkDocs(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && size >= stride,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(functions.size(col("ws")), lit(1)),
+            lit(stride)),
+          s => slice(col("ws"), s, lit(size)))).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        functions.size(col("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

@@ -130,6 +130,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got(9) === ((1L, 1.0)))
   }
 
+  test("int8Codes: hand-computed codes, constant dim maps to 0") {
+    val emb = Seq(
+      (0L, Array(0.0f, 10.0f, 3.0f), 1),
+      (1L, Array(5.0f, 5.0f, 3.0f), 1),
+      (2L, Array(10.0f, 0.0f, 3.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.int8Codes(emb, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // per-dim ranges: [0,10], [0,10], [3,3] (constant → code 0)
+    assert(got((0L, 1)) === 0L)
+    assert(got((0L, 2)) === 255L)
+    assert(got((1L, 1)) === 128L) // round(5*25.5) = round(127.5) half-up
+    assert(got((2L, 1)) === 255L)
+    assert(got((2L, 2)) === 0L)
+    assert(Seq(0L, 1L, 2L).forall(v => got((v, 3)) === 0L))
+  }
+
   test("LSH ANN results are a subset of the probe's sign bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val buckets = emb.select(col("vec_id"),

@@ -146,6 +146,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(conf.exists(r => r.getString(0) == r.getString(1)))
   }
 
+  test("normalizeRedact: lowercases, redacts digit runs, collapses spaces") {
+    val docs = Seq(
+      (1L, "Call 555  then  1234 NOW", "en", "s", 0L),
+      (2L, "no digits here", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.normalizeRedact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    val clean1 = "call <num> then <num> now"
+    assert(got(1L)._1 === 2)
+    assert(got(1L)._2 === clean1.length)
+    assert(got(1L)._3 === java.security.MessageDigest.getInstance("MD5")
+      .digest(clean1.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(got(2L)._1 === 0)
+  }
+
+  test("chunkDocs: stride windows with clamped tail") {
+    val words80 = (1 to 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words80, "en", "s", 0L), (2L, "tiny doc", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.chunkDocs(docs, size = 32, stride = 24).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // starts 1, 25, 49, 73 → lengths 32, 32, 32, 8
+    assert(got.filter(_._1 == 1L).map(c => (c._2, c._3)).toSeq ===
+      Seq((0, 32), (1, 32), (2, 32), (3, 8)))
+    // doc shorter than one chunk → a single clamped chunk
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._3)).toSeq === Seq((0, 2)))
+  }
+
   test("trainingCorpusCounts keeps only quality keepers") {
     val long30 = (1 to 30).map(i => s"w$i").mkString(" ")
     val docs = Seq(
