@@ -4,8 +4,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UserDefinedExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -24,8 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * as explode(shingles) × seeds → groupBy(min), which at 100 TB shuffles
   * docs×shingles×seeds rows and walks interpreted higher-order lambdas;
   * this expression is a map-side O(shingles×seeds) loop per row with zero
-  * shuffle. CodegenFallback is fine — the cost is the MD5 loop itself,
-  * not the per-row call.
+  * shuffle. `doGenCode` calls back into this object so the enclosing
+  * projection keeps whole-stage codegen (a CodegenFallback would force
+  * the entire ProjectExec interpreted).
   *
   * Hot-loop shape: because shingles join words with the same single
   * space that splits them, shingle i's bytes are EXACTLY the contiguous
@@ -37,7 +38,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (getInstance does a provider lookup per call).
   */
 case class MinHashSignature(child: Expression, numSeeds: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UserDefinedExpression {
+
+  override def name: String = prettyName
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -70,8 +73,11 @@ case class MinHashSignature(child: Expression, numSeeds: Int)
     0
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    doMinhash(input.asInstanceOf[UTF8String])
+
+  def doMinhash(input: UTF8String): GenericArrayData = {
+    val bytes = input.getBytes
     // token boundaries of the single-space split (limit -1 semantics:
     // empty tokens, including trailing ones, all count)
     var tokens = 1
@@ -107,6 +113,17 @@ case class MinHashSignature(child: Expression, numSeeds: Int)
       i += 1
     }
     new GenericArrayData(mins.map(m => UTF8String.fromString(hex(m)): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("mh")
+      s"""Object $r = $ref.doMinhash($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+         |""".stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

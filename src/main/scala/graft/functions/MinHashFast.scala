@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UserDefinedExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -16,18 +16,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * the 3-word shingles. Same per-row zero-shuffle shape as the md5 form.
   */
 case class MinHashSignatureFast(child: Expression, numSeeds: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UserDefinedExpression {
+
+  override def name: String = prettyName
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature_fast"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    doMinhash(input.asInstanceOf[UTF8String])
+
+  def doMinhash(u: UTF8String): GenericArrayData = {
     // Shingles join with the same single space that splits them, so
     // shingle i is the contiguous input byte range [start(i), end(i+2))
     // — hash straight off the UTF8String's buffer, zero allocation per
     // shingle. Boundary scan replicates split(" ", -1): empty tokens,
     // including trailing ones, all count.
-    val u = input.asInstanceOf[UTF8String]
     val base = u.getBaseObject
     val off = u.getBaseOffset
     val len = u.numBytes()
@@ -63,6 +67,17 @@ case class MinHashSignatureFast(child: Expression, numSeeds: Int)
       i += 1
     }
     new GenericArrayData(mins.map(m => java.lang.Long.valueOf(m): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashFast", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("mh")
+      s"""Object $r = $ref.doMinhash($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+         |""".stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -4,8 +4,8 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UserDefinedExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracle): unmatched prefix → empty strings + null pid (what
   * `regexp_extract` returns on no-match), absent duration/statement →
   * null / empty string.
+  *
+  * Codegen: a real `doGenCode` that calls back into this object — a
+  * CodegenFallback here would disqualify the WHOLE enclosing ProjectExec
+  * from whole-stage codegen, forcing every co-projected expression (line
+  * synthesis, timestamps) through the interpreted path (~10× on the
+  * parse-heavy reports).
   */
 case class ParseLogLine(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UserDefinedExpression {
+
+  override def name: String = prettyName
 
   override def dataType: DataType = ParseLogLine.schema
   override def prettyName: String = "parse_log_line"
@@ -40,7 +48,10 @@ case class ParseLogLine(child: Expression)
 
   private def u(s: String) = UTF8String.fromString(s)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    doParse(input.asInstanceOf[UTF8String])
+
+  def doParse(input: UTF8String): InternalRow = {
     val line = input.toString
     val m = prefixRe.matcher(line)
     val (ts, host, usr, db, pid, level) =
@@ -60,6 +71,12 @@ case class ParseLogLine(child: Expression)
     val query = if (qM.find()) qM.group(1) else ""
     InternalRow(u(ts), u(host), u(usr), u(db), pid, u(level), u(msg),
       dur, u(query))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("parser", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.doParse($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UserDefinedExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,13 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * signature costs exactly one pass over the text bytes.
   */
 case class SimHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UserDefinedExpression {
+
+  override def name: String = prettyName
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    doSimhash(input.asInstanceOf[UTF8String])
+
+  def doSimhash(input: UTF8String): Long = {
+    val bytes = input.getBytes
     // token boundaries of the single-space split (see MinHashSignature)
     var tokens = 1
     var p = 0
@@ -71,6 +76,11 @@ case class SimHash32(child: Expression)
       i += 1
     }
     sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.doSimhash($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UserDefinedExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -19,14 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * shuffles only (fingerprint, doc_id) pairs.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UserDefinedExpression {
+
+  override def name: String = prettyName
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprints"
 
   private val Base = 1000003L
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    doWinnow(input.asInstanceOf[UTF8String])
+
+  def doWinnow(input: UTF8String): GenericArrayData = {
     val s = input.toString
     if (s.length < k) return new GenericArrayData(Array.empty[Any])
     val n = s.length - k + 1
@@ -66,6 +72,13 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       }
     }
     new GenericArrayData(out.toArray.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.doWinnow($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

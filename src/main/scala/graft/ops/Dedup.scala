@@ -36,10 +36,11 @@ object Dedup {
     // md5-salted signature (not the xxhash64 Fast twin) so the estimate is
     // oracle-checkable — same merge shape either way: per-source min is a
     // partial aggregate, so shuffle volume is sources × seeds.
-    val sig = docs.select(col("source"),
+    val sig = docs
+      .filter(size(split(col("text"), " ")) >= 3) // cheap ≡ of sig.isNotNull
+      .select(col("source"),
         graft.functions.MinHash.signature(col("text"), NumMinhashSeeds)
           .as("sig"))
-      .filter(col("sig").isNotNull)
       .groupBy(col("source"))
       .agg(array((0 until NumMinhashSeeds).map(i =>
         min(element_at(col("sig"), i + 1))): _*).as("sig"))
@@ -98,9 +99,14 @@ object Dedup {
     * docs×shingles×seeds rows at 100 TB; this shuffles nothing).
     */
   private def minhashWide(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs
+      // signature is null ⟺ < 3 tokens; filtering on THIS cheap predicate
+      // (instead of sig.isNotNull) matters: an isnotnull(sig) filter gets
+      // pushed below the projection and re-evaluates the whole signature
+      // a second time per row
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
         graft.functions.MinHash.signature(col("text"), NumMinhashSeeds).as("sig"))
-      .filter(col("sig").isNotNull)
       .select(col("doc_id") +:
         (0 until NumMinhashSeeds).map(i =>
           element_at(col("sig"), i + 1).as(s"m$i")): _*)
@@ -195,9 +201,11 @@ object Dedup {
     * bit-equality against the compositional form).
     */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.filter(col("text").isNotNull) // explode form drops null texts;
+      // filtering the INPUT keeps the pushed-down predicate from
+      // re-evaluating the signature
+      .select(col("doc_id"),
         graft.functions.SimHash.simhash32(col("text")).as("simhash"))
-      .filter(col("simhash").isNotNull) // explode form drops null texts
       .orderBy(col("doc_id"))
 
   /** SimHash near-dup: Hamming distance over adjacent-id pairs. */
@@ -353,10 +361,11 @@ object Dedup {
     * expression [[graft.functions.MinHashSignatureFast]].
     */
   def minhashSignaturesFast(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs
+      .filter(size(split(col("text"), " ")) >= 3) // cheap ≡ of sig.isNotNull
+      .select(col("doc_id"),
         graft.functions.MinHashFast.signature(col("text"), NumMinhashSeeds)
           .as("sig"))
-      .filter(col("sig").isNotNull)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("seed", "mh")))
       .orderBy(col("doc_id"), col("seed"))
 }

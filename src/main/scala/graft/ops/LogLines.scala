@@ -57,6 +57,15 @@ object LogLines {
     * pass per line via [[graft.functions.ParseLogLine]] (the per-field
     * `regexp_extract` composition re-matched the same prefix 6-8×; field
     * semantics are identical).
+    *
+    * The trailing `observe` is load-bearing twice over: it reports how
+    * many lines were parsed (the operational metric a 100 TB ingest job
+    * watches), and it is a CollectMetrics optimizer barrier — Catalyst
+    * may not push a downstream filter below it (that would change the
+    * metric), so predicates like `duration_ms.isNotNull` are evaluated
+    * on the PARSED columns instead of being pushed under the projection
+    * with the parse expression inlined (which re-ran the whole parse per
+    * row per predicate).
     */
   def parseLines(lines: DataFrame): DataFrame = lines
     .select(col("event_id"),
@@ -67,6 +76,7 @@ object LogLines {
       col("p.db").as("db"), col("p.pid").as("pid"),
       col("p.level").as("level"), col("p.message").as("message"),
       col("p.duration_ms").as("duration_ms"), col("p.query").as("query"))
+    .observe("parse_lines", count(lit(1)).as("n_lines_parsed"))
 
   /** F17: `duration: X ms` → double (null when absent). */
   def durationMs(line: Column): Column = {

@@ -43,7 +43,13 @@ object Reports {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("hour"))
 
-  /** G4: per-normalized-query-class duration stats over parsed log lines. */
+  /** G4: per-normalized-query-class duration stats over parsed log lines.
+    *
+    * Relies on [[LogLines.parseLines]]' CollectMetrics barrier: without
+    * it, this isNotNull filter is pushed below the parse projection with
+    * the alias inlined — re-running the ENTIRE log-line parse a second
+    * time per row just to test one field.
+    */
   def queryStats(parsed: DataFrame): DataFrame =
     parsed.filter(col("duration_ms").isNotNull)
       .select(LogLines.normalizeQuery(col("query")).as("query_norm"),
