@@ -366,6 +366,11 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.MinHashFast.signature(col("text"), NumMinhashSeeds)
           .as("sig"))
+      // metrics + optimizer barrier: InferFiltersFromGenerate adds
+      // size(sig) > 0 / isnotnull(sig) above the projection and pushdown
+      // would inline the signature into them (3 evals per row); filters
+      // cannot cross a CollectMetrics node
+      .observe("minhash_fast", count(lit(1)).as("n_docs_signed"))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("seed", "mh")))
       .orderBy(col("doc_id"), col("seed"))
 }

@@ -83,4 +83,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  // Expensive custom expressions must appear EXACTLY once in their plans:
+  // Catalyst happily duplicates them into pushed-down filters and collapsed
+  // projections (observed: isnotnull(minhash) re-ran the signature per row,
+  // queryStats' duration filter re-ran the whole log parse). The cheap-
+  // predicate / CollectMetrics-barrier / UserDefinedExpression fixes keep
+  // these at one evaluation — these guards keep it that way.
+  test("b10: the log-line parse is evaluated exactly once") {
+    assert("parse_log_line".r.findAllIn(plan("b10_query_class_stats"))
+      .length === 1)
+  }
+
+  test("n4: the minhash signature is evaluated exactly once") {
+    assert("minhash_signature".r.findAllIn(plan("n4_minhash_signatures"))
+      .length === 1)
+  }
+
+  test("n17: the fast minhash signature is evaluated exactly once") {
+    assert("minhash_signature_fast".r.findAllIn(plan("n17_minhash_fast"))
+      .length === 1)
+  }
+
+  test("n7: the simhash expression is evaluated exactly once, no shuffle " +
+    "before the presentation sort") {
+    val p = plan("n7_simhash")
+    assert("simhash32".r.findAllIn(p).length === 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "per-row simhash must not shuffle:\n" + p)
+  }
 }
