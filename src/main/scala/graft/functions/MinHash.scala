@@ -43,6 +43,11 @@ case class MinHashSignature(child: Expression, numSeeds: Int)
   override def name: String = prettyName
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null for < 3-token input regardless of child nullability — without
+  // this, a non-nullable child makes nullSafeCodeGen emit an assignment
+  // to a false literal (janino error) and the interpreted path would
+  // write null into a slot the consumer believes non-null
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
   private val hexDigits = "0123456789abcdef".toCharArray
@@ -78,23 +83,9 @@ case class MinHashSignature(child: Expression, numSeeds: Int)
 
   def doMinhash(input: UTF8String): GenericArrayData = {
     val bytes = input.getBytes
-    // token boundaries of the single-space split (limit -1 semantics:
-    // empty tokens, including trailing ones, all count)
-    var tokens = 1
-    var p = 0
-    while (p < bytes.length) {
-      if (bytes(p) == ' ') tokens += 1
-      p += 1
-    }
+    val starts = TokenBoundaries.scan(bytes)
+    val tokens = starts.length - 1
     if (tokens < 3) return null
-    val starts = new Array[Int](tokens + 1)
-    var t = 1
-    p = 0
-    while (p < bytes.length) {
-      if (bytes(p) == ' ') { starts(t) = p + 1; t += 1 }
-      p += 1
-    }
-    starts(tokens) = bytes.length + 1 // sentinel: end(k) = starts(k+1) - 1
 
     val md = MinHashSignature.md5Local.get()
     val mins = new Array[Array[Byte]](numSeeds)
@@ -135,10 +126,50 @@ object MinHashSignature {
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 
+/** Single source of truth for `split(" ", -1)` token-boundary semantics
+  * over UTF-8 bytes (0x20 can't occur inside a multibyte char, so a plain
+  * byte scan is exact). Shared by the minhash/simhash expressions AND
+  * mirrored by [[MinHash.eligible]] — keep them in lockstep.
+  */
+private[functions] object TokenBoundaries {
+  /** Token start offsets plus one sentinel: token k spans
+    * [starts(k), starts(k+1) − 1); token count = starts.length − 1.
+    * Empty tokens (leading / double / trailing spaces) all count, exactly
+    * like `split(" ", -1)`.
+    */
+  def scan(bytes: Array[Byte]): Array[Int] = {
+    var tokens = 1
+    var p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') tokens += 1
+      p += 1
+    }
+    val starts = new Array[Int](tokens + 1)
+    var t = 1
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') { starts(t) = p + 1; t += 1 }
+      p += 1
+    }
+    starts(tokens) = bytes.length + 1 // sentinel: end(k) = starts(k+1) - 1
+    starts
+  }
+}
+
 object MinHash {
   /** Signature array (length `numSeeds`) for a text column; null when the
     * text has fewer than 3 words.
     */
   def signature(text: Column, numSeeds: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(text), numSeeds))
+
+  /** The signature-eligibility predicate, `signature(text).isNotNull`
+    * without the signature: ≥ 3 space-split tokens. Callers filter on
+    * THIS (it pushes to the scan as a cheap predicate) — an
+    * `isnotnull(signature)` filter gets pushed below the projection and
+    * re-evaluates the whole signature per row.
+    */
+  def eligible(text: Column): Column =
+    org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split(text, " ")) >= 3
 }

@@ -21,6 +21,9 @@ case class MinHashSignatureFast(child: Expression, numSeeds: Int)
   override def name: String = prettyName
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null for < 3-token input regardless of child nullability (see
+  // MinHashSignature.nullable)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature_fast"
 
   override def nullSafeEval(input: Any): Any =
@@ -30,8 +33,9 @@ case class MinHashSignatureFast(child: Expression, numSeeds: Int)
     // Shingles join with the same single space that splits them, so
     // shingle i is the contiguous input byte range [start(i), end(i+2))
     // — hash straight off the UTF8String's buffer, zero allocation per
-    // shingle. Boundary scan replicates split(" ", -1): empty tokens,
-    // including trailing ones, all count.
+    // shingle. Boundary scan replicates split(" ", -1) — the off-heap
+    // (Platform.getByte) twin of TokenBoundaries.scan, kept unsafe here
+    // so the input buffer is never copied; keep the two in lockstep.
     val base = u.getBaseObject
     val off = u.getBaseOffset
     val len = u.numBytes()

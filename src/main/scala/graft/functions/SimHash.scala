@@ -35,22 +35,8 @@ case class SimHash32(child: Expression)
 
   def doSimhash(input: UTF8String): Long = {
     val bytes = input.getBytes
-    // token boundaries of the single-space split (see MinHashSignature)
-    var tokens = 1
-    var p = 0
-    while (p < bytes.length) {
-      if (bytes(p) == ' ') tokens += 1
-      p += 1
-    }
-    val starts = new Array[Int](tokens + 1)
-    var t = 1
-    p = 0
-    while (p < bytes.length) {
-      if (bytes(p) == ' ') { starts(t) = p + 1; t += 1 }
-      p += 1
-    }
-    starts(tokens) = bytes.length + 1 // sentinel: end(k) = starts(k+1) - 1
-
+    val starts = TokenBoundaries.scan(bytes)
+    val tokens = starts.length - 1
     val md = MinHashSignature.md5Local.get()
     val counts = new Array[Int](32)
     var k = 0

@@ -62,8 +62,10 @@ class VectorMinMax
       a
     }
 
+  // empty-in → empty-out (a null tuple would violate the encoder's
+  // non-nullable top-level Product contract)
   override def finish(r: (Array[Double], Array[Double])): (Seq[Double], Seq[Double]) =
-    if (r._1.isEmpty) null else (r._1.toSeq, r._2.toSeq)
+    (r._1.toSeq, r._2.toSeq)
 
   override def bufferEncoder: Encoder[(Array[Double], Array[Double])] =
     ExpressionEncoder[(Array[Double], Array[Double])]()

@@ -28,6 +28,17 @@ object Checkpoints {
 
   val ReliableConf = "spark.graft.checkpoint.reliable"
 
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A per-call-unique observed-metric name. Operators that end in an
+    * `observe()` CollectMetrics barrier need this: two instances of the
+    * same operator composed in one query would otherwise both register
+    * the same metric name and fail analysis with "Multiple definitions
+    * of observed metrics".
+    */
+  def freshMetricName(prefix: String): String =
+    s"${prefix}_${metricSeq.incrementAndGet()}"
+
   /** Materialize `df` and truncate its lineage per the session's mode. */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

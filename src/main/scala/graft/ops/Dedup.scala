@@ -37,7 +37,7 @@ object Dedup {
     // oracle-checkable — same merge shape either way: per-source min is a
     // partial aggregate, so shuffle volume is sources × seeds.
     val sig = docs
-      .filter(size(split(col("text"), " ")) >= 3) // cheap ≡ of sig.isNotNull
+      .filter(graft.functions.MinHash.eligible(col("text")))
       .select(col("source"),
         graft.functions.MinHash.signature(col("text"), NumMinhashSeeds)
           .as("sig"))
@@ -100,11 +100,7 @@ object Dedup {
     */
   private def minhashWide(docs: DataFrame): DataFrame =
     docs
-      // signature is null ⟺ < 3 tokens; filtering on THIS cheap predicate
-      // (instead of sig.isNotNull) matters: an isnotnull(sig) filter gets
-      // pushed below the projection and re-evaluates the whole signature
-      // a second time per row
-      .filter(size(split(col("text"), " ")) >= 3)
+      .filter(graft.functions.MinHash.eligible(col("text")))
       .select(col("doc_id"),
         graft.functions.MinHash.signature(col("text"), NumMinhashSeeds).as("sig"))
       .select(col("doc_id") +:
@@ -240,6 +236,7 @@ object Dedup {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
+    var cached: Option[DataFrame] = None
     while (!converged && i < maxIters) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -250,17 +247,26 @@ object Dedup {
       val propagated = Checkpoints.cut(
         labels.union(viaNeighbors)
           .groupBy(col("id")).agg(min(col("label")).as("label")))
+      // the cut job above was the last reader of the previous round's
+      // cached jump frame
+      cached.foreach(_.unpersist(blocking = false))
       // pointer jumping: label ← label(label). Labels are always node
       // ids, so every label has its own row; composing the hop with the
       // neighbor step doubles the propagation distance per round —
       // O(log diameter) rounds instead of O(diameter), one extra
       // (AQE-sized) shuffle per round over the checkpointed frame.
+      // Persisted because it is read three times (the convergence agg
+      // below, then both union branches of the next round's cut); the
+      // final round's cache is released by the ContextCleaner when the
+      // returned frame goes unreachable.
       val updated = propagated
         .join(propagated.select(col("id").as("label"),
           col("label").as("l2")), "label")
         .select(col("id"), col("l2").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached = Some(updated)
       // decimal sum: a BIGINT Σlabel would overflow ANSI arithmetic once
-      // ids × rows get large
+      // ids × rows get large (this agg also materializes the cache)
       val row = updated.agg(sum(col("label").cast("decimal(38,0)"))).head()
       val s = if (row.isNullAt(0)) null else row.getDecimal(0)
       converged = row.isNullAt(0) || s == prevSum // empty graph → done
@@ -362,15 +368,18 @@ object Dedup {
     */
   def minhashSignaturesFast(docs: DataFrame): DataFrame =
     docs
-      .filter(size(split(col("text"), " ")) >= 3) // cheap ≡ of sig.isNotNull
+      .filter(graft.functions.MinHash.eligible(col("text")))
       .select(col("doc_id"),
         graft.functions.MinHashFast.signature(col("text"), NumMinhashSeeds)
           .as("sig"))
       // metrics + optimizer barrier: InferFiltersFromGenerate adds
       // size(sig) > 0 / isnotnull(sig) above the projection and pushdown
       // would inline the signature into them (3 evals per row); filters
-      // cannot cross a CollectMetrics node
-      .observe("minhash_fast", count(lit(1)).as("n_docs_signed"))
+      // cannot cross a CollectMetrics node. Name is unique per call so
+      // two of these can compose in one query (duplicate observed-metric
+      // names fail analysis).
+      .observe(Checkpoints.freshMetricName("minhash_fast"),
+        count(lit(1)).as("n_docs_signed"))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("seed", "mh")))
       .orderBy(col("doc_id"), col("seed"))
 }

@@ -65,7 +65,9 @@ object LogLines {
     * metric), so predicates like `duration_ms.isNotNull` are evaluated
     * on the PARSED columns instead of being pushed under the projection
     * with the parse expression inlined (which re-ran the whole parse per
-    * row per predicate).
+    * row per predicate). The metric name is unique per call so two
+    * parseLines frames can compose in one query (duplicate observed
+    * metric names fail analysis).
     */
   def parseLines(lines: DataFrame): DataFrame = lines
     .select(col("event_id"),
@@ -76,7 +78,8 @@ object LogLines {
       col("p.db").as("db"), col("p.pid").as("pid"),
       col("p.level").as("level"), col("p.message").as("message"),
       col("p.duration_ms").as("duration_ms"), col("p.query").as("query"))
-    .observe("parse_lines", count(lit(1)).as("n_lines_parsed"))
+    .observe(Checkpoints.freshMetricName("parse_lines"),
+      count(lit(1)).as("n_lines_parsed"))
 
   /** F17: `duration: X ms` → double (null when absent). */
   def durationMs(line: Column): Column = {

@@ -202,6 +202,9 @@ object Similarity {
     val mm = mmRow.getStruct(0)
     val mns = mm.getAs[scala.collection.Seq[Double]](0)
     val mxs = mm.getAs[scala.collection.Seq[Double]](1)
+    if (mns.isEmpty) // empty corpus: no ranges → empty codes frame
+      return e.select(col("vec_id"), lit(0).as("dim"), lit(0L).as("code"))
+        .limit(0)
     e.filter(col("vec_id") < nVecs)
       .select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).as("dim"),

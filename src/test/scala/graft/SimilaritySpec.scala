@@ -147,6 +147,12 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L).forall(v => got((v, 3)) === 0L))
   }
 
+  test("int8Codes: empty corpus yields an empty frame, not an NPE") {
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.int8Codes(empty, 10).count() === 0)
+  }
+
   test("LSH ANN results are a subset of the probe's sign bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val buckets = emb.select(col("vec_id"),
