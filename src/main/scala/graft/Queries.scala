@@ -1018,6 +1018,21 @@ object Queries {
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Deterministic per-source cap (md5-ordered "sample" of k docs per
+    // source) — the no-source-dominates guard of corpus assembly.
+    ("n39_source_cap",
+      (s: SparkSession, d: String) => TextAnalysis.sourceCap(docs(s, d), 10),
+      Some("""WITH keyed AS (
+        |  SELECT source, doc_id, md5('cap|' || doc_id::varchar) AS samp_key
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, doc_id, samp_key,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY samp_key ASC, doc_id ASC) AS rk
+        |  FROM keyed)
+        |SELECT source, doc_id, rk FROM ranked WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin)),
+
     // Scalar int8 quantization of embeddings: global per-dim (min, max)
     // stats then round((x-mn)*255/(mx-mn)) codes — double math with a
     // fixed op order on both sides, so the codes are bit-exact.

@@ -410,6 +410,31 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
       .orderBy(col("fingerprint"))
 
+  /** Per-source corpus cap: keep at most `k` docs per source, chosen by
+    * a deterministic md5 order (a stable "uniform sample" — unlike
+    * `sample()`, identical across runs, engines, and partitionings).
+    * The standard "no source may dominate the mix" guard of corpus
+    * assembly.
+    *
+    * Scale shape: one hash shuffle on `source` + a per-partition sort —
+    * the per-group-top-k pattern (never a global sort). A pathologically
+    * dominant source makes one reducer hot; the fix at that scale is a
+    * per-partition pre-cap of k rows before the shuffle (same output,
+    * since any global top-k is contained in the union of partition
+    * top-ks), which [[graft.ops.Skew]] demonstrates for aggregation.
+    */
+  def sourceCap(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("samp_key").asc, col("doc_id").asc)
+    docs.select(col("source"), col("doc_id"),
+        md5(concat(lit("cap|"), col("doc_id").cast("string"))).as("samp_key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Text normalization + scrubbing — the cleanup pass before any hash,
     * dedup, or tokenizer sees the text: lowercase, digit runs redacted to
     * a `<num>` sentinel (the PII/number-scrub shape: same regex chain

@@ -146,6 +146,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(conf.exists(r => r.getString(0) == r.getString(1)))
   }
 
+  test("sourceCap: at most k per source, deterministic across runs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val capped = TextAnalysis.sourceCap(docs, 3)
+    val bySource = capped.collect().groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length <= 3))
+    assert(bySource.values.exists(_.length === 3)) // sources big enough cap
+    // deterministic: a second evaluation picks the same doc ids
+    assert(capped.collect().map(_.getLong(1)).toSeq ===
+      TextAnalysis.sourceCap(docs, 3).collect().map(_.getLong(1)).toSeq)
+  }
+
   test("normalizeRedact: lowercases, redacts digit runs, collapses spaces") {
     val docs = Seq(
       (1L, "Call 555  then  1234 NOW", "en", "s", 0L),
