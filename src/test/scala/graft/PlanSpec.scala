@@ -112,4 +112,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
       "per-row simhash must not shuffle:\n" + p)
   }
+
+  test("n37: chunking is a per-row generator — no hash shuffle") {
+    val p = plan("n37_chunks")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "chunking must not shuffle:\n" + p)
+  }
+
+  test("n39: per-source cap pre-limits below the shuffle (WindowGroupLimit)") {
+    // rank-limit pushdown caps each map partition to k rows per source
+    // BEFORE the exchange — the skew guard that keeps a dominant source
+    // from flooding one reducer
+    val p = plan("n39_source_cap")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "expected partial + final WindowGroupLimit:\n" + p)
+  }
 }
