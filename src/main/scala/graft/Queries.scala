@@ -621,6 +621,30 @@ object Queries {
         |  strftime(asof_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts_str
         |FROM carried WHERE side = 1 ORDER BY user_id, event_id""".stripMargin)),
 
+    // Forward as-of join: earliest click at-or-after each purchase (the
+    // reverse direction of b23; first_value over the following frame).
+    ("b26_asof_forward",
+      (s: SparkSession, d: String) =>
+        Reports.asofJoinForward(ev(s, d), "purchase", "click"),
+      Some("""WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |carried AS (
+        |  SELECT user_id, ts, event_id, side,
+        |    first_value(CASE WHEN side = 1 THEN event_id END IGNORE NULLS)
+        |      OVER w AS asof_id,
+        |    first_value(CASE WHEN side = 1 THEN ts END IGNORE NULLS)
+        |      OVER w AS asof_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, side ASC, event_id ASC
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, asof_id,
+        |  strftime(asof_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts_str
+        |FROM carried WHERE side = 0 ORDER BY user_id, event_id""".stripMargin)),
+
     // Banded range join against a broadcast tier table ([lo, hi) buckets).
     ("b24_value_tiers",
       (s: SparkSession, d: String) => Reports.valueTierJoin(ev(s, d)),

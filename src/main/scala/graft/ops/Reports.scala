@@ -138,6 +138,39 @@ object Reports {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Forward as-of join: each `leftType` event matched to the user's
+    * EARLIEST `rightType` event at-or-after it (ties at equal ts count;
+    * among equal-ts right rows the lowest event_id wins) — the
+    * "next purchase after this click" direction. Same tag + union +
+    * one-window shape as [[asofJoin]], with the frame reversed to
+    * currentRow..unboundedFollowing carrying the FIRST right row
+    * backward; still exactly one hash shuffle on user_id.
+    */
+  def asofJoinForward(events: DataFrame, leftType: String,
+                      rightType: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        // right rows sort AFTER left rows at equal ts so an exactly
+        // simultaneous right event still counts as "at-or-after"
+        when(col("event_type") === rightType, 1).otherwise(0).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("asof_id",
+        first(when(col("side") === 1, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("asof_ts",
+        first(when(col("side") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("asof_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts_str"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Click attribution (batch twin of the streaming interval join,
     * [[graft.streaming.Enrich.attributeStream]]): every click within
     * `windowMinutes` before each purchase by the same user. Equi key on

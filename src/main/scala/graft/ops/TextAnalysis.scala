@@ -442,15 +442,22 @@ object TextAnalysis {
     * Per-row codegen'd regex work, zero shuffle; the normalized text is
     * emitted as an md5 so the output stays bounded at any corpus size.
     */
-  def normalizeRedact(docs: DataFrame): DataFrame = {
+  def normalizeRedact(docs: DataFrame): DataFrame =
+    normalizeRedactRaw(docs).orderBy(col("doc_id"))
+
+  /** [[normalizeRedact]] without the presentation sort — pure per-row
+    * projection, so the SAME code runs on a streaming frame (sorts are
+    * illegal in append-mode streams; StreamingSpec proves stream ≡
+    * batch).
+    */
+  def normalizeRedactRaw(docs: DataFrame): DataFrame = {
     val lowered = lower(col("text"))
     val redacted = regexp_replace(lowered, "[0-9]+", "<num>")
     val collapsed = trim(regexp_replace(redacted, " +", " "))
     docs.select(col("doc_id"),
-        regexp_count(lowered, lit("[0-9]+")).as("n_redacted"),
-        length(collapsed).as("clean_len"),
-        md5(collapsed).as("norm_md5"))
-      .orderBy(col("doc_id"))
+      regexp_count(lowered, lit("[0-9]+")).as("n_redacted"),
+      length(collapsed).as("clean_len"),
+      md5(collapsed).as("norm_md5"))
   }
 
   /** Fixed-size word chunking with overlap — the context-window prep
@@ -461,7 +468,13 @@ object TextAnalysis {
     * task emits its own chunks. Chunks are identified by content md5 so
     * the output is audit-sized at any scale.
     */
-  def chunkDocs(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+  def chunkDocs(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame =
+    chunkDocsRaw(docs, size, stride).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** [[chunkDocs]] without the presentation sort — one generator per
+    * row, legal (and partition-local) in a streaming pipeline too.
+    */
+  def chunkDocsRaw(docs: DataFrame, size: Int, stride: Int): DataFrame = {
     require(stride >= 1 && size >= stride,
       s"need 1 <= stride <= size, got size=$size stride=$stride")
     docs
@@ -474,6 +487,5 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"),
         functions.size(col("chunk")).as("n_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 }

@@ -92,6 +92,21 @@ class ReportsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, -1L), (4L, 3L), (6L, 5L)))
   }
 
+  test("asofJoinForward: earliest at-or-after click; null when none follows") {
+    val e2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0), // → click 2 (min id at 10:05)
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (4L, ts("2024-01-01 10:10:00"), 1L, "purchase", 1.0), // → click 5
+      (5L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0),    // same-ts counts
+      (6L, ts("2024-01-01 10:20:00"), 1L, "purchase", 1.0), // no later click
+      (7L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0)      // other type dropped
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Reports.asofJoinForward(e2, "purchase", "click").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L), (4L, 5L), (6L, -1L)))
+  }
+
   test("valueTierJoin: every event lands in exactly one tier") {
     val got = Reports.valueTierJoin(ev).collect()
     assert(got.map(_.getLong(1)).sum === ev.count())

@@ -78,4 +78,33 @@ class StreamingSpec extends SparkSpec {
     val maxClosed = out.agg(max(col("hour_start"))).head().getTimestamp(0)
     assert(withheld.filter(col("hour_start") < maxClosed).count() === 0)
   }
+
+  test("per-row text operators run UNCHANGED on a stream: " +
+    "normalizeRedactRaw + chunkDocsRaw, stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q1 = graft.ops.TextAnalysis.normalizeRedactRaw(stream)
+      .writeStream.format("memory").queryName("norm_stream")
+      .outputMode("append").start()
+    val q2 = graft.ops.TextAnalysis.chunkDocsRaw(stream, 4, 3)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      val docs = Seq((1L, "Call 555 now  or 1234 later maybe tomorrow"),
+        (2L, "plain words only here"))
+      mem.addData(docs: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val batchDocs = docs.toDF("doc_id", "text")
+      assert(spark.table("norm_stream")
+        .exceptAll(graft.ops.TextAnalysis.normalizeRedactRaw(batchDocs))
+        .isEmpty)
+      assert(spark.table("norm_stream").count() === 2)
+      assert(spark.table("chunk_stream")
+        .exceptAll(graft.ops.TextAnalysis.chunkDocsRaw(batchDocs, 4, 3))
+        .isEmpty)
+      assert(spark.table("chunk_stream").count() ===
+        graft.ops.TextAnalysis.chunkDocsRaw(batchDocs, 4, 3).count())
+    } finally { q1.stop(); q2.stop() }
+  }
 }
