@@ -1042,6 +1042,13 @@ object Queries {
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ANN on the int8-quantized representation + exact re-rank (the
+    // search half of n38; rows-only — recall property in SimilaritySpec).
+    ("n40_int8_ann_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.int8AnnTopK(emb(s, d), 5, 10),
+      None),
+
     // Deterministic per-source cap (md5-ordered "sample" of k docs per
     // source) — the no-source-dominates guard of corpus assembly.
     ("n39_source_cap",

@@ -218,6 +218,62 @@ object Similarity {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** ANN over the int8-quantized representation with exact re-rank —
+    * the search half of the [[int8Codes]] story: candidate generation
+    * runs against quantize→dequantize round-tripped vectors (what a
+    * 4×-smaller int8 index would reconstruct at query time), then the
+    * top `rerank` candidates per probe are re-scored with the exact
+    * doubles and the final top-k keeps only exact cosines.
+    *
+    * Scale shape: at 100 TB the corpus stores ONLY the int8 codes
+    * (4× less IO + memory than float32); the approximate pass is the
+    * same broadcast-probe map-side scan as [[bruteForceTopK]], and the
+    * exact pass touches `probes × rerank` rows. Checked rows-only; the
+    * recall-vs-exact property lives in SimilaritySpec.
+    */
+  def int8AnnTopK(emb: DataFrame, nProbes: Int, k: Int,
+                  rerank: Int = 30): DataFrame = {
+    val e = Checkpoints.cut(withNorm(emb))
+    val mmRow = e.agg(
+      graft.functions.VectorMinMax.vecMinMax(col("emb")).as("mm")).head()
+    val mm = mmRow.getStruct(0)
+    val mns = mm.getAs[scala.collection.Seq[Double]](0)
+    val mxs = mm.getAs[scala.collection.Seq[Double]](1)
+    val spans = mns.zip(mxs).map { case (a, b) => b - a }
+    // quantize→dequantize round trip as one elementwise expression chain
+    // (at scale the codes are the stored representation; here the round
+    // trip reconstructs what the index would hold)
+    val qemb = zip_with(
+      zip_with(
+        zip_with(col("emb"), typedLit(mns), (x, mn) => x - mn),
+        typedLit(spans),
+        (d, s) => when(s === 0d, 0d).otherwise(round(d * lit(255.0) / s, 0))),
+      typedLit(spans), (c, s) => c * s / lit(255.0))
+    val qe = e.select(col("vec_id"), col("emb"), col("nrm"),
+        zip_with(qemb, typedLit(mns), (q, mn) => q + mn).as("qemb"))
+      .withColumn("qnrm", sqrt(dot(col("qemb"), col("qemb"))))
+    val p = qe.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("qemb").as("p_qemb"),
+        col("qnrm").as("p_qnrm"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // approximate pass over the reconstructed vectors
+    val approx = qe.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("q_nrm"),
+        col("emb"), col("nrm"),
+        (dot(col("p_qemb"), col("qemb")) / (col("p_qnrm") * col("qnrm")))
+          .as("qcos"))
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("qcos").desc, col("vec_id").asc)
+    // exact re-rank of the quantized shortlist
+    val cands = approx.withColumn("qrnk", row_number().over(wApprox))
+      .filter(col("qrnk") <= rerank)
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+          .as("cos"))
+    rankTopK(cands, k)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label and an id-distance
     * band so the pair space stays linear-ish in corpus size.
     */

@@ -34,6 +34,34 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr === viaComposition)
   }
 
+  test("property: MinHashSignature ≡ compositional form on random texts " +
+    "(incl. leading/trailing/double spaces, unicode)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // texts drawn to stress the token-boundary scan: empty tokens from
+    // leading/double/trailing spaces, multibyte chars, 0-5 words
+    val wordGen = Gen.oneOf("a", "bb", "héllo", "日本", "x1", "")
+    val textGen = Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4),
+      Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+        val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val viaExpr = Dedup.minhashSignatures(d)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+        val viaComposition = d
+          .select(col("doc_id"), explode(Dedup.shingles).as("sh"))
+          .select(col("doc_id"),
+            explode(expr(s"sequence(0, ${Dedup.NumMinhashSeeds - 1})"))
+              .as("seed"), col("sh"))
+          .groupBy(col("doc_id"), col("seed"))
+          .agg(min(md5(concat(col("seed"), lit("|"), col("sh")))).as("mh"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+        viaExpr == viaComposition
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("short texts yield no signature rows (explode-form parity)") {
     val ids = Dedup.minhashSignatures(docs)
       .select("doc_id").distinct().as[Long].collect().toSet

@@ -147,6 +147,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L).forall(v => got((v, 3)) === 0L))
   }
 
+  test("int8AnnTopK: high recall vs exact brute force, exact final scores") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, 5, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.int8AnnTopK(emb, 5, k).collect()
+    val approxSet = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 64-dim int8 quantization should barely perturb the ranking
+    val recall = (exact intersect approxSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@$k was $recall")
+    // surviving scores are EXACT cosines — identical to brute force
+    val exactScores = Similarity.bruteForceTopK(emb, 5, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach(s => assert(r.getDouble(2) === s))
+    }
+  }
+
   test("int8Codes: empty corpus yields an empty frame, not an NPE") {
     val empty = Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
