@@ -277,13 +277,20 @@ object Dedup {
     // silent truncation would return SPLIT clusters — fail loudly instead
     // (min-label needs O(diameter) rounds; for long chains at scale use
     // dupClustersLogN)
-    require(converged,
-      s"dupClusters did not converge in $maxIters rounds; " +
-        "component diameter exceeds the iteration bound — use dupClustersLogN")
-    labels.groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("n_docs"),
-        sort_array(collect_list(col("id"))).as("members"))
-      .orderBy(col("cluster"))
+    try {
+      require(converged,
+        s"dupClusters did not converge in $maxIters rounds; " +
+          "component diameter exceeds the iteration bound — use dupClustersLogN")
+      // freeze the final labels OFF the cache before releasing it: a
+      // persisted Dataset is strongly held by the session CacheManager
+      // (the ContextCleaner never reclaims it), so returning a plan that
+      // reads the cache would leak one cached frame per call
+      Checkpoints.cut(labels)
+        .groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          sort_array(collect_list(col("id"))).as("members"))
+        .orderBy(col("cluster"))
+    } finally cached.foreach(_.unpersist(blocking = false))
   }
 
   /** O(log n)-round connected components: alternating large-star /

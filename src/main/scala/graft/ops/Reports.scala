@@ -113,24 +113,40 @@ object Reports {
     * partition, no pair blowup at any scale.
     */
   def asofJoin(events: DataFrame, leftType: String,
-               rightType: String): DataFrame = {
+               rightType: String): DataFrame =
+    asofJoinImpl(events, leftType, rightType, forward = false)
+
+  /** Shared as-of machinery for both directions. Right rows get the side
+    * value that sorts them on the CORRECT side of an equal-ts left row
+    * (before it backward, after it forward), so exactly-simultaneous
+    * right events always count; among equal-ts right rows the frame
+    * direction picks max id backward / min id forward. asc_nulls_last
+    * pins the engine-dependent default (Spark ASC is NULLS FIRST,
+    * DuckDB's is NULLS LAST) so a null ts cannot reorder the carry
+    * between engines; the oracles say NULLS LAST too.
+    */
+  private def asofJoinImpl(events: DataFrame, leftType: String,
+                           rightType: String, forward: Boolean): DataFrame = {
+    val rightSide = if (forward) 1 else 0
     val tagged = events
       .filter(col("event_type").isin(leftType, rightType))
       .select(col("user_id"), col("ts"), col("event_id"),
-        when(col("event_type") === rightType, 0).otherwise(1).as("side"))
-    // asc_nulls_last pins the engine-dependent default (Spark ASC is
-    // NULLS FIRST, DuckDB's is NULLS LAST) so a null ts cannot reorder
-    // the carry-forward between engines; the oracle says NULLS LAST too
-    val w = Window.partitionBy(col("user_id"))
+        when(col("event_type") === rightType, rightSide)
+          .otherwise(1 - rightSide).as("side"))
+    val ordered = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc_nulls_last, col("side").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (forward) ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(c: Column): Column = {
+      val onlyRight = when(col("side") === rightSide, c)
+      if (forward) first(onlyRight, ignoreNulls = true).over(w)
+      else last(onlyRight, ignoreNulls = true).over(w)
+    }
     tagged
-      .withColumn("asof_id",
-        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
-          .over(w))
-      .withColumn("asof_ts",
-        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+      .withColumn("asof_id", carry(col("event_id")))
+      .withColumn("asof_ts", carry(col("ts")))
+      .filter(col("side") === 1 - rightSide)
       .select(col("user_id"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
         col("asof_id"),
@@ -141,35 +157,12 @@ object Reports {
   /** Forward as-of join: each `leftType` event matched to the user's
     * EARLIEST `rightType` event at-or-after it (ties at equal ts count;
     * among equal-ts right rows the lowest event_id wins) — the
-    * "next purchase after this click" direction. Same tag + union +
-    * one-window shape as [[asofJoin]], with the frame reversed to
-    * currentRow..unboundedFollowing carrying the FIRST right row
-    * backward; still exactly one hash shuffle on user_id.
+    * "next purchase after this click" direction. Still exactly one hash
+    * shuffle on user_id.
     */
   def asofJoinForward(events: DataFrame, leftType: String,
-                      rightType: String): DataFrame = {
-    val tagged = events
-      .filter(col("event_type").isin(leftType, rightType))
-      .select(col("user_id"), col("ts"), col("event_id"),
-        // right rows sort AFTER left rows at equal ts so an exactly
-        // simultaneous right event still counts as "at-or-after"
-        when(col("event_type") === rightType, 1).otherwise(0).as("side"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc_nulls_last, col("side").asc, col("event_id").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    tagged
-      .withColumn("asof_id",
-        first(when(col("side") === 1, col("event_id")), ignoreNulls = true)
-          .over(w))
-      .withColumn("asof_ts",
-        first(when(col("side") === 1, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("side") === 0)
-      .select(col("user_id"), col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
-        col("asof_id"),
-        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts_str"))
-      .orderBy(col("user_id"), col("event_id"))
-  }
+                      rightType: String): DataFrame =
+    asofJoinImpl(events, leftType, rightType, forward = true)
 
   /** Click attribution (batch twin of the streaming interval join,
     * [[graft.streaming.Enrich.attributeStream]]): every click within

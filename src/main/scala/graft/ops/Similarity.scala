@@ -233,6 +233,9 @@ object Similarity {
     */
   def int8AnnTopK(emb: DataFrame, nProbes: Int, k: Int,
                   rerank: Int = 30): DataFrame = {
+    require(rerank >= k,
+      s"rerank shortlist ($rerank) must cover the requested top-k ($k) — " +
+        "a smaller shortlist silently truncates the result")
     val e = Checkpoints.cut(withNorm(emb))
     val mmRow = e.agg(
       graft.functions.VectorMinMax.vecMinMax(col("emb")).as("mm")).head()
