@@ -81,6 +81,44 @@ class SessionsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized cross-batch delivery reproduces the batch twin exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // fixed-seed random events for 4 users across 3 hours, delivered in
+    // 3 shuffled batches (every event inside the 24h watermark), then a
+    // far-future flush — the emitted sessions must equal the batch twin
+    val rnd = new scala.util.Random(42)
+    val events = (0 until 60).map { i =>
+      Ev(ts(f"2024-01-01 ${9 + rnd.nextInt(3)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"),
+        1L + rnd.nextInt(4), (i % 10).toDouble)
+    }
+    val batches = rnd.shuffle(events).grouped(20).toSeq
+    val mem = MemoryStream[Ev]
+    val q = Sessions.sessionizeStream(mem.toDS(), gapMinutes = 10,
+        watermark = "24 hours")
+      .writeStream.format("memory").queryName("sessions_random_test")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // flush: advance the watermark far past every horizon
+      mem.addData(Ev(ts("2024-01-03 12:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-03 13:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_random_test").as[ClosedSession]
+        .collect().filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.session_start.getTime, s.n_events,
+          s.duration_sec, s.sum_value)).toSet
+      val batchTwin = graft.ops.Reports.sessionize(
+          events.toDF("ts", "user_id", "value")
+            .withColumn("event_id", unix_micros(col("ts"))), 10)
+        .collect().map(r => (r.getLong(0),
+          java.sql.Timestamp.valueOf(r.getString(3)).getTime,
+          r.getLong(2), r.getLong(4), r.getDouble(5))).toSet
+      assert(streamed === batchTwin)
+    } finally q.stop()
+  }
+
   test("late event merges with an EARLIER gap-separated session still " +
     "inside the watermark (no spurious singleton)") {
     implicit val sqlCtx = spark.sqlContext
