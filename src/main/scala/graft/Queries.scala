@@ -912,6 +912,23 @@ object Queries {
         |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Near-dup pairs blocked by the hyperplane sign bucket — the
+    // scale path twin of n11's id-band baseline (bucket equi-join,
+    // pair count Σ bucket² not n²).
+    ("n41_lsh_neardup_pairs",
+      (s: SparkSession, d: String) =>
+        Similarity.lshNearDupPairs(emb(s, d), 0.3),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    ${(1 to Similarity.BucketBits).map(i =>
+               s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+               .mkString(" + ")} AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ${cosSql("a.emb", "b.emb")} AS cos
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // IVF ANN with deterministically-trained k-means centroids (rows-only:
     // float averaging is engine-specific; reproducible across runs).
     ("n23_ivf_ann_topk",

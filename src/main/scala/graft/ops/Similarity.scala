@@ -277,6 +277,29 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  /** Embedding-cosine near-dup pairs blocked by the hyperplane sign
+    * bucket — the scale-correct twin of [[cosineNearDupPairs]]' id-band
+    * baseline: near-identical vectors land in the same bucket (sign
+    * flips need a near-zero coordinate), so candidate generation is a
+    * bucket equi-join whose pair count is Σ bucket² instead of n². At
+    * 100 TB raise [[BucketBits]] so buckets stay bounded and write the
+    * corpus bucketed on the key; recall loss is the standard LSH trade.
+    */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"),
+        signBucket(col("embedding")).as("bucket"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label and an id-distance
     * band so the pair space stays linear-ish in corpus size.
     */

@@ -166,6 +166,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshNearDupPairs: all pairs share a bucket, meet the threshold, " +
+    "and cover every exact pair whose members share a bucket") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val got = Similarity.lshNearDupPairs(emb, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._3 >= 0.5))
+    val buckets = emb.select(col("vec_id"),
+        Similarity.signBucket(col("embedding")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall(p => buckets(p._1) === buckets(p._2)))
+    // exhaustive within-bucket check on a small prefix: no missed pair
+    val e = emb.filter(col("vec_id") < 60)
+    val exact = Similarity.cosineNearDupPairs(
+        e.withColumn("label", lit(0)), 0.5, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSmall = Similarity.lshNearDupPairs(e, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.filter(p => buckets(p._1) == buckets(p._2))
+    assert(gotSmall === expected)
+  }
+
   test("int8Codes: empty corpus yields an empty frame, not an NPE") {
     val empty = Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
