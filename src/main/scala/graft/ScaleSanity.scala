@@ -38,7 +38,10 @@ object ScaleSanity {
         "b2_hourly_histogram", "b15_sessionize", "b23_asof_join",
         "b25_click_attribution", "n4_minhash_signatures",
         "n9_cosine_topk", "n1_exact_dup_groups", "n24_dup_clusters_logn",
-        "n30_repetition_quality", "n31_ngram_decontamination")) {
+        "n30_repetition_quality", "n31_ngram_decontamination",
+        "b26_asof_forward", "n36_normalize_redact", "n37_chunks",
+        "n38_int8_codes", "n39_source_cap", "n40_int8_ann_topk",
+        "n41_lsh_neardup_pairs")) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very
       // projections being measured (same fix as Bench)
