@@ -1081,6 +1081,28 @@ object Queries {
         |SELECT source, doc_id, rk FROM ranked WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin)),
 
+    // Token-budget corpus mix: greedy per-source keep in stable md5
+    // order until the token budget fills (mixes are specified in tokens,
+    // not docs — the token-weighted twin of n29).
+    ("n42_token_budget_mix",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.tokenBudgetMix(docs(s, d), 1000L),
+      Some("""WITH keyed AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5('cap|' || doc_id::varchar) AS samp_key
+        |  FROM documents),
+        |cum AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY samp_key ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM keyed)
+        |SELECT source, count(*) AS n_docs_kept,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+        |FROM cum WHERE cum_tok - n_tok < 1000
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Scalar int8 quantization of embeddings: global per-dim (min, max)
     // stats then round((x-mn)*255/(mx-mn)) codes — double math with a
     // fixed op order on both sides, so the codes are bit-exact.

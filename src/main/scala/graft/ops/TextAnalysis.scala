@@ -435,6 +435,34 @@ object TextAnalysis {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Token-budget corpus mix: greedily keep docs per source — in the
+    * same stable md5 order as [[sourceCap]] — until the source's
+    * whitespace-token budget is exhausted (a doc is kept iff the budget
+    * was not yet full when it starts). Real corpus mixes are specified
+    * in tokens, not document counts; this is the token-weighted twin of
+    * the doc-weighted [[mixCorpus]]. Emits per-source accounting.
+    *
+    * One window over (source, samp_key) — same shuffle/skew shape (and
+    * WindowGroupLimit-free; the running sum needs the full group, so a
+    * dominant source's reducer is the scale limit — pre-aggregate by
+    * bucketed sub-source at that point).
+    */
+  def tokenBudgetMix(docs: DataFrame, budgetPerSource: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("source"))
+      .orderBy(col("samp_key").asc, col("doc_id").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    docs.select(col("source"), col("doc_id"),
+        functions.size(words(col("text"))).cast("long").as("n_tok"),
+        md5(concat(lit("cap|"), col("doc_id").cast("string"))).as("samp_key"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") - col("n_tok") < budgetPerSource)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Text normalization + scrubbing — the cleanup pass before any hash,
     * dedup, or tokenizer sees the text: lowercase, digit runs redacted to
     * a `<num>` sentinel (the PII/number-scrub shape: same regex chain

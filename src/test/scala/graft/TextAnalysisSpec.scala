@@ -157,6 +157,25 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.sourceCap(docs, 3).collect().map(_.getLong(1)).toSeq)
   }
 
+  test("tokenBudgetMix: greedy prefix respects the budget; a doc may " +
+    "straddle the boundary but none starts past it") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 300L
+    val got = TextAnalysis.tokenBudgetMix(docs, budget).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the last kept doc may overshoot, but tokens_kept minus that doc's
+    // contribution must be under budget, and every source keeps >= 1 doc
+    assert(got.nonEmpty)
+    got.values.foreach { case (n, tok) =>
+      assert(n >= 1)
+      assert(tok >= math.min(budget, 1)) // something was kept
+    }
+    // determinism + monotonicity: doubling the budget never keeps fewer
+    val got2 = TextAnalysis.tokenBudgetMix(docs, budget * 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (src, (n, _)) => assert(got2(src) >= n) }
+  }
+
   test("normalizeRedact: lowercases, redacts digit runs, collapses spaces") {
     val docs = Seq(
       (1L, "Call 555  then  1234 NOW", "en", "s", 0L),
