@@ -256,9 +256,10 @@ object Dedup {
       // O(log diameter) rounds instead of O(diameter), one extra
       // (AQE-sized) shuffle per round over the checkpointed frame.
       // Persisted because it is read three times (the convergence agg
-      // below, then both union branches of the next round's cut); the
-      // final round's cache is released by the ContextCleaner when the
-      // returned frame goes unreachable.
+      // below, then both union branches of the next round's cut); every
+      // cache is explicitly unpersisted — the previous round's above,
+      // the final round's in the finally below (the CacheManager holds
+      // persisted plans strongly; nothing is GC-reclaimed).
       val updated = propagated
         .join(propagated.select(col("id").as("label"),
           col("label").as("l2")), "label")

@@ -285,33 +285,35 @@ object Similarity {
     * 100 TB raise [[BucketBits]] so buckets stay bounded and write the
     * corpus bucketed on the key; recall loss is the standard LSH trade.
     */
-  def lshNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"),
+  def lshNearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
+    nearDupPairs(
+      emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"),
-        signBucket(col("embedding")).as("bucket"))
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6)
-          .as("cos"))
-      .filter(col("cos") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
-  }
+        signBucket(col("embedding")).as("bucket")),
+      col("a.bucket") === col("b.bucket"), threshold)
 
   /** Embedding-cosine near-dup pairs, blocked by label and an id-distance
     * band so the pair space stays linear-ish in corpus size.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
-                         idBand: Long): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+                         idBand: Long): DataFrame =
+    nearDupPairs(
+      emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb")),
+      col("a.label") === col("b.label") &&
+        col("b.vec_id") - col("a.vec_id") <= idBand, threshold)
+
+  /** Shared near-dup pair machinery: self-join `e` (which must carry
+    * `vec_id`, a double `emb`, and its blocking columns) under the
+    * given blocking predicate, score each candidate with ONE rounded
+    * cosine, threshold, and order. Scoring/rounding conventions for the
+    * n11/n41 oracle twins live only here.
+    */
+  private def nearDupPairs(e0: DataFrame, blocking: Column,
+                           threshold: Double): DataFrame = {
+    val e = e0.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id") &&
-          col("b.vec_id") - col("a.vec_id") <= idBand)
+        blocking && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6)
           .as("cos"))

@@ -423,12 +423,17 @@ object TextAnalysis {
     * since any global top-k is contained in the union of partition
     * top-ks), which [[graft.ops.Skew]] demonstrates for aggregation.
     */
+  /** The stable per-doc sampling key shared by [[sourceCap]] and
+    * [[tokenBudgetMix]] — both MUST walk sources in the same order, so
+    * the key expression lives exactly once.
+    */
+  def sampKey: Column = md5(concat(lit("cap|"), col("doc_id").cast("string")))
+
   def sourceCap(docs: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("samp_key").asc, col("doc_id").asc)
-    docs.select(col("source"), col("doc_id"),
-        md5(concat(lit("cap|"), col("doc_id").cast("string"))).as("samp_key"))
+    docs.select(col("source"), col("doc_id"), sampKey.as("samp_key"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("source"), col("doc_id"), col("rk"))
@@ -454,7 +459,7 @@ object TextAnalysis {
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     docs.select(col("source"), col("doc_id"),
         functions.size(words(col("text"))).cast("long").as("n_tok"),
-        md5(concat(lit("cap|"), col("doc_id").cast("string"))).as("samp_key"))
+        sampKey.as("samp_key"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .filter(col("cum_tok") - col("n_tok") < budgetPerSource)
       .groupBy(col("source"))

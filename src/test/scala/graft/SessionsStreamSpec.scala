@@ -109,11 +109,16 @@ class SessionsStreamSpec extends SparkSpec {
         .collect().filter(_.user_id != 99L)
         .map(s => (s.user_id, s.session_start.getTime, s.n_events,
           s.duration_sec, s.sum_value)).toSet
+      // sessionize formats session_start in the UTC session timezone;
+      // parse it back AS UTC (Timestamp.valueOf would use the JVM
+      // default zone and shift the epoch on non-UTC machines)
+      def utcMillis(s: String): Long =
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
       val batchTwin = graft.ops.Reports.sessionize(
           events.toDF("ts", "user_id", "value")
             .withColumn("event_id", unix_micros(col("ts"))), 10)
-        .collect().map(r => (r.getLong(0),
-          java.sql.Timestamp.valueOf(r.getString(3)).getTime,
+        .collect().map(r => (r.getLong(0), utcMillis(r.getString(3)),
           r.getLong(2), r.getLong(4), r.getDouble(5))).toSet
       assert(streamed === batchTwin)
     } finally q.stop()

@@ -157,20 +157,31 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.sourceCap(docs, 3).collect().map(_.getLong(1)).toSeq)
   }
 
-  test("tokenBudgetMix: greedy prefix respects the budget; a doc may " +
-    "straddle the boundary but none starts past it") {
+  test("tokenBudgetMix equals an in-memory greedy-prefix simulation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val budget = 300L
     val got = TextAnalysis.tokenBudgetMix(docs, budget).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // the last kept doc may overshoot, but tokens_kept minus that doc's
-    // contribution must be under budget, and every source keeps >= 1 doc
-    assert(got.nonEmpty)
-    got.values.foreach { case (n, tok) =>
-      assert(n >= 1)
-      assert(tok >= math.min(budget, 1)) // something was kept
+    // exact expectation: walk each source in (md5("cap|" + id), id)
+    // order, keep docs while the budget is not yet full when one starts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String = {
+      md.reset()
+      md.digest(s"cap|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    // determinism + monotonicity: doubling the budget never keeps fewer
+    val expected = docs.select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (src, rows) =>
+        var cum = 0L; var n = 0L; var tok = 0L
+        rows.sortBy(r => (key(r._2), r._2)).foreach { case (_, _, t) =>
+          if (cum < budget) { n += 1; tok += t }
+          cum += t
+        }
+        src -> ((n, tok))
+      }
+    assert(got === expected)
+    // monotonicity: doubling the budget never keeps fewer
     val got2 = TextAnalysis.tokenBudgetMix(docs, budget * 2).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     got.foreach { case (src, (n, _)) => assert(got2(src) >= n) }
