@@ -1103,6 +1103,27 @@ object Queries {
         |FROM cum WHERE cum_tok - n_tok < 1000
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Sequence packing: concat-and-split docs into 512-token training
+    // sequences per source (a doc belongs to the sequence its first
+    // token lands in); per-sequence accounting.
+    ("n43_sequence_packing",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sequencePacking(docs(s, d), 512L),
+      Some("""WITH keyed AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5('cap|' || doc_id::varchar) AS samp_key
+        |  FROM documents),
+        |cum AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY samp_key ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM keyed)
+        |SELECT source, CAST((cum_tok - n_tok) // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM cum GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin)),
+
     // Scalar int8 quantization of embeddings: global per-dim (min, max)
     // stats then round((x-mn)*255/(mx-mn)) codes — double math with a
     // fixed op order on both sides, so the codes are bit-exact.

@@ -468,6 +468,36 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Sequence packing — concat-and-split assignment of docs into fixed
+    * `capacity`-token training sequences, per source: walk the source's
+    * docs in the stable [[sampKey]] order, concatenate token counts, and
+    * assign each doc to the sequence its FIRST token lands in
+    * (`seq_id = ⌊tokens-before / capacity⌋` — the standard pretraining
+    * packing model where a doc may straddle a boundary). Emits
+    * per-sequence accounting.
+    *
+    * Same one-window-per-source shape (and skew caveat) as
+    * [[tokenBudgetMix]]; packing is embarrassingly parallel across
+    * sources.
+    */
+  def sequencePacking(docs: DataFrame, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("source"))
+      .orderBy(col("samp_key").asc, col("doc_id").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    docs.select(col("source"), col("doc_id"),
+        functions.size(words(col("text"))).cast("long").as("n_tok"),
+        sampKey.as("samp_key"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("seq_id",
+        ((col("cum_tok") - col("n_tok")) / capacity).cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   /** Text normalization + scrubbing — the cleanup pass before any hash,
     * dedup, or tokenizer sees the text: lowercase, digit runs redacted to
     * a `<num>` sentinel (the PII/number-scrub shape: same regex chain

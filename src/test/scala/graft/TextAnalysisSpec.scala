@@ -187,6 +187,33 @@ class TextAnalysisSpec extends SparkSpec {
     got.foreach { case (src, (n, _)) => assert(got2(src) >= n) }
   }
 
+  test("sequencePacking equals an in-memory concat-and-split simulation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cap = 512L
+    val got = TextAnalysis.sequencePacking(docs, cap).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String = {
+      md.reset()
+      md.digest(s"cap|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = docs.select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+      .groupBy(_._1).flatMap { case (src, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (key(r._2), r._2)).map { case (_, _, t) =>
+          val seq = cum / cap
+          cum += t
+          ((src, seq), t)
+        }.groupBy(_._1).map { case (k, xs) =>
+          k -> ((xs.length.toLong, xs.map(_._2).sum))
+        }
+      }.toMap
+    assert(got === expected)
+  }
+
   test("normalizeRedact: lowercases, redacts digit runs, collapses spaces") {
     val docs = Seq(
       (1L, "Call 555  then  1234 NOW", "en", "s", 0L),
