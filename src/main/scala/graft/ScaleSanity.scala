@@ -41,7 +41,8 @@ object ScaleSanity {
         "n30_repetition_quality", "n31_ngram_decontamination",
         "b26_asof_forward", "n36_normalize_redact", "n37_chunks",
         "n38_int8_codes", "n39_source_cap", "n40_int8_ann_topk",
-        "n41_lsh_neardup_pairs")) {
+        "n41_lsh_neardup_pairs",
+        "n42_token_budget_mix", "n43_sequence_packing")) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very
       // projections being measured (same fix as Bench)
