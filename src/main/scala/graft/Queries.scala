@@ -1310,9 +1310,47 @@ object Queries {
         TextAnalysis.bloomDecontamination(docs(s, d)),
       None),
 
+    // Winnowing fingerprint matches — full oracle: the k-gram Rabin-Karp
+    // hash (B = 1000003, mod 2^64) is reproduced with HUGEINT arithmetic
+    // (B^p mod 2^64 precomputed as literals), window minima compare
+    // unsigned in [0, 2^64) exactly like the expression's
+    // compareUnsigned, and the emitted fingerprint SET is order-
+    // insensitive so the rightmost-tie/selection-order details drop out;
+    // signed BIGINT conversion happens only at the end to match Spark's
+    // long representation.
     ("n18_winnow_matches",
       (s: SparkSession, d: String) => TextAnalysis.winnowMatches(docs(s, d)),
-      None),
+      Some("""WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(text) - 7), i ->
+        |      (ord(substr(text, i, 1))::HUGEINT * 12924618581234127435 +
+        |       ord(substr(text, i + 1, 1))::HUGEINT * 10923514805226455897 +
+        |       ord(substr(text, i + 2, 1))::HUGEINT * 14453212906556403763 +
+        |       ord(substr(text, i + 3, 1))::HUGEINT * 14003818205314896721 +
+        |       ord(substr(text, i + 4, 1))::HUGEINT * 1000009000027000027 +
+        |       ord(substr(text, i + 5, 1))::HUGEINT * 1000006000009 +
+        |       ord(substr(text, i + 6, 1))::HUGEINT * 1000003 +
+        |       ord(substr(text, i + 7, 1))::HUGEINT
+        |      ) % 18446744073709551616) AS hs
+        |  FROM documents WHERE len(text) >= 8),
+        |wins AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+        |      ELSE list_transform(generate_series(1, len(hs) - 3),
+        |        s -> list_aggregate(hs[s:s+3], 'min'))
+        |    END AS mins
+        |  FROM h),
+        |fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fpu FROM wins),
+        |signedfp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN fpu >= 9223372036854775808
+        |      THEN CAST(fpu - 18446744073709551616 AS BIGINT)
+        |      ELSE CAST(fpu AS BIGINT) END AS fp
+        |  FROM fp)
+        |SELECT fp, count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM signedfp GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY fp""".stripMargin)),
 
     ("n17_minhash_fast",
       (s: SparkSession, d: String) => Dedup.minhashSignaturesFast(docs(s, d)),
