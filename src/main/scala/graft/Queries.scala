@@ -1060,11 +1060,53 @@ object Queries {
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
     // ANN on the int8-quantized representation + exact re-rank (the
-    // search half of n38; rows-only — recall property in SimilaritySpec).
+    // search half of n38). Fully oracled: the quantize→dequantize round
+    // trip, both cosines, and both rankings are deterministic double
+    // math with identical op order in both engines (recall property
+    // additionally in SimilaritySpec).
     ("n40_int8_ann_topk",
       (s: SparkSession, d: String) =>
         Similarity.int8AnnTopK(emb(s, d), 5, 10),
-      None),
+      Some("""WITH ui AS (
+        |  SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+        |u AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM ui),
+        |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i),
+        |mml AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |  FROM mm),
+        |e AS (
+        |  SELECT vec_id, emb,
+        |    list_transform(generate_series(1, len(emb)), i ->
+        |      CASE WHEN mxs[i] = mns[i] THEN mns[i]
+        |        ELSE round((emb[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]), 0)
+        |          * (mxs[i] - mns[i]) / 255.0 + mns[i] END) AS qemb
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), mml),
+        |n AS (
+        |  SELECT vec_id, emb, qemb,
+        |    sqrt(list_dot_product(emb, emb)) AS nrm,
+        |    sqrt(list_dot_product(qemb, qemb)) AS qnrm
+        |  FROM e),
+        |approx AS (
+        |  SELECT p.vec_id AS q_id, c.vec_id, p.emb AS q_emb, p.nrm AS q_nrm,
+        |    c.emb, c.nrm,
+        |    list_dot_product(p.qemb, c.qemb) / (p.qnrm * c.qnrm) AS qcos
+        |  FROM n c JOIN n p ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+        |short AS (
+        |  SELECT q_id, vec_id, q_emb, q_nrm, emb, nrm,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY qcos DESC, vec_id ASC) AS qrnk
+        |  FROM approx),
+        |cands AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_dot_product(q_emb, emb) / (q_nrm * nrm), 6) AS cos
+        |  FROM short WHERE qrnk <= 30),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM cands)
+        |SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin)),
 
     // Deterministic per-source cap (md5-ordered "sample" of k docs per
     // source) — the no-source-dominates guard of corpus assembly.
