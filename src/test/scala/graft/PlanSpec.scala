@@ -127,4 +127,18 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
       "expected partial + final WindowGroupLimit:\n" + p)
   }
+
+  test("no query in the registry plans a CartesianProduct") {
+    // the silent scale-killer: an unkeyed join degenerating to all-pairs.
+    // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin
+    // (allowed); an actual CartesianProduct anywhere is a bug. Runs at
+    // sf0.001 because building some plans executes driver-side training
+    // loops (IVF, connected components).
+    val tiny = "/root/testdata/sf0.001"
+    graft.Queries.queries.foreach { case (name, fn) =>
+      val p = fn(spark, tiny).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+    }
+  }
 }
