@@ -304,10 +304,13 @@ object TextAnalysis {
   /** TF-IDF: top-`k` highest-scoring terms per document. tf = in-doc
     * count, idf = ln(N / df) over distinct-word document frequency.
     * Two shuffles (df aggregate, per-doc rank); the df table is tiny
-    * (vocabulary-sized) and broadcast into the scoring join.
+    * (vocabulary-sized) and broadcast into the scoring join. The corpus
+    * size N is a 1-row aggregate broadcast into the scorer — never a
+    * driver-side `count()`, so the whole query stays lazy (composable,
+    * and the same shape reuses on a stream where an eager action is
+    * illegal).
     */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
-    val n = docs.count()
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -315,12 +318,17 @@ object TextAnalysis {
         explode(array_distinct(words(col("text")))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("df"))
+    // N as data, not as a literal: count(1) over the scan reads zero
+    // columns; the 1-row frame broadcasts (BroadcastNestedLoopJoin on a
+    // single row — bounded by construction)
+    val n = docs.agg(count(lit(1)).cast("double").as("n_total"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
     tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(col("n_total") / col("df")), 6).as("tfidf"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .orderBy(col("doc_id"), col("rnk"))
@@ -328,20 +336,33 @@ object TextAnalysis {
 
   /** Train/test decontamination: test-split documents whose content
     * fingerprint also appears in the train split — the leakage check every
-    * eval pipeline needs. One fingerprint hash-join; at 100 TB the
-    * fingerprint table is the join key, never the text.
+    * eval pipeline needs.
+    *
+    * ONE corpus scan, one shuffle: group by fingerprint collecting the
+    * test-side and train-side member ids, then expand the cross pairs from
+    * the (tiny) per-fingerprint lists. The self-join formulation scanned
+    * `documents` twice and computed [[fingerprintCol]] (md5 over
+    * sort+distinct of the word array — the expensive part) twice per row;
+    * here every row is fingerprinted exactly once (PlanSpec pins this).
+    * Per-fingerprint lists are bounded by the exact-duplicate group size,
+    * the same bound the join's output already carries.
     */
-  def decontamination(docs: DataFrame): DataFrame = {
-    val fp = docs.select(col("doc_id"), fingerprintCol.as("fingerprint"),
-      splitCol.as("split"))
-    fp.filter(col("split") === "test").as("t")
-      .join(fp.filter(col("split") === "train").as("tr"),
-        col("t.fingerprint") === col("tr.fingerprint"))
-      .select(col("t.doc_id").as("test_doc"),
-        col("tr.doc_id").as("train_doc"),
-        col("t.fingerprint").as("fingerprint"))
+  def decontamination(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprintCol.as("fingerprint"),
+        splitCol.as("split"))
+      .groupBy(col("fingerprint"))
+      .agg(
+        sort_array(collect_list(when(col("split") === "test", col("doc_id"))))
+          .as("tests"),
+        sort_array(collect_list(when(col("split") === "train", col("doc_id"))))
+          .as("trains"))
+      .filter(functions.size(col("tests")) > 0 &&
+        functions.size(col("trains")) > 0)
+      .select(col("fingerprint"), col("trains"),
+        explode(col("tests")).as("test_doc"))
+      .select(col("test_doc"), explode(col("trains")).as("train_doc"),
+        col("fingerprint"))
       .orderBy(col("test_doc"), col("train_doc"))
-  }
 
   /** Bloom-filter decontamination — the 100 TB path for [[decontamination]]:
     * instead of shuffling (fingerprint, doc) pairs into a join, aggregate

@@ -113,6 +113,25 @@ class PlanSpec extends SparkSpec {
       "per-row simhash must not shuffle:\n" + p)
   }
 
+  test("n26: the content fingerprint is computed exactly once per row") {
+    // the one-scan groupBy rewrite fingerprints each doc once; the old
+    // self-join scanned documents twice (md5 over sort+distinct per branch)
+    val p = plan("n26_decontamination")
+    assert("array_distinct".r.findAllIn(p).length === 1,
+      "decontamination must fingerprint once:\n" + p)
+    assert("FileScan parquet".r.findAllIn(p).length === 1,
+      "decontamination must scan documents once:\n" + p)
+  }
+
+  test("n25: tf-idf is lazy end-to-end (N is a broadcast 1-row aggregate)") {
+    // plan construction must not run a driver-side count(); building the
+    // plan string here would hang/act if it did — additionally pin the
+    // corpus-size join shape
+    val p = plan("n25_tfidf_top_terms")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the 1-row N frame broadcast:\n" + p)
+  }
+
   test("n37: chunking is a per-row generator — no hash shuffle") {
     val p = plan("n37_chunks")
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
