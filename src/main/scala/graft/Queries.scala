@@ -1273,9 +1273,11 @@ object Queries {
     // Quality-aware keeper per near-dup cluster; oracled via the recursive
     // CC CTE + argmax on (score DESC, doc_id ASC).
     ("n27_keep_best",
-      (s: SparkSession, d: String) => Dedup.keepBestPerCluster(
-        Dedup.dupClusters(Dedup.minhashNearDupPairs(docs(s, d), 0.0)
-          .select(col("doc_a"), col("doc_b"))),
+      // upstream CC is the O(log n) star algorithm (the 100 TB default;
+      // n21 keeps the min-label twin as its own query) via the label-pair
+      // surface — no members arrays collected and re-exploded in between
+      (s: SparkSession, d: String) => Dedup.keepBestPerClusterLabels(
+        Dedup.dupLabelsLogN(Dedup.lshCandidatePairs(docs(s, d))),
         docs(s, d)),
       Some(s"""WITH RECURSIVE $CcClustersCte,
         |scored AS (SELECT lbl.cluster, lbl.id AS doc_id, length(d.text) AS score
@@ -1322,8 +1324,7 @@ object Queries {
     // as a joined string — comparators can't hash array cells.
     ("n21_dup_clusters",
       (s: SparkSession, d: String) => Dedup.dupClusters(
-        Dedup.minhashNearDupPairs(docs(s, d), 0.0)
-          .select(col("doc_a"), col("doc_b")))
+        Dedup.lshCandidatePairs(docs(s, d)))
         .withColumn("members",
           array_join(transform(col("members"), _.cast("string")), ",")),
       Some(s"""WITH RECURSIVE $CcClustersCte
@@ -1335,8 +1336,7 @@ object Queries {
     // path); identical oracle — both variants must agree exactly.
     ("n24_dup_clusters_logn",
       (s: SparkSession, d: String) => Dedup.dupClustersLogN(
-        Dedup.minhashNearDupPairs(docs(s, d), 0.0)
-          .select(col("doc_a"), col("doc_b")))
+        Dedup.lshCandidatePairs(docs(s, d)))
         .withColumn("members",
           array_join(transform(col("members"), _.cast("string")), ",")),
       Some(s"""WITH RECURSIVE $CcClustersCte

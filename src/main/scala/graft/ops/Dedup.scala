@@ -144,14 +144,19 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy(col("band"), col("band_key"))
 
-  /** Candidate pairs from any shared bucket, verified with exact Jaccard
-    * over distinct word sets. Pairs are generated per-bucket from a
-    * collected id list (bounded by near-dup cluster size) — no self-join,
-    * so the expensive minhash subtree is computed once, not twice;
-    * distinct pairs dedupe multi-band collisions.
+  /** Distinct candidate pairs from any shared LSH bucket — generated
+    * per-bucket from a collected id list (bounded by near-dup cluster
+    * size), never a self-join, so the expensive minhash subtree is
+    * computed once, not twice; `distinct` dedupes multi-band collisions.
+    *
+    * This IS `minhashNearDupPairs(docs, 0.0)` projected to its id pair:
+    * a 0.0 threshold never rejects a candidate (Jaccard of two candidate
+    * word sets is always defined and ≥ 0), so the connected-components
+    * queries take their edges here and skip the verify's two extra joins
+    * and two extra corpus scans (DedupSpec pins the equivalence).
     */
-  def minhashNearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val pairs = lshBandKeys(docs)
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    lshBandKeys(docs)
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -161,6 +166,12 @@ object Dedup {
           |    y -> named_struct('doc_a', x, 'doc_b', y))))""".stripMargin))
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
+
+  /** Candidate pairs from any shared bucket, verified with exact Jaccard
+    * over distinct word sets.
+    */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = lshCandidatePairs(docs)
     val w = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
     pairs
@@ -222,12 +233,14 @@ object Dedup {
     * driver loop holds only a convergence flag, never data).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // materialize the edge list once — every iteration (and the
-    // convergence check) would otherwise recompute the upstream pair
-    // pipeline (minhash, LSH, jaccard) from scratch per round
-    val edges = Checkpoints.cut(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // materialize the PAIR list once, THEN mirror it — a union of two
+    // branches over the uncut plan executes the upstream pair pipeline
+    // (minhash, LSH, jaccard) twice; mirroring the checkpointed frame
+    // just reads the blocks again
+    val base = Checkpoints.cut(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val edges = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     // Min-label propagation strictly decreases Σlabel until the fixpoint,
@@ -274,6 +287,8 @@ object Dedup {
       prevSum = s
       labels = updated
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"CC_ROUND minlabel $i sum=$s")
     }
     // silent truncation would return SPLIT clusters — fail loudly instead
     // (min-label needs O(diameter) rounds; for long chains at scale use
@@ -305,10 +320,11 @@ object Dedup {
     *   (and u) link to that minimum. Alternating them contracts every
     *   component to a star rooted at its minimum id.
     *
-    * Output schema matches [[dupClusters]]; DedupSpec proves equality on
-    * random graphs.
+    * Emits (cluster, id) membership pairs (cluster = component minimum);
+    * [[dupClustersLogN]] rolls them up to the [[dupClusters]] schema, and
+    * DedupSpec proves the two algorithms equal on random graphs.
     */
-  def dupClustersLogN(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+  def dupLabelsLogN(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
     def canonical(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"),
@@ -357,18 +373,44 @@ object Dedup {
       prev = fp
       edges = next
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"CC_ROUND star $i fp=$fp")
     }
     require(converged,
       s"dupClustersLogN did not converge in $maxIters rounds")
     // edges are now (member -> root); roots themselves appear as u=v-free
-    val members = edges.select(col("v").as("cluster"), col("u").as("id"))
+    edges.select(col("v").as("cluster"), col("u").as("id"))
       .union(edges.select(col("v").as("cluster"), col("v").as("id")))
       .distinct()
-    members.groupBy(col("cluster"))
+  }
+
+  /** [[dupLabelsLogN]] rolled up to the [[dupClusters]] output schema
+    * (cluster, n_docs, members) — the reporting surface; join-shaped
+    * consumers ([[keepBestPerClusterLabels]]) should take the labels
+    * directly and skip the collect_list/explode round trip.
+    */
+  def dupClustersLogN(pairs: DataFrame, maxIters: Int = 12): DataFrame =
+    dupLabelsLogN(pairs, maxIters)
+      .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_docs"),
         sort_array(collect_list(col("id"))).as("members"))
       .orderBy(col("cluster"))
-  }
+
+  /** Keeper selection straight off (cluster, id) label pairs — same
+    * output as [[keepBestPerCluster]] without materializing the members
+    * arrays first (one join + one aggregate; nothing is collected and
+    * re-exploded).
+    */
+  def keepBestPerClusterLabels(labels: DataFrame, docs: DataFrame): DataFrame =
+    labels.select(col("cluster"), col("id").as("doc_id"))
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("score")), "doc_id")
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid")))
+        .as("best"), count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("best.nid")).as("keeper"),
+        col("best.score").as("keeper_score"), col("n_members"))
+      .orderBy(col("cluster"))
 
   /** 100 TB-path signature: xxhash64 longs instead of md5-hex (rows-only
     * check — hash is engine-specific), via the zero-shuffle custom

@@ -92,6 +92,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._3 <= 1.0 && p._3 >= 0.0))
   }
 
+  test("candidate pairs equal verified pairs at a 0.0 threshold") {
+    // the CC queries take their edges from lshCandidatePairs on the
+    // strength of this identity — a zero threshold never rejects
+    val cand = Dedup.lshCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minhashNearDupPairs(docs, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand === verified)
+    assert(cand.nonEmpty)
+  }
+
   test("simhash: identical docs equal, distinct docs differ (hamming)") {
     val h = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
