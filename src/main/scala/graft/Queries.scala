@@ -916,8 +916,10 @@ object Queries {
     // scale path twin of n11's id-band baseline (bucket equi-join,
     // pair count Σ bucket² not n²).
     ("n41_lsh_neardup_pairs",
+      // bucket width pinned to the oracle's constant here; the operator's
+      // default derives it from the corpus size (Similarity.deriveBucketBits)
       (s: SparkSession, d: String) =>
-        Similarity.lshNearDupPairs(emb(s, d), 0.3),
+        Similarity.lshNearDupPairs(emb(s, d), 0.3, Similarity.BucketBits),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |    ${(1 to Similarity.BucketBits).map(i =>
                s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")

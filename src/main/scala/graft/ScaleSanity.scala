@@ -49,6 +49,17 @@ object ScaleSanity {
       Queries.queries(name)(spark, out).queryExecution.toRdd.count()
       println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $name")
     }
+    // the production (derived-bits) n41 path: bucket width grows with the
+    // corpus so pair cost stays near-linear — the registry entry above
+    // pins 4 bits for its oracle and goes super-linear by design
+    {
+      val t0 = System.nanoTime()
+      val e = spark.read.parquet(s"$out/embeddings.parquet")
+      val bits = ops.Similarity.deriveBucketBits(e)
+      ops.Similarity.lshNearDupPairs(e, 0.3).queryExecution.toRdd.count()
+      println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+        s"n41_auto_bits (bits=$bits)")
+    }
     spark.stop()
   }
 }

@@ -62,11 +62,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Oracle-pinned default bucket width — the query registry passes this
+    * explicitly so the DuckDB twin can interpolate the same constant; the
+    * production default for [[lshNearDupPairs]] is [[deriveBucketBits]].
+    */
   val BucketBits = 4
 
-  /** Hyperplane-sign bucket over the first [[BucketBits]] dimensions. */
-  def signBucket(emb: Column): Column =
-    (1 to BucketBits).map(i =>
+  /** Target rows per sign bucket for [[deriveBucketBits]]. */
+  val TargetBucketRows = 256L
+
+  /** Bucket width sized to the corpus: pair cost is Σ bucket², so buckets
+    * must SHRINK as the corpus grows — a fixed width goes super-linear.
+    * ceil(log2(n / [[TargetBucketRows]])), clamped to [[BucketBits]]..24
+    * (a hyperplane per bit; beyond ~24 the recall loss outweighs the
+    * cut). Costs one count job at plan build — it reads zero columns,
+    * and the bit width has to be a plan-time constant because it fixes
+    * the expression arity.
+    */
+  def deriveBucketBits(emb: DataFrame): Int = {
+    val n = emb.count()
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / TargetBucketRows)) /
+        math.log(2.0)).toInt
+    math.min(24, math.max(BucketBits, raw))
+  }
+
+  /** Hyperplane-sign bucket over the first `bits` dimensions. */
+  def signBucket(emb: Column, bits: Int = BucketBits): Column =
+    (1 to bits).map(i =>
       when(element_at(emb, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0)))
       .reduce(_ + _)
 
@@ -281,16 +304,21 @@ object Similarity {
     * bucket — the scale-correct twin of [[cosineNearDupPairs]]' id-band
     * baseline: near-identical vectors land in the same bucket (sign
     * flips need a near-zero coordinate), so candidate generation is a
-    * bucket equi-join whose pair count is Σ bucket² instead of n². At
-    * 100 TB raise [[BucketBits]] so buckets stay bounded and write the
-    * corpus bucketed on the key; recall loss is the standard LSH trade.
+    * bucket equi-join whose pair count is Σ bucket² instead of n².
+    * `bucketBits <= 0` (the default) sizes the width to the corpus via
+    * [[deriveBucketBits]] so buckets stay bounded at any scale; the query
+    * registry pins [[BucketBits]] explicitly for its oracle twin. Recall
+    * loss is the standard LSH trade.
     */
-  def lshNearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
+  def lshNearDupPairs(emb: DataFrame, threshold: Double,
+                      bucketBits: Int = 0): DataFrame = {
+    val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
     nearDupPairs(
       emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"),
-        signBucket(col("embedding")).as("bucket")),
+        signBucket(col("embedding"), bits).as("bucket")),
       col("a.bucket") === col("b.bucket"), threshold)
+  }
 
   /** Embedding-cosine near-dup pairs, blocked by label and an id-distance
     * band so the pair space stays linear-ish in corpus size.
