@@ -1413,8 +1413,10 @@ object Queries {
         |  event_type, count(*) AS n, $DecSum AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
-    // Binary payload → mapPartitions feature extraction (decode stubbed,
-    // plumbing real — see sources/Multimodal.scala). Rows-only check.
+    // Binary payload → mapPartitions feature extraction with real JDK
+    // codecs (PNG via ImageIO, WAV via AudioSystem, PNG-frame video
+    // container — see sources/Multimodal.scala). Rows-only check: float
+    // feature means are not SQL-oracle material.
     ("m1_multimodal_features",
       (s: SparkSession, d: String) =>
         graft.sources.Multimodal.featureStats(s, d),

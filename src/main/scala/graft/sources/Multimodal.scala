@@ -1,25 +1,37 @@
 package graft.sources
 
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing (north star, BASELINE.json): image/audio/
-  * video payloads travel as opaque `binary` columns next to typed metadata;
-  * decode / feature-extraction runs as a per-partition batch transform.
+/** Multimodal-column pipeline (north star, BASELINE.json): image/audio/
+  * video payloads travel as opaque `binary` columns next to typed
+  * metadata; decode / feature-extraction runs as a per-partition batch
+  * transform with REAL public-JDK codecs:
   *
-  * The Spark-side machinery here — schema, partitioning, the
-  * `mapPartitions` batch shape (the JVM analog of an arrow-batched pandas
-  * UDF), real and tested. The actual codec call is STUBBED with a
-  * deterministic fake (`fakeDecode`), clearly marked below, because no
-  * image/audio library ships in this container; swapping in a real decoder
-  * changes only that one function.
+  *   - image: PNG, encoded and decoded through `javax.imageio.ImageIO`;
+  *   - audio: 16-bit PCM WAV (RIFF), decoded through
+  *     `javax.sound.sampled.AudioSystem`;
+  *   - video: a toy `GFV1` container (magic + frame count + length-
+  *     prefixed PNG frames — hand-parsed, since no video codec ships in
+  *     the JDK) whose frames are real PNGs; frame-sampling decodes the
+  *     first and last frame through ImageIO.
   *
-  * Scale notes: payload bytes never pass through a shuffle — the transform
-  * is map-side only; binary columns ride parquet page compression;
-  * `spark.sql.files.maxPartitionBytes` bounds per-task memory since rows
-  * are wide. Feature vectors (small) are what downstream joins/aggs touch.
+  * The payload bytes are synthesized deterministically from `events` (in
+  * production they would come off storage; everything downstream of the
+  * payload column — decode, features, roll-ups — is the path a real
+  * pipeline runs).
+  *
+  * Scale notes: payload bytes never pass through a shuffle — the
+  * transform is map-side only; binary columns ride parquet page
+  * compression; `spark.sql.files.maxPartitionBytes` bounds per-task
+  * memory since rows are wide. Codecs are JVM-static, so per-partition
+  * init cost is nil and the `mapPartitions` shape (the JVM analog of an
+  * arrow-batched pandas UDF) amortizes row overhead. Feature vectors
+  * (small) are what downstream joins/aggs touch.
   */
 object Multimodal {
 
@@ -33,24 +45,113 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true))),
       nullable = true)))
 
-  /** Synthesize a deterministic media table from `events`: payload bytes
-    * derived from the row content (stands in for real image/audio blobs).
+  // ======== deterministic payload synthesis (test scaffolding) ========
+
+  /** Tiny image dims in 4..11 px so a 100 TB-shaped scan stays cheap. */
+  def imgDims(id: Long): (Int, Int) =
+    ((4 + (id % 8)).toInt, (4 + ((id / 8) % 8)).toInt)
+
+  /** The pixel formula — also the spec's hand-computed expectation. */
+  def pixelRgb(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    ((((id * 31) + x * 7 + y * 13) & 0xff).toInt,
+      (((id * 17) + x * 11 + y * 3) & 0xff).toInt,
+      (((id * 23) + x * 5 + y * 19) & 0xff).toInt)
+
+  /** A real PNG (ImageIO encoder; TYPE_INT_RGB → lossless round trip). */
+  def pngBytes(id: Long): Array[Byte] = {
+    val (w, h) = imgDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixelRgb(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  val WavRate = 8000
+
+  /** The sample formula — 16-bit signed PCM, spec-recomputable. */
+  def wavSample(id: Long, i: Int): Short =
+    (((((id + 1) * 2654435761L) + i.toLong * 40503L) & 0xffffL) - 32768L)
+      .toShort
+
+  /** A real RIFF/WAV: 44-byte canonical header + mono 16-bit PCM. */
+  def wavBytes(id: Long): Array[Byte] = {
+    val n = 16 + (id % 32).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(WavRate)
+      .putInt(WavRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(wavSample(id, i)); i += 1 }
+    bb.array()
+  }
+
+  val GfvMagic: Array[Byte] = "GFV1".getBytes("US-ASCII")
+  val GfvFrames = 2
+
+  /** Toy video container: magic, big-endian frame count, then length-
+    * prefixed PNG frames (frame f is the image of id·8+f, so frames
+    * differ deterministically).
+    */
+  def gfvBytes(id: Long): Array[Byte] = {
+    val frames = (0 until GfvFrames).map(f => pngBytes(id * 8 + f))
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + frames.map(_.length + 4).sum)
+    bb.put(GfvMagic).putInt(frames.length)
+    frames.foreach(f => bb.putInt(f.length).put(f))
+    bb.array()
+  }
+
+  /** Synthesize the media table from `events`: a deterministic 1-in-5
+    * sidecar sample (not every event carries media), kind round-robined
+    * by id. Payload encoding is per-partition work (the codecs are
+    * imperative Java), exactly like the decode side — and codec work is
+    * the cost here, NOT the scan, so the id column is repartitioned to
+    * the session's parallelism first: the shuffle moves only longs, and
+    * every core then encodes/decodes its own slice (a single small
+    * parquet file would otherwise serialize 10⁵ codec calls onto one
+    * task).
     */
   def mediaFromEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.ops.Tables.events(spark, dir)
-    ev.select(
-      col("event_id").as("media_id"),
-      when(pmod(col("event_id"), lit(3)) === 0, "image")
-        .when(pmod(col("event_id"), lit(3)) === 1, "audio")
-        .otherwise("video").as("kind"),
-      // fake payload: repeated md5-hex bytes, length keyed to the row
-      repeat(md5(col("event_id").cast("string")),
-        (pmod(col("event_id"), lit(8)) + 1).cast("int"))
-        .cast("binary").as("payload"),
-      struct(
-        (pmod(col("event_id"), lit(640)) + 32).cast("int").as("width"),
-        (pmod(col("event_id"), lit(480)) + 32).cast("int").as("height"),
-        lit(16000).as("sample_rate")).as("meta"))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    ev.select(col("event_id"))
+      .filter(pmod(col("event_id"), lit(5)) === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          (id % 3) match {
+            case 0 =>
+              val (w, h) = imgDims(id)
+              Row(id, "image", pngBytes(id), Row(w, h, null))
+            case 1 =>
+              Row(id, "audio", wavBytes(id), Row(null, null, WavRate))
+            case _ =>
+              val (w, h) = imgDims(id * 8) // first frame's dims
+              Row(id, "video", gfvBytes(id), Row(w, h, null))
+          }
+        }
+      }(enc)
   }
 
   val featureSchema: StructType = StructType(Seq(
@@ -59,43 +160,138 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
-  /** ======== STUB: deterministic fake decoder ========
-    * A real implementation would decode the payload (JPEG/WAV/MP4) and
-    * extract features; this fake derives an 8-dim feature from the raw
-    * bytes so the pipeline is deterministic and testable end-to-end.
-    */
-  def fakeDecode(payload: Array[Byte]): Array[Float] = {
-    val f = new Array[Float](8)
-    if (payload != null) {
-      var i = 0
-      while (i < payload.length) {
-        f(i % 8) += (payload(i) & 0xff) / 255.0f
-        i += 1
+  // ======== real decoders (public JDK codecs) ========
+
+  private def grayStats(img: java.awt.image.BufferedImage):
+      (Double, Double, Double, Double, Double) = {
+    // (meanR, meanG, meanB, minGray, maxGray) over the decoded pixels
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var mn = 255.0
+    var mx = 0.0
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff
+        val g = (p >> 8) & 0xff
+        val b = p & 0xff
+        sr += r; sg += g; sb += b
+        val gray = (r + g + b) / 3.0
+        if (gray < mn) mn = gray
+        if (gray > mx) mx = gray
+        x += 1
       }
+      y += 1
     }
-    f
+    val n = (w * h).toDouble
+    (sr / n, sg / n, sb / n, mn, mx)
   }
 
-  /** Per-partition batched decode — the `mapPartitions` shape a real
-    * decoder needs (amortize codec init across the partition, stream rows,
-    * never collect). Returns (media_id, kind, n_bytes, feature).
+  /** PNG → [w, h, meanR, meanG, meanB, minGray, maxGray, nPixels]. */
+  def decodeImage(payload: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (mr, mg, mb, mn, mx) = grayStats(img)
+    Array(img.getWidth.toFloat, img.getHeight.toFloat, mr.toFloat,
+      mg.toFloat, mb.toFloat, mn.toFloat, mx.toFloat,
+      (img.getWidth * img.getHeight).toFloat)
+  }
+
+  /** WAV → [nSamples, rate, meanAbs, rms, min, max, zeroCrossings,
+    * durationMs] via AudioSystem (header parse + PCM frames).
+    */
+  def decodeAudio(payload: Array[Byte]): Array[Float] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = bytes.length / 2
+      var i = 0
+      var sumAbs = 0.0
+      var sumSq = 0.0
+      var mn = Double.MaxValue
+      var mx = Double.MinValue
+      var zc = 0
+      var prev = 0
+      while (i < n) {
+        val s = bb.getShort(i * 2).toInt
+        sumAbs += math.abs(s)
+        sumSq += s.toDouble * s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+        prev = s
+        i += 1
+      }
+      val rate = fmt.getSampleRate
+      Array(n.toFloat, rate, (sumAbs / math.max(1, n)).toFloat,
+        math.sqrt(sumSq / math.max(1, n)).toFloat, mn.toFloat, mx.toFloat,
+        zc.toFloat, (n * 1000.0 / rate).toFloat)
+    } finally in.close()
+  }
+
+  /** GFV1 → decode first and last PNG frame →
+    * [nFrames, w, h, meanGrayFirst, meanGrayLast, |delta|, 0, nBytes].
+    */
+  def decodeVideo(payload: Array[Byte]): Array[Float] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    require(java.util.Arrays.equals(magic, GfvMagic),
+      "bad GFV1 container magic")
+    val nFrames = bb.getInt
+    val frames = (0 until nFrames).map { _ =>
+      val len = bb.getInt
+      val f = new Array[Byte](len)
+      bb.get(f)
+      f
+    }
+    def meanGray(f: Array[Byte]): (Double, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      require(img != null, "undecodable video frame")
+      val (mr, mg, mb, _, _) = grayStats(img)
+      ((mr + mg + mb) / 3.0, img.getWidth, img.getHeight)
+    }
+    val (g0, w, h) = meanGray(frames.head)
+    val (gL, _, _) = meanGray(frames.last)
+    Array(nFrames.toFloat, w.toFloat, h.toFloat, g0.toFloat, gL.toFloat,
+      math.abs(gL - g0).toFloat, 0f, payload.length.toFloat)
+  }
+
+  /** Per-partition batched decode — real codec calls per row, dispatched
+    * on `kind`; a null payload yields the zero feature. Returns
+    * (media_id, kind, n_bytes, feature).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
     media.select(col("media_id"), col("kind"), col("payload"))
       .mapPartitions { rows =>
-        // (real codec would be initialized once here, per partition)
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getLong(0), r.getString(1),
-            if (payload == null) 0 else payload.length,
-            fakeDecode(payload).toSeq)
+          val kind = r.getString(1)
+          val feature: Array[Float] =
+            if (payload == null) new Array[Float](8)
+            else kind match {
+              case "image" => decodeImage(payload)
+              case "audio" => decodeAudio(payload)
+              case "video" => decodeVideo(payload)
+              case _ => new Array[Float](8)
+            }
+          Row(r.getLong(0), kind,
+            if (payload == null) 0 else payload.length, feature.toSeq)
         }
       }(enc)
   }
 
   /** Feature roll-up per kind — the downstream consumer a training
-    * pipeline would run (rows-only check: stub features are not
+    * pipeline would run (rows-only check: float feature means are not
     * SQL-oracle material).
     */
   def featureStats(spark: SparkSession, dir: String): DataFrame =

@@ -3,21 +3,78 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.sources.Multimodal
 
-/** Multimodal plumbing: schema, payload synthesis, mapPartitions decode
-  * shape, determinism of the stubbed feature extraction.
+/** Multimodal pipeline: schema, payload synthesis, mapPartitions decode
+  * shape, and REAL codec round trips — decoded pixel/sample statistics
+  * are checked against hand-computed values from the synthesis formulas
+  * (PNG and 16-bit PCM round-trip losslessly, so decode must reproduce
+  * them exactly).
   */
 class MultimodalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("media table has the declared schema and payloads") {
+  test("media table has the declared schema and real codec payloads") {
     val m = Multimodal.mediaFromEvents(spark, dir)
     assert(m.schema.fieldNames.toSeq ===
       Seq("media_id", "kind", "payload", "meta"))
-    val r = m.filter(col("media_id") === 5L).head()
-    val payload = r.getAs[Array[Byte]]("payload")
-    // event 5 → repeat factor (5 % 8) + 1 = 6 × 32 hex chars
-    assert(payload.length === 6 * 32)
+    // sampled ids are multiples of 5; 0/10/5 cover image/audio/video
+    val rows = m.filter(col("media_id").isin(0L, 10L, 5L)).collect()
+      .map(r => r.getString(1) -> r.getAs[Array[Byte]]("payload")).toMap
+    // image payload is a real PNG (8-byte signature)
+    assert(rows("image").take(8).toSeq ===
+      Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    // audio payload is a real RIFF/WAV
+    assert(rows("audio").take(4).toSeq === "RIFF".getBytes("US-ASCII").toSeq)
+    // video payload is the GFV1 frame container
+    assert(rows("video").take(4).toSeq === Multimodal.GfvMagic.toSeq)
+  }
+
+  test("PNG decode reproduces the hand-computed pixel statistics") {
+    val id = 6L // event 6 → image kind
+    val (w, h) = Multimodal.imgDims(id)
+    // expected means straight from the pixel formula, never through ImageIO
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = Multimodal.pixelRgb(id, x, y)
+      sr += r; sg += g; sb += b
+    }
+    val n = (w * h).toDouble // double division then float, as decode does
+    val f = Multimodal.decodeImage(Multimodal.pngBytes(id))
+    assert(f(0) === w.toFloat && f(1) === h.toFloat)
+    assert(f(2) === (sr / n).toFloat && f(3) === (sg / n).toFloat &&
+      f(4) === (sb / n).toFloat)
+    assert(f(7) === n.toFloat)
+  }
+
+  test("WAV decode reproduces the hand-computed sample statistics") {
+    val id = 7L // event 7 → audio kind
+    val nSamples = 16 + (id % 32).toInt
+    val samples = (0 until nSamples).map(Multimodal.wavSample(id, _))
+    val f = Multimodal.decodeAudio(Multimodal.wavBytes(id))
+    assert(f(0) === nSamples.toFloat)
+    assert(f(1) === Multimodal.WavRate.toFloat)
+    assert(f(2) === (samples.map(s => math.abs(s.toInt)).sum.toDouble
+      / nSamples).toFloat)
+    assert(f(4) === samples.min.toFloat && f(5) === samples.max.toFloat)
+    val zc = samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+    assert(f(6) === zc.toFloat)
+  }
+
+  test("video container decode samples real first/last frames") {
+    val id = 8L // event 8 → video kind
+    val f = Multimodal.decodeVideo(Multimodal.gfvBytes(id))
+    assert(f(0) === Multimodal.GfvFrames.toFloat)
+    // first frame is the image of id*8 — its decoded mean gray must match
+    // the formula
+    val fid = id * 8
+    val (w, h) = Multimodal.imgDims(fid)
+    var sum = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = Multimodal.pixelRgb(fid, x, y)
+      sum += (r + g + b) / 3.0
+    }
+    assert(f(1) === w.toFloat && f(2) === h.toFloat)
+    assert(f(3) === (sum / (w * h)).toFloat)
   }
 
   test("feature extraction is deterministic and batched per partition") {
@@ -26,14 +83,20 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.mediaFromEvents(spark, dir).repartition(7))
     val a = f1.orderBy("media_id").collect()
     val b = f2.orderBy("media_id").collect()
-    assert(a.length === 1000)
+    assert(a.length === 200) // 1-in-5 sidecar sample of 1000 events
     assert(a.map(_.getAs[scala.collection.Seq[Float]]("feature")).toSeq ===
       b.map(_.getAs[scala.collection.Seq[Float]]("feature")).toSeq)
   }
 
-  test("featureStats rolls up per kind") {
+  test("featureStats rolls up per kind from decoded payloads") {
     val stats = Multimodal.featureStats(spark, dir).collect()
     assert(stats.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
-    assert(stats.map(_.getLong(1)).sum === 1000L)
+    assert(stats.map(_.getLong(1)).sum === 200L)
+    // avg of feature[0]: image → width in 4..11; audio → 16..47 samples;
+    // video → GfvFrames exactly
+    val byKind = stats.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byKind("video") === Multimodal.GfvFrames.toDouble)
+    assert(byKind("image") >= 4.0 && byKind("image") <= 11.0)
+    assert(byKind("audio") >= 16.0 && byKind("audio") <= 47.0)
   }
 }
