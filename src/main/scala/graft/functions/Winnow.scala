@@ -33,9 +33,12 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     doWinnow(input.asInstanceOf[UTF8String])
 
   def doWinnow(input: UTF8String): GenericArrayData = {
-    val s = input.toString
-    if (s.length < k) return new GenericArrayData(Array.empty[Any])
-    val n = s.length - k + 1
+    // k-grams are CODE POINTS, not UTF-16 units — the DuckDB oracle twin
+    // hashes ord(substr(...)) over code points, and astral-plane text
+    // (emoji) would otherwise count and hash differently on the two sides
+    val cps = input.toString.codePoints().toArray
+    if (cps.length < k) return new GenericArrayData(Array.empty[Any])
+    val n = cps.length - k + 1
     val hashes = new Array[Long](n)
     // Rabin-Karp mod 2^64 (natural Long wraparound — the rolling identity
     // h_{i+1} = (h_i - s[i]·B^{k-1})·B + s[i+k] holds exactly under
@@ -45,11 +48,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     while (j < k) { pow *= Base; j += 1 }
     var h = 0L
     var i = 0
-    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
+    while (i < k) { h = h * Base + cps(i); i += 1 }
     hashes(0) = h
     i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+      h = (h - cps(i - 1) * pow) * Base + cps(i + k - 1)
       hashes(i) = h
       i += 1
     }

@@ -127,11 +127,18 @@ object Similarity {
   def ivfTopK(emb: DataFrame, nProbes: Int, k: Int,
               nCentroids: Int = 16, iters: Int = 3, nProbe: Int = 2): DataFrame = {
     val e = Checkpoints.cut(withNorm(emb))
+    // degenerate corpora (empty, or every cell dropped by the all-null
+    // mean filter below) must yield an EMPTY result, not an analyzer
+    // error from array() over zero centroid structs in nearestCells
+    def emptyResult: DataFrame =
+      e.select(col("vec_id").as("q_id"), col("vec_id"),
+        lit(0d).as("cos"), lit(1).as("rnk")).limit(0)
     // --- train ---
     var centroids = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
       .collect().map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Double]](1).toArray))
+    if (centroids.isEmpty) return emptyResult
     for (_ <- 1 to iters) {
       // assignment is a pure map-side expression over the (bounded,
       // driver-collected) centroid array — the crossJoin + per-vector
@@ -152,6 +159,7 @@ object Similarity {
         .filter(col("mean").isNotNull) // all-null cell: drop, don't NPE
         .collect().map(r => (r.getLong(0),
           r.getAs[scala.collection.Seq[Double]]("mean").toArray))
+      if (centroids.isEmpty) return emptyResult
     }
     // --- index: corpus rows with their cell (map-side, no shuffle) ---
     val indexed = e.withColumn("cid", nearestCells(centroids, 1).getItem(0))

@@ -92,6 +92,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._3 <= 1.0 && p._3 >= 0.0))
   }
 
+  test("eligible(text) agrees with signature nullability on tricky tokens") {
+    // three hand-mirrored copies of the split(" ", -1) token-count
+    // semantics exist (eligible, MinHashSignature, the off-heap Fast
+    // scan); if any drifts, filter(eligible) and the <3-token null path
+    // silently disagree — pin them together over the tricky corpus
+    val tricky = Seq("", " ", "  ", "a b", "a b c", " a b", "a b ",
+      "a  b", "a  b c", "ä ö ü", "one two three four",
+      "😀 x y")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = tricky.select(col("text"),
+      graft.functions.MinHash.eligible(col("text")).as("e"),
+      graft.functions.MinHash.signature(col("text"), 4).isNotNull.as("s"),
+      graft.functions.MinHashFast.signature(col("text"), 4).isNotNull
+        .as("sf")).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(1) === r.getBoolean(2), s"'${r.getString(0)}'")
+      assert(r.getBoolean(1) === r.getBoolean(3), s"'${r.getString(0)}'")
+    }
+  }
+
   test("candidate pairs equal verified pairs at a 0.0 threshold") {
     // the CC queries take their edges from lshCandidatePairs on the
     // strength of this identity — a zero threshold never rejects

@@ -193,6 +193,16 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.int8Codes(empty, 10).count() === 0)
   }
 
+  test("ivfTopK: empty corpus yields an empty frame, not an analyzer error") {
+    // zero centroids used to reach array() over no structs in
+    // nearestCells and fail analysis with getField on NullType
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfTopK(empty, 10, 5)
+    assert(got.columns.toSeq === Seq("q_id", "vec_id", "cos", "rnk"))
+    assert(got.count() === 0)
+  }
+
   test("LSH ANN results are a subset of the probe's sign bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val buckets = emb.select(col("vec_id"),

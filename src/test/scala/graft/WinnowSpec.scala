@@ -33,6 +33,20 @@ class WinnowSpec extends SparkSpec {
     assert(c.isEmpty)
   }
 
+  test("fingerprints hash code points, not UTF-16 units") {
+    // "a😀b" is 3 code points but 4 UTF-16 units; with k=2, w=1 the
+    // fingerprint set must be exactly the two hand-computed code-point
+    // bigram hashes (the DuckDB oracle hashes ord() over code points —
+    // unit-based hashing would emit 3 k-grams with different values)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val c = Bridge.column(graft.functions.WinnowFingerprints(
+      Bridge.expression(col("text")), 2, 1))
+    val got = Seq("a😀b").toDF("text").select(c.as("f"))
+      .head().getAs[scala.collection.Seq[Long]]("f").toSet
+    val B = 1000003L
+    assert(got === Set(97L * B + 128512L, 128512L * B + 98L))
+  }
+
   test("matches query finds planted near-dups in documents") {
     val docs = Seq(
       (1L, "some long enough piece of text that we will duplicate around"),
