@@ -77,6 +77,67 @@ object Graft {
       "error_rate_hourly" -> Reports.errorRateHourly(ev))
   }
 
+  private def htmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Render the report sections into ONE self-contained HTML document —
+    * the reference's actual output artifact (one pgbadger HTML per run,
+    * rds_pgbadger.py:44-45,60-62). Every section is an AGGREGATE (counts,
+    * percentiles, top-k), so collecting it is bounded by construction no
+    * matter the input scale; the heavy lifting stays in the distributed
+    * section queries.
+    */
+  def renderReportHtml(title: String,
+                       sections: Map[String, DataFrame]): String = {
+    val body = sections.toSeq.sortBy(_._1).map { case (name, df) =>
+      val cols = df.columns
+      val rows = df.collect()
+      val head = cols.map(c => s"<th>${htmlEscape(c)}</th>")
+        .mkString("<tr>", "", "</tr>")
+      val trs = rows.map { r =>
+        cols.indices.map { i =>
+          val v = if (r.isNullAt(i)) "" else r.get(i).toString
+          s"<td>${htmlEscape(v)}</td>"
+        }.mkString("<tr>", "", "</tr>")
+      }.mkString("\n")
+      s"""<section id="${htmlEscape(name)}">
+         |<h2>${htmlEscape(name)}</h2>
+         |<table>$head
+         |$trs
+         |</table>
+         |</section>""".stripMargin
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8">
+       |<title>${htmlEscape(title)}</title></head>
+       |<body><h1>${htmlEscape(title)}</h1>
+       |$body
+       |</body></html>
+       |""".stripMargin
+  }
+
+  /** The reference's end product: select the reference hour's log files,
+    * parse, aggregate every report section, compose ONE HTML report, and
+    * publish it memoized+atomic (skip when the artifact already exists —
+    * Luigi's `output().exists()` contract). Returns true when the
+    * artifact was written, false on the memoized skip.
+    */
+  def writeReportDocument(spark: SparkSession, logDir: String,
+                          outDir: String, referenceDateHour: String,
+                          maxRecords: Int = 5): Boolean = {
+    val target = s"$outDir/report_$referenceDateHour.html"
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // memo check FIRST: a skipped run must not even plan the queries
+    if (fs.exists(new org.apache.hadoop.fs.Path(target))) return false
+    val selected = selectLogFiles(spark, logDir, referenceDateHour,
+      maxRecords)
+    val parsed = readLogLines(spark, logDir, selected)
+    val html = renderReportHtml(s"graft report $referenceDateHour",
+      reportSections(parsed))
+    Sinks.writeStringIfAbsent(spark, target, html)
+  }
+
   /** Reference-faithful per-file granularity: every report section keyed
     * and partitioned by source file, one output partition per log file —
     * the Spark shape of "one pgbadger HTML per downloaded log"

@@ -85,4 +85,34 @@ object Sinks {
       .partitionBy("p_day")
       .parquet(path)
   }
+
+  /** Luigi-style memoized ATOMIC string artifact (the reference's
+    * `LocalTarget.temporary_path()` + rename for its HTML reports,
+    * rds_pgbadger.py:44-49, with the exists-check memoization of
+    * :25-26,70-71): no-op returning false if `path` exists, else write
+    * to a sibling temp file and rename into place. Goes through the
+    * path's own Hadoop FileSystem so the same call publishes to local
+    * disk, HDFS, or s3a (where "rename" is the store's copy semantics,
+    * exactly like the reference's boto upload).
+    */
+  def writeStringIfAbsent(spark: org.apache.spark.sql.SparkSession,
+                          path: String, content: String): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) false
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(
+        dst.getParent, s".${dst.getName}.tmp-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        // a concurrent writer won the rename — the artifact exists, which
+        // is exactly the memoized outcome
+        if (!fs.exists(dst))
+          throw new java.io.IOException(s"could not publish $dst")
+        false
+      } else true
+    }
+  }
 }

@@ -55,6 +55,29 @@ class GraftSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/level_counts").collect().toSet === before)
   }
 
+  test("report document: sections → one HTML artifact, memoized re-run skips") {
+    val logDir = writeLogDir()
+    val out = Files.createTempDirectory("graft_report_doc").toString
+    val wrote = Graft.writeReportDocument(spark, logDir, out,
+      "2024-01-15-02", 5)
+    assert(wrote)
+    val target = Paths.get(out, "report_2024-01-15-02.html")
+    val html = new String(Files.readAllBytes(target), UTF_8)
+    // one artifact containing every section, reference-style
+    Seq("level_counts", "hourly_histogram", "query_stats", "percentiles",
+      "top_slowest", "error_rate_hourly").foreach(s =>
+      assert(html.contains(s"<h2>$s</h2>"), s))
+    assert(html.contains("<td>")) // real rows rendered, not empty tables
+    assert(!Files.list(Paths.get(out)).iterator().asScala
+      .exists(_.getFileName.toString.contains(".tmp-"))) // temp renamed away
+    // (a .crc sibling is Hadoop local-FS checksumming, not a leak)
+    // memoized skip: second run neither rewrites nor replans
+    val m0 = Files.getLastModifiedTime(target)
+    assert(!Graft.writeReportDocument(spark, logDir, out,
+      "2024-01-15-02", 5))
+    assert(Files.getLastModifiedTime(target) === m0)
+  }
+
   test("CLI main: flags → full pipeline on a temp dir; bad args rejected") {
     val logDir = writeLogDir()
     val out = Files.createTempDirectory("graft_cli").toString
