@@ -49,6 +49,28 @@ object ScaleSanity {
       Queries.queries(name)(spark, out).queryExecution.toRdd.count()
       println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $name")
     }
+    // per-source windows under pathological skew: one source holds 90% of
+    // rows; the skew-aware two-stage running sum must not funnel them
+    // through one reducer (SkewSpec proves output equality)
+    {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .withColumn("source",
+          when(pmod(col("doc_id"), lit(10)) < 9, lit("dominant"))
+            .otherwise(col("source")))
+      for ((tag, df) <- Seq(
+          "n42_skewed_one_window" ->
+            ops.TextAnalysis.tokenBudgetMix(docs, 5000L),
+          "n42_skewed_two_stage" ->
+            ops.TextAnalysis.tokenBudgetMixSkewAware(docs, 5000L),
+          "n43_skewed_one_window" ->
+            ops.TextAnalysis.sequencePacking(docs, 512L),
+          "n43_skewed_two_stage" ->
+            ops.TextAnalysis.sequencePackingSkewAware(docs, 512L))) {
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $tag")
+      }
+    }
     // the production (derived-bits) n41 path: bucket width grows with the
     // corpus so pair cost stays near-linear — the registry entry above
     // pins 4 bits for its oracle and goes super-linear by design
