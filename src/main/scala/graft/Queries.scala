@@ -1168,6 +1168,54 @@ object Queries {
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM cum GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin)),
 
+    // Corpus-trained bigram-LM quality score (the CCNet-shape model
+    // filter). Add-one smoothing over the corpus vocabulary; ln terms go
+    // through decimal(18,9) so the per-doc sum is order-independent and
+    // the oracle bit-exact.
+    ("n44_bigram_lm_score",
+      (s: SparkSession, d: String) => TextAnalysis.bigramLmScore(docs(s, d)),
+      Some("""WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bp AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+        |  FROM ws WHERE len(w) >= 2),
+        |bi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
+        |bc AS (SELECT w1, w2, count(*) AS cbi FROM bi GROUP BY 1, 2),
+        |cc AS (SELECT w1, CAST(sum(cbi) AS BIGINT) AS cctx FROM bc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT x) AS vsize FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(ln((bc.cbi + 1)::double / (cc.cctx + v.vsize))
+        |      AS decimal(18,9)) AS lnp
+        |  FROM bi b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lnp) AS double) / count(*), 6) AS avg_lnp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-source unigram-distribution drift KL(source || corpus) — the
+    // mixing-time divergence check. Terms in a fixed op order through
+    // decimal(18,12): order-independent, oracle-exact.
+    ("n45_source_drift",
+      (s: SparkSession, d: String) => TextAnalysis.sourceDrift(docs(s, d)),
+      Some("""WITH sw AS (
+        |  SELECT source, x AS w, count(*) AS csw FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS x
+        |     FROM documents)
+        |  GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(csw) AS BIGINT) AS cs FROM sw GROUP BY 1),
+        |wt AS (SELECT w, CAST(sum(csw) AS BIGINT) AS cw FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ct FROM s),
+        |terms AS (
+        |  SELECT sw.source,
+        |    CAST((sw.csw::double / s.cs) *
+        |      ln((sw.csw::double / s.cs) / (wt.cw::double / tot.ct))
+        |      AS decimal(18,12)) AS term
+        |  FROM sw JOIN s USING (source) JOIN wt USING (w) CROSS JOIN tot)
+        |SELECT source, round(CAST(sum(term) AS double), 6) AS kl_vs_corpus
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
+
     // Scalar int8 quantization of embeddings: global per-dim (min, max)
     // stats then round((x-mn)*255/(mx-mn)) codes — double math with a
     // fixed op order on both sides, so the codes are bit-exact.

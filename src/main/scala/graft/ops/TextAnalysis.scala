@@ -519,6 +519,78 @@ object TextAnalysis {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** Corpus-trained bigram language-model quality score — the model-based
+    * filter (CCNet-shape) that complements the heuristic features of
+    * [[qualityFeatures]]: train add-one-smoothed bigram probabilities on
+    * the corpus itself, then score every document by its mean
+    * ln p(wᵢ | wᵢ₋₁). Terms go through decimal(18,9) so the per-doc sum
+    * is order-independent and bit-exact against the DuckDB oracle.
+    *
+    * Scale shape: the context table derives from the bigram counts (never
+    * a third corpus pass), but Catalyst expands the shared bigram frame
+    * into one subtree per consumer, so this single-job form explodes the
+    * corpus twice (counts, scoring) plus a word-distinct pass for the
+    * vocabulary. That is the right trade for a one-shot audit; a real
+    * 100 TB deployment trains ONCE — persist the (w1, w2, cbi) model
+    * through [[graft.sources.Sinks]] (or train on a sample / reference
+    * corpus) and reuse it across scoring runs, which also drops the
+    * in-query count subtree.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(functions.size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cbi"))
+    val cc = bc.groupBy(col("w1")).agg(sum(col("cbi")).as("cctx"))
+    val v = docs.select(explode(words(col("text"))).as("x"))
+      .agg(countDistinct(col("x")).as("vsize"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(cc, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("cbi") + 1).cast("double") / (col("cctx") + col("vsize")))
+          .cast("decimal(18,9)").as("lnp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lnp")).cast("double") / count(lit(1)), 6)
+          .as("avg_lnp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source word-distribution drift: KL(source ‖ corpus) over the
+    * unigram distributions — the mixing-time check that a source hasn't
+    * diverged from (or collapsed onto) the corpus it feeds. Exact integer
+    * counts; each term pₛ·ln(pₛ/q) is computed in one fixed operation
+    * order and summed through decimal(18,12), so the aggregate is
+    * order-independent and oracle-exact. Source totals, corpus totals and
+    * the scoring terms all roll up from the per-(source, word) count
+    * aggregate — everything past the first explosion is
+    * vocabulary-×-sources sized, tiny at any corpus scale.
+    */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val sw = docs.select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("csw"))
+    val s = sw.groupBy(col("source")).agg(sum(col("csw")).as("cs"))
+    val wTot = sw.groupBy(col("w")).agg(sum(col("csw")).as("cw"))
+    val tot = s.agg(sum(col("cs")).as("ct"))
+    sw.join(s, Seq("source"))
+      .join(wTot, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        ((col("csw").cast("double") / col("cs")) *
+          log((col("csw").cast("double") / col("cs")) /
+            (col("cw").cast("double") / col("ct"))))
+          .cast("decimal(18,12)").as("term"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
   /** The shared projection of the budget/packing operators: per-doc
     * token count + stable walk key.
     */

@@ -253,4 +253,38 @@ class TextAnalysisSpec extends SparkSpec {
     val got = TextAnalysis.trainingCorpusCounts(docs).collect()
     assert(got.map(_.getLong(2)).sum === 1L) // exactly one survivor
   }
+
+  test("bigramLmScore: hand-computed add-one bigram probabilities") {
+    // corpus: doc1 "a b a", doc2 "b a", doc3 "x" (no bigrams → excluded)
+    // vocab {a,b,x} → V=3; counts: (a,b)=1, (b,a)=2; contexts: a=1, b=2
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    def lnp(cbi: Long, cctx: Long): BigDecimal =
+      BigDecimal(math.log((cbi + 1).toDouble / (cctx + 3)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def avg(terms: Seq[BigDecimal]): Double =
+      BigDecimal(terms.sum.toDouble / terms.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, avg(Seq(lnp(1, 1), lnp(2, 2)))), // p(b|a), p(a|b)
+      (2L, 1L, avg(Seq(lnp(2, 2))))))           // p(a|b)
+  }
+
+  test("sourceDrift: hand-computed KL(source || corpus)") {
+    // s1: "a a b" → p=(2/3, 1/3); s2: "b b" → p=(0, 1)
+    // corpus q: a=2/5, b=3/5
+    val docs = Seq(("s1", "a a b"), ("s2", "b b")).toDF("source", "text")
+    def kl(terms: (Double, Double)*): Double =
+      BigDecimal(terms.map { case (p, q) =>
+        BigDecimal(p * math.log(p / q))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.sourceDrift(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === Seq(
+      ("s1", kl((2.0 / 3, 2.0 / 5), (1.0 / 3, 3.0 / 5))),
+      ("s2", kl((1.0, 3.0 / 5)))))
+  }
 }
