@@ -42,7 +42,8 @@ object ScaleSanity {
         "b26_asof_forward", "n36_normalize_redact", "n37_chunks",
         "n38_int8_codes", "n39_source_cap", "n40_int8_ann_topk",
         "n41_lsh_neardup_pairs",
-        "n42_token_budget_mix", "n43_sequence_packing")) {
+        "n42_token_budget_mix", "n43_sequence_packing",
+        "n44_bigram_lm_score", "n45_source_drift")) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very
       // projections being measured (same fix as Bench)
