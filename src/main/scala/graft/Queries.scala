@@ -931,6 +931,24 @@ object Queries {
         |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Semantic dedup (SemDeDup-shape): sign-bucket blocking + min-id
+    // keeper — the keep list is deterministic, so fully oracled. Bucket
+    // width pinned to the oracle constant, as for n41.
+    ("n46_semantic_dedup",
+      (s: SparkSession, d: String) =>
+        Similarity.semanticDedup(emb(s, d), 0.3, Similarity.BucketBits),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    ${(1 to Similarity.BucketBits).map(i =>
+               s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+               .mkString(" + ")} AS bucket
+        |  FROM embeddings),
+        |d AS (SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.3)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+        |ORDER BY vec_id""".stripMargin)),
+
     // IVF ANN with deterministically-trained k-means centroids (rows-only:
     // float averaging is engine-specific; reproducible across runs).
     ("n23_ivf_ann_topk",
@@ -1022,6 +1040,27 @@ object Queries {
         |FROM g t LEFT OUTER JOIN tr ON t.g = tr.g
         |WHERE t.split = 'test'
         |GROUP BY t.doc_id ORDER BY test_doc""".stripMargin)),
+
+    // Corpus self-overlap: per doc, the fraction of its distinct word
+    // 5-grams that appear in at least one other document (per-doc-distinct
+    // pairs make count(*) per gram the document frequency).
+    ("n47_dup_span_stats",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.dupSpanStats(docs(s, d), 5),
+      Some("""WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 4),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |      || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+        |      || ' ' || string_split(text, ' ')[i+4]))) AS g
+        |  FROM documents),
+        |c AS (SELECT g, count(*) AS ndocs FROM g GROUP BY g)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END)::double / count(*), 6)
+        |    AS shared_frac
+        |FROM g JOIN c USING (g)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
     // Per-label embedding norm stats (exact-decimal average of rounded
     // norms — bit-identical across engines).

@@ -346,7 +346,17 @@ object Similarity {
     * n11/n41 oracle twins live only here.
     */
   private def nearDupPairs(e0: DataFrame, blocking: Column,
-                           threshold: Double): DataFrame = {
+                           threshold: Double): DataFrame =
+    nearDupPairsUnsorted(e0, blocking, threshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[nearDupPairs]] without the presentation sort — for consumers that
+    * aggregate or join the pairs ([[semanticDedup]]); Catalyst's
+    * EliminateSorts usually drops an interior sort, but not depending on
+    * that keeps the plan honest by construction.
+    */
+  private def nearDupPairsUnsorted(e0: DataFrame, blocking: Column,
+                                   threshold: Double): DataFrame = {
     val e = e0.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     e.as("a").join(e.as("b"),
         blocking && col("a.vec_id") < col("b.vec_id"))
@@ -354,6 +364,34 @@ object Similarity {
         round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6)
           .as("cos"))
       .filter(col("cos") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Semantic deduplication (SemDeDup-shape): block the corpus into
+    * hyperplane sign buckets (the cheap stand-in for the paper's k-means
+    * clusters — deterministic, so the keep list is oracle-checkable),
+    * score within-bucket cosine pairs, and drop every vector that has a
+    * smaller-id neighbor at or above `threshold`. One-pass min-id keeper:
+    * a drop decision never depends on whether the neighbor itself
+    * survived, which makes the policy order-independent and exactly
+    * expressible in SQL (the iterated greedy variant differs only when
+    * near-dup similarity is non-transitive within a bucket).
+    *
+    * Scale shape: candidate pairs are Σ bucket² via the bucket equi-join
+    * (bits sized to the corpus by [[deriveBucketBits]] unless pinned);
+    * the dropped-id set is distinct-reduced before a single left-anti
+    * join on vec_id — embeddings themselves never re-shuffle.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+                    bucketBits: Int = 0): DataFrame = {
+    val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
+    val dropped = nearDupPairsUnsorted(
+        emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"),
+          signBucket(col("embedding"), bits).as("bucket")),
+        col("a.bucket") === col("b.bucket"), threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
   }
 }

@@ -291,6 +291,36 @@ object TextAnalysis {
       .orderBy(col("test_doc"))
   }
 
+  /** Cross-corpus duplicated-span profile: for every document, the
+    * fraction of its distinct word n-grams that also appear in at least
+    * one OTHER document — the corpus self-overlap measure behind
+    * substring-level train-set dedup (near-1 docs are verbatim copies or
+    * boilerplate mosaics that whole-doc and MinHash dedup both miss).
+    * Complements [[ngramDecontamination]], which compares against a held
+    * split rather than the corpus itself.
+    *
+    * Scale shape: one explode to (gram, doc) pairs, one count aggregate
+    * per gram, one join back on the gram — the text never moves after
+    * the scan and nothing is quadratic in documents. Because the pairs
+    * are per-doc distinct, `count(*)` per gram IS its document frequency,
+    * so the shared-gram set needs no second distinct pass.
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(array_distinct(ngramsOf(col("ws"), n)))
+        .as("g"))
+    val byGram = grams.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+    grams.join(byGram, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6)
+          .as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID confusion matrix: labeled lang × predicted lang counts —
     * the eval roll-up of [[langId]] (how a classifier audit reads at
     * corpus scale: one tiny aggregate over a map-side scorer).

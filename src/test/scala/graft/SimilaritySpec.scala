@@ -203,6 +203,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count() === 0)
   }
 
+  test("semanticDedup: min-id keeper over hand-built buckets") {
+    // bucketBits=1 → bucket = sign of dim 1. Bucket {1,2,4}: cos(1,2)≈1
+    // drops 2; cos(1,4)=1/sqrt(101)≈0.0995 and cos(2,4)≈0.0985 keep 4.
+    // Vector 3 sits alone in the negative bucket.
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0.001f), 0),
+      (3L, Array(-1f, 0f), 1),
+      (4L, Array(1f, -10f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(emb, 0.3, 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq === Seq((1L, 0), (3L, 1), (4L, 2)))
+  }
+
+  test("semanticDedup: survivors plus dropped partition the corpus") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val kept = Similarity.semanticDedup(emb, 0.3)
+    val pairs = Similarity.lshNearDupPairs(emb, 0.3)
+    val dropped = pairs.select(col("id_b")).distinct().count()
+    assert(kept.count() + dropped === emb.count())
+    // no survivor may be the greater end of any near-dup pair
+    assert(kept.join(pairs, kept("vec_id") === pairs("id_b"), "left_semi")
+      .count() === 0)
+  }
+
   test("LSH ANN results are a subset of the probe's sign bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val buckets = emb.select(col("vec_id"),

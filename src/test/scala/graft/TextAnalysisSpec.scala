@@ -272,6 +272,24 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1L, avg(Seq(lnp(2, 2))))))           // p(a|b)
   }
 
+  test("dupSpanStats: shared bigram fractions on a hand corpus") {
+    // d1 "a b c" → {a b, b c}; d2 "a b x" → {a b, b x}; d3 "z" → no
+    // bigrams, drops out. Only "a b" appears in two docs.
+    val docs = Seq((1L, "a b c"), (2L, "a b x"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanStats(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("dupSpanStats: duplicated docs share every gram") {
+    val docs = Seq((1L, "w x y z w x"), (2L, "w x y z w x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanStats(docs, 3).collect()
+    assert(got.length === 2)
+    got.foreach(r => assert(r.getDouble(3) === 1.0))
+  }
+
   test("sourceDrift: hand-computed KL(source || corpus)") {
     // s1: "a a b" → p=(2/3, 1/3); s2: "b b" → p=(0, 1)
     // corpus q: a=2/5, b=3/5
