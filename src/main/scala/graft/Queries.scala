@@ -949,6 +949,25 @@ object Queries {
         |WHERE vec_id NOT IN (SELECT vec_id FROM d)
         |ORDER BY vec_id""".stripMargin)),
 
+    // Bucket-blocked k-NN graph: every vector's top-5 in-bucket cosine
+    // neighbors (rounded cosine + dst tiebreak → deterministic ranks).
+    ("n48_knn_graph",
+      (s: SparkSession, d: String) =>
+        Similarity.knnGraph(emb(s, d), 5, Similarity.BucketBits),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    ${(1 to Similarity.BucketBits).map(i =>
+               s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+               .mkString(" + ")} AS bucket
+        |  FROM embeddings),
+        |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    ${cosSql("a.emb", "b.emb")} AS cos
+        |  FROM e a JOIN e b
+        |  ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+        |r AS (SELECT src, dst, cos, row_number() OVER
+        |    (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM sc)
+        |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 5
+        |ORDER BY src, rnk""".stripMargin)),
+
     // IVF ANN with deterministically-trained k-means centroids (rows-only:
     // float averaging is engine-specific; reproducible across runs).
     ("n23_ivf_ann_topk",

@@ -366,6 +366,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Bucket-blocked k-NN graph: every vector's top-`k` cosine neighbors
+    * WITHIN its hyperplane sign bucket — the all-vectors generalization
+    * of [[lshBucketTopK]]'s probe-set search and the building block for
+    * graph-based clustering and semantic dedup over the whole corpus.
+    * Edges are directed (src → its neighbors); a vector alone in its
+    * bucket contributes no rows.
+    *
+    * Scale shape: candidates are the Σ bucket² bucket equi-join (bits
+    * sized to the corpus unless pinned), then per-src top-k via
+    * row_number — Spark inserts a WindowGroupLimit partial pre-cap below
+    * the exchange, so at most k rows per (partition, src) survive the
+    * shuffle, the same skew guard PlanSpec pins for the per-source cap.
+    */
+  def knnGraph(emb: DataFrame, k: Int, bucketBits: Int = 0): DataFrame = {
+    val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"),
+        signBucket(col("embedding"), bits).as("bucket"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val scored = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("src"), col("rnk"))
+  }
+
   /** Semantic deduplication (SemDeDup-shape): block the corpus into
     * hyperplane sign buckets (the cheap stand-in for the paper's k-means
     * clusters — deterministic, so the keep list is oracle-checkable),

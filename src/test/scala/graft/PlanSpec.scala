@@ -147,6 +147,15 @@ class PlanSpec extends SparkSpec {
       "expected partial + final WindowGroupLimit:\n" + p)
   }
 
+  test("n48: knn-graph top-k pre-limits below the shuffle (WindowGroupLimit)") {
+    // same skew guard as n39: at most k candidate edges per (partition,
+    // src) survive to the rank exchange, so one hot bucket can't flood a
+    // reducer with its full Σ bucket² candidate set
+    val p = plan("n48_knn_graph")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "expected partial + final WindowGroupLimit:\n" + p)
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // the silent scale-killer: an unkeyed join degenerating to all-pairs.
     // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin

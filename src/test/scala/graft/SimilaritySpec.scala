@@ -229,6 +229,35 @@ class SimilaritySpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("knnGraph: in-bucket neighbors ranked by cosine on a hand corpus") {
+    // bucketBits=1: ids 1,2,4 share the positive bucket, 3 is alone (no
+    // edges). cos(1,2)≈1 > cos(1,4)≈0.0995; cos(2,4)≈0.0985.
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0.001f), 0),
+      (3L, Array(-1f, 0f), 1),
+      (4L, Array(1f, -10f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnGraph(emb, 2, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1), (1L, 4L, 2),
+      (2L, 1L, 1), (2L, 4L, 2),
+      (4L, 1L, 1), (4L, 2L, 2)))
+  }
+
+  test("knnGraph: k bounds per-src degree; edges stay in-bucket") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val g = Similarity.knnGraph(emb, 3).collect()
+    val buckets = emb.select(col("vec_id"),
+      Similarity.signBucket(col("embedding"),
+        Similarity.deriveBucketBits(emb)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    g.foreach(r =>
+      assert(buckets(r.getLong(0)) === buckets(r.getLong(1))))
+  }
+
   test("LSH ANN results are a subset of the probe's sign bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val buckets = emb.select(col("vec_id"),
