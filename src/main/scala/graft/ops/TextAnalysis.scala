@@ -299,11 +299,16 @@ object TextAnalysis {
     * Complements [[ngramDecontamination]], which compares against a held
     * split rather than the corpus itself.
     *
-    * Scale shape: one explode to (gram, doc) pairs, one count aggregate
-    * per gram, one join back on the gram — the text never moves after
-    * the scan and nothing is quadratic in documents. Because the pairs
-    * are per-doc distinct, `count(*)` per gram IS its document frequency,
-    * so the shared-gram set needs no second distinct pass.
+    * Scale shape: (gram, doc) pairs shuffle once for the per-gram count
+    * and once for the join back — nothing is quadratic in documents, and
+    * because the pairs are per-doc distinct, `count(*)` per gram IS its
+    * document frequency (no second distinct pass). Catalyst expands the
+    * shared gram frame into both consumers, so the corpus is scanned and
+    * exploded twice; that is the deliberate trade — materializing the
+    * pairs to reuse one explode would write ~n× the text size, and a
+    * windowed count-over-gram single-scan variant buffers entire hot-gram
+    * partitions in the window operator (no partial aggregation), which a
+    * boilerplate gram shared by most documents turns into a spill storm.
     */
   def dupSpanStats(docs: DataFrame, n: Int = 5): DataFrame = {
     val grams = docs
