@@ -43,7 +43,8 @@ object ScaleSanity {
         "n38_int8_codes", "n39_source_cap", "n40_int8_ann_topk",
         "n41_lsh_neardup_pairs",
         "n42_token_budget_mix", "n43_sequence_packing",
-        "n44_bigram_lm_score", "n45_source_drift")) {
+        "n44_bigram_lm_score", "n45_source_drift",
+        "n47_dup_span_stats")) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very
       // projections being measured (same fix as Bench)
@@ -76,12 +77,17 @@ object ScaleSanity {
     // corpus so pair cost stays near-linear — the registry entry above
     // pins 4 bits for its oracle and goes super-linear by design
     {
-      val t0 = System.nanoTime()
       val e = spark.read.parquet(s"$out/embeddings.parquet")
       val bits = ops.Similarity.deriveBucketBits(e)
-      ops.Similarity.lshNearDupPairs(e, 0.3).queryExecution.toRdd.count()
-      println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
-        s"n41_auto_bits (bits=$bits)")
+      for ((tag, df) <- Seq(
+          "n41_auto_bits" -> ops.Similarity.lshNearDupPairs(e, 0.3),
+          "n46_auto_bits" -> ops.Similarity.semanticDedup(e, 0.3),
+          "n48_auto_bits" -> ops.Similarity.knnGraph(e, 5))) {
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"$tag (bits=$bits)")
+      }
     }
     spark.stop()
   }
