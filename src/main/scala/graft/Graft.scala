@@ -79,6 +79,9 @@ object Graft {
 
   private def htmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      // section names are interpolated into quoted id="..." attributes —
+      // without these a name containing a quote breaks out of the attribute
+      .replace("\"", "&quot;").replace("'", "&#39;")
 
   /** Render the report sections into ONE self-contained HTML document —
     * the reference's actual output artifact (one pgbadger HTML per run,

@@ -78,11 +78,13 @@ object ScaleSanity {
     // pins 4 bits for its oracle and goes super-linear by design
     {
       val e = spark.read.parquet(s"$out/embeddings.parquet")
+      // derive once and pass down — each op would otherwise re-run the
+      // count job internally
       val bits = ops.Similarity.deriveBucketBits(e)
       for ((tag, df) <- Seq(
-          "n41_auto_bits" -> ops.Similarity.lshNearDupPairs(e, 0.3),
-          "n46_auto_bits" -> ops.Similarity.semanticDedup(e, 0.3),
-          "n48_auto_bits" -> ops.Similarity.knnGraph(e, 5))) {
+          "n41_auto_bits" -> ops.Similarity.lshNearDupPairs(e, 0.3, bits),
+          "n46_auto_bits" -> ops.Similarity.semanticDedup(e, 0.3, bits),
+          "n48_auto_bits" -> ops.Similarity.knnGraph(e, 5, bits))) {
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()
         println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +

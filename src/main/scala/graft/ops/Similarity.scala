@@ -75,16 +75,21 @@ object Similarity {
     * must SHRINK as the corpus grows — a fixed width goes super-linear.
     * ceil(log2(n / [[TargetBucketRows]])), clamped to [[BucketBits]]..24
     * (a hyperplane per bit; beyond ~24 the recall loss outweighs the
-    * cut). Costs one count job at plan build — it reads zero columns,
-    * and the bit width has to be a plan-time constant because it fixes
-    * the expression arity.
+    * cut) and to the embedding dimensionality — [[signBucket]] reads one
+    * coordinate per bit, and bits past the array end are silently dead
+    * (null-guarded to 0), which would stall bucket growth exactly when
+    * the corpus is large. Costs one zero-column count job plus a
+    * one-row dims probe at plan build; the width has to be a plan-time
+    * constant because it fixes the expression arity.
     */
   def deriveBucketBits(emb: DataFrame): Int = {
     val n = emb.count()
+    val dims = emb.select(size(col("embedding")).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(BucketBits)
     val raw = math.ceil(
       math.log(math.max(1.0, n.toDouble / TargetBucketRows)) /
         math.log(2.0)).toInt
-    math.min(24, math.max(BucketBits, raw))
+    math.min(math.min(24, dims), math.max(BucketBits, raw))
   }
 
   /** Hyperplane-sign bucket over the first `bits` dimensions. */
@@ -134,7 +139,11 @@ object Similarity {
       e.select(col("vec_id").as("q_id"), col("vec_id"),
         lit(0d).as("cos"), lit(1).as("rnk")).limit(0)
     // --- train ---
-    var centroids = e.filter(col("vec_id") < nCentroids)
+    // seed from the nCentroids SMALLEST ids (not `vec_id < nCentroids`,
+    // which silently collects zero seeds on an offset/filtered corpus
+    // whose ids all exceed nCentroids — empty here must mean the corpus
+    // itself is empty)
+    var centroids = e.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
       .collect().map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Double]](1).toArray))
@@ -164,7 +173,10 @@ object Similarity {
     // --- index: corpus rows with their cell (map-side, no shuffle) ---
     val indexed = e.withColumn("cid", nearestCells(centroids, 1).getItem(0))
     // --- search: probes scan their nProbe nearest cells only ---
-    val probeCells = e.filter(col("vec_id") < nProbes)
+    // probes = the nProbes smallest ids, rank-based like the seeds (the
+    // oracled ANN variants keep the literal `vec_id < nProbes` convention
+    // their DuckDB twins pin)
+    val probeCells = e.orderBy(col("vec_id")).limit(nProbes)
       .withColumn("cid", explode(nearestCells(centroids, nProbe)))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("cid"))

@@ -513,9 +513,7 @@ object TextAnalysis {
     val w = W.partitionBy(col("source"))
       .orderBy(col("samp_key").asc, col("doc_id").asc)
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    docs.select(col("source"), col("doc_id"),
-        functions.size(words(col("text"))).cast("long").as("n_tok"),
-        sampKey.as("samp_key"))
+    tokenWalk(docs)
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .filter(col("cum_tok") - col("n_tok") < budgetPerSource)
       .groupBy(col("source"))
@@ -542,9 +540,7 @@ object TextAnalysis {
     val w = W.partitionBy(col("source"))
       .orderBy(col("samp_key").asc, col("doc_id").asc)
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    docs.select(col("source"), col("doc_id"),
-        functions.size(words(col("text"))).cast("long").as("n_tok"),
-        sampKey.as("samp_key"))
+    tokenWalk(docs)
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .withColumn("seq_id",
         ((col("cum_tok") - col("n_tok")) / capacity).cast("long"))

@@ -247,8 +247,15 @@ object Multimodal {
     require(java.util.Arrays.equals(magic, GfvMagic),
       "bad GFV1 container magic")
     val nFrames = bb.getInt
-    val frames = (0 until nFrames).map { _ =>
+    // validate the header fields like the magic — a zero/negative count
+    // or a frame length past the payload end must fail with the payload's
+    // context, not a bare NoSuchElement/BufferUnderflow mid-partition
+    require(nFrames >= 1, s"GFV1 container declares $nFrames frames")
+    val frames = (0 until nFrames).map { i =>
+      require(bb.remaining >= 4, s"GFV1 frame $i: truncated length header")
       val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining,
+        s"GFV1 frame $i: declared $len bytes, ${bb.remaining} remain")
       val f = new Array[Byte](len)
       bb.get(f)
       f

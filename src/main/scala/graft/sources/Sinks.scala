@@ -103,16 +103,24 @@ object Sinks {
     else {
       val tmp = new org.apache.hadoop.fs.Path(
         dst.getParent, s".${dst.getName}.tmp-${System.nanoTime()}")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, dst)) {
-        fs.delete(tmp, false)
-        // a concurrent writer won the rename — the artifact exists, which
-        // is exactly the memoized outcome
-        if (!fs.exists(dst))
-          throw new java.io.IOException(s"could not publish $dst")
-        false
-      } else true
+      // any failure between create and rename must remove the uniquely-
+      // named temp, or every retry leaks another one into the output dir
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, dst)) {
+          fs.delete(tmp, false)
+          // a concurrent writer won the rename — the artifact exists, which
+          // is exactly the memoized outcome
+          if (!fs.exists(dst))
+            throw new java.io.IOException(s"could not publish $dst")
+          false
+        } else true
+      } catch {
+        case e: Throwable =>
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+          throw e
+      }
     }
   }
 }

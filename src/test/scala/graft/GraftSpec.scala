@@ -78,6 +78,14 @@ class GraftSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(target) === m0)
   }
 
+  test("report HTML escapes quotes — no attribute breakout via names") {
+    import spark.implicits._
+    val html = Graft.renderReportHtml("t",
+      Map("""x" onmouseover="alert(1)""" -> Seq(("a", 1)).toDF("c", "n")))
+    assert(!html.contains("onmouseover=\"alert"))
+    assert(html.contains("&quot;"))
+  }
+
   test("CLI main: flags → full pipeline on a temp dir; bad args rejected") {
     val logDir = writeLogDir()
     val out = Files.createTempDirectory("graft_cli").toString

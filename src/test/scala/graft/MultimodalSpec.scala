@@ -77,6 +77,21 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3) === (sum / (w * h)).toFloat)
   }
 
+  test("malformed GFV1 containers fail with descriptive requires") {
+    val zeroFrames = java.nio.ByteBuffer.allocate(8)
+      .put(Multimodal.GfvMagic).putInt(0).array()
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodeVideo(zeroFrames))
+    assert(e1.getMessage.contains("declares 0 frames"))
+    // declared frame length exceeds the remaining bytes
+    val truncated = java.nio.ByteBuffer.allocate(14)
+      .put(Multimodal.GfvMagic).putInt(1).putInt(999).put(Array[Byte](1, 2))
+      .array()
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeVideo(truncated))
+    assert(e2.getMessage.contains("999 bytes"))
+  }
+
   test("feature extraction is deterministic and batched per partition") {
     val f1 = Multimodal.extractFeatures(Multimodal.mediaFromEvents(spark, dir))
     val f2 = Multimodal.extractFeatures(

@@ -193,6 +193,24 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.int8Codes(empty, 10).count() === 0)
   }
 
+  test("ivfTopK: offset vec_ids still seed centroids (no silent empty)") {
+    // ids 100000+ — the old `vec_id < nCentroids` seed filter collected
+    // zero centroids here and returned an empty result as if the corpus
+    // had no neighbors
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val got = Similarity.ivfTopK(emb, 5, 5)
+    assert(got.count() > 0)
+  }
+
+  test("deriveBucketBits never exceeds the embedding dimensionality") {
+    // 2-dim vectors: signBucket bits past the array end are silently
+    // dead, so the derived width must clamp to dims
+    val emb = Seq((1L, Array(1f, -1f), 0), (2L, Array(-1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.deriveBucketBits(emb) === 2)
+  }
+
   test("ivfTopK: empty corpus yields an empty frame, not an analyzer error") {
     // zero centroids used to reach array() over no structs in
     // nearestCells and fail analysis with getField on NullType
@@ -220,8 +238,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("semanticDedup: survivors plus dropped partition the corpus") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
-    val kept = Similarity.semanticDedup(emb, 0.3)
-    val pairs = Similarity.lshNearDupPairs(emb, 0.3)
+    val bits = Similarity.deriveBucketBits(emb)
+    val kept = Similarity.semanticDedup(emb, 0.3, bits)
+    val pairs = Similarity.lshNearDupPairs(emb, 0.3, bits)
     val dropped = pairs.select(col("id_b")).distinct().count()
     assert(kept.count() + dropped === emb.count())
     // no survivor may be the greater end of any near-dup pair
@@ -248,10 +267,10 @@ class SimilaritySpec extends SparkSpec {
 
   test("knnGraph: k bounds per-src degree; edges stay in-bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
-    val g = Similarity.knnGraph(emb, 3).collect()
+    val bits = Similarity.deriveBucketBits(emb)
+    val g = Similarity.knnGraph(emb, 3, bits).collect()
     val buckets = emb.select(col("vec_id"),
-      Similarity.signBucket(col("embedding"),
-        Similarity.deriveBucketBits(emb)).as("b"))
+      Similarity.signBucket(col("embedding"), bits).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(g.groupBy(_.getLong(0)).values.forall(_.length <= 3))
     g.foreach(r =>
