@@ -147,6 +147,19 @@ class PlanSpec extends SparkSpec {
       "expected partial + final WindowGroupLimit:\n" + p)
   }
 
+  test("n44: vocabulary size is a broadcast 1-row aggregate (lazy N)") {
+    // same lazy-scalar shape n25 pins: no driver-side count at plan build
+    val p = plan("n44_bigram_lm_score")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the 1-row vocab frame broadcast:\n" + p)
+  }
+
+  test("n46: the keep list is an anti join on the dropped-id set") {
+    val p = plan("n46_semantic_dedup")
+    assert(p.contains("LeftAnti"),
+      "expected a left-anti join against dropped ids:\n" + p)
+  }
+
   test("n48: knn-graph top-k pre-limits below the shuffle (WindowGroupLimit)") {
     // same skew guard as n39: at most k candidate edges per (partition,
     // src) survive to the rank exchange, so one hot bucket can't flood a
