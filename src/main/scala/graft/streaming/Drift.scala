@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Streaming twin of the n45 source-drift check: per event-time window and
+  * source, KL(window-source word distribution ‖ a static reference
+  * distribution) — the production monitor that flags a feed collapsing
+  * onto boilerplate or diverging from the corpus its mix was tuned on,
+  * while the feed is still flowing.
+  *
+  * Shape: two CHAINED watermarked streaming aggregations (supported since
+  * the multiple-stateful-operator work in Spark 3.4 — the second groups on
+  * `window_time` of the first's finalized windows):
+  *
+  *   1. (window, source, word) token counts — state bounded per window by
+  *      the active vocabulary, closed by the watermark;
+  *   2. join the static reference distribution (stream-static, no state)
+  *      and roll up per (window, source) using the decomposition
+  *      KL = (Σ c_w·ln(c_w/q_w))/c − ln(c) with c = Σ c_w, so the word
+  *      level needs no second pass for the totals.
+  *
+  * The ln terms go through decimal(28,10) — wider than n45's because the
+  * decomposition multiplies each term by its count, so the magnitude
+  * grows with window size — making the roll-up order-independent: the
+  * streaming result is bit-equal to running the same core on the same
+  * rows as a batch frame (spec-proven).
+  *
+  * Unseen words (not in the reference) carry q = null → the row is
+  * EXCLUDED from the sum, mirroring the batch n45 join semantics where
+  * the reference is the corpus itself and every word is present. At 100 TB
+  * the reference frame is vocabulary-sized and shuffles once per
+  * micro-batch on the word key; counts never leave their window state.
+  */
+object Drift {
+
+  /** Static reference distribution (word, q) from a batch corpus — the
+    * denominator of the KL terms. q is each word's share of all corpus
+    * tokens.
+    */
+  def referenceDistribution(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    wc.crossJoin(broadcast(wc.agg(sum(col("cw")).as("ct"))))
+      .select(col("w"), (col("cw").cast("double") / col("ct")).as("q"))
+  }
+
+  /** The drift core — identical plan for a batch frame (the oracle twin)
+    * and a `readStream` frame (`docs` needs ts/source/text; `ref` is the
+    * static (w, q) frame).
+    */
+  def sourceDriftWindows(docs: DataFrame, ref: DataFrame,
+                         windowLen: String = "1 hour",
+                         lateness: String = "1 hour"): DataFrame = {
+    val counts = docs
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("source"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy(window(col("ts"), windowLen), col("source"), col("w"))
+      .agg(count(lit(1)).as("csw"))
+    counts
+      .join(ref, Seq("w"))
+      .groupBy(window(window_time(col("window")), windowLen), col("source"))
+      .agg(
+        sum((col("csw").cast("double") *
+            log(col("csw").cast("double") / col("q")))
+          .cast("decimal(28,10)")).as("a"),
+        sum(col("csw")).as("cs"))
+      .select(col("window.start").as("window_start"), col("source"),
+        round(col("a").cast("double") / col("cs") -
+          log(col("cs").cast("double")), 6).as("kl_vs_ref"))
+  }
+}

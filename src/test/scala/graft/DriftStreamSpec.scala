@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Drift
+
+/** The windowed drift monitor: chained streaming aggregations must hold
+  * windows to the watermark, and a closed window's KL must be bit-equal
+  * to the same core run on the same rows as a batch frame.
+  */
+class DriftStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // reference corpus: "a" 3/5, "b" 2/5 of all tokens
+  private val refDocs = Seq("a a b", "a b").toDF("text")
+
+  private val rows = Seq(
+    (ts("2024-01-01 10:05:00"), "s1", "a a b"),
+    (ts("2024-01-01 10:20:00"), "s1", "a"),
+    (ts("2024-01-01 10:25:00"), "s2", "b b"),
+    (ts("2024-01-01 11:10:00"), "s1", "a b"),
+    // watermark pusher: closes hour 10 (wm = 12:30 − 1h past 11:00)
+    (ts("2024-01-01 12:30:00"), "s2", "a"))
+
+  test("closed drift windows equal the batch twin bit-exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Drift.referenceDistribution(refDocs)
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val streamDf = mem.toDF().toDF("ts", "source", "text")
+    val q = Drift.sourceDriftWindows(streamDf, ref)
+      .writeStream.format("memory").queryName("drift_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(4))
+      q.processAllAvailable()
+      assert(spark.table("drift_test").count() === 0L,
+        "no window may be emitted before the watermark passes it")
+
+      mem.addData(rows.drop(4))
+      q.processAllAvailable()
+      val got = spark.table("drift_test")
+        .orderBy(col("window_start"), col("source")).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+
+      // batch twin on exactly the hour-10 rows (the closed window)
+      val batch = Drift.sourceDriftWindows(
+          rows.take(3).toDF("ts", "source", "text"), ref)
+        .orderBy(col("window_start"), col("source")).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      assert(got.toSeq === batch.toSeq)
+
+      // hand check via the decomposition KL = A/cs − ln(cs):
+      // s1 hour 10 = "a a b" + "a" → a:3, b:1, cs=4;
+      // A = dec(3·ln(3/(3/5))) + dec(1·ln(1/(2/5)))
+      def dec(d: Double): BigDecimal =
+        BigDecimal(d).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      val a = dec(3.0 * math.log(3.0 / (3.0 / 5))) +
+        dec(1.0 * math.log(1.0 / (2.0 / 5)))
+      val expS1 = BigDecimal(a.toDouble / 4 - math.log(4.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.collect { case (_, "s1", kl) => kl }.toSeq === Seq(expS1))
+    } finally q.stop()
+  }
+
+  test("reference distribution sums to 1 over the vocabulary") {
+    val total = Drift.referenceDistribution(refDocs)
+      .agg(sum(col("q"))).as[Double].collect().head
+    assert(math.abs(total - 1.0) < 1e-12)
+  }
+}
