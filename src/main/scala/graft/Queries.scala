@@ -827,6 +827,48 @@ object Queries {
       Some("""SELECT doc_id FROM (SELECT md5(text) AS h, min(doc_id) AS doc_id
         |FROM documents GROUP BY 1) ORDER BY doc_id""".stripMargin)),
 
+    // Incremental dedup: docs with doc_id % 5 = 0 play the NEW batch, the
+    // rest the already-ingested corpus.
+    ("n49_incremental_dedup",
+      (s: SparkSession, d: String) => {
+        val all = docs(s, d)
+        Dedup.incrementalDedup(
+          all.filter(col("doc_id") % 5 === 0),
+          all.filter(col("doc_id") % 5 =!= 0))
+      },
+      Some("""WITH nf AS (SELECT doc_id, md5(text) AS text_hash
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |cf AS (SELECT DISTINCT md5(text) AS text_hash
+        |  FROM documents WHERE doc_id % 5 != 0)
+        |SELECT min(doc_id) AS doc_id, text_hash FROM nf
+        |WHERE text_hash NOT IN (SELECT text_hash FROM cf)
+        |GROUP BY text_hash ORDER BY doc_id""".stripMargin)),
+
+    // Snapshot diff: old = every doc_id not divisible by 7; new = every
+    // doc_id not divisible by 5, with % 3 = 0 texts edited — exercises
+    // all four statuses deterministically.
+    ("n50_snapshot_diff",
+      (s: SparkSession, d: String) => {
+        val all = docs(s, d)
+        Dedup.snapshotDiff(
+          all.filter(col("doc_id") % 7 =!= 0),
+          all.filter(col("doc_id") % 5 =!= 0)
+            .withColumn("text", when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" zz"))).otherwise(col("text"))))
+      },
+      Some("""WITH o AS (SELECT doc_id, source, md5(text) AS h
+        |  FROM documents WHERE doc_id % 7 != 0),
+        |n AS (SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' zz' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 != 0)
+        |SELECT coalesce(n.source, o.source) AS source,
+        |  CASE WHEN o.h IS NULL THEN 'added'
+        |    WHEN n.h IS NULL THEN 'removed'
+        |    WHEN o.h != n.h THEN 'changed' ELSE 'unchanged' END AS status,
+        |  count(*) AS n_docs
+        |FROM o FULL OUTER JOIN n USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY source, status""".stripMargin)),
+
     ("n3_adjacent_jaccard",
       (s: SparkSession, d: String) => Dedup.adjacentJaccard(docs(s, d)),
       Some("""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)

@@ -83,6 +83,51 @@ object Dedup {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Incremental exact dedup — the steady-state form of [[exactDedup]]:
+    * a NEW batch is deduped against the corpus already ingested, so only
+    * genuinely novel content survives. Two steps, both on the content
+    * digest: drop batch rows whose digest the corpus already has
+    * (left-anti), then keep the min-id row per surviving digest
+    * (within-batch dedup).
+    *
+    * Scale shape: the corpus contributes ONLY its distinct-digest column
+    * (in production, a persisted digest index — never the text); the anti
+    * join and the keeper aggregate both shuffle 16-byte digests. Nothing
+    * rescans old text on a new batch.
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusDigests = corpus.select(md5(col("text")).as("text_hash"))
+      .distinct()
+    newDocs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(corpusDigests, Seq("text_hash"), "left_anti")
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus snapshot diff — the versioning audit between two corpus
+    * states: per source, how many docs were added, removed, changed
+    * (same id, different content digest) or unchanged. One full-outer
+    * join on doc_id, then a tiny (source × 4)-key count roll-up; the
+    * text never moves, only (id, source, digest).
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), col("source").as("osource"),
+      md5(col("text")).as("ohash"))
+    val n = newDocs.select(col("doc_id"), col("source").as("nsource"),
+      md5(col("text")).as("nhash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("nsource"), col("osource")).as("source"),
+        when(col("ohash").isNull, "added")
+          .when(col("nhash").isNull, "removed")
+          .when(col("ohash") =!= col("nhash"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
   /** 3-word shingles of the `text` column (empty array when < 3 words) —
     * the single n-gram implementation lives in [[TextAnalysis.ngrams]] so
     * tokenization can never drift between the dedup and decontamination

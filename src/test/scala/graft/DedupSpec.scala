@@ -224,4 +224,25 @@ class DedupSpec extends SparkSpec {
     val rows = Dedup.minhashSignaturesFast(docs).collect()
     assert(rows.length === 6 * Dedup.NumMinhashSeeds)
   }
+
+  test("incrementalDedup: corpus-known and within-batch dups both drop") {
+    val corpus = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    // "x" is corpus-known; "z" appears twice in the batch → keep min id
+    val batch = Seq((10L, "x"), (11L, "z"), (12L, "z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, corpus).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(11L))
+  }
+
+  test("snapshotDiff: all four statuses on a hand corpus") {
+    val old = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val neu = Seq((2L, "b2", "s1"), (3L, "c", "s2"), (4L, "d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.snapshotDiff(old, neu).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("s1", "changed", 1L), ("s1", "removed", 1L),
+      ("s2", "added", 1L), ("s2", "unchanged", 1L)))
+  }
 }
