@@ -38,7 +38,12 @@ object Drift {
 
   /** Static reference distribution (word, q) from a batch corpus — the
     * denominator of the KL terms. q is each word's share of all corpus
-    * tokens.
+    * tokens. The result is CACHED: it is the static side of a per-micro-
+    * batch stream-static join, and without materialization every batch
+    * would rescan the reference corpus twice (the word counts feed both
+    * the shares and, via the self crossJoin, the total). The frame is
+    * vocabulary-sized; unpersist it when the stream stops, or in
+    * production persist it to a table once and read that instead.
     */
   def referenceDistribution(docs: DataFrame): DataFrame = {
     val wc = docs
@@ -46,6 +51,7 @@ object Drift {
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     wc.crossJoin(broadcast(wc.agg(sum(col("cw")).as("ct"))))
       .select(col("w"), (col("cw").cast("double") / col("ct")).as("q"))
+      .cache()
   }
 
   /** The drift core — identical plan for a batch frame (the oracle twin)
