@@ -272,6 +272,19 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1L, avg(Seq(lnp(2, 2))))))           // p(a|b)
   }
 
+  test("bigramLmScore and sourceDrift are partitioning-invariant") {
+    // the decimal-summed terms must make the aggregates order-independent
+    // — shuffling rows across a different partition count cannot move a
+    // single bit of output
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        TextAnalysis.bigramLmScore, TextAnalysis.sourceDrift)) {
+      val a = op(docs.repartition(7)).collect().map(_.toString).toSeq
+      val b = op(docs.repartition(3)).collect().map(_.toString).toSeq
+      assert(a === b)
+    }
+  }
+
   test("dupSpanStats: shared bigram fractions on a hand corpus") {
     // d1 "a b c" → {a b, b c}; d2 "a b x" → {a b, b x}; d3 "z" → no
     // bigrams, drops out. Only "a b" appears in two docs.
