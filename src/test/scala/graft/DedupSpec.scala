@@ -234,6 +234,16 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === Seq(11L))
   }
 
+  test("incrementalDedup against an empty corpus equals exactDedup") {
+    val batch = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val inc = Dedup.incrementalDedup(batch, empty).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Dedup.exactDedup(batch)
+      .collect().map(_.getLong(0)).toSeq
+    assert(inc === exact)
+  }
+
   test("snapshotDiff: all four statuses on a hand corpus") {
     val old = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
       .toDF("doc_id", "text", "source")
