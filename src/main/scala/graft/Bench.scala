@@ -7,31 +7,18 @@ import scala.concurrent.duration.Duration
 import org.apache.spark.sql.SparkSession
 
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.scheduler.mode", "FAIR")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/file-system paths once so the first timed query
-    // doesn't absorb session startup (~5s of JIT + scan init).
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
-        graft.ops.Tables.events(spark, sfDir) // ensures nanos conf is set
-        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
-      }
-    } catch { case _: Throwable => () }
-    // Queries are independent; submit them from a small thread pool so
-    // Spark's scheduler overlaps driver-side planning/codegen of one query
-    // with execution of another (what a cluster scheduler does with a
-    // query queue). `value` is the honest wall-clock of the whole batch;
-    // per-query numbers are wall times under that concurrency.
-    val parallelism = math.max(2, math.min(4, cpus.toInt))
+
+  /** One full pass over the registry with `parallelism` submission threads.
+    * `parallelism == 1` is the SEQUENTIAL mode: per-query wall times contain
+    * no queueing or co-running load, so they are comparable across rounds
+    * and machines — the regression-detection record. `parallelism > 1`
+    * overlaps planning/codegen of one query with execution of another
+    * (what a cluster scheduler does with a query queue); its per-query
+    * times include queueing and are only meaningful in aggregate, but its
+    * TOTAL is the honest batch wall a saturated driver would see.
+    */
+  private def runPass(spark: SparkSession, sfDir: String, parallelism: Int)
+      : (Double, Seq[(String, Double, Boolean)]) = {
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
@@ -55,15 +42,67 @@ object Bench {
     val results = futures.map(f => Await.result(f, Duration.Inf))
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    // A failed query reports -1 so a broken query can never flatter (or
-    // silently inflate) the numbers; `failed` lists them for the driver.
-    val qs = results.map { case (k, v, ok) =>
-        s"\"" + k + "\":" + (if (ok) v else -1.0)
-      }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    (total, results)
+  }
+
+  private def toJsonMap(results: Seq[(String, Double, Boolean)]): String =
+    results.map { case (k, v, ok) =>
+      // a failed query reports -1 so a broken query can never flatter (or
+      // silently inflate) the numbers
+      s"\"" + k + "\":" + (if (ok) v else -1.0)
+    }.mkString("{", ",", "}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // "both" (default) = concurrent batch first (round-over-round comparable
+    // wall), then a sequential pass whose per-query numbers carry no
+    // FAIR-pool queueing noise; "concurrent" / "sequential" run one pass.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "both")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/file-system paths once so the first timed query
+    // doesn't absorb session startup (~5s of JIT + scan init).
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
+        graft.ops.Tables.events(spark, sfDir) // ensures nanos conf is set
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      }
+    } catch { case _: Throwable => () }
+
+    val parallelism = math.max(2, math.min(4, cpus.toInt))
+    // Concurrent pass FIRST so its wall is measured under the same
+    // conditions as rounds 1-4 (cold per-query codegen); the sequential
+    // pass then benefits uniformly from the warm codegen cache — fine,
+    // because its numbers are compared only against other sequential runs.
+    val (concTotal, concResults) =
+      if (mode != "sequential") runPass(spark, sfDir, parallelism)
+      else (0.0, Seq.empty)
+    val (seqTotal, seqResults) =
+      if (mode != "concurrent") runPass(spark, sfDir, 1)
+      else (0.0, Seq.empty)
+
+    // `queries` carries the load-independent SEQUENTIAL per-query times
+    // (the regression-detection record the round-4 verdict asked for);
+    // `value` stays the concurrent batch wall, comparable to prior rounds.
+    // In single-pass modes each field falls back to the pass that ran.
+    val queriesJson =
+      toJsonMap(if (seqResults.nonEmpty) seqResults else concResults)
+    val concJson = toJsonMap(concResults)
+    val value = if (concResults.nonEmpty) concTotal else seqTotal
+    val failed = (concResults ++ seqResults).collect {
+      case (k, _, false) => "\"" + k + "\""
+    }.distinct.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","queries":$queriesJson,""" +
+        s""""queries_concurrent":$concJson,"seq_total":$seqTotal,""" +
+        s""""mode":"$mode","failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Also persist the FULL line: the driver's captured tail truncates the
     // totals and the early (alphabetically a*/b*) queries away, so three

@@ -26,14 +26,18 @@ class DriftStreamSpec extends SparkSpec {
     // watermark pusher: closes hour 10 (wm = 12:30 − 1h past 11:00)
     (ts("2024-01-01 12:30:00"), "s2", "a"))
 
-  test("closed drift windows equal the batch twin bit-exactly") {
+  test("closed drift windows equal the batch twin bit-exactly; " +
+    "reference cache is released when the stream terminates") {
     implicit val sqlCtx = spark.sqlContext
-    val ref = Drift.referenceDistribution(refDocs)
+    val refCache = Drift.cacheReference(refDocs)
+    val ref = refCache.df
     val mem = MemoryStream[(Timestamp, String, String)]
     val streamDf = mem.toDF().toDF("ts", "source", "text")
     val q = Drift.sourceDriftWindows(streamDf, ref)
       .writeStream.format("memory").queryName("drift_test")
       .outputMode("append").start()
+    Drift.releaseOnTermination(refCache, q)
+    assert(refCache.isCached, "handle must hold a live cache while running")
     try {
       mem.addData(rows.take(4))
       q.processAllAvailable()
@@ -64,6 +68,13 @@ class DriftStreamSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(got.collect { case (_, "s1", kl) => kl }.toSeq === Seq(expS1))
     } finally q.stop()
+    // the termination listener fires asynchronously after stop(); the
+    // stopped stream must not leak the vocabulary frame in the CacheManager
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (refCache.isCached && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(!refCache.isCached,
+      "reference cache must be unpersisted once the stream terminates")
   }
 
   test("reference distribution sums to 1 over the vocabulary") {
