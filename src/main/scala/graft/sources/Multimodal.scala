@@ -158,9 +158,26 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("feature", ArrayType(FloatType), nullable = false)))
+    StructField("feature", ArrayType(FloatType), nullable = true),
+    StructField("decode_err", StringType, nullable = true)))
 
   // ======== real decoders (public JDK codecs) ========
+
+  /** Normalize decoder failures: any non-contract exception escaping a
+    * codec (EOF inside ImageIO on a truncated stream, an unsupported-
+    * format error from AudioSystem, a buffer underrun from a lying
+    * header) is rethrown as IllegalArgumentException carrying the kind
+    * context — a corrupt payload must always read as "bad input", never
+    * as a bare BufferUnderflow that looks like an engine bug.
+    */
+  private def failAsBadPayload[T](kind: String)(body: => T): T =
+    try body catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"$kind payload decode failed: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}", e)
+    }
 
   private def grayStats(img: java.awt.image.BufferedImage):
       (Double, Double, Double, Double, Double) = {
@@ -190,25 +207,47 @@ object Multimodal {
   }
 
   /** PNG → [w, h, meanR, meanG, meanB, minGray, maxGray, nPixels]. */
-  def decodeImage(payload: Array[Byte]): Array[Float] = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
-    require(img != null, "undecodable image payload")
-    val (mr, mg, mb, mn, mx) = grayStats(img)
-    Array(img.getWidth.toFloat, img.getHeight.toFloat, mr.toFloat,
-      mg.toFloat, mb.toFloat, mn.toFloat, mx.toFloat,
-      (img.getWidth * img.getHeight).toFloat)
-  }
+  def decodeImage(payload: Array[Byte]): Array[Float] =
+    failAsBadPayload("image") {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      val (mr, mg, mb, mn, mx) = grayStats(img)
+      Array(img.getWidth.toFloat, img.getHeight.toFloat, mr.toFloat,
+        mg.toFloat, mb.toFloat, mn.toFloat, mx.toFloat,
+        (img.getWidth * img.getHeight).toFloat)
+    }
 
   /** WAV → [nSamples, rate, meanAbs, rms, min, max, zeroCrossings,
     * durationMs] via AudioSystem (header parse + PCM frames).
     */
-  def decodeAudio(payload: Array[Byte]): Array[Float] = {
+  def decodeAudio(payload: Array[Byte]): Array[Float] =
+    failAsBadPayload("audio") {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
       val fmt = in.getFormat
-      val bytes = in.readAllBytes()
+      // validate the header before trusting it: a fuzzed RIFF header can
+      // declare a zero/absurd frame size or rate, and
+      // AudioInputStream.read returns 0 (not -1) whenever the requested
+      // length is below frameSize — readAllBytes/readNBytes spin forever
+      // on that, so the header gets bounds, and the read loop below
+      // treats a 0-return as end-of-stream
+      require(fmt.getFrameSize > 0 && fmt.getFrameSize <= 64 &&
+          fmt.getSampleRate > 0,
+        s"audio payload declares frameSize=${fmt.getFrameSize} " +
+          s"sampleRate=${fmt.getSampleRate}")
+      // PCM bytes inside a WAV container are stored raw, so the decoded
+      // stream can never exceed the payload size — a hard cap that no
+      // header-declared length can override
+      val buf = new Array[Byte](payload.length)
+      var off = 0
+      var r = in.read(buf, 0, buf.length)
+      while (r > 0) {
+        off += r
+        r = if (off < buf.length) in.read(buf, off, buf.length - off) else -1
+      }
+      val bytes = java.util.Arrays.copyOf(buf, off)
       val bb = java.nio.ByteBuffer.wrap(bytes).order(
         if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -240,7 +279,11 @@ object Multimodal {
   /** GFV1 → decode first and last PNG frame →
     * [nFrames, w, h, meanGrayFirst, meanGrayLast, |delta|, 0, nBytes].
     */
-  def decodeVideo(payload: Array[Byte]): Array[Float] = {
+  def decodeVideo(payload: Array[Byte]): Array[Float] =
+    failAsBadPayload("video") {
+    require(payload.length >= 8,
+      s"GFV1 container: ${payload.length} bytes is shorter than the " +
+        "8-byte magic + frame-count header")
     val bb = java.nio.ByteBuffer.wrap(payload)
     val magic = new Array[Byte](4)
     bb.get(magic)
@@ -274,7 +317,15 @@ object Multimodal {
 
   /** Per-partition batched decode — real codec calls per row, dispatched
     * on `kind`; a null payload yields the zero feature. Returns
-    * (media_id, kind, n_bytes, feature).
+    * (media_id, kind, n_bytes, feature, decode_err).
+    *
+    * Failure policy (pinned by spec): a CORRUPT payload yields a
+    * null-feature row with the contextual message in `decode_err` — it
+    * never throws. At 100 TB one bad object must not kill a task (and,
+    * after Spark's task retries burn out, the whole decode job); the
+    * healthy rows of the partition always land. Callers that want
+    * fail-fast semantics filter `decode_err.isNotNull` and raise; audit
+    * roll-ups count it ([[featureStats]]'s n_err).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
@@ -283,16 +334,24 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val kind = r.getString(1)
-          val feature: Array[Float] =
-            if (payload == null) new Array[Float](8)
-            else kind match {
-              case "image" => decodeImage(payload)
-              case "audio" => decodeAudio(payload)
-              case "video" => decodeVideo(payload)
-              case _ => new Array[Float](8)
+          // no type ascriptions in the binding: the pattern `x: String`
+          // refuses to match a null err and MatchErrors the healthy row
+          val decoded: (Seq[Float], String) =
+            if (payload == null) (new Array[Float](8).toSeq, null)
+            else try {
+              val f = kind match {
+                case "image" => decodeImage(payload)
+                case "audio" => decodeAudio(payload)
+                case "video" => decodeVideo(payload)
+                case _ => new Array[Float](8)
+              }
+              (f.toSeq, null)
+            } catch {
+              case e: IllegalArgumentException => (null, e.getMessage)
             }
           Row(r.getLong(0), kind,
-            if (payload == null) 0 else payload.length, feature.toSeq)
+            if (payload == null) 0 else payload.length,
+            decoded._1, decoded._2)
         }
       }(enc)
   }
@@ -306,6 +365,7 @@ object Multimodal {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"))
+        round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"),
+        count(col("decode_err")).as("n_err"))
       .orderBy(col("kind"))
 }

@@ -92,6 +92,76 @@ class MultimodalSpec extends SparkSpec {
     assert(e2.getMessage.contains("999 bytes"))
   }
 
+  test("fuzz: truncated/garbled payloads fail as IllegalArgumentException " +
+    "with a message, never a bare buffer/codec internal error") {
+    // decode must either succeed (a prefix can still be a valid stream) or
+    // throw the contract exception — BufferUnderflow/EOF/NegativeArraySize
+    // escaping here would read as an engine bug, not bad input
+    def check(kind: String, decode: Array[Byte] => Array[Float],
+              payload: Array[Byte]): Unit =
+      try { decode(payload); () } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage != null && e.getMessage.nonEmpty,
+            s"$kind: contract exception must carry a contextual message")
+        case e: Throwable =>
+          fail(s"$kind decode leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    val valid = Seq[(String, Array[Byte] => Array[Float], Array[Byte])](
+      ("image", Multimodal.decodeImage, Multimodal.pngBytes(6L)),
+      ("audio", Multimodal.decodeAudio, Multimodal.wavBytes(7L)),
+      ("video", Multimodal.decodeVideo, Multimodal.gfvBytes(8L)))
+    for ((kind, decode, payload) <- valid) {
+      // every truncation point, including the empty payload
+      for (len <- 0 to payload.length)
+        check(kind, decode, payload.take(len))
+      // seeded byte-flip garbage (deterministic → reproducible failures)
+      val rnd = new scala.util.Random(42)
+      for (_ <- 1 to 200) {
+        val mutated = payload.clone()
+        for (_ <- 1 to (1 + rnd.nextInt(8)))
+          mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+        check(kind, decode, mutated)
+      }
+      // negative-length / hostile GFV1 headers are covered by the explicit
+      // requires; pure noise payloads exercise the codec entry paths
+      check(kind, decode, Array.fill(64)(rnd.nextInt(256).toByte))
+    }
+  }
+
+  test("a corrupt payload yields a null-feature row and never kills the " +
+    "healthy rows of its partition") {
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        org.apache.spark.sql.types.StructType(
+          Multimodal.mediaSchema.fields.take(3))))
+    val rows = Seq(
+      Row(1L, "image", Multimodal.pngBytes(1L)),
+      Row(2L, "image", "not a png at all".getBytes("US-ASCII")),
+      Row(3L, "audio", Multimodal.wavBytes(3L)),
+      Row(4L, "video", Multimodal.gfvBytes(4L).take(10))) // truncated
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), enc.schema)
+    val got = Multimodal.extractFeatures(media)
+      .orderBy("media_id").collect()
+    assert(got.length === 4, "all rows must survive a corrupt neighbor")
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // healthy rows decode exactly as they would alone
+    assert(byId(1L).getAs[scala.collection.Seq[Float]]("feature").toSeq ===
+      Multimodal.decodeImage(Multimodal.pngBytes(1L)).toSeq)
+    assert(byId(3L).getAs[scala.collection.Seq[Float]]("feature").toSeq ===
+      Multimodal.decodeAudio(Multimodal.wavBytes(3L)).toSeq)
+    assert(byId(1L).getString(4) == null && byId(3L).getString(4) == null)
+    // corrupt rows: null feature + the contextual message, row preserved
+    for (id <- Seq(2L, 4L)) {
+      assert(byId(id).isNullAt(3), s"row $id must carry a null feature")
+      val err = byId(id).getString(4)
+      assert(err != null && err.nonEmpty)
+    }
+    assert(byId(2L).getString(4).contains("image"))
+    assert(byId(4L).getString(4).contains("GFV1"))
+  }
+
   test("feature extraction is deterministic and batched per partition") {
     val f1 = Multimodal.extractFeatures(Multimodal.mediaFromEvents(spark, dir))
     val f2 = Multimodal.extractFeatures(
@@ -107,6 +177,8 @@ class MultimodalSpec extends SparkSpec {
     val stats = Multimodal.featureStats(spark, dir).collect()
     assert(stats.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
     assert(stats.map(_.getLong(1)).sum === 200L)
+    assert(stats.map(_.getLong(4)).sum === 0L,
+      "synthesized payloads must decode without errors")
     // avg of feature[0]: image → width in 4..11; audio → 16..47 samples;
     // video → GfvFrames exactly
     val byKind = stats.map(r => r.getString(0) -> r.getDouble(3)).toMap
