@@ -79,6 +79,24 @@ object Queries {
   private def cosSql(a: String, b: String) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** The embeddings table's dimensionality. The Spark operators probe the
+    * table at plan build; the oracle needs the same constant at SQL-gen
+    * time — a mismatch would fail the differential gate loudly.
+    */
+  private val EmbDims = 64
+
+  /** Random-projection sign-bucket SQL, generated from the SAME pinned
+    * `Similarity.rpPlanes` ±1 matrices the Spark expression uses — the
+    * two engines cannot disagree on the planes, and ±1 weights keep the
+    * projection a plain signed sum both fold in identical order.
+    */
+  private def rpBucketSql(bits: Int): String =
+    Similarity.rpPlanes(bits, EmbDims).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], [${
+        p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
+      }]) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   private val DecSum = "CAST(sum(value::decimal(18,2)) AS double)"
 
   // SimHash bit expressions, generated once for both engines.
@@ -929,10 +947,7 @@ object Queries {
     ("n10_lsh_ann_topk",
       (s: SparkSession, d: String) => Similarity.lshBucketTopK(emb(s, d), 10, 5),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END +
-        |   CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END +
-        |   CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END +
-        |   CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        |  ${rpBucketSql(Similarity.BucketBits)} AS bucket
         |  FROM embeddings),
         |p AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM e WHERE vec_id < 10),
         |scored AS (SELECT q_id, vec_id, ${cosSql("q_emb", "emb")} AS cos
@@ -963,9 +978,7 @@ object Queries {
       (s: SparkSession, d: String) =>
         Similarity.lshNearDupPairs(emb(s, d), 0.3, Similarity.BucketBits),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |    ${(1 to Similarity.BucketBits).map(i =>
-               s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
-               .mkString(" + ")} AS bucket
+        |    ${rpBucketSql(Similarity.BucketBits)} AS bucket
         |  FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ${cosSql("a.emb", "b.emb")} AS cos
@@ -980,9 +993,7 @@ object Queries {
       (s: SparkSession, d: String) =>
         Similarity.semanticDedup(emb(s, d), 0.3, Similarity.BucketBits),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |    ${(1 to Similarity.BucketBits).map(i =>
-               s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
-               .mkString(" + ")} AS bucket
+        |    ${rpBucketSql(Similarity.BucketBits)} AS bucket
         |  FROM embeddings),
         |d AS (SELECT DISTINCT b.vec_id
         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -997,9 +1008,7 @@ object Queries {
       (s: SparkSession, d: String) =>
         Similarity.knnGraph(emb(s, d), 5, Similarity.BucketBits),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |    ${(1 to Similarity.BucketBits).map(i =>
-               s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
-               .mkString(" + ")} AS bucket
+        |    ${rpBucketSql(Similarity.BucketBits)} AS bucket
         |  FROM embeddings),
         |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
         |    ${cosSql("a.emb", "b.emb")} AS cos

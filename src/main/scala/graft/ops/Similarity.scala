@@ -75,36 +75,87 @@ object Similarity {
     * must SHRINK as the corpus grows — a fixed width goes super-linear.
     * ceil(log2(n / [[TargetBucketRows]])), clamped to [[BucketBits]]..24
     * (a hyperplane per bit; beyond ~24 the recall loss outweighs the
-    * cut) and to the embedding dimensionality — [[signBucket]] reads one
-    * coordinate per bit, and bits past the array end are silently dead
-    * (null-guarded to 0), which would stall bucket growth exactly when
-    * the corpus is large. Costs one zero-column count job plus a
-    * one-row dims probe at plan build; the width has to be a plan-time
-    * constant because it fixes the expression arity.
+    * cut). No dimensionality clamp: [[rpBucket]]'s planes each span ALL
+    * dimensions, so no bit is ever dead (the old axis-aligned form read
+    * one coordinate per bit and stalled past the array end). Costs one
+    * zero-column count job plus a one-row dims probe at plan build; the
+    * width has to be a plan-time constant because it fixes the
+    * expression arity.
     */
   def deriveBucketBits(emb: DataFrame): Int = {
     val n = emb.count()
-    val dims = emb.select(size(col("embedding")).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(BucketBits)
     val raw = math.ceil(
       math.log(math.max(1.0, n.toDouble / TargetBucketRows)) /
         math.log(2.0)).toInt
-    math.min(math.min(24, dims), math.max(BucketBits, raw))
+    math.min(24, math.max(BucketBits, raw))
   }
 
-  /** Hyperplane-sign bucket over the first `bits` dimensions. */
+  /** Embedding dimensionality probe (one-row job at plan build — the
+    * plane literals need a plan-time dims constant, like the bucket
+    * width needs a plan-time bit count).
+    */
+  def probeDims(emb: DataFrame): Int =
+    emb.select(size(col("embedding")).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Seed pinning the random-projection hyperplanes. The planes are part
+    * of the QUERY CONTRACT, not run state: the DuckDB oracles embed the
+    * same ±1 matrices as literals, so the seed can never drift silently.
+    */
+  val RpSeed = 0x6772616674L
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** `bits` pinned Rademacher (±1) hyperplanes over `dims` dimensions,
+    * derived from [[splitmix64]] so they are deterministic for a given
+    * (bits, dims, seed) — the seeded random signed projections that fix
+    * the round-4 `weak`: axis-aligned sign buckets collapse (or scatter
+    * near-dups) when the leading coordinates are correlated or
+    * noise-dominated, while a ±1 projection weighs every dimension.
+    * ±1 entries (not uniform doubles) keep the projection bit-exactly
+    * oracle-expressible: multiplying by ±1.0 is exact, so the dot is a
+    * plain signed sum both engines fold in the same order.
+    */
+  def rpPlanes(bits: Int, dims: Int, seed: Long = RpSeed): Array[Array[Double]] =
+    Array.tabulate(bits)(p => Array.tabulate(dims)(d =>
+      if (splitmix64(seed + p.toLong * dims + d) < 0) -1.0 else 1.0))
+
+  /** Random-projection sign bucket: bit i = sign of ⟨emb, planeᵢ⟩ over
+    * the pinned [[rpPlanes]]. `embDouble` must be an `array<double>`
+    * column. Pure map-side expression — `bits` codegen'd dot products
+    * per row, zero shuffle, like the axis form it replaces.
+    */
+  def rpBucket(embDouble: Column, bits: Int, dims: Int,
+               seed: Long = RpSeed): Column =
+    rpPlanes(bits, dims, seed).zipWithIndex.map { case (p, i) =>
+      when(dot(embDouble, typedLit(p.toSeq)) >= 0d, lit(1 << i))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Axis-aligned sign bucket over the first `bits` dimensions — the
+    * historical simple form, kept for bucket-partitioned table layouts
+    * and as a cheap fixture; production blocking uses [[rpBucket]],
+    * whose planes weigh every dimension.
+    */
   def signBucket(emb: Column, bits: Int = BucketBits): Column =
     (1 to bits).map(i =>
       when(element_at(emb, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0)))
       .reduce(_ + _)
 
-  /** LSH-bucketed ANN: probes only scan their own sign bucket. Recall is
-    * traded for a ~2^bits candidate cut; same output shape as brute force.
+  /** LSH-bucketed ANN: probes only scan their own random-projection sign
+    * bucket. Recall is traded for a ~2^bits candidate cut; same output
+    * shape as brute force.
     */
   def lshBucketTopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("emb"),
-        signBucket(col("embedding")).as("bucket"))
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket",
+        rpBucket(col("emb"), BucketBits, probeDims(emb)))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val p = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
@@ -320,25 +371,34 @@ object Similarity {
     rankTopK(cands, k)
   }
 
-  /** Embedding-cosine near-dup pairs blocked by the hyperplane sign
-    * bucket — the scale-correct twin of [[cosineNearDupPairs]]' id-band
-    * baseline: near-identical vectors land in the same bucket (sign
-    * flips need a near-zero coordinate), so candidate generation is a
-    * bucket equi-join whose pair count is Σ bucket² instead of n².
-    * `bucketBits <= 0` (the default) sizes the width to the corpus via
-    * [[deriveBucketBits]] so buckets stay bounded at any scale; the query
-    * registry pins [[BucketBits]] explicitly for its oracle twin. Recall
-    * loss is the standard LSH trade.
+  /** Embedding-cosine near-dup pairs blocked by the random-projection
+    * sign bucket — the scale-correct twin of [[cosineNearDupPairs]]'
+    * id-band baseline: near-identical vectors project to the same signs
+    * (a flip needs a near-zero projection onto that plane), so candidate
+    * generation is a bucket equi-join whose pair count is Σ bucket²
+    * instead of n². `bucketBits <= 0` (the default) sizes the width to
+    * the corpus via [[deriveBucketBits]] so buckets stay bounded at any
+    * scale; the query registry pins [[BucketBits]] explicitly for its
+    * oracle twin. Recall loss is the standard LSH trade.
     */
   def lshNearDupPairs(emb: DataFrame, threshold: Double,
                       bucketBits: Int = 0): DataFrame = {
     val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
+    lshNearDupPairsWith(emb, threshold,
+      rpBucket(col("emb"), bits, probeDims(emb)))
+  }
+
+  /** [[lshNearDupPairs]] with an explicit bucket expression over the
+    * double `emb` column — the seam that lets specs drive the pair
+    * pipeline with hand-computable buckets.
+    */
+  private[graft] def lshNearDupPairsWith(emb: DataFrame, threshold: Double,
+                                         bucket: Column): DataFrame =
     nearDupPairs(
       emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("emb"),
-        signBucket(col("embedding"), bits).as("bucket")),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("bucket", bucket),
       col("a.bucket") === col("b.bucket"), threshold)
-  }
 
   /** Embedding-cosine near-dup pairs, blocked by label and an id-distance
     * band so the pair space stays linear-ish in corpus size.
@@ -393,9 +453,17 @@ object Similarity {
     */
   def knnGraph(emb: DataFrame, k: Int, bucketBits: Int = 0): DataFrame = {
     val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
+    knnGraphWith(emb, k, rpBucket(col("emb"), bits, probeDims(emb)))
+  }
+
+  /** [[knnGraph]] with an explicit bucket expression over the double
+    * `emb` column (spec seam, like [[lshNearDupPairsWith]]).
+    */
+  private[graft] def knnGraphWith(emb: DataFrame, k: Int,
+                                  bucket: Column): DataFrame = {
     val e = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("emb"),
-        signBucket(col("embedding"), bits).as("bucket"))
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", bucket)
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val scored = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -428,10 +496,19 @@ object Similarity {
   def semanticDedup(emb: DataFrame, threshold: Double,
                     bucketBits: Int = 0): DataFrame = {
     val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
+    semanticDedupWith(emb, threshold,
+      rpBucket(col("emb"), bits, probeDims(emb)))
+  }
+
+  /** [[semanticDedup]] with an explicit bucket expression over the
+    * double `emb` column (spec seam, like [[lshNearDupPairsWith]]).
+    */
+  private[graft] def semanticDedupWith(emb: DataFrame, threshold: Double,
+                                       bucket: Column): DataFrame = {
     val dropped = nearDupPairsUnsorted(
         emb.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("emb"),
-          signBucket(col("embedding"), bits).as("bucket")),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("bucket", bucket),
         col("a.bucket") === col("b.bucket"), threshold)
       .select(col("id_b").as("vec_id")).distinct()
     emb.select(col("vec_id"), col("label"))

@@ -101,10 +101,12 @@ class SimilaritySpec extends SparkSpec {
   test("bucket-partitioned ANN index: probes prune to their partition") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ann").toString
     val emb = graft.ops.Tables.embeddings(spark, dir)
-    // materialize the index: corpus partitioned by sign bucket — the
-    // "bucket key becomes the partition key" scale path
-    emb.withColumn("bucket", Similarity.signBucket(col("embedding")))
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+    // materialize the index: corpus partitioned by the production RP
+    // sign bucket — the "bucket key becomes the partition key" scale path
+    def bucketed = emb.withColumn("bucket",
+      Similarity.rpBucket(col("embedding").cast("array<double>"),
+        Similarity.BucketBits, Similarity.probeDims(emb)))
+    bucketed.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
     val index = spark.read.parquet(tmp)
     val probeBucket = index.filter(col("vec_id") === 7L)
       .select("bucket").head().getInt(0)
@@ -113,8 +115,7 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") &&
       plan.contains(probeBucket.toString))
     // searching inside the cell gives the same answer as filtering in memory
-    val inMem = emb.withColumn("bucket", Similarity.signBucket(col("embedding")))
-      .filter(col("bucket") === probeBucket).count()
+    val inMem = bucketed.filter(col("bucket") === probeBucket).count()
     assert(cell.count() === inMem)
   }
 
@@ -169,11 +170,13 @@ class SimilaritySpec extends SparkSpec {
   test("lshNearDupPairs: all pairs share a bucket, meet the threshold, " +
     "and cover every exact pair whose members share a bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
+    val bits = Similarity.deriveBucketBits(emb)
     val got = Similarity.lshNearDupPairs(emb, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.forall(_._3 >= 0.5))
     val buckets = emb.select(col("vec_id"),
-        Similarity.signBucket(col("embedding")).as("b")).collect()
+        Similarity.rpBucket(col("embedding").cast("array<double>"),
+          bits, Similarity.probeDims(emb)).as("b")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got.forall(p => buckets(p._1) === buckets(p._2)))
     // exhaustive within-bucket check on a small prefix: no missed pair
@@ -185,6 +188,37 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = exact.filter(p => buckets(p._1) == buckets(p._2))
     assert(gotSmall === expected)
+  }
+
+  test("rpBucket keeps near-dups together when the leading dims are " +
+    "noise with flipped signs (where axis-aligned buckets scatter them)") {
+    // 20 true near-dup pairs: first 4 coordinates are ±0.001 noise with
+    // OPPOSITE signs across the pair, the remaining 60 carry a shared
+    // seeded base vector — cosine ≈ 1. The old axis bucket (signs of the
+    // first 4 coords) puts every pair in complementary buckets → recall
+    // 0; the random projections weigh all 64 dims, so the tiny noise
+    // cannot flip the projection sign.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20).flatMap { i =>
+      val base = Array.fill(60)((rnd.nextDouble() * 2 - 1).toFloat)
+      val a = Array.fill(4)(0.001f) ++ base
+      val b = Array.fill(4)(-0.001f) ++ base.map(x => x * 1.0001f)
+      Seq((i * 2L, a, i), (i * 2L + 1, b, i))
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val truePairs = (0 until 20).map(i => (i * 2L, i * 2L + 1L)).toSet
+    val rp = Similarity.lshNearDupPairs(emb, 0.9, Similarity.BucketBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rpRecall = (truePairs intersect rp).size.toDouble / truePairs.size
+    assert(rpRecall >= 0.9, s"random-projection recall was $rpRecall")
+    // the axis form demonstrably collapses on this corpus
+    val axisBucket = (1 to Similarity.BucketBits).map(i =>
+      when(element_at(col("emb"), i) >= 0d, lit(1 << (i - 1)))
+        .otherwise(lit(0))).reduce(_ + _)
+    val axis = Similarity.lshNearDupPairsWith(emb, 0.9, axisBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((truePairs intersect axis).isEmpty,
+      "axis buckets must scatter these sign-flipped near-dups")
   }
 
   test("int8Codes: empty corpus yields an empty frame, not an NPE") {
@@ -203,12 +237,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
-  test("deriveBucketBits never exceeds the embedding dimensionality") {
-    // 2-dim vectors: signBucket bits past the array end are silently
-    // dead, so the derived width must clamp to dims
-    val emb = Seq((1L, Array(1f, -1f), 0), (2L, Array(-1f, 1f), 0))
+  test("deriveBucketBits: floor at BucketBits, grows with corpus size, " +
+    "no dims clamp (rpBucket planes span all dims — no dead bits)") {
+    val tiny = Seq((1L, Array(1f, -1f), 0), (2L, Array(-1f, 1f), 0))
       .toDF("vec_id", "embedding", "label")
-    assert(Similarity.deriveBucketBits(emb) === 2)
+    assert(Similarity.deriveBucketBits(tiny) === Similarity.BucketBits)
+    // 300k rows → ceil(log2(300000/256)) = 11 bits, even on 2-dim data:
+    // every plane mixes all coordinates, so no bit is structurally dead
+    val big = spark.range(300000)
+      .withColumn("embedding", array(lit(1f), lit(-1f)))
+    assert(Similarity.deriveBucketBits(big) === 11)
   }
 
   test("ivfTopK: empty corpus yields an empty frame, not an analyzer error") {
@@ -221,8 +259,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count() === 0)
   }
 
-  test("semanticDedup: min-id keeper over hand-built buckets") {
-    // bucketBits=1 → bucket = sign of dim 1. Bucket {1,2,4}: cos(1,2)≈1
+  // hand-computable axis bucket (sign of dim 1) for the keeper/ranking
+  // tests — the production operators block on Similarity.rpBucket, whose
+  // assignments these tests don't need to hand-derive
+  private def dim1Sign = when(element_at(col("emb"), 1) >= 0d, lit(1))
+    .otherwise(lit(0))
+
+  test("semanticDedup core: min-id keeper over hand-built buckets") {
+    // bucket = sign of dim 1. Bucket {1,2,4}: cos(1,2)≈1
     // drops 2; cos(1,4)=1/sqrt(101)≈0.0995 and cos(2,4)≈0.0985 keep 4.
     // Vector 3 sits alone in the negative bucket.
     val emb = Seq(
@@ -231,7 +275,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(-1f, 0f), 1),
       (4L, Array(1f, -10f), 2)
     ).toDF("vec_id", "embedding", "label")
-    val got = Similarity.semanticDedup(emb, 0.3, 1).collect()
+    val got = Similarity.semanticDedupWith(emb, 0.3, dim1Sign).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     assert(got.toSeq === Seq((1L, 0), (3L, 1), (4L, 2)))
   }
@@ -248,16 +292,16 @@ class SimilaritySpec extends SparkSpec {
       .count() === 0)
   }
 
-  test("knnGraph: in-bucket neighbors ranked by cosine on a hand corpus") {
-    // bucketBits=1: ids 1,2,4 share the positive bucket, 3 is alone (no
-    // edges). cos(1,2)≈1 > cos(1,4)≈0.0995; cos(2,4)≈0.0985.
+  test("knnGraph core: in-bucket neighbors ranked by cosine on a hand corpus") {
+    // dim-1 sign bucket: ids 1,2,4 share the positive bucket, 3 is alone
+    // (no edges). cos(1,2)≈1 > cos(1,4)≈0.0995; cos(2,4)≈0.0985.
     val emb = Seq(
       (1L, Array(1f, 0f), 0),
       (2L, Array(1f, 0.001f), 0),
       (3L, Array(-1f, 0f), 1),
       (4L, Array(1f, -10f), 2)
     ).toDF("vec_id", "embedding", "label")
-    val got = Similarity.knnGraph(emb, 2, 1).collect()
+    val got = Similarity.knnGraphWith(emb, 2, dim1Sign).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(got.toSeq === Seq(
       (1L, 2L, 1), (1L, 4L, 2),
@@ -270,7 +314,8 @@ class SimilaritySpec extends SparkSpec {
     val bits = Similarity.deriveBucketBits(emb)
     val g = Similarity.knnGraph(emb, 3, bits).collect()
     val buckets = emb.select(col("vec_id"),
-      Similarity.signBucket(col("embedding"), bits).as("b"))
+      Similarity.rpBucket(col("embedding").cast("array<double>"),
+        bits, Similarity.probeDims(emb)).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(g.groupBy(_.getLong(0)).values.forall(_.length <= 3))
     g.foreach(r =>
@@ -280,7 +325,8 @@ class SimilaritySpec extends SparkSpec {
   test("LSH ANN results are a subset of the probe's sign bucket") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val buckets = emb.select(col("vec_id"),
-      Similarity.signBucket(col("embedding")).as("b"))
+      Similarity.rpBucket(col("embedding").cast("array<double>"),
+        Similarity.BucketBits, Similarity.probeDims(emb)).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val ann = Similarity.lshBucketTopK(emb, 3, 5).collect()
     ann.foreach { r =>
