@@ -90,6 +90,30 @@ object Queries {
     * two engines cannot disagree on the planes, and ±1 weights keep the
     * projection a plain signed sum both fold in identical order.
     */
+  /** Shared by n44 (train + score in one query) and n52 (score against
+    * the persisted model): the model derives deterministically from the
+    * same corpus, so both paths produce identical rows.
+    */
+  private val BigramLmSql = """WITH ws AS (
+    |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    |bp AS (
+    |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+    |    i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+    |  FROM ws WHERE len(w) >= 2),
+    |bi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
+    |bc AS (SELECT w1, w2, count(*) AS cbi FROM bi GROUP BY 1, 2),
+    |cc AS (SELECT w1, CAST(sum(cbi) AS BIGINT) AS cctx FROM bc GROUP BY 1),
+    |v AS (SELECT count(DISTINCT x) AS vsize FROM
+    |  (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
+    |scored AS (
+    |  SELECT b.doc_id,
+    |    CAST(ln((bc.cbi + 1)::double / (cc.cctx + v.vsize))
+    |      AS decimal(18,9)) AS lnp
+    |  FROM bi b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
+    |SELECT doc_id, count(*) AS n_bigrams,
+    |  round(CAST(sum(lnp) AS double) / count(*), 6) AS avg_lnp
+    |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def rpBucketSql(bits: Int): String =
     Similarity.rpPlanes(bits, EmbDims).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], [${
@@ -887,6 +911,34 @@ object Queries {
         |FROM o FULL OUTER JOIN n USING (doc_id)
         |GROUP BY 1, 2 ORDER BY source, status""".stripMargin)),
 
+    // Train-once/score-many twins (the production shape n23's and n44's
+    // Scaladocs describe): the model is persisted via Sinks.writeIfAbsent
+    // at a corpus-keyed path (Sinks.modelPath — re-trains exactly when
+    // the data changes), and scoring reads it back, so the scoring plan
+    // carries ZERO training subtrees (PlanSpec pins that for n52).
+    ("n51_ivf_model_score",
+      (s: SparkSession, d: String) => {
+        val path = graft.sources.Sinks.modelPath(
+          s, s"$d/embeddings.parquet", "ivf_centroids")
+        graft.sources.Sinks.writeIfAbsent(
+          Similarity.trainIvfCentroids(emb(s, d)), path)
+        Similarity.ivfTopKFromModel(emb(s, d), s.read.parquet(path), 10, 5)
+      },
+      None), // k-means float means are engine-specific, like n23
+
+    // Scoring a corpus against the model trained on that same corpus is
+    // bit-equal to the in-query n44 — so the persisted-model path shares
+    // n44's full oracle and stays hash-exact end to end.
+    ("n52_bigram_lm_model_score",
+      (s: SparkSession, d: String) => {
+        val path = graft.sources.Sinks.modelPath(
+          s, s"$d/documents.parquet", "bigram_lm")
+        graft.sources.Sinks.writeIfAbsent(
+          TextAnalysis.trainBigramLm(docs(s, d)), path)
+        TextAnalysis.scoreBigramLm(docs(s, d), s.read.parquet(path))
+      },
+      Some(BigramLmSql)),
+
     ("n3_adjacent_jaccard",
       (s: SparkSession, d: String) => Dedup.adjacentJaccard(docs(s, d)),
       Some("""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
@@ -1283,25 +1335,7 @@ object Queries {
     // the oracle bit-exact.
     ("n44_bigram_lm_score",
       (s: SparkSession, d: String) => TextAnalysis.bigramLmScore(docs(s, d)),
-      Some("""WITH ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |bp AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
-        |    i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
-        |  FROM ws WHERE len(w) >= 2),
-        |bi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
-        |bc AS (SELECT w1, w2, count(*) AS cbi FROM bi GROUP BY 1, 2),
-        |cc AS (SELECT w1, CAST(sum(cbi) AS BIGINT) AS cctx FROM bc GROUP BY 1),
-        |v AS (SELECT count(DISTINCT x) AS vsize FROM
-        |  (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
-        |scored AS (
-        |  SELECT b.doc_id,
-        |    CAST(ln((bc.cbi + 1)::double / (cc.cctx + v.vsize))
-        |      AS decimal(18,9)) AS lnp
-        |  FROM bi b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(lnp) AS double) / count(*), 6) AS avg_lnp
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(BigramLmSql)),
 
     // Per-source unigram-distribution drift KL(source || corpus) — the
     // mixing-time divergence check. Terms in a fixed op order through

@@ -183,13 +183,59 @@ object Similarity {
   def ivfTopK(emb: DataFrame, nProbes: Int, k: Int,
               nCentroids: Int = 16, iters: Int = 3, nProbe: Int = 2): DataFrame = {
     val e = Checkpoints.cut(withNorm(emb))
-    // degenerate corpora (empty, or every cell dropped by the all-null
-    // mean filter below) must yield an EMPTY result, not an analyzer
-    // error from array() over zero centroid structs in nearestCells
-    def emptyResult: DataFrame =
-      e.select(col("vec_id").as("q_id"), col("vec_id"),
-        lit(0d).as("cos"), lit(1).as("rnk")).limit(0)
-    // --- train ---
+    val centroids = trainCentroidArray(e, nCentroids, iters)
+    if (centroids.isEmpty) emptyTopK(e)
+    else scoreIvf(e, centroids, nProbes, k, nProbe)
+  }
+
+  /** Train the IVF k-means centroids and return them as a small
+    * (cid, cemb) frame — the PERSISTABLE model half of [[ivfTopK]].
+    * Write it once through [[graft.sources.Sinks.writeIfAbsent]] and
+    * score many runs with [[ivfTopKFromModel]]: at 100 TB you never
+    * re-train per query (re-training is `iters` corpus passes; scoring
+    * from a model is one map-side assignment pass).
+    */
+  def trainIvfCentroids(emb: DataFrame, nCentroids: Int = 16,
+                        iters: Int = 3): DataFrame = {
+    val e = Checkpoints.cut(withNorm(emb))
+    val centroids = trainCentroidArray(e, nCentroids, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "cemb")
+  }
+
+  /** Score-only IVF against a trained (cid, cemb) model frame — the
+    * production train-once/score-many shape. The model collect is
+    * bounded (nCentroids × dims); the plan contains ZERO training
+    * subtrees (no per-round aggregates, no iterative jobs).
+    */
+  def ivfTopKFromModel(emb: DataFrame, model: DataFrame, nProbes: Int,
+                       k: Int, nProbe: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val centroids = model.select(col("cid").cast("long"),
+        col("cemb").cast("array<double>"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+    if (centroids.isEmpty) emptyTopK(e)
+    else scoreIvf(e, centroids, nProbes, k, nProbe)
+  }
+
+  /** Degenerate corpora (empty, or every cell dropped by the all-null
+    * mean filter) must yield an EMPTY result, not an analyzer error
+    * from array() over zero centroid structs in nearestCells.
+    */
+  private def emptyTopK(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("q_id"), col("vec_id"),
+      lit(0d).as("cos"), lit(1).as("rnk")).limit(0)
+
+  /** Lloyd's k-means over a normed frame, entirely deterministic:
+    * init = the `nCentroids` smallest-id vectors, `iters` fixed
+    * assignment/update rounds. Returns the (bounded) centroid array;
+    * empty means the corpus itself was empty or degenerate.
+    */
+  private def trainCentroidArray(e: DataFrame, nCentroids: Int,
+                                 iters: Int): Array[(Long, Array[Double])] = {
     // seed from the nCentroids SMALLEST ids (not `vec_id < nCentroids`,
     // which silently collects zero seeds on an offset/filtered corpus
     // whose ids all exceed nCentroids — empty here must mean the corpus
@@ -198,7 +244,7 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
       .collect().map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Double]](1).toArray))
-    if (centroids.isEmpty) return emptyResult
+    if (centroids.isEmpty) return centroids
     for (_ <- 1 to iters) {
       // assignment is a pure map-side expression over the (bounded,
       // driver-collected) centroid array — the crossJoin + per-vector
@@ -219,8 +265,16 @@ object Similarity {
         .filter(col("mean").isNotNull) // all-null cell: drop, don't NPE
         .collect().map(r => (r.getLong(0),
           r.getAs[scala.collection.Seq[Double]]("mean").toArray))
-      if (centroids.isEmpty) return emptyResult
+      if (centroids.isEmpty) return centroids
     }
+    centroids
+  }
+
+  /** The search half of IVF: index the corpus map-side, probe only the
+    * `nProbe` nearest cells per query.
+    */
+  private def scoreIvf(e: DataFrame, centroids: Array[(Long, Array[Double])],
+                       nProbes: Int, k: Int, nProbe: Int): DataFrame = {
     // --- index: corpus rows with their cell (map-side, no shuffle) ---
     val indexed = e.withColumn("cid", nearestCells(centroids, 1).getItem(0))
     // --- search: probes scan their nProbe nearest cells only ---

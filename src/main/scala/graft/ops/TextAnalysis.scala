@@ -562,26 +562,48 @@ object TextAnalysis {
     * into one subtree per consumer, so this single-job form explodes the
     * corpus twice (counts, scoring) plus a word-distinct pass for the
     * vocabulary. That is the right trade for a one-shot audit; a real
-    * 100 TB deployment trains ONCE — persist the (w1, w2, cbi) model
-    * through [[graft.sources.Sinks]] (or train on a sample / reference
-    * corpus) and reuse it across scoring runs, which also drops the
-    * in-query count subtree.
+    * 100 TB deployment trains ONCE — [[trainBigramLm]] +
+    * [[graft.sources.Sinks.writeIfAbsent]] persist the model and
+    * [[scoreBigramLm]] scores against it with zero count subtrees.
     */
-  def bigramLmScore(docs: DataFrame): DataFrame = {
-    val bi = docs.select(col("doc_id"), words(col("text")).as("w"))
+  def bigramLmScore(docs: DataFrame): DataFrame =
+    scoreBigramLm(docs, trainBigramLm(docs))
+
+  /** Per-doc bigram stream (doc_id, w1, w2) — the single definition
+    * shared by training and scoring, so the two can never tokenize
+    * differently.
+    */
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
       .filter(functions.size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> " +
           "struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bi.groupBy(col("w1"), col("w2"))
+
+  /** Train the add-one-smoothed bigram LM as a persistable model table
+    * (w1, w2, cbi, cctx, vsize): bigram count, context total, vocabulary
+    * size — everything [[scoreBigramLm]] needs, denormalized so scoring
+    * is ONE equi-join. Vocabulary-squared-bounded (in practice ~bigram
+    * count), tiny next to any corpus.
+    */
+  def trainBigramLm(docs: DataFrame): DataFrame = {
+    val bc = bigramsOf(docs).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cbi"))
     val cc = bc.groupBy(col("w1")).agg(sum(col("cbi")).as("cctx"))
     val v = docs.select(explode(words(col("text"))).as("x"))
       .agg(countDistinct(col("x")).as("vsize"))
-    bi.join(bc, Seq("w1", "w2"))
-      .join(cc, Seq("w1"))
-      .crossJoin(broadcast(v))
+    bc.join(cc, Seq("w1")).crossJoin(broadcast(v))
+  }
+
+  /** Score documents against a TRAINED bigram model — the production
+    * shape: one corpus explosion, one equi-join against the (persisted)
+    * model, zero count subtrees in the plan. Scoring a corpus against
+    * the model trained on that same corpus is bit-equal to
+    * [[bigramLmScore]] (n52's oracle is n44's).
+    */
+  def scoreBigramLm(docs: DataFrame, model: DataFrame): DataFrame =
+    bigramsOf(docs).join(model, Seq("w1", "w2"))
       .select(col("doc_id"),
         log((col("cbi") + 1).cast("double") / (col("cctx") + col("vsize")))
           .cast("decimal(18,9)").as("lnp"))
@@ -590,7 +612,6 @@ object TextAnalysis {
         round(sum(col("lnp")).cast("double") / count(lit(1)), 6)
           .as("avg_lnp"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-source word-distribution drift: KL(source ‖ corpus) over the
     * unigram distributions — the mixing-time check that a source hasn't

@@ -26,6 +26,25 @@ object Sinks {
   def writeIfAbsent(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Ignore).parquet(path)
 
+  /** Deterministic model-cache location for a model trained off a corpus
+    * table: keyed by the table's path, size, and mtime, so a data refresh
+    * re-trains and an unchanged corpus reuses the persisted model. This
+    * is the train-once/score-many seam — [[writeIfAbsent]] the trained
+    * frame here, read it back for every scoring run (in production the
+    * base would be a warehouse path, not the local tmpdir).
+    */
+  def modelPath(spark: org.apache.spark.sql.SparkSession,
+                corpusTable: String, modelName: String): String = {
+    val p = new org.apache.hadoop.fs.Path(corpusTable)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p.toUri}|${st.getLen}|${st.getModificationTime}"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_models/${modelName}_$key"
+  }
+
   /** Globally key-clustered write: range-repartition then sort within
     * partitions, so every output file covers a disjoint key range and
     * parquet min/max row-group stats prune point/range reads — the

@@ -154,6 +154,31 @@ class PlanSpec extends SparkSpec {
       "expected the 1-row vocab frame broadcast:\n" + p)
   }
 
+  test("n52: scoring from the persisted bigram model has zero training " +
+    "subtrees") {
+    // the train-once/score-many contract: the scoring plan reads the
+    // model PARQUET (one equi-join) — no bigram-count aggregate, no
+    // vocabulary count-distinct, no 1-row broadcast. The only aggregate
+    // pair left is the per-doc rollup.
+    val p = plan("n52_bigram_lm_model_score")
+    assert(p.contains("graft_models"),
+      "expected a scan of the persisted model table:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the in-plan vocab broadcast must be gone when scoring from a model:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length <= 2,
+      "expected only the per-doc rollup aggregate pair:\n" + p)
+  }
+
+  test("n51: scoring from persisted IVF centroids plans no per-round " +
+    "training aggregates") {
+    val p = plan("n51_ivf_model_score")
+    // nearestCells assignment is a pure projection over the model
+    // literals; the only aggregation-free shuffles left are the probe
+    // broadcast and the final rank/sort
+    assert(!p.contains("vecsum"),
+      "expected no VectorSum training aggregate in the scoring plan:\n" + p)
+  }
+
   test("n46: the keep list is an anti join on the dropped-id set") {
     val p = plan("n46_semantic_dedup")
     assert(p.contains("LeftAnti"),

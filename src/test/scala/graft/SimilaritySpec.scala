@@ -91,6 +91,25 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Aggregate"))
   }
 
+  test("ivfTopKFromModel ≡ ivfTopK, including through a parquet " +
+    "round trip of the persisted centroids") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val direct = Similarity.ivfTopK(emb, 5, 5)
+      .collect().map(_.toString).toSeq
+    val model = Similarity.trainIvfCentroids(emb)
+    val viaModel = Similarity.ivfTopKFromModel(emb, model, 5, 5)
+      .collect().map(_.toString).toSeq
+    assert(viaModel === direct,
+      "scoring from a trained model must equal the in-query trainer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.sources.Sinks.writeIfAbsent(model, s"$tmp/centroids")
+    val viaDisk = Similarity.ivfTopKFromModel(
+        emb, spark.read.parquet(s"$tmp/centroids"), 5, 5)
+      .collect().map(_.toString).toSeq
+    assert(viaDisk === direct,
+      "the parquet round trip must not perturb the centroids")
+  }
+
   test("IVF ANN is reproducible across runs (deterministic training)") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val a = Similarity.ivfTopK(emb, 3, 3).collect().map(_.toString).toSeq

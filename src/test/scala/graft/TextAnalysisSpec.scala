@@ -272,6 +272,21 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1L, avg(Seq(lnp(2, 2))))))           // p(a|b)
   }
 
+  test("scoreBigramLm against a persisted model ≡ in-query bigramLmScore") {
+    val docs = Seq((1L, "a b a b c"), (2L, "b a"), (3L, "c c a b"))
+      .toDF("doc_id", "text")
+    val direct = TextAnalysis.bigramLmScore(docs)
+      .collect().map(_.toString).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    graft.sources.Sinks.writeIfAbsent(
+      TextAnalysis.trainBigramLm(docs), s"$tmp/model")
+    val viaDisk = TextAnalysis.scoreBigramLm(
+        docs, spark.read.parquet(s"$tmp/model"))
+      .collect().map(_.toString).toSeq
+    assert(viaDisk === direct,
+      "the persisted-model path must be bit-equal to the in-query trainer")
+  }
+
   test("bigramLmScore and sourceDrift are partitioning-invariant") {
     // the decimal-summed terms must make the aggregates order-independent
     // — shuffling rows across a different partition count cannot move a
