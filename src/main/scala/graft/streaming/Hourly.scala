@@ -36,20 +36,38 @@ object Hourly {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** File-source streaming variant over the events parquet directory —
-    * `AvailableNow` replays the whole directory as micro-batches, the
-    * streaming analog of the reference's scheduled hourly run.
+  /** Start the checkpointed hourly pipeline over a parquet directory and
+    * return the running query — the restartable S7 shape. Exactly-once
+    * across kills is carried by two logs the caller never manages:
+    *
+    *   - the CHECKPOINT's offset/commit log: a committed micro-batch is
+    *     never re-read from the source on restart (no losses: an
+    *     uncommitted batch is replayed from its recorded offsets);
+    *   - the file sink's `_spark_metadata` log: data files are registered
+    *     only when their batch commits, so files a mid-batch kill left
+    *     behind are INVISIBLE to readers (no dupes) and the replayed
+    *     batch's files supersede them.
+    *
+    * `maxFilesPerTrigger` bounds each micro-batch (one log file per batch
+    * mirrors the reference's one-run-per-hour cadence and keeps per-batch
+    * state flush bounded at scale).
     */
-  def streamFromParquet(spark: SparkSession, dir: String,
-                        checkpoint: String, out: String): Unit = {
+  def startFromParquet(spark: SparkSession, dir: String,
+                       checkpoint: String, out: String,
+                       glob: String = "events.parquet",
+                       maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Stream with the RAW on-disk schema (ts as nano-long), then apply the
     // same µs conversion Tables.events does for batch.
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file source needs a directory; glob-filter down to the table file
-    val raw = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val rawSchema =
+      spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // the file source needs a directory; glob-filter down to the table files
+    var reader = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(m =>
+      reader = reader.option("maxFilesPerTrigger", m.toString))
+    val raw = reader.parquet(dir)
     // same schema guard as Tables.events: only nano-long ts needs converting
     val stream =
       if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -62,6 +80,33 @@ object Hourly {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("parquet")
       .start(out)
-      .awaitTermination()
+  }
+
+  /** File-source streaming variant over the events parquet directory —
+    * `AvailableNow` replays the whole directory as micro-batches, the
+    * streaming analog of the reference's scheduled hourly run.
+    */
+  def streamFromParquet(spark: SparkSession, dir: String,
+                        checkpoint: String, out: String): Unit =
+    startFromParquet(spark, dir, checkpoint, out).awaitTermination()
+
+  /** Streaming twin of `Graft.writeReportDocument` (SURVEY §2.9 meets the
+    * S7 idempotence contract, rds_pgbadger.py:25-31,44-49): drain whatever
+    * the source directory holds through the checkpointed sink (committed
+    * batches are never recomputed — the stream's memo), then render the
+    * sink's COMMITTED view into the one memoized atomic HTML artifact.
+    * Re-running after any interruption resumes the stream where its
+    * checkpoint stopped and republishes the report only if absent.
+    * Returns true when the HTML artifact was written this call.
+    */
+  def writeStreamingReport(spark: SparkSession, dir: String,
+                           checkpoint: String, out: String,
+                           reportPath: String): Boolean = {
+    startFromParquet(spark, dir, checkpoint, out).awaitTermination()
+    // bounded by construction: one row per closed (hour, event_type)
+    val committed = spark.read.parquet(out)
+    graft.sources.Sinks.writeStringIfAbsent(spark, reportPath,
+      graft.Graft.renderReportHtml("graft streaming hourly report",
+        Map("hourly" -> committed)))
   }
 }

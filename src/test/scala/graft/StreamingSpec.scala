@@ -79,6 +79,100 @@ class StreamingSpec extends SparkSpec {
     assert(withheld.filter(col("hour_start") < maxClosed).count() === 0)
   }
 
+  // ---- S7 on a stream: kill → resume must lose nothing and dupe nothing.
+  // A mid-batch kill has exactly two observable leftovers, and the test
+  // exercises both deterministically:
+  //   (1) source side: un-ingested input remains → the resumed run must
+  //       process it exactly once (checkpoint offset log);
+  //   (2) sink side: data files written by the dying batch exist on disk
+  //       but were never committed to `_spark_metadata` → readers must not
+  //       see them (we plant exactly such an orphan file and assert it
+  //       stays invisible while physically present).
+  test("checkpointed sink restart: resume after kill has no dupes, no losses; " +
+    "torn sink files stay invisible") {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    val tmp = JFiles.createTempDirectory("graft_restart").toString
+    val in = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
+    JFiles.createDirectories(java.nio.file.Paths.get(in))
+
+    // Split the events table into 4 event-time-ordered files so the
+    // watermark advances file by file (one micro-batch per file below).
+    val ev = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+    val withQ = ev.withColumn("q", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    val staged = (1 to 4).map { i =>
+      val stage = s"$tmp/stage_q$i"
+      withQ.filter(col("q") === i).drop("q").coalesce(1)
+        .write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+    }
+    def arrive(i: Int): Unit = { // distinct ascending mtimes → stable order
+      val dst = new java.io.File(in, s"q$i.parquet")
+      JFiles.copy(staged(i - 1).toPath, dst.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1700000000000L + i * 1000L)
+    }
+
+    // Run 1: only half the input has arrived; one file per micro-batch.
+    arrive(1); arrive(2)
+    Hourly.startFromParquet(spark, in, ckpt, out,
+      glob = "*.parquet", maxFilesPerTrigger = Some(1)).awaitTermination()
+    val afterKill = spark.read.parquet(out).count()
+    assert(afterKill > 0, "run 1 must have committed some closed windows")
+
+    // Plant the mid-batch-kill artifact: a data file in the sink directory
+    // that no committed batch registered in _spark_metadata.
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
+    JFiles.copy(parts.head.toPath, torn.toPath)
+
+    // Run 2: the rest of the input arrives; same checkpoint + sink.
+    arrive(3); arrive(4)
+    Hourly.startFromParquet(spark, in, ckpt, out,
+      glob = "*.parquet", maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    val emitted = spark.read.parquet(out)
+    val batch = Hourly.hourlyAgg(ev)
+    // No dupes, no spurious rows: every emitted row (multiset!) appears in
+    // the batch twin — a replayed batch or a visible torn file would leave
+    // a remainder here.
+    assert(emitted.count() > afterKill, "run 2 must have made progress")
+    assert(emitted.exceptAll(batch).count() === 0,
+      "restart produced duplicate or spurious rows")
+    // No losses: only windows the final watermark left open may be missing.
+    val maxClosed = emitted.agg(max(col("hour_start"))).head().getTimestamp(0)
+    assert(batch.exceptAll(emitted)
+      .filter(col("hour_start") < maxClosed).count() === 0,
+      "restart lost closed windows")
+    // The torn file is physically present, non-empty, and yet unread.
+    assert(torn.exists())
+    assert(spark.read.parquet(torn.getPath).count() > 0)
+  }
+
+  test("streaming report artifact: checkpointed sink + memoized atomic HTML") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sreport").toString
+    val report = s"$tmp/report.html"
+    val first = Hourly.writeStreamingReport(spark, "/root/testdata/sf0.001",
+      s"$tmp/ckpt", s"$tmp/out", report)
+    assert(first, "first run must publish the report")
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(report)), "UTF-8")
+    assert(html.contains("<section id=\"hourly\""))
+    assert(html.contains("hour_start"))
+    // Re-run: the stream resumes from its checkpoint (nothing new to do)
+    // and the artifact is memoized — S7, both halves.
+    val rowsBefore = spark.read.parquet(s"$tmp/out").count()
+    val second = Hourly.writeStreamingReport(spark, "/root/testdata/sf0.001",
+      s"$tmp/ckpt", s"$tmp/out", report)
+    assert(!second, "second run must be the memoized no-op")
+    assert(spark.read.parquet(s"$tmp/out").count() === rowsBefore,
+      "resumed stream must not recompute committed batches")
+  }
+
   test("per-row text operators run UNCHANGED on a stream: " +
     "normalizeRedactRaw + chunkDocsRaw, stream ≡ batch") {
     implicit val sqlCtx = spark.sqlContext
