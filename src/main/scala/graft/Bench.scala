@@ -79,16 +79,33 @@ object Bench {
     val parallelism = math.max(2, math.min(4, cpus.toInt))
     // Concurrent pass FIRST so its wall is measured under the same
     // conditions as rounds 1-4 (cold per-query codegen); the sequential
-    // pass then benefits uniformly from the warm codegen cache — fine,
-    // because its numbers are compared only against other sequential runs.
+    // passes then benefit uniformly from the warm codegen cache — fine,
+    // because their numbers are compared only against other sequential runs.
     val (concTotal, concResults) =
       if (mode != "sequential") runPass(spark, sfDir, parallelism)
       else (0.0, Seq.empty)
-    val (seqTotal, seqResults) =
-      if (mode != "concurrent") runPass(spark, sfDir, 1)
-      else (0.0, Seq.empty)
+    // MEDIAN-of-N sequential passes (the r3 verdict's median policy, in the
+    // harness itself): a single pass leaves GC/co-tenancy outliers in
+    // individual queries (observed: one codec-heavy query swinging 3.6→10.9 s
+    // between back-to-back single passes while the pass TOTALS moved 2%);
+    // the per-query median over 3 passes is stable within ±10%.
+    val seqPasses = sys.env.getOrElse("SPARK_GRAFT_SEQ_PASSES", "3").toInt
+    val seqRuns: Seq[(Double, Seq[(String, Double, Boolean)])] =
+      if (mode != "concurrent")
+        (1 to seqPasses).map(_ => runPass(spark, sfDir, 1))
+      else Seq.empty
+    val seqResults: Seq[(String, Double, Boolean)] =
+      if (seqRuns.isEmpty) Seq.empty
+      else seqRuns.head._2.map { case (name, _, _) =>
+        val times = seqRuns.map(_._2.find(_._1 == name).get)
+        val sorted = times.map(_._2).sorted
+        (name, sorted(sorted.size / 2), times.forall(_._3))
+      }
+    val seqTotal = // median pass total, same policy as the per-query numbers
+      if (seqRuns.isEmpty) 0.0
+      else seqRuns.map(_._1).sorted.apply(seqRuns.size / 2)
 
-    // `queries` carries the load-independent SEQUENTIAL per-query times
+    // `queries` carries the load-independent SEQUENTIAL per-query medians
     // (the regression-detection record the round-4 verdict asked for);
     // `value` stays the concurrent batch wall, comparable to prior rounds.
     // In single-pass modes each field falls back to the pass that ran.
@@ -99,9 +116,11 @@ object Bench {
     val failed = (concResults ++ seqResults).collect {
       case (k, _, false) => "\"" + k + "\""
     }.distinct.mkString("[", ",", "]")
+    val seqTotalsJson = seqRuns.map(_._1).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$value,"unit":"sec","queries":$queriesJson,""" +
         s""""queries_concurrent":$concJson,"seq_total":$seqTotal,""" +
+        s""""seq_pass_totals":$seqTotalsJson,"seq_passes":$seqPasses,""" +
         s""""mode":"$mode","failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Also persist the FULL line: the driver's captured tail truncates the

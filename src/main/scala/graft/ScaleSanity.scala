@@ -44,7 +44,8 @@ object ScaleSanity {
         "n41_lsh_neardup_pairs",
         "n42_token_budget_mix", "n43_sequence_packing",
         "n44_bigram_lm_score", "n45_source_drift",
-        "n47_dup_span_stats")) {
+        "n47_dup_span_stats", "n49_incremental_dedup",
+        "n50_snapshot_diff")) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very
       // projections being measured (same fix as Bench)
@@ -89,6 +90,35 @@ object ScaleSanity {
         df.queryExecution.toRdd.count()
         println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
           s"$tag (bits=$bits)")
+      }
+    }
+    // train-once/score-many (n51/n52): training is paid once per corpus
+    // refresh; the scoring side must stay near-linear map-side work with
+    // zero training subtrees — time the two halves separately
+    {
+      def time(tag: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $tag")
+      }
+      val e = spark.read.parquet(s"$out/embeddings.parquet")
+      val d = spark.read.parquet(s"$out/documents.parquet")
+      val ivfPath = s"$out/models/ivf_centroids"
+      val lmPath = s"$out/models/bigram_lm"
+      time("n51_train_ivf") {
+        sources.Sinks.writeIfAbsent(ops.Similarity.trainIvfCentroids(e),
+          ivfPath)
+      }
+      time("n51_score_from_model") {
+        ops.Similarity.ivfTopKFromModel(e, spark.read.parquet(ivfPath),
+          10, 5).queryExecution.toRdd.count()
+      }
+      time("n52_train_bigram_lm") {
+        sources.Sinks.writeIfAbsent(ops.TextAnalysis.trainBigramLm(d), lmPath)
+      }
+      time("n52_score_from_model") {
+        ops.TextAnalysis.scoreBigramLm(d, spark.read.parquet(lmPath))
+          .queryExecution.toRdd.count()
       }
     }
     spark.stop()

@@ -35,6 +35,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream spools every read/write through a
+  // DISK-backed cache file — one temp file created and deleted per codec
+  // call. Per-row decode makes that ~2 filesystem round-trips per media
+  // row (the dominant, high-variance cost at bench scale; a pure-JVM
+  // in-memory stream is both faster and steadier). Payloads here are
+  // bounded (whole-object decode), so the memory cache is safe. Runs in
+  // the object initializer: executors touch this object only via the
+  // decode/encode entry points, so the switch is set before any codec
+  // call in every JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
