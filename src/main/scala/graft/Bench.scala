@@ -59,6 +59,10 @@ object Bench {
     // wall), then a sequential pass whose per-query numbers carry no
     // FAIR-pool queueing noise; "concurrent" / "sequential" run one pass.
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "both")
+    require(Set("both", "concurrent", "sequential")(mode),
+      s"SPARK_GRAFT_BENCH_MODE=$mode (want both|concurrent|sequential) — " +
+        "a typo here would silently run both passes yet stamp the bogus " +
+        "mode string into the committed record")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

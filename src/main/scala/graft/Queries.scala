@@ -85,11 +85,6 @@ object Queries {
     */
   private val EmbDims = 64
 
-  /** Random-projection sign-bucket SQL, generated from the SAME pinned
-    * `Similarity.rpPlanes` ±1 matrices the Spark expression uses — the
-    * two engines cannot disagree on the planes, and ±1 weights keep the
-    * projection a plain signed sum both fold in identical order.
-    */
   /** Shared by n44 (train + score in one query) and n52 (score against
     * the persisted model): the model derives deterministically from the
     * same corpus, so both paths produce identical rows.
@@ -114,6 +109,11 @@ object Queries {
     |  round(CAST(sum(lnp) AS double) / count(*), 6) AS avg_lnp
     |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Random-projection sign-bucket SQL, generated from the SAME pinned
+    * `Similarity.rpPlanes` ±1 matrices the Spark expression uses — the
+    * two engines cannot disagree on the planes, and ±1 weights keep the
+    * projection a plain signed sum both fold in identical order.
+    */
   private def rpBucketSql(bits: Int): String =
     Similarity.rpPlanes(bits, EmbDims).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], [${
@@ -920,9 +920,13 @@ object Queries {
       (s: SparkSession, d: String) => {
         val path = graft.sources.Sinks.modelPath(
           s, s"$d/embeddings.parquet", "ivf_centroids")
-        graft.sources.Sinks.writeIfAbsent(
-          Similarity.trainIvfCentroids(emb(s, d)), path)
-        Similarity.ivfTopKFromModel(emb(s, d), s.read.parquet(path), 10, 5)
+        // materializeModel checks existence BEFORE evaluating the
+        // training thunk — trainIvfCentroids runs k-means eagerly on
+        // the driver, so a bare writeIfAbsent(train(...), path) would
+        // re-train every call and only skip the write
+        val model = graft.sources.Sinks.materializeModel(s, path)(
+          Similarity.trainIvfCentroids(emb(s, d)))
+        Similarity.ivfTopKFromModel(emb(s, d), model, 10, 5)
       },
       None), // k-means float means are engine-specific, like n23
 
@@ -933,9 +937,9 @@ object Queries {
       (s: SparkSession, d: String) => {
         val path = graft.sources.Sinks.modelPath(
           s, s"$d/documents.parquet", "bigram_lm")
-        graft.sources.Sinks.writeIfAbsent(
-          TextAnalysis.trainBigramLm(docs(s, d)), path)
-        TextAnalysis.scoreBigramLm(docs(s, d), s.read.parquet(path))
+        TextAnalysis.scoreBigramLm(docs(s, d),
+          graft.sources.Sinks.materializeModel(s, path)(
+            TextAnalysis.trainBigramLm(docs(s, d))))
       },
       Some(BigramLmSql)),
 

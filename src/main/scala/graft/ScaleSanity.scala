@@ -105,6 +105,12 @@ object ScaleSanity {
       val d = spark.read.parquet(s"$out/documents.parquet")
       val ivfPath = s"$out/models/ivf_centroids"
       val lmPath = s"$out/models/bigram_lm"
+      // a re-run against the cached dataset would otherwise time a
+      // SaveMode.Ignore no-op as "training" — both train rows must
+      // measure an actual train+publish
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/models"), true)
       time("n51_train_ivf") {
         sources.Sinks.writeIfAbsent(ops.Similarity.trainIvfCentroids(e),
           ivfPath)

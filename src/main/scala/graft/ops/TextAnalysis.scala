@@ -566,8 +566,23 @@ object TextAnalysis {
     * [[graft.sources.Sinks.writeIfAbsent]] persist the model and
     * [[scoreBigramLm]] scores against it with zero count subtrees.
     */
-  def bigramLmScore(docs: DataFrame): DataFrame =
-    scoreBigramLm(docs, trainBigramLm(docs))
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    // Same-corpus scoring: every bigram of `docs` exists in the model by
+    // construction, so the inner join is lossless here and keeps the
+    // plan at its documented two corpus explosions — [[scoreBigramLm]]'s
+    // unseen-bigram LEFT joins would expand the (unpersisted) training
+    // subtree once more per derived frame (context totals, vocabulary).
+    // Cross-corpus scoring MUST go through [[scoreBigramLm]].
+    bigramsOf(docs).join(trainBigramLm(docs), Seq("w1", "w2"))
+      .select(col("doc_id"),
+        log((col("cbi") + 1).cast("double") / (col("cctx") + col("vsize")))
+          .cast("decimal(18,9)").as("lnp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lnp")).cast("double") / count(lit(1)), 6)
+          .as("avg_lnp"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Per-doc bigram stream (doc_id, w1, w2) — the single definition
     * shared by training and scoring, so the two can never tokenize
@@ -597,21 +612,44 @@ object TextAnalysis {
   }
 
   /** Score documents against a TRAINED bigram model — the production
-    * shape: one corpus explosion, one equi-join against the (persisted)
-    * model, zero count subtrees in the plan. Scoring a corpus against
-    * the model trained on that same corpus is bit-equal to
-    * [[bigramLmScore]] (n52's oracle is n44's).
+    * shape: one corpus explosion, model-sized joins, zero count subtrees
+    * in the plan. Scoring a corpus against the model trained on that
+    * same corpus is bit-equal to [[bigramLmScore]] (n52's oracle is
+    * n44's).
+    *
+    * Bigrams UNSEEN at training time keep their add-one-smoothed term,
+    * (0+1)/(cctx+V) — with cctx falling to 0 for an unseen context word,
+    * i.e. 1/V — via LEFT joins: an inner join would silently drop the
+    * very bigrams that should pull the score down hardest, and a doc of
+    * entirely-unseen text would vanish from the output. The context
+    * totals and vocabulary size derive from the model frame (persisted
+    * and tiny — vocabulary-bounded), never from a corpus pass.
     */
-  def scoreBigramLm(docs: DataFrame, model: DataFrame): DataFrame =
-    bigramsOf(docs).join(model, Seq("w1", "w2"))
+  def scoreBigramLm(docs: DataFrame, model: DataFrame): DataFrame = {
+    // vsize is constant across the model — read the one value on the
+    // driver (bounded: one cell off a vocabulary-sized persisted table,
+    // the same pattern as n51's centroid collect) and inline it, so no
+    // 1-row-broadcast nested-loop join enters the scoring plan. An
+    // EMPTY model scores everything as unseen over an empty vocabulary+1.
+    val vsize = model.select(col("vsize")).limit(1).collect()
+      .headOption.map(_.getLong(0)).getOrElse(0L) max 1L
+    // per-context totals: a MODEL-sized aggregate (vocabulary-bounded),
+    // never a corpus pass
+    val ctx = model.select(col("w1"), col("cctx")).distinct()
+    bigramsOf(docs)
+      .join(model.select(col("w1"), col("w2"), col("cbi")),
+        Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
       .select(col("doc_id"),
-        log((col("cbi") + 1).cast("double") / (col("cctx") + col("vsize")))
+        log((coalesce(col("cbi"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cctx"), lit(0L)) + lit(vsize)))
           .cast("decimal(18,9)").as("lnp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lnp")).cast("double") / count(lit(1)), 6)
           .as("avg_lnp"))
       .orderBy(col("doc_id"))
+  }
 
   /** Per-source word-distribution drift: KL(source ‖ corpus) over the
     * unigram distributions — the mixing-time check that a source hasn't

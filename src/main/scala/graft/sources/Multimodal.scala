@@ -239,13 +239,14 @@ object Multimodal {
     try {
       val fmt = in.getFormat
       // validate the header before trusting it: a fuzzed RIFF header can
-      // declare a zero/absurd frame size or rate, and
+      // declare a zero/negative frame size or rate, and
       // AudioInputStream.read returns 0 (not -1) whenever the requested
       // length is below frameSize — readAllBytes/readNBytes spin forever
-      // on that, so the header gets bounds, and the read loop below
-      // treats a 0-return as end-of-stream
-      require(fmt.getFrameSize > 0 && fmt.getFrameSize <= 64 &&
-          fmt.getSampleRate > 0,
+      // on that. No UPPER frameSize bound: a 32-channel 24-bit PCM frame
+      // is 96 legitimate bytes, and the read loop below is spin-safe for
+      // any positive frameSize because it treats a 0-return (remaining
+      // buffer < one frame) as end-of-stream.
+      require(fmt.getFrameSize > 0 && fmt.getSampleRate > 0,
         s"audio payload declares frameSize=${fmt.getFrameSize} " +
           s"sampleRate=${fmt.getSampleRate}")
       // PCM bytes inside a WAV container are stored raw, so the decoded

@@ -27,22 +27,51 @@ object Sinks {
     df.write.mode(SaveMode.Ignore).parquet(path)
 
   /** Deterministic model-cache location for a model trained off a corpus
-    * table: keyed by the table's path, size, and mtime, so a data refresh
-    * re-trains and an unchanged corpus reuses the persisted model. This
-    * is the train-once/score-many seam — [[writeIfAbsent]] the trained
-    * frame here, read it back for every scoring run (in production the
-    * base would be a warehouse path, not the local tmpdir).
+    * table: keyed by the table's path and a fingerprint of its file
+    * listing, so a data refresh re-trains and an unchanged corpus reuses
+    * the persisted model. This is the train-once/score-many seam — pair
+    * with [[materializeModel]] (in production the base would be a
+    * warehouse path, not the local tmpdir).
+    *
+    * For a directory-shaped table the fingerprint covers every data
+    * file's (name, length, mtime) — a single directory status would not
+    * do: directory length is meaningless (0 on HDFS) and its mtime only
+    * moves when entries are added/removed, so an in-place rewrite of one
+    * part file would silently reuse a stale model. The remaining honest
+    * gap is a same-length same-mtime-tick content rewrite; tables with
+    * real change tracking (snapshot ids) should key on that instead.
     */
   def modelPath(spark: org.apache.spark.sql.SparkSession,
                 corpusTable: String, modelName: String): String = {
     val p = new org.apache.hadoop.fs.Path(corpusTable)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
+    val entries =
+      if (!st.isDirectory) Seq(s"${st.getLen}|${st.getModificationTime}")
+      else fs.listStatus(p).toSeq
+        .filterNot(_.getPath.getName.startsWith("_")) // commit markers churn
+        .map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
+        .sorted
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${p.toUri}|${st.getLen}|${st.getModificationTime}"
-        .getBytes("UTF-8"))
+      .digest((s"${p.toUri}" +: entries).mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft_models/${modelName}_$key"
+  }
+
+  /** Train-once/score-many: return the model persisted at `path`,
+    * training and publishing it first only if absent. The existence
+    * check comes BEFORE `train` is evaluated — training may do eager
+    * driver-side work (k-means collect loops), which `SaveMode.Ignore`
+    * alone cannot skip (it elides the write job, not the argument);
+    * the write itself stays [[writeIfAbsent]] so concurrent trainers
+    * race to a single winner.
+    */
+  def materializeModel(spark: org.apache.spark.sql.SparkSession,
+                       path: String)(train: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) writeIfAbsent(train, path)
+    spark.read.parquet(path)
   }
 
   /** Globally key-clustered write: range-repartition then sort within

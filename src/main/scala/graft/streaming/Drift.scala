@@ -89,6 +89,15 @@ object Drift {
         }
     }
     streams.addListener(listener)
+    // The terminated event is NOT replayed to listeners added after the
+    // fact: a query that died between start() and this call would
+    // otherwise leak the cache forever. Check activity AFTER registering
+    // (the reverse order would race the other way); a double release is
+    // harmless — unpersist is idempotent.
+    if (!query.isActive) {
+      ref.release()
+      streams.removeListener(listener)
+    }
   }
 
   /** The drift core — identical plan for a batch frame (the oracle twin)

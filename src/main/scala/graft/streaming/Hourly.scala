@@ -103,8 +103,27 @@ object Hourly {
                            checkpoint: String, out: String,
                            reportPath: String): Boolean = {
     startFromParquet(spark, dir, checkpoint, out).awaitTermination()
-    // bounded by construction: one row per closed (hour, event_type)
-    val committed = spark.read.parquet(out)
+    // bounded by construction: one row per closed (hour, event_type).
+    // The sink may legitimately hold ZERO committed files (every window
+    // still open under the watermark) — parquet schema inference would
+    // throw on that, so fall back to an explicit empty frame and publish
+    // the header-only report rather than crash after the checkpoint
+    // already advanced.
+    val committed =
+      try spark.read.parquet(out)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("hour_start",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_value",
+              org.apache.spark.sql.types.DoubleType))))
+      }
     graft.sources.Sinks.writeStringIfAbsent(spark, reportPath,
       graft.Graft.renderReportHtml("graft streaming hourly report",
         Map("hourly" -> committed)))

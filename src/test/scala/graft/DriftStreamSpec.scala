@@ -77,6 +77,24 @@ class DriftStreamSpec extends SparkSpec {
       "reference cache must be unpersisted once the stream terminates")
   }
 
+  test("releaseOnTermination on an ALREADY-terminated query still releases " +
+    "the cache (the terminated event is not replayed to late listeners)") {
+    implicit val sqlCtx = spark.sqlContext
+    val refCache = Drift.cacheReference(refDocs)
+    refCache.df.count() // actually materialize the cache
+    assert(refCache.isCached)
+    val mem = MemoryStream[Int]
+    val q = mem.toDF().writeStream.format("memory")
+      .queryName("drift_dead_test").outputMode("append").start()
+    mem.addData(1); q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    // registering AFTER death: no event will ever fire for this listener
+    Drift.releaseOnTermination(refCache, q)
+    assert(!refCache.isCached,
+      "a dead query must release synchronously via the isActive check")
+  }
+
   test("reference distribution sums to 1 over the vocabulary") {
     val total = Drift.referenceDistribution(refDocs)
       .agg(sum(col("q"))).as[Double].collect().head

@@ -157,16 +157,23 @@ class PlanSpec extends SparkSpec {
   test("n52: scoring from the persisted bigram model has zero training " +
     "subtrees") {
     // the train-once/score-many contract: the scoring plan reads the
-    // model PARQUET (one equi-join) — no bigram-count aggregate, no
-    // vocabulary count-distinct, no 1-row broadcast. The only aggregate
-    // pair left is the per-doc rollup.
+    // model PARQUET and explodes the CORPUS exactly once (the scoring
+    // bigram stream) — training would add the bigram-count and
+    // vocabulary explosions. Aggregates over the MODEL are allowed
+    // (vocabulary-bounded: the per-context distinct that serves unseen-
+    // bigram smoothing) plus the per-doc rollup pair; the in-plan 1-row
+    // vocab broadcast is gone (vsize inlines as a literal).
     val p = plan("n52_bigram_lm_model_score")
     assert(p.contains("graft_models"),
       "expected a scan of the persisted model table:\n" + p)
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "the in-plan vocab broadcast must be gone when scoring from a model:\n" + p)
-    assert("HashAggregate".r.findAllIn(p).length <= 2,
-      "expected only the per-doc rollup aggregate pair:\n" + p)
+    assert("Generate".r.findAllIn(p).length === 1,
+      "expected exactly ONE corpus explosion (scoring bigrams; training " +
+        "subtrees would add more):\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length <= 4,
+      "expected only the per-doc rollup pair + the model-sized context " +
+        "distinct:\n" + p)
   }
 
   test("n51: scoring from persisted IVF centroids plans no per-round " +

@@ -19,6 +19,34 @@ class SinksSpec extends SparkSpec {
     assert(got === Array(1, 2, 3))
   }
 
+  test("materializeModel evaluates the training thunk only when absent") {
+    val dir = Files.createTempDirectory("graft_model").toString + "/m"
+    var trained = 0
+    def train = { trained += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    val first = Sinks.materializeModel(spark, dir)(train)
+    assert(first.count() === 2 && trained === 1)
+    // second call must short-circuit BEFORE the thunk: eager trainers
+    // (k-means collect loops) would otherwise re-train on every score
+    val second = Sinks.materializeModel(spark, dir)(train)
+    assert(second.count() === 2)
+    assert(trained === 1, "existing model must skip training entirely")
+  }
+
+  test("modelPath key moves when a data file is rewritten in place") {
+    val dir = Files.createTempDirectory("graft_mp").toString + "/corpus"
+    Seq((1, "a")).toDF("k", "v").write.parquet(dir)
+    val k1 = Sinks.modelPath(spark, dir, "m")
+    // rewrite one part file's CONTENT (same file names, same dir entries)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    Thread.sleep(5) // ensure the rewrite lands on a later mtime tick
+    java.nio.file.Files.write(part.toPath,
+      java.nio.file.Files.readAllBytes(part.toPath))
+    val k2 = Sinks.modelPath(spark, dir, "m")
+    assert(k1 !== k2,
+      "an in-place rewrite must produce a different model-cache key")
+  }
+
   test("clustered write produces disjoint per-file key ranges") {
     val dir = Files.createTempDirectory("graft_cluster").toString + "/t"
     val li = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")

@@ -173,6 +173,32 @@ class StreamingSpec extends SparkSpec {
       "resumed stream must not recompute committed batches")
   }
 
+  test("streaming report with zero closed windows publishes a header-only " +
+    "report instead of crashing on the empty sink") {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    val tmp = JFiles.createTempDirectory("graft_sreport_empty").toString
+    val in = s"$tmp/in"
+    JFiles.createDirectories(java.nio.file.Paths.get(in))
+    // every event inside ONE hour → the 1h watermark closes nothing →
+    // the sink commits zero data files
+    val stage = s"$tmp/stage"
+    Seq((ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "view", 2.0))
+      .toDF("ts", "event_type", "value").coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    JFiles.copy(part.toPath,
+      java.nio.file.Paths.get(in, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val report = s"$tmp/report.html"
+    val wrote = Hourly.writeStreamingReport(spark, in,
+      s"$tmp/ckpt", s"$tmp/out", report)
+    assert(wrote, "the empty-sink run must still publish the artifact")
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(report)), "UTF-8")
+    assert(html.contains("hour_start") && html.contains("<section"))
+  }
+
   test("per-row text operators run UNCHANGED on a stream: " +
     "normalizeRedactRaw + chunkDocsRaw, stream ≡ batch") {
     implicit val sqlCtx = spark.sqlContext

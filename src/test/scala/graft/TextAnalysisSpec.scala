@@ -287,6 +287,28 @@ class TextAnalysisSpec extends SparkSpec {
       "the persisted-model path must be bit-equal to the in-query trainer")
   }
 
+  test("scoreBigramLm cross-corpus: unseen bigrams keep the smoothed term") {
+    // model corpus "a b a": bigrams (a,b)=1, (b,a)=1; cctx a=1, b=1; V=2
+    val model = TextAnalysis.trainBigramLm(Seq((1L, "a b a"))
+      .toDF("doc_id", "text"))
+    val probe = Seq(
+      (10L, "a b"),  // seen:            ln((1+1)/(1+2))
+      (11L, "x y"),  // unseen, x unseen context: ln((0+1)/(0+2))
+      (12L, "a z"))  // unseen, a context seen:   ln((0+1)/(1+2))
+      .toDF("doc_id", "text")
+    def expect(cbi: Long, cctx: Long): Double =
+      BigDecimal(BigDecimal(math.log((cbi + 1).toDouble / (cctx + 2)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.scoreBigramLm(probe, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // an inner join would have dropped doc 11 entirely and doc 12's bigram
+    assert(got.toSeq === Seq(
+      (10L, 1L, expect(1, 1)),
+      (11L, 1L, expect(0, 0)),
+      (12L, 1L, expect(0, 1))))
+  }
+
   test("bigramLmScore and sourceDrift are partitioning-invariant") {
     // the decimal-summed terms must make the aggregates order-independent
     // — shuffling rows across a different partition count cannot move a
