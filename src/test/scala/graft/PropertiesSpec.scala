@@ -106,6 +106,45 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("property: as-of joins (both directions) match the brute-force " +
+    "reference on random event sets, ties and all") {
+    // pins the reversed-sort running-frame rewrite of the forward
+    // direction: small ts/user domains force heavy equal-ts ties and
+    // interleavings the hand-written cases cannot enumerate
+    val eventsGen: Gen[List[(Long, Int, Int, String)]] =
+      Gen.choose(4, 40).flatMap { n =>
+        Gen.listOfN(n, for {
+          u <- Gen.choose(1, 3)
+          t <- Gen.choose(0, 6)
+          typ <- Gen.oneOf("purchase", "click", "view")
+        } yield (u, t, typ))
+      }.map(_.zipWithIndex.map { case ((u, t, typ), i) =>
+        (i.toLong + 1, u, t, typ) })
+    check(Prop.forAll(eventsGen) { rows =>
+      val df = rows.map { case (id, u, t, typ) =>
+        (u.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 10:0$t%d:00"),
+          id, typ, 1.0)
+      }.toDF("user_id", "ts", "event_id", "event_type", "value")
+      // brute force over the raw rows
+      val purchases = rows.filter(_._4 == "purchase")
+      val clicks = rows.filter(_._4 == "click")
+      def backRef(p: (Long, Int, Int, String)): Long =
+        clicks.filter(c => c._2 == p._2 && c._3 <= p._3)
+          .sortBy(c => (c._3, c._1)).lastOption.map(_._1).getOrElse(-1L)
+      def fwdRef(p: (Long, Int, Int, String)): Long =
+        clicks.filter(c => c._2 == p._2 && c._3 >= p._3)
+          .sortBy(c => (c._3, c._1)).headOption.map(_._1).getOrElse(-1L)
+      def got(out: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        out.collect().map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val back = got(graft.ops.Reports.asofJoin(df, "purchase", "click"))
+      val fwd = got(graft.ops.Reports.asofJoinForward(df, "purchase", "click"))
+      purchases.forall { p =>
+        back(p._1) == backRef(p) && fwd(p._1) == fwdRef(p)
+      }
+    }, n = 8)
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)
