@@ -127,8 +127,14 @@ class StreamingSpec extends SparkSpec {
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))
     assert(parts.nonEmpty)
+    // pick a part file that actually holds rows — a shuffle partition
+    // with no closed windows writes a footer-only empty part, and a
+    // zero-row torn file would vacuously pass the visibility check
+    val donor = parts.find(p =>
+      spark.read.parquet(p.getPath).count() > 0)
+    assert(donor.nonEmpty, "afterKill > 0 implies some part file has rows")
     val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
-    JFiles.copy(parts.head.toPath, torn.toPath)
+    JFiles.copy(donor.get.toPath, torn.toPath)
 
     // Run 2: the rest of the input arrives; same checkpoint + sink.
     arrive(3); arrive(4)
