@@ -127,7 +127,7 @@ object Bench {
         s""""seq_pass_totals":$seqTotalsJson,"seq_passes":$seqPasses,""" +
         s""""mode":"$mode","failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // Also persist the FULL line: the driver's captured tail truncates the
+    // Persist the FULL line: the driver's captured tail truncates the
     // totals and the early (alphabetically a*/b*) queries away, so three
     // rounds of artifacts had no computable batch total. Committed per
     // round as BENCH_SELF_r{N}.json.
@@ -137,6 +137,16 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // The driver keeps only a ~2.2 KB stdout TAIL, so the ~8 KB full line
+    // above never parses on its side ("parsed": null, five rounds running).
+    // The LAST stdout line is therefore a compact summary — totals and
+    // failure list only, no per-query maps — that always fits the tail
+    // whole; the per-query detail lives in the full line and $outFile.
+    val nQueries = math.max(concResults.size, seqResults.size)
+    println(
+      s"""{"metric":"total","value":$value,"unit":"sec","sf":"$sfDir",""" +
+        s""""n_queries":$nQueries,"seq_total":$seqTotal,"mode":"$mode",""" +
+        s""""failed":$failed,"detail":"$outFile"}""")
     spark.stop()
   }
 }
