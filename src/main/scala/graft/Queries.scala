@@ -1001,7 +1001,11 @@ object Queries {
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
 
     ("n10_lsh_ann_topk",
-      (s: SparkSession, d: String) => Similarity.lshBucketTopK(emb(s, d), 10, 5),
+      // bucketBits pinned so the oracle's embedded 4-bit plane literals
+      // stay exact; production callers omit it → deriveBucketBits
+      (s: SparkSession, d: String) =>
+        Similarity.lshBucketTopK(emb(s, d), 10, 5,
+          bucketBits = Similarity.BucketBits),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |  ${rpBucketSql(Similarity.BucketBits)} AS bucket
         |  FROM embeddings),

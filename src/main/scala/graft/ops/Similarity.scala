@@ -150,12 +150,23 @@ object Similarity {
   /** LSH-bucketed ANN: probes only scan their own random-projection sign
     * bucket. Recall is traded for a ~2^bits candidate cut; same output
     * shape as brute force.
+    *
+    * `bucketBits <= 0` (the production default) sizes the bucket width off
+    * the corpus via [[deriveBucketBits]], like [[lshNearDupPairs]] /
+    * [[knnGraph]] / [[semanticDedup]] — a pinned width is the exact
+    * super-linear trade the [[deriveBucketBits]] Scaladoc warns about:
+    * fixed 2^bits buckets grow linearly with the corpus, so per-probe
+    * candidate scans grow with n instead of staying ~[[TargetBucketRows]].
+    * The query registry pins [[BucketBits]] explicitly so the DuckDB
+    * oracle (which embeds the 4-bit plane literals) stays exact.
     */
-  def lshBucketTopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+  def lshBucketTopK(emb: DataFrame, nProbes: Int, k: Int,
+                    bucketBits: Int = 0): DataFrame = {
+    val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
     val e = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("bucket",
-        rpBucket(col("emb"), BucketBits, probeDims(emb)))
+        rpBucket(col("emb"), bits, probeDims(emb)))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val p = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),

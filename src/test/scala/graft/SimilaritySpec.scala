@@ -352,4 +352,36 @@ class SimilaritySpec extends SparkSpec {
       assert(buckets(r.getAs[Long]("vec_id")) === buckets(r.getAs[Long]("q_id")))
     }
   }
+
+  test("LSH ANN derived bucket width (production default) returns the same " +
+    "top-k as the pinned registry width on the fixture corpus") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    // on the fixture corpus deriveBucketBits floors at BucketBits, so the
+    // derived path must be bit-identical to the pinned oracle twin — this
+    // pins that the default REALLY routes through deriveBucketBits and
+    // that adding the parameter changed nothing for existing callers
+    assert(Similarity.deriveBucketBits(emb) === Similarity.BucketBits)
+    val derived = Similarity.lshBucketTopK(emb, 10, 5)
+    val pinned =
+      Similarity.lshBucketTopK(emb, 10, 5, bucketBits = Similarity.BucketBits)
+    assert(derived.exceptAll(pinned).count() === 0)
+    assert(pinned.exceptAll(derived).count() === 0)
+    assert(derived.count() > 0)
+  }
+
+  test("LSH ANN widened buckets keep per-probe results ranked and capped") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    // a wider explicit width (what deriveBucketBits picks on a big corpus)
+    // must still produce well-formed ranked output — probes just see
+    // smaller candidate sets, so rows-per-probe can only shrink
+    val wide = Similarity.lshBucketTopK(emb, 10, 5, bucketBits = 8).collect()
+    wide.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      val byRank = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    val narrow = Similarity.lshBucketTopK(emb, 10, 5, bucketBits = 4).count()
+    assert(wide.length <= narrow,
+      "widening buckets must never grow the candidate/result set")
+  }
 }
