@@ -37,20 +37,38 @@ object Sinks {
     * file's (name, length, mtime) — a single directory status would not
     * do: directory length is meaningless (0 on HDFS) and its mtime only
     * moves when entries are added/removed, so an in-place rewrite of one
-    * part file would silently reuse a stale model. The remaining honest
-    * gap is a same-length same-mtime-tick content rewrite; tables with
-    * real change tracking (snapshot ids) should key on that instead.
+    * part file would silently reuse a stale model.
+    *
+    * `contentDigest = true` closes the last gap — a same-length
+    * same-mtime-tick content rewrite — by hashing the FILE BYTES instead
+    * of the (length, mtime) pair. That is a full read of the corpus, so
+    * it only pays off when training costs much more than one scan (it
+    * usually does: k-means is `iters` scans plus driver round-trips).
+    * Tables with real change tracking should skip both modes and key on
+    * the snapshot id via [[modelPathForSnapshot]] — O(1) and exact.
     */
   def modelPath(spark: org.apache.spark.sql.SparkSession,
-                corpusTable: String, modelName: String): String = {
+                corpusTable: String, modelName: String,
+                contentDigest: Boolean = false): String = {
     val p = new org.apache.hadoop.fs.Path(corpusTable)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
+    def fileKey(s: org.apache.hadoop.fs.FileStatus): String =
+      if (contentDigest) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val in = fs.open(s.getPath)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        md.digest().map("%02x".format(_)).mkString
+      } else s"${s.getLen}|${s.getModificationTime}"
     val entries =
-      if (!st.isDirectory) Seq(s"${st.getLen}|${st.getModificationTime}")
+      if (!st.isDirectory) Seq(fileKey(st))
       else fs.listStatus(p).toSeq
         .filterNot(_.getPath.getName.startsWith("_")) // commit markers churn
-        .map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
+        .map(s => s"${s.getPath.getName}|${fileKey(s)}")
         .sorted
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((s"${p.toUri}" +: entries).mkString("\n").getBytes("UTF-8"))
@@ -58,19 +76,58 @@ object Sinks {
     s"${sys.props("java.io.tmpdir")}/graft_models/${modelName}_$key"
   }
 
+  /** Model-cache key for corpora with real change tracking (Iceberg/Delta
+    * snapshot ids, a partition watermark, an ingest batch id): exact and
+    * O(1) where the listing/digest modes of [[modelPath]] are heuristic
+    * or a full scan. The caller owns producing a snapshot id that changes
+    * iff the data does.
+    */
+  def modelPathForSnapshot(modelName: String, snapshotId: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(snapshotId.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_models/${modelName}_snap_$key"
+  }
+
   /** Train-once/score-many: return the model persisted at `path`,
     * training and publishing it first only if absent. The existence
     * check comes BEFORE `train` is evaluated — training may do eager
     * driver-side work (k-means collect loops), which `SaveMode.Ignore`
-    * alone cannot skip (it elides the write job, not the argument);
-    * the write itself stays [[writeIfAbsent]] so concurrent trainers
-    * race to a single winner.
+    * alone cannot skip (it elides the write job, not the argument).
+    *
+    * A model is "present" only when its `_SUCCESS` marker is: a bare
+    * directory-exists check would permanently serve the torn output of a
+    * trainer that crashed mid-write (the partial dir exists, so training
+    * is skipped forever and scoring silently reads incomplete data).
+    * Publication is write-to-temp + atomic rename — the model dir appears
+    * complete or not at all — and a committed-but-markerless leftover
+    * from the old direct-write scheme (or a crash) is deleted and
+    * re-trained. Concurrent trainers race to a single winner: the loser's
+    * rename fails against the existing dir and its temp is discarded.
+    * (On object stores without atomic dir rename, publish through a
+    * manifest/pointer instead — same caveat as [[compact]].)
     */
   def materializeModel(spark: org.apache.spark.sql.SparkSession,
                        path: String)(train: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) writeIfAbsent(train, path)
+    def committed = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (fs.exists(p) && !committed)
+      fs.delete(p, true) // torn leftover of a crashed trainer
+    if (!fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s".${p.getName}.train-${System.nanoTime()}")
+      try {
+        train.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // a concurrent trainer may have published while we trained; their
+        // model is equally valid (same corpus key) — keep theirs. The
+        // exists-guard also prevents HDFS rename-INTO-existing-dir nesting.
+        if (fs.exists(p) || !fs.rename(tmp, p)) fs.delete(tmp, true)
+      } catch {
+        case e: Throwable =>
+          try fs.delete(tmp, true) catch { case _: Exception => () }
+          throw e
+      }
+    }
     spark.read.parquet(path)
   }
 
@@ -118,6 +175,115 @@ object Sinks {
       throw new java.io.IOException(s"compact: rename into $dst failed")
     }
     fs.delete(old, true)
+  }
+
+  /** Recover a [[compact]] that crashed inside its swap window: the table
+    * path is absent but the data survives at `_precompact` (and possibly a
+    * complete rewrite at `_compacting`). Prefers the finished rewrite when
+    * its `_SUCCESS` marker proves it complete, else restores the backup.
+    * No-op (false) when the table path exists. Run it before reads/writes
+    * after an unclean compaction shutdown — the single-writer contract
+    * makes this safe to call unconditionally.
+    */
+  def recoverCompact(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) false
+    else {
+      val tmpComplete =
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      val src = if (tmpComplete) tmp else old
+      require(fs.exists(src),
+        s"recoverCompact: neither $dst nor a recovery source exists")
+      require(fs.rename(src, dst), s"recoverCompact: rename $src → $dst failed")
+      fs.delete(if (tmpComplete) old else tmp, true)
+      true
+    }
+  }
+
+  /** Versioned-pointer table layout — the concurrent-reader-safe
+    * compaction the [[compact]] Scaladoc points at. Data lives in
+    * `table/v-<n>/`; a one-line `_current` file names the live version.
+    * Writers publish a COMPLETE new version directory (invisible until
+    * named) and then atomically replace the pointer via
+    * `FileContext.rename(OVERWRITE)`, so a reader that resolved the
+    * pointer a moment earlier keeps reading its (retained) version and a
+    * reader resolving now sees the new one — there is no instant where
+    * the table is absent or partial, on HDFS or local disk. On object
+    * stores the pointer PUT is atomic where directory rename is not,
+    * which is exactly why table formats commit through a pointer/manifest;
+    * retention (`keepVersions`) covers in-flight readers, mirroring their
+    * snapshot-expiry contract.
+    */
+  object Versioned {
+    private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                     p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def pointer(table: String) =
+      new org.apache.hadoop.fs.Path(table, "_current")
+
+    /** The live version's data path, from the pointer file. */
+    def currentPath(spark: org.apache.spark.sql.SparkSession,
+                    table: String): String = {
+      val ptr = pointer(table)
+      val fs = fsOf(spark, ptr)
+      val in = fs.open(ptr)
+      val name =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(name.matches("v-\\d+"), s"corrupt pointer $ptr: '$name'")
+      new org.apache.hadoop.fs.Path(table, name).toString
+    }
+
+    /** Read the live version — the reader half of the contract. */
+    def read(spark: org.apache.spark.sql.SparkSession,
+             table: String): DataFrame =
+      spark.read.parquet(currentPath(spark, table))
+
+    /** Publish `df` as the next version and atomically repoint `_current`
+      * to it; returns the new version's path. Versions older than the
+      * newest `keepVersions` are pruned (in-flight readers of a retained
+      * version are unaffected; size retention to reader lifetimes).
+      */
+    def publish(df: DataFrame, table: String, keepVersions: Int = 2): String = {
+      val spark = df.sparkSession
+      val tableP = new org.apache.hadoop.fs.Path(table)
+      val fs = fsOf(spark, tableP)
+      fs.mkdirs(tableP)
+      val existing = fs.listStatus(tableP).toSeq.map(_.getPath.getName)
+        .filter(_.matches("v-\\d+")).map(_.drop(2).toLong)
+      val next = (existing.sorted.lastOption.getOrElse(0L) + 1)
+      val vName = s"v-$next"
+      val vPath = new org.apache.hadoop.fs.Path(tableP, vName)
+      df.write.mode(SaveMode.Overwrite).parquet(vPath.toString)
+      // the version dir is complete (committer-renamed) but unnamed until
+      // the pointer moves — publish = one atomic file replace
+      val ptr = pointer(table)
+      val tmp = new org.apache.hadoop.fs.Path(tableP,
+        s"._current.tmp-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(vName.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tableP.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // prune: never the live version, never the newest keepVersions
+      val stale = (existing :+ next).sorted.dropRight(math.max(1, keepVersions))
+      stale.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(tableP, s"v-$v"), true))
+      vPath.toString
+    }
+
+    /** Reader-safe compaction: rewrite the live version into
+      * `targetFiles` files as a NEW version and repoint — the table never
+      * vanishes mid-swap, unlike [[Sinks.compact]]'s rename window.
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession, table: String,
+                targetFiles: Int, keepVersions: Int = 2): String =
+      publish(read(spark, table).repartition(targetFiles), table, keepVersions)
   }
 
   /** Re-runnable partitioned write: overwrites only the partitions present

@@ -36,15 +36,72 @@ class SinksSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_mp").toString + "/corpus"
     Seq((1, "a")).toDF("k", "v").write.parquet(dir)
     val k1 = Sinks.modelPath(spark, dir, "m")
-    // rewrite one part file's CONTENT (same file names, same dir entries)
+    // rewrite one part file's CONTENT (same file names, same dir entries),
+    // forcing the mtime to a DISTINCT value — sleeping for a tick flakes
+    // on filesystems with coarse (1s) mtime granularity
     val part = new java.io.File(dir).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).head
-    Thread.sleep(5) // ensure the rewrite lands on a later mtime tick
     java.nio.file.Files.write(part.toPath,
       java.nio.file.Files.readAllBytes(part.toPath))
+    assert(part.setLastModified(part.lastModified() + 2000L))
     val k2 = Sinks.modelPath(spark, dir, "m")
     assert(k1 !== k2,
       "an in-place rewrite must produce a different model-cache key")
+  }
+
+  test("modelPath content-digest mode catches a same-length same-mtime " +
+    "rewrite the listing mode admits it misses") {
+    val dir = Files.createTempDirectory("graft_mpd").toString + "/corpus"
+    Seq((1, "a")).toDF("k", "v").write.parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val mtime = 1700000000000L
+    assert(part.setLastModified(mtime))
+    val list1 = Sinks.modelPath(spark, dir, "m")
+    val dig1 = Sinks.modelPath(spark, dir, "m", contentDigest = true)
+    // flip one byte INSIDE the file body (not a structural offset), keep
+    // length identical, and pin the mtime back to the same tick — the
+    // exact staleness window the modelPath docstring documents
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+    java.nio.file.Files.write(part.toPath, bytes)
+    assert(part.setLastModified(mtime))
+    // an out-of-band writer leaves no Hadoop CRC sidecar; the one Spark
+    // wrote is now stale and would (rightly) fail the digest read
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(f => assert(f.delete()))
+    assert(Sinks.modelPath(spark, dir, "m") === list1,
+      "precondition: the listing mode cannot see a same-size same-tick " +
+        "rewrite (this is the documented gap, not the assertion under test)")
+    assert(Sinks.modelPath(spark, dir, "m", contentDigest = true) !== dig1,
+      "content-digest keying must re-key on any byte change")
+  }
+
+  test("materializeModel re-trains over a torn (markerless) model dir " +
+    "instead of serving it forever") {
+    val base = Files.createTempDirectory("graft_torn").toString
+    val dir = s"$base/m"
+    // plant what a trainer crashed mid-write leaves behind: a model dir
+    // with a data file but NO _SUCCESS marker
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Seq((9, "stale")).toDF("k", "v").coalesce(1).write.parquet(s"$base/donor")
+    val donor = new java.io.File(s"$base/donor").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(donor.toPath,
+      java.nio.file.Paths.get(dir, donor.getName))
+    assert(!new java.io.File(dir, "_SUCCESS").exists())
+    var trained = 0
+    def train = { trained += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    val got = Sinks.materializeModel(spark, dir)(train)
+    assert(trained === 1, "a torn dir must trigger re-training")
+    assert(got.count() === 2)
+    assert(got.filter(col("v") === "stale").count() === 0,
+      "the torn dir's stale rows must be gone")
+    assert(new java.io.File(dir, "_SUCCESS").exists(),
+      "the republished model must carry its commit marker")
+    // and the repaired model is now served without re-training
+    Sinks.materializeModel(spark, dir)(train)
+    assert(trained === 1)
   }
 
   test("clustered write produces disjoint per-file key ranges") {
@@ -76,6 +133,76 @@ class SinksSpec extends SparkSpec {
       .count(_.getName.endsWith(".parquet"))
     assert(after <= 2)
     assert(spark.read.parquet(dir).count() === 1000L)
+  }
+
+  test("recoverCompact restores a compaction crashed between its renames") {
+    val dir = Files.createTempDirectory("graft_recover").toString + "/t"
+    spark.range(500).write.parquet(dir)
+    // simulate the crash window: the stash rename happened, the rename
+    // into place did not — the table path is absent, data at _precompact
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_precompact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    assert(Sinks.recoverCompact(spark, dir), "recovery must restore")
+    assert(spark.read.parquet(dir).count() === 500L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_precompact")))
+    assert(!Sinks.recoverCompact(spark, dir), "healthy table is a no-op")
+  }
+
+  test("recoverCompact prefers a COMPLETE rewrite over the backup") {
+    val dir = Files.createTempDirectory("graft_recover2").toString + "/t"
+    // crash after the rewrite finished (with _SUCCESS) and the old data
+    // was stashed, but before the rewrite was renamed into place
+    spark.range(300).repartition(2).write.parquet(dir + "_compacting")
+    spark.range(999).write.parquet(dir + "_precompact")
+    assert(Sinks.recoverCompact(spark, dir))
+    assert(spark.read.parquet(dir).count() === 300L,
+      "the finished rewrite is the freshest complete state")
+  }
+
+  test("versioned-pointer table: publish/read round-trips and prunes") {
+    val table = Files.createTempDirectory("graft_vtab").toString + "/t"
+    Sinks.Versioned.publish(spark.range(100).toDF("id"), table)
+    assert(Sinks.Versioned.read(spark, table).count() === 100L)
+    Sinks.Versioned.publish(spark.range(200).toDF("id"), table)
+    assert(Sinks.Versioned.read(spark, table).count() === 200L)
+    Sinks.Versioned.publish(spark.range(50).toDF("id"), table)
+    assert(Sinks.Versioned.read(spark, table).count() === 50L)
+    val versions = new java.io.File(table).listFiles()
+      .map(_.getName).filter(_.startsWith("v-")).sorted
+    assert(versions.toSeq === Seq("v-2", "v-3"),
+      "retention must keep exactly the newest keepVersions versions")
+  }
+
+  test("versioned compact: a reader racing the swap always sees a full " +
+    "table (the absent-window of the rename swap does not exist here)") {
+    val table = Files.createTempDirectory("graft_vrace").toString + "/t"
+    Sinks.Versioned.publish(
+      spark.range(1000).toDF("id").repartition(20), table)
+    @volatile var stop = false
+    @volatile var failure: Option[Throwable] = None
+    var reads = 0
+    val reader = new Thread(() => {
+      try while (!stop) {
+        // every resolve-and-read must see a complete version: 1000 rows,
+        // whichever side of the pointer swap it lands on
+        assert(Sinks.Versioned.read(spark, table).count() === 1000L)
+        reads += 1
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    // retention widened so pruning can never touch a version the racing
+    // reader may still hold — this test isolates the SWAP; the retention
+    // contract ("size keepVersions to reader lifetimes") is its own test
+    try (1 to 3).foreach(_ =>
+      Sinks.Versioned.compact(spark, table, 2, keepVersions = 10))
+    finally { stop = true; reader.join(30000) }
+    failure.foreach(throw _)
+    assert(reads > 0, "the reader must have actually raced the compactions")
+    assert(new java.io.File(table, "v-4").isDirectory,
+      "three compactions over v-1 must have published v-2..v-4")
   }
 
   test("schema-merge read spans evolving parquet versions") {
