@@ -100,6 +100,35 @@ object Drift {
     }
   }
 
+  /** Start the checkpointed drift monitor over a parquet directory of
+    * timestamped documents and return the running query — the restartable
+    * S7 shape of the monitor, carried by the same two logs as
+    * [[Hourly.startFromParquet]]: the checkpoint's offset/commit log (a
+    * committed micro-batch is never re-read; an uncommitted one replays
+    * from its recorded offsets) and the file sink's `_spark_metadata`
+    * (files of a killed batch stay invisible to readers). A production
+    * monitor that dies mid-window must not double-count its KL rows on
+    * resume — DriftStreamSpec proves exactly that with a kill/resume plus
+    * a planted torn sink file.
+    */
+  def startFromParquet(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, checkpoint: String, out: String,
+                       ref: DataFrame, glob: String = "*.parquet",
+                       maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(m =>
+      reader = reader.option("maxFilesPerTrigger", m.toString))
+    sourceDriftWindows(reader.parquet(dir), ref)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .start(out)
+  }
+
   /** The drift core — identical plan for a batch frame (the oracle twin)
     * and a `readStream` frame (`docs` needs ts/source/text; `ref` is the
     * static (w, q) frame).

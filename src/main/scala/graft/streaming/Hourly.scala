@@ -28,6 +28,24 @@ object Hourly {
     * plan is the batch oracle for the streaming test.
     */
   def hourlyAgg(events: DataFrame): DataFrame =
+    hourlyAggImpl(events)
+
+  /** [[hourlyAgg]]'s OUTPUT schema, derived by running the real plan over
+    * an empty events-shaped frame — never restated by hand, so a renamed
+    * or added aggregate column flows into every consumer (the explicit-
+    * schema sink read below would otherwise silently drift).
+    */
+  def hourlyAggSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+    hourlyAggImpl(empty).schema
+  }
+
+  private def hourlyAggImpl(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -103,27 +121,21 @@ object Hourly {
                            checkpoint: String, out: String,
                            reportPath: String): Boolean = {
     startFromParquet(spark, dir, checkpoint, out).awaitTermination()
-    // bounded by construction: one row per closed (hour, event_type).
+    // Bounded by construction: one row per closed (hour, event_type).
     // The sink may legitimately hold ZERO committed files (every window
-    // still open under the watermark) — parquet schema inference would
-    // throw on that, so fall back to an explicit empty frame and publish
-    // the header-only report rather than crash after the checkpoint
-    // already advanced.
-    val committed =
-      try spark.read.parquet(out)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("hour_start",
-              org.apache.spark.sql.types.TimestampType),
-            org.apache.spark.sql.types.StructField("event_type",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("n",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum_value",
-              org.apache.spark.sql.types.DoubleType))))
-      }
+    // still open under the watermark) — bare `read.parquet` would fail
+    // SCHEMA INFERENCE on that, and catching its AnalysisException would
+    // also swallow GENUINE read failures (corrupt footer, bad metadata)
+    // into a wrong-but-sticky memoized header-only report. Supplying the
+    // schema (derived from the real aggregation plan) removes inference
+    // entirely: an empty committed view reads as an empty frame, and any
+    // exception left is a real error that must propagate before the
+    // memoized artifact is published.
+    val committed = spark.read.schema(hourlyAggSchema(spark)).parquet(out)
+      // report sections are deterministic everywhere else (every batch
+      // section in Reports ends in a total orderBy); without this the
+      // HTML row order tracks file-enumeration order and differs run to run
+      .orderBy(col("hour_start"), col("event_type"))
     graft.sources.Sinks.writeStringIfAbsent(spark, reportPath,
       graft.Graft.renderReportHtml("graft streaming hourly report",
         Map("hourly" -> committed)))

@@ -95,6 +95,80 @@ class DriftStreamSpec extends SparkSpec {
       "a dead query must release synchronously via the isActive check")
   }
 
+  // ---- S7 on the monitor: a drift job killed mid-stream must neither
+  // double-count nor lose a window's KL on resume — same contract (and
+  // same two leftovers exercised) as the hourly-report restart proof:
+  // un-ingested input processed exactly once, and a planted torn sink
+  // file that stays invisible while physically present.
+  test("checkpointed drift monitor restart: resume after kill has no dupes, " +
+    "no losses; torn sink files stay invisible") {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    val tmp = JFiles.createTempDirectory("graft_drift_restart").toString
+    val in = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
+    JFiles.createDirectories(java.nio.file.Paths.get(in))
+    val ref = Drift.referenceDistribution(refDocs)
+
+    // four event-time-ordered arrival files; the last row of each pushes
+    // the watermark so earlier hours close batch by batch
+    val arrivals: Seq[Seq[(Timestamp, String, String)]] = Seq(
+      Seq((ts("2024-01-01 10:05:00"), "s1", "a a b"),
+        (ts("2024-01-01 10:20:00"), "s1", "a"),
+        (ts("2024-01-01 10:25:00"), "s2", "b b")),
+      Seq((ts("2024-01-01 11:10:00"), "s1", "a b"),
+        (ts("2024-01-01 12:30:00"), "s2", "a")), // wm 11:30 → closes h10
+      Seq((ts("2024-01-01 13:40:00"), "s1", "b a")), // wm 12:40 → h11, h12
+      Seq((ts("2024-01-01 15:00:00"), "s2", "a a"))) // wm 14:00 → h13
+    val staged = arrivals.zipWithIndex.map { case (rows, i) =>
+      val stage = s"$tmp/stage_q${i + 1}"
+      rows.toDF("ts", "source", "text").coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+    }
+    def arrive(i: Int): Unit = { // distinct ascending mtimes → stable order
+      val dst = new java.io.File(in, s"q$i.parquet")
+      JFiles.copy(staged(i - 1).toPath, dst.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1700000000000L + i * 1000L)
+    }
+
+    // Run 1: half the input; one file per micro-batch.
+    arrive(1); arrive(2)
+    Drift.startFromParquet(spark, in, ckpt, out, ref,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    val afterKill = spark.read.parquet(out).count()
+    assert(afterKill > 0, "run 1 must have committed some closed windows")
+
+    // Plant the mid-batch-kill artifact: an uncommitted data file.
+    val donor = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .find(p => spark.read.parquet(p.getPath).count() > 0)
+    assert(donor.nonEmpty, "afterKill > 0 implies some part file has rows")
+    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
+    JFiles.copy(donor.get.toPath, torn.toPath)
+
+    // Run 2: the rest arrives; same checkpoint + sink.
+    arrive(3); arrive(4)
+    Drift.startFromParquet(spark, in, ckpt, out, ref,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    val emitted = spark.read.parquet(out)
+    val batch = Drift.sourceDriftWindows(
+      arrivals.flatten.toDF("ts", "source", "text"), ref)
+    assert(emitted.count() > afterKill, "run 2 must have made progress")
+    // no dupes / no spurious rows (multiset containment in the batch twin)
+    assert(emitted.exceptAll(batch).count() === 0,
+      "restart produced duplicate or spurious KL rows")
+    // no losses: only windows the final watermark left open may be missing
+    val maxClosed = emitted.agg(max(col("window_start"))).head().getTimestamp(0)
+    assert(batch.exceptAll(emitted)
+      .filter(col("window_start") < maxClosed).count() === 0,
+      "restart lost closed windows")
+    // the torn file is physically present, non-empty, and yet unread
+    assert(torn.exists())
+    assert(spark.read.parquet(torn.getPath).count() > 0)
+  }
+
   test("reference distribution sums to 1 over the vocabulary") {
     val total = Drift.referenceDistribution(refDocs)
       .agg(sum(col("q"))).as[Double].collect().head

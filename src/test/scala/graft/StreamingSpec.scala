@@ -169,6 +169,14 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(report)), "UTF-8")
     assert(html.contains("<section id=\"hourly\""))
     assert(html.contains("hour_start"))
+    // the published table must be deterministically ordered — without the
+    // orderBy its row order tracks sink-file enumeration, which varies
+    // run to run while every batch report section is totally ordered
+    val rendered = "<tr><td>([^<]*)</td><td>([^<]*)</td>".r
+      .findAllMatchIn(html).map(m => (m.group(1), m.group(2))).toSeq
+    assert(rendered.nonEmpty)
+    assert(rendered === rendered.sorted,
+      "report rows must be sorted by (hour_start, event_type)")
     // Re-run: the stream resumes from its checkpoint (nothing new to do)
     // and the artifact is memoized — S7, both halves.
     val rowsBefore = spark.read.parquet(s"$tmp/out").count()
