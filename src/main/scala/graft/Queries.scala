@@ -1545,6 +1545,21 @@ object Queries {
         |  array_to_string(list_sort(list(id)), ',') AS members
         |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    // Same clusters again with exact-duplicate pre-collapse: LSH + CC run
+    // over one representative per distinct text, labels expanded back
+    // through the digest map — identical output (same oracle), but pair
+    // generation no longer grows with dup-group size. The production
+    // front on boilerplate-heavy corpora: measured 84 s → 6 s at the 100×
+    // replicated corpus with bit-equal clusters (BENCH_NOTES round 6).
+    ("n53_dup_clusters_collapsed",
+      (s: SparkSession, d: String) => Dedup.dupClustersCollapsed(docs(s, d))
+        .withColumn("members",
+          array_join(transform(col("members"), _.cast("string")), ",")),
+      Some(s"""WITH RECURSIVE $CcClustersCte
+        |SELECT cluster, count(*) AS n_docs,
+        |  array_to_string(list_sort(list(id)), ',') AS members
+        |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
     // Bloom-filter decontamination: broadcast-bloom semi filter instead of
     // a fingerprint join — the 100 TB path for n26 (rows-only: Bloom bit
     // layout is engine-specific; the spec proves superset-of-exact).

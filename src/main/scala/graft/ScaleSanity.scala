@@ -50,7 +50,8 @@ object ScaleSanity {
         "n42_token_budget_mix", "n43_sequence_packing",
         "n44_bigram_lm_score", "n45_source_drift",
         "n47_dup_span_stats", "n49_incremental_dedup",
-        "n50_snapshot_diff", "m1_multimodal_features"))
+        "n50_snapshot_diff", "n53_dup_clusters_collapsed",
+        "m1_multimodal_features"))
     for (name <- names) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very

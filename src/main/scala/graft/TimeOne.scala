@@ -1,8 +1,14 @@
 package graft
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    // env-tunable so scale probes can size partitions to the data —
+    // a fixed partition count at a high multiplier measures spill, not
+    // the operator (partitions-per-byte is what a real cluster holds
+    // constant as data grows)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

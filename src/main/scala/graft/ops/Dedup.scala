@@ -441,6 +441,73 @@ object Dedup {
         sort_array(collect_list(col("id"))).as("members"))
       .orderBy(col("cluster"))
 
+  /** Connected-component labels with EXACT-DUPLICATE PRE-COLLAPSE — the
+    * production front of the near-dup pipeline on boilerplate-heavy
+    * corpora. Identical (minhash-eligible) texts share every shingle,
+    * signature, and band key, so an exact-dup digest group is always a
+    * clique inside one component; running LSH + CC over one
+    * REPRESENTATIVE per distinct text (the group's min doc_id) and
+    * expanding labels back through the digest map reconstructs the
+    * original components EXACTLY, cluster ids included (component min =
+    * min over group reps = min over all members, since each rep is its
+    * group's min). DedupSpec pins bit-equality with the uncollapsed
+    * path; the registry's n53 proves it against the same recursive-CTE
+    * oracle as n21/n24.
+    *
+    * Why it matters at 100 TB: per-bucket pair generation is Σ bucket²,
+    * and on real corpora the biggest buckets ARE exact-duplicate groups
+    * (boilerplate, templated pages). If average dup-group size grows
+    * with the corpus, pairs — and CC's edge list — grow quadratically;
+    * collapsed, each group contributes ONE node regardless of its size.
+    * Measured on the 100× replicated corpus (every text ×100): the
+    * uncollapsed n24 takes ~84 s, collapsed ~6 s, identical output
+    * (BENCH_NOTES round 6). The digest aggregate itself is one shuffle
+    * whose map-side combine collapses identical texts per partition
+    * before anything moves.
+    *
+    * Groups whose representative gains no cross-group edge still form
+    * their own cluster when the group has ≥ 2 members (its members are
+    * pairwise near-dups by identity) — the `n > 1` fallback below;
+    * size-1 groups with no edges are not in any cluster, exactly like
+    * singleton docs in the uncollapsed graph.
+    */
+  def dupLabelsCollapsed(
+      docs: DataFrame,
+      cc: DataFrame => DataFrame = dupLabelsLogN(_, 12)): DataFrame = {
+    val eligible = docs
+      .filter(graft.functions.MinHash.eligible(col("text")))
+      .select(col("doc_id"), col("text"))
+    // (digest → rep, n, text): first(text) is well-defined — members of a
+    // digest group carry identical text. Cut once: the groups frame feeds
+    // both the rep corpus (via LSH → CC) and the expansion join, and an
+    // uncut plan would re-run the digest aggregate on both sides.
+    val groups = Checkpoints.cut(
+      eligible.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+          first(col("text")).as("text")))
+    val repDocs = groups.select(col("rep").as("doc_id"), col("text"))
+    val repLabels = cc(lshCandidatePairs(repDocs))
+    eligible.select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(groups.select(col("digest"), col("rep"), col("n")), "digest")
+      .join(repLabels.select(col("id").as("rep"), col("cluster")),
+        Seq("rep"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("cluster"), when(col("n") > 1, col("rep")))
+          .as("cluster"))
+      .filter(col("cluster").isNotNull)
+      .select(col("cluster"), col("id"))
+  }
+
+  /** [[dupLabelsCollapsed]] rolled up to the [[dupClusters]] reporting
+    * schema — the n53 registry surface, oracled identically to n21/n24.
+    */
+  def dupClustersCollapsed(docs: DataFrame): DataFrame =
+    dupLabelsCollapsed(docs)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .orderBy(col("cluster"))
+
   /** Keeper selection straight off (cluster, id) label pairs — same
     * output as [[keepBestPerCluster]] without materializing the members
     * arrays first (one join + one aggregate; nothing is collected and

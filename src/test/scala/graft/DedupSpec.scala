@@ -206,6 +206,49 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("exact-dup pre-collapse: clusters bit-equal the uncollapsed CC on " +
+    "a corpus with heavy duplication, replicated real data included") {
+    // hand corpus stressing every expansion branch: a near-dup component
+    // spanning two digest groups, an ISOLATED exact-dup group whose rep
+    // has no cross-group edge (the n > 1 fallback), a singleton with no
+    // edges (must be in no cluster), ineligible dups (must be dropped)
+    val hand = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (3L, "an isolated sentence repeated verbatim elsewhere in corpus"),
+      (4L, "an isolated sentence repeated verbatim elsewhere in corpus"),
+      (5L, "completely different words here entirely now"), // edgeless
+      (6L, "too short"), (7L, "too short") // ineligible: no shingles
+    ).toDF("doc_id", "text")
+    def clusters(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).mkString(","))).toSet
+    val collapsed = clusters(Dedup.dupClustersCollapsed(hand))
+    val direct = clusters(Dedup.dupClustersLogN(
+      Dedup.lshCandidatePairs(hand)))
+    assert(collapsed === direct)
+    assert(collapsed.exists(_._3 == "3,4"),
+      "the isolated exact-dup group must form its own cluster via the " +
+        "rep-fallback — its representative has no cross-group edge")
+    assert(!collapsed.exists(c => c._3.contains("5") || c._3.contains("6")),
+      "edgeless singletons and ineligible docs are in no cluster")
+
+    // replicated real corpus — the boilerplate shape the collapse exists
+    // for: every sf0.001 text appears 3×, dup-group size grows with the
+    // replication factor while distinct texts do not
+    val base = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(120)
+    val replicated = (0 until 3).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    val c2 = clusters(Dedup.dupClustersCollapsed(replicated))
+    val d2 = clusters(Dedup.dupClustersLogN(
+      Dedup.lshCandidatePairs(replicated)))
+    assert(c2 === d2)
+    assert(c2.nonEmpty, "3× replication must produce dup clusters")
+  }
+
   test("sourceSimilarity: identical sources score 1, disjoint score low") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "s1"),
