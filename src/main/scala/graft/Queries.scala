@@ -1062,6 +1062,24 @@ object Queries {
         |WHERE vec_id NOT IN (SELECT vec_id FROM d)
         |ORDER BY vec_id""".stripMargin)),
 
+    // Same keep list with exact-identical-vector pre-collapse (the n53
+    // move on the embedding side): pair join over one representative per
+    // distinct vector, survivors expanded back — same oracle as n46,
+    // bit-equal output, pair cost independent of copy count.
+    ("n54_semantic_dedup_collapsed",
+      (s: SparkSession, d: String) =>
+        Similarity.semanticDedupCollapsed(emb(s, d), 0.3,
+          Similarity.BucketBits),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    ${rpBucketSql(Similarity.BucketBits)} AS bucket
+        |  FROM embeddings),
+        |d AS (SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.3)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+        |ORDER BY vec_id""".stripMargin)),
+
     // Bucket-blocked k-NN graph: every vector's top-5 in-bucket cosine
     // neighbors (rounded cosine + dst tiebreak → deterministic ranks).
     ("n48_knn_graph",
@@ -1474,11 +1492,12 @@ object Queries {
     // Quality-aware keeper per near-dup cluster; oracled via the recursive
     // CC CTE + argmax on (score DESC, doc_id ASC).
     ("n27_keep_best",
-      // upstream CC is the O(log n) star algorithm (the 100 TB default;
-      // n21 keeps the min-label twin as its own query) via the label-pair
+      // upstream CC is the collapsed O(log n) star pipeline (exact-dup
+      // pre-collapse, bit-equal labels — see n53; n21/n24 keep the
+      // uncollapsed twins as their own queries) via the label-pair
       // surface — no members arrays collected and re-exploded in between
       (s: SparkSession, d: String) => Dedup.keepBestPerClusterLabels(
-        Dedup.dupLabelsLogN(Dedup.lshCandidatePairs(docs(s, d))),
+        Dedup.dupLabelsCollapsed(docs(s, d)),
         docs(s, d)),
       Some(s"""WITH RECURSIVE $CcClustersCte,
         |scored AS (SELECT lbl.cluster, lbl.id AS doc_id, length(d.text) AS score

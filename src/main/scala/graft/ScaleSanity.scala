@@ -93,7 +93,9 @@ object ScaleSanity {
           "n41_auto_bits" -> ops.Similarity.lshNearDupPairs(e, 0.3, bits),
           "n46_auto_bits" -> ops.Similarity.semanticDedup(e, 0.3, bits),
           "n48_auto_bits" -> ops.Similarity.knnGraph(e, 5, bits),
-          "n10_auto_bits" -> ops.Similarity.lshBucketTopK(e, 10, 5, bits))) {
+          "n10_auto_bits" -> ops.Similarity.lshBucketTopK(e, 10, 5, bits),
+          "n54_auto_bits" ->
+            ops.Similarity.semanticDedupCollapsed(e, 0.3, bits))) {
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()
         println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +

@@ -40,6 +40,15 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
+  /** round(dot / (na·nb), 6) with a zero-norm guard: either side having
+    * norm 0 scores NULL — null fails every threshold and (nulls-last
+    * under descending sort) ranks after every real cosine — instead of
+    * tripping ANSI DIVIDE_BY_ZERO. An all-zero embedding in a 100 TB
+    * corpus must degrade to "no near neighbors", never kill the job.
+    */
+  private def cosOrNull(d: Column, na: Column, nb: Column): Column =
+    round(when(na * nb =!= 0d, d / (na * nb)), 6)
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -57,7 +66,7 @@ object Similarity {
     val scored = e.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+        cosOrNull(dot(col("q_emb"), col("emb")), col("q_nrm"), col("nrm"))
           .as("cos"))
     rankTopK(scored, k)
   }
@@ -174,7 +183,7 @@ object Similarity {
     val scored = e.join(broadcast(p),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+        cosOrNull(dot(col("q_emb"), col("emb")), col("q_nrm"), col("nrm"))
           .as("cos"))
     rankTopK(scored, k)
   }
@@ -299,7 +308,7 @@ object Similarity {
     val scored = indexed.join(broadcast(probeCells),
         indexed("cid") === probeCells("cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+        cosOrNull(dot(col("q_emb"), col("emb")), col("q_nrm"), col("nrm"))
           .as("cos"))
     rankTopK(scored, k)
   }
@@ -423,7 +432,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("q_emb"), col("q_nrm"),
         col("emb"), col("nrm"),
-        (dot(col("p_qemb"), col("qemb")) / (col("p_qnrm") * col("qnrm")))
+        when(col("p_qnrm") * col("qnrm") =!= 0d,
+          dot(col("p_qemb"), col("qemb")) / (col("p_qnrm") * col("qnrm")))
           .as("qcos"))
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("qcos").desc, col("vec_id").asc)
@@ -431,7 +441,7 @@ object Similarity {
     val cands = approx.withColumn("qrnk", row_number().over(wApprox))
       .filter(col("qrnk") <= rerank)
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6)
+        cosOrNull(dot(col("q_emb"), col("emb")), col("q_nrm"), col("nrm"))
           .as("cos"))
     rankTopK(cands, k)
   }
@@ -495,10 +505,15 @@ object Similarity {
   private def nearDupPairsUnsorted(e0: DataFrame, blocking: Column,
                                    threshold: Double): DataFrame = {
     val e = e0.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    // zero-norm sides score null (fails every threshold) instead of
+    // tripping ANSI DIVIDE_BY_ZERO — a corpus with an all-zero embedding
+    // must degrade to "it has no near-dups", not kill the job; the DuckDB
+    // oracle's float division yields NaN, which fails the threshold the
+    // same way
     e.as("a").join(e.as("b"),
         blocking && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6)
+        cosOrNull(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm"))
           .as("cos"))
       .filter(col("cos") >= threshold)
   }
@@ -534,7 +549,7 @@ object Similarity {
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        round(dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6)
+        cosOrNull(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm"))
           .as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
@@ -563,6 +578,58 @@ object Similarity {
     val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
     semanticDedupWith(emb, threshold,
       rpBucket(col("emb"), bits, probeDims(emb)))
+  }
+
+  /** [[semanticDedup]] with EXACT-IDENTICAL-VECTOR PRE-COLLAPSE — the
+    * embedding-side twin of the text pipeline's exact-dup collapse
+    * (n53): bit-identical embeddings share their sign bucket and every
+    * pairwise cosine, so a group of copies is a clique of cos-1 pairs
+    * and the one-pass min-id keeper's decisions depend only on the
+    * group's REPRESENTATIVE (its min vec_id). Grouping by the embedding
+    * array itself (exact equality — no hash-collision risk), running
+    * the bucket-blocked pair join over reps only, and expanding gives
+    * bit-identical survivors: a non-rep copy always has its rep as a
+    * smaller cos-1 neighbor (dropped), and a rep is dropped iff some
+    * smaller rep clears the threshold — any smaller raw vector that
+    * would drop it belongs to a group whose rep is at least as small
+    * and scores the same cosine. SimilaritySpec pins equality; the
+    * registry's n54 passes n46's oracle verbatim.
+    *
+    * Zero-norm vectors sit outside the collapse: cosine against them is
+    * null, so they never drop and are never dropped — they pass straight
+    * to the survivor side, exactly as in the uncollapsed join where the
+    * null score fails every threshold.
+    *
+    * Why it matters at 100 TB: the pair join is Σ bucket², and corpora
+    * with duplicated payloads carry bit-identical embeddings (same text
+    * → same encoder output), so bucket occupancy — and pair cost — grows
+    * with duplication. Collapsed, each distinct vector counts once
+    * regardless of its copy count.
+    */
+  def semanticDedupCollapsed(emb: DataFrame, threshold: Double,
+                             bucketBits: Int = 0): DataFrame = {
+    val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
+    val cast = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val zeroNorm = cast.filter(dot(col("emb"), col("emb")) === 0d)
+      .select(col("vec_id"))
+    // one shuffle keyed by the vector itself; map-side combine collapses
+    // copies per partition before anything moves. Cut: the frame feeds
+    // both the rep pair join and the survivor expansion.
+    val groups = Checkpoints.cut(
+      cast.filter(dot(col("emb"), col("emb")) =!= 0d)
+        .groupBy(col("emb")).agg(min(col("vec_id")).as("rep")))
+    val reps = groups.select(col("rep").as("vec_id"), col("emb"))
+      .withColumn("bucket", rpBucket(col("emb"), bits, probeDims(emb)))
+    val droppedReps = nearDupPairsUnsorted(reps,
+        col("a.bucket") === col("b.bucket"), threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    val survivorIds = groups.select(col("rep").as("vec_id"))
+      .join(droppedReps, Seq("vec_id"), "left_anti")
+      .union(zeroNorm)
+    emb.select(col("vec_id"), col("label"))
+      .join(survivorIds, Seq("vec_id"), "left_semi")
+      .orderBy(col("vec_id"))
   }
 
   /** [[semanticDedup]] with an explicit bucket expression over the

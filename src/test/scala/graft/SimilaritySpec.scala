@@ -311,6 +311,44 @@ class SimilaritySpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("semanticDedupCollapsed ≡ semanticDedup: hand corpus with copies " +
+    "and zero vectors, real embeddings, and a replicated corpus") {
+    def keepSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // hand corpus: a copy group whose rep survives (1,2,3 identical —
+    // only 1 survives), a copy group whose rep is itself dropped by a
+    // smaller near-dup (5,6 identical, near-dup of 1), an isolated
+    // vector (10), and zero vectors (20,21) that must all survive
+    val hand = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f), 0),
+      (3L, Array(1f, 0f, 0f), 0),
+      (5L, Array(1f, 0.001f, 0f), 0), (6L, Array(1f, 0.001f, 0f), 0),
+      (10L, Array(-1f, 5f, 2f), 1),
+      (20L, Array(0f, 0f, 0f), 2), (21L, Array(0f, 0f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val direct = keepSet(Similarity.semanticDedup(hand, 0.3, 4))
+    val collapsed = keepSet(Similarity.semanticDedupCollapsed(hand, 0.3, 4))
+    assert(collapsed === direct)
+    assert(collapsed.map(_._1).intersect(Set(20L, 21L)) === Set(20L, 21L),
+      "zero vectors are never near-dups and must all survive")
+    assert(!collapsed.map(_._1).contains(5L),
+      "a copy-group rep that has a smaller near-dup must be dropped")
+
+    // real fixture corpus, pinned oracle width
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    assert(keepSet(Similarity.semanticDedupCollapsed(emb, 0.3,
+        Similarity.BucketBits)) ===
+      keepSet(Similarity.semanticDedup(emb, 0.3, Similarity.BucketBits)))
+
+    // replicated corpus — copy-group size grows with the replication
+    // factor, the exact shape the collapse exists for
+    val replicated = (0 until 3).map(i =>
+      emb.limit(100).withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    assert(keepSet(Similarity.semanticDedupCollapsed(replicated, 0.3, 4)) ===
+      keepSet(Similarity.semanticDedup(replicated, 0.3, 4)))
+  }
+
   test("knnGraph core: in-bucket neighbors ranked by cosine on a hand corpus") {
     // dim-1 sign bucket: ids 1,2,4 share the positive bucket, 3 is alone
     // (no edges). cos(1,2)≈1 > cos(1,4)≈0.0995; cos(2,4)≈0.0985.
