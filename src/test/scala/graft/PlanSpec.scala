@@ -213,6 +213,30 @@ class PlanSpec extends SparkSpec {
       "expected partial + final WindowGroupLimit:\n" + p)
   }
 
+  test("n53/n54: the collapse aggregates keep a partial (map-side) phase " +
+    "below their exchange") {
+    import org.apache.spark.sql.functions._
+    // the collapse's scale claim is that identical payloads merge per
+    // partition BEFORE the shuffle — pin the partial_* phase under the
+    // Exchange for both group-by shapes (digest string → HashAggregate;
+    // embedding array key → hash agg with float normalization; first()
+    // may force SortAggregate — either is fine, partiality is the claim)
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val textPlan = docs.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+        first(col("text")).as("text"))
+      .queryExecution.executedPlan.toString
+    assert(textPlan.contains("partial_min(doc_id"),
+      "text collapse lost its map-side combine:\n" + textPlan)
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val embPlan = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .groupBy(col("emb")).agg(min(col("vec_id")).as("rep"))
+      .queryExecution.executedPlan.toString
+    assert(embPlan.contains("partial_min(vec_id"),
+      "embedding collapse lost its map-side combine:\n" + embPlan)
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // the silent scale-killer: an unkeyed join degenerating to all-pairs.
     // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin
