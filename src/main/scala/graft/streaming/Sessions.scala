@@ -25,7 +25,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessions {
 
   case class Ev(ts: Timestamp, user_id: Long, value: Double)
-  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  // `cents` holds the value sum as exact decimal(18,2) cents — the batch
+  // twin sums through `decSum` (cast to decimal(18,2), exact, order-
+  // independent), and a double accumulator here would drift a cent on
+  // multi-event sessions whose partial sums fold across micro-batches
+  // (caught by the restart spec's full-equality check on real values)
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, cents: Long)
   case class Held(sessions: Seq[OpenSession])
   case class ClosedSession(user_id: Long, session_start: Timestamp,
                            n_events: Long, duration_sec: Long, sum_value: Double)
@@ -43,9 +48,17 @@ object Sessions {
     def micros(t: Timestamp): Long =
       t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
+    // the same rounding Spark's double→decimal(18,2) cast applies: the
+    // double's shortest decimal form (BigDecimal.valueOf), HALF_UP at
+    // scale 2 — so each event contributes identical cents in both engines
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+
     def close(userId: Long, s: OpenSession): ClosedSession =
       ClosedSession(userId, new Timestamp(s.startUs / 1000),
-        s.n, (s.lastUs - s.startUs) / 1000000L, math.round(s.sum * 100) / 100.0)
+        s.n, (s.lastUs - s.startUs) / 1000000L, s.cents / 100.0)
 
     def fn(userId: Long, batch: Iterator[Ev],
            state: GroupState[Held]): Iterator[ClosedSession] = {
@@ -56,14 +69,14 @@ object Sessions {
       // other, and bridge across previously gap-separated sessions.
       val items = (state.getOption.map(_.sessions).getOrElse(Seq.empty) ++
           batch.map { e =>
-            val us = micros(e.ts); OpenSession(us, us, 1, e.value)
+            val us = micros(e.ts); OpenSession(us, us, 1, cents(e.value))
           })
         .sortBy(s => (s.startUs, s.lastUs))
       val merged = items.foldLeft(List.empty[OpenSession]) {
         case (head :: tail, it) if it.startUs - head.lastUs <= gapUs =>
           OpenSession(math.min(head.startUs, it.startUs),
             math.max(head.lastUs, it.lastUs),
-            head.n + it.n, head.sum + it.sum) :: tail
+            head.n + it.n, head.cents + it.cents) :: tail
         case (acc, it) => it :: acc
       }.reverse // chronological
 
@@ -90,5 +103,38 @@ object Sessions {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Start the checkpointed sessionization over a parquet directory of
+    * (ts, user_id, value) rows and return the running query — the
+    * restartable S7 shape of the arbitrary-stateful operator. On top of
+    * the two logs every file-sink stream carries (checkpoint offset log,
+    * sink `_spark_metadata`), restart here also recovers the STATE STORE:
+    * sessions held open across the kill must survive into the resumed run
+    * and close exactly once — SessionsStreamSpec proves it with a
+    * kill/resume whose final output is compared against the batch twin.
+    */
+  def startFromParquet(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, checkpoint: String, out: String,
+                       gapMinutes: Int = 30, watermark: String = "1 hour",
+                       glob: String = "*.parquet",
+                       maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    implicit val evEnc = Encoders.product[Ev]
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(m =>
+      reader = reader.option("maxFilesPerTrigger", m.toString))
+    val ev = reader.parquet(dir)
+      .select(col("ts"), col("user_id"), col("value")).as[Ev]
+    sessionizeStream(ev, gapMinutes, watermark)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .start(out)
   }
 }

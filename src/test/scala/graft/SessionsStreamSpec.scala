@@ -44,6 +44,89 @@ class SessionsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- S7 on the stateful operator: sessions HELD IN STATE across a
+  // kill must survive into the resumed run and close exactly once. The
+  // final output (after a far-future flush) must EQUAL the batch twin —
+  // a lost state store shows up as missing or split sessions, a replayed
+  // batch as duplicates, and the planted torn sink file must stay
+  // invisible throughout.
+  test("checkpointed sessionization restart: state survives the kill; " +
+    "final sessions equal the batch twin; torn sink files stay invisible") {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    val tmp = JFiles.createTempDirectory("graft_sess_restart").toString
+    val in = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
+    JFiles.createDirectories(java.nio.file.Paths.get(in))
+
+    // real events split into 4 event-time-ordered files, plus two flush
+    // files whose far-future rows (user 99) drive the watermark past
+    // every real horizon so the final comparison is total, not windowed
+    val ev = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("user_id"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val withQ = ev.withColumn("q", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    val staged = (1 to 6).map { i =>
+      val stage = s"$tmp/stage_q$i"
+      val df =
+        if (i <= 4) withQ.filter(col("q") === i).drop("q")
+        else Seq((new Timestamp(maxTs.getTime + i * 3600L * 1000L), 99L, 0.0))
+          .toDF("ts", "user_id", "value")
+      df.coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+    }
+    def arrive(i: Int): Unit = {
+      val dst = new java.io.File(in, s"q$i.parquet")
+      JFiles.copy(staged(i - 1).toPath, dst.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1700000000000L + i * 1000L)
+    }
+
+    // Run 1: half the input; one file per micro-batch; kill mid-state.
+    arrive(1); arrive(2)
+    Sessions.startFromParquet(spark, in, ckpt, out, gapMinutes = 30,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    val afterKill = spark.read.parquet(out).count()
+    assert(afterKill > 0, "run 1 must have closed some sessions")
+
+    // Plant the torn-sink artifact (a non-empty uncommitted data file).
+    val donor = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .find(p => spark.read.parquet(p.getPath).count() > 0)
+    assert(donor.nonEmpty)
+    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
+    JFiles.copy(donor.get.toPath, torn.toPath)
+
+    // Run 2: the rest + the flush rows; same checkpoint + sink + state.
+    (3 to 6).foreach(arrive)
+    Sessions.startFromParquet(spark, in, ckpt, out, gapMinutes = 30,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    // the batch twin formats session_start at SECOND granularity
+    // (date_format "…HH:mm:ss"); truncate the stream's millis to match
+    val emitted = spark.read.parquet(out)
+      .filter(col("user_id") =!= 99L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000 * 1000,
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(emitted.length === emitted.distinct.length,
+      "restart produced duplicate sessions")
+    // batch twin over exactly the real events (sessionize emits
+    // session_start as a UTC-formatted string — parse it back as UTC)
+    def utcMillis(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val batchTwin = graft.ops.Reports.sessionize(
+        ev.withColumn("event_id", unix_micros(col("ts"))), 30)
+      .collect().map(r => (r.getLong(0), utcMillis(r.getString(3)),
+        r.getLong(2), r.getLong(4), r.getDouble(5))).toSet
+    assert(emitted.toSet === batchTwin,
+      "after the flush, restart-streamed sessions must equal the batch twin")
+    assert(torn.exists())
+    assert(spark.read.parquet(torn.getPath).count() > 0)
+  }
+
   test("late events: in-gap predecessor extends the session backward; " +
     "beyond-gap predecessor becomes its own session") {
     implicit val sqlCtx = spark.sqlContext
