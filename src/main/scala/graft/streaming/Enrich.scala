@@ -18,6 +18,32 @@ object Enrich {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Start the checkpointed [[dedupStream]] over a parquet directory and
+    * return the running query — the restartable S7 shape of the dedup
+    * ingest. Restart recovers the SEEN-ID state store: an id ingested
+    * before the kill must still suppress its duplicates arriving after
+    * the resume (EnrichStreamSpec proves it with duplicates planted on
+    * both sides of the kill).
+    */
+  def startDedupFromParquet(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, checkpoint: String, out: String,
+                            watermark: String = "1 hour",
+                            glob: String = "*.parquet",
+                            maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(m =>
+      reader = reader.option("maxFilesPerTrigger", m.toString))
+    dedupStream(reader.parquet(dir), watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .start(out)
+  }
+
   /** Stream-static enrichment: each micro-batch joins the (small, cached)
     * static dimension — broadcast per batch, no stream-side state.
     */

@@ -35,6 +35,72 @@ class EnrichStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- S7 on the dedup ingest: the SEEN-ID state must survive a kill —
+  // an id ingested before the restart must still suppress its duplicate
+  // arriving after it, and the resumed run must neither lose nor
+  // re-emit anything (torn sink file planted and asserted invisible).
+  test("checkpointed dedup restart: pre-kill ids suppress post-resume " +
+    "duplicates; no dupes, no losses; torn sink files stay invisible") {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    val tmp = JFiles.createTempDirectory("graft_dedup_restart").toString
+    val in = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
+    JFiles.createDirectories(java.nio.file.Paths.get(in))
+    def ts(s: String) = Timestamp.valueOf(s)
+    // duplicates planted WITHIN one file (201), ACROSS pre-kill files
+    // (101 in q1 and q2), and ACROSS the kill (102 in q2 and q3 — the
+    // one only a recovered state store can suppress); all inside the
+    // 1h watermark horizon of their first arrival
+    val files = Seq(
+      Seq((101L, ts("2024-01-01 10:00:00"), "a"),
+        (201L, ts("2024-01-01 10:05:00"), "b"),
+        (201L, ts("2024-01-01 10:05:00"), "b")),
+      Seq((101L, ts("2024-01-01 10:10:00"), "a"),
+        (102L, ts("2024-01-01 10:20:00"), "c")),
+      Seq((102L, ts("2024-01-01 10:30:00"), "c"),
+        (301L, ts("2024-01-01 10:40:00"), "d")),
+      Seq((401L, ts("2024-01-01 11:50:00"), "e")))
+    val staged = files.zipWithIndex.map { case (rows, i) =>
+      val stage = s"$tmp/stage_q${i + 1}"
+      rows.toDF("event_id", "ts", "event_type").coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+    }
+    def arrive(i: Int): Unit = {
+      val dst = new java.io.File(in, s"q$i.parquet")
+      JFiles.copy(staged(i - 1).toPath, dst.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1700000000000L + i * 1000L)
+    }
+
+    arrive(1); arrive(2)
+    Enrich.startDedupFromParquet(spark, in, ckpt, out,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    val afterKill = spark.read.parquet(out).count()
+    assert(afterKill === 3L, "run 1 must emit exactly {101, 201, 102}")
+
+    val donor = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .find(p => spark.read.parquet(p.getPath).count() > 0)
+    assert(donor.nonEmpty)
+    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
+    JFiles.copy(donor.get.toPath, torn.toPath)
+
+    arrive(3); arrive(4)
+    Enrich.startDedupFromParquet(spark, in, ckpt, out,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    val emitted = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("event_id"))
+    assert(emitted.length === emitted.distinct.length,
+      "restart re-emitted a deduplicated id")
+    assert(emitted.sorted.toSeq === Seq(101L, 102L, 201L, 301L, 401L),
+      "exactly one row per distinct id must survive — 102's post-kill " +
+        "duplicate must be suppressed by the RECOVERED state store")
+    assert(torn.exists())
+    assert(spark.read.parquet(torn.getPath).count() > 0)
+  }
+
   test("streaming near-dup: reordered duplicate docs are suppressed") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
