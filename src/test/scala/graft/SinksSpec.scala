@@ -185,12 +185,16 @@ class SinksSpec extends SparkSpec {
     @volatile var failure: Option[Throwable] = None
     var reads = 0
     val reader = new Thread(() => {
-      try while (!stop) {
-        // every resolve-and-read must see a complete version: 1000 rows,
-        // whichever side of the pointer swap it lands on
+      // do-while: at least ONE read always completes even if a loaded
+      // test machine finishes all three compactions before this thread's
+      // first Spark job does (the `reads > 0` guard was flaky otherwise);
+      // every completed read must see a complete version — 1000 rows,
+      // whichever side of the pointer swap it lands on
+      try do {
         assert(Sinks.Versioned.read(spark, table).count() === 1000L)
         reads += 1
-      } catch { case t: Throwable => failure = Some(t) }
+      } while (!stop)
+      catch { case t: Throwable => failure = Some(t) }
     })
     reader.start()
     // retention widened so pruning can never touch a version the racing
