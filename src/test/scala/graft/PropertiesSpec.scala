@@ -145,6 +145,45 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("property: collapsed dup-clustering ≡ uncollapsed on random " +
+    "duplicate-heavy corpora (n53)") {
+    // small vocabulary forces shingle collisions AND exact duplicates;
+    // short docs exercise the eligibility filter, singleton and isolated
+    // exact-dup-group branches of the expansion
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val doc = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(6, 14).flatMap(n => Gen.listOfN(n, doc))
+    check(Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def clusters(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).mkString(","))).toSet
+      clusters(graft.ops.Dedup.dupClustersCollapsed(docs)) ==
+        clusters(graft.ops.Dedup.dupClustersLogN(
+          graft.ops.Dedup.lshCandidatePairs(docs)))
+    }, n = 6)
+  }
+
+  test("property: collapsed semantic dedup ≡ uncollapsed on random " +
+    "vectors with copies and zero vectors (n54)") {
+    // coordinates from a tiny set so exact copies are common; the zero
+    // vector appears naturally and must always survive both paths
+    val coord = Gen.oneOf(-1.0f, 0.0f, 1.0f)
+    val vec = Gen.listOfN(3, coord).map(_.toArray)
+    val corpus = Gen.choose(5, 12).flatMap(n => Gen.listOfN(n, vec))
+    check(Prop.forAll(corpus) { vecs =>
+      val emb = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v, i % 3) }
+        .toDF("vec_id", "embedding", "label")
+      def keep(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      keep(graft.ops.Similarity.semanticDedupCollapsed(emb, 0.3, 4)) ==
+        keep(graft.ops.Similarity.semanticDedup(emb, 0.3, 4))
+    }, n = 6)
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)
