@@ -158,6 +158,10 @@ object Sinks {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int): Unit = {
+    // self-heal first: a predecessor crashed inside its swap window leaves
+    // the table at _precompact (or a finished rewrite at _compacting) and
+    // the bare read below would fail with "path does not exist"
+    recoverCompact(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
     val old = new org.apache.hadoop.fs.Path(path + "_precompact")
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -254,6 +258,11 @@ object Sinks {
       val tableP = new org.apache.hadoop.fs.Path(table)
       val fs = fsOf(spark, tableP)
       fs.mkdirs(tableP)
+      // sweep pointer temps a crashed publisher left behind (uniquely
+      // named, so they accumulate silently otherwise)
+      fs.listStatus(tableP).toSeq
+        .filter(_.getPath.getName.startsWith("._current.tmp-"))
+        .foreach(s => fs.delete(s.getPath, false))
       val existing = fs.listStatus(tableP).toSeq.map(_.getPath.getName)
         .filter(_.matches("v-\\d+")).map(_.drop(2).toLong)
       val next = (existing.sorted.lastOption.getOrElse(0L) + 1)

@@ -151,6 +151,20 @@ class SinksSpec extends SparkSpec {
     assert(!Sinks.recoverCompact(spark, dir), "healthy table is a no-op")
   }
 
+  test("compact self-heals after a predecessor crashed mid-swap") {
+    val dir = Files.createTempDirectory("graft_heal").toString + "/t"
+    spark.range(400).repartition(10).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window: table stashed, rewrite never landed
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_precompact")))
+    Sinks.compact(spark, dir, 2) // must recover, then compact
+    assert(spark.read.parquet(dir).count() === 400L)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 2)
+  }
+
   test("recoverCompact prefers a COMPLETE rewrite over the backup") {
     val dir = Files.createTempDirectory("graft_recover2").toString + "/t"
     // crash after the rewrite finished (with _SUCCESS) and the old data
