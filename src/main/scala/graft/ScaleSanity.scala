@@ -7,7 +7,20 @@ import org.apache.spark.sql.functions._
 object ScaleSanity {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(5)
-    val out = s"/tmp/graft_sf_x$mult"
+    // args(2) == "salt": per-copy-transformed replication for the
+    // dedup/similarity family. Plain replication duplicates every text
+    // and vector `mult` times, so dup-group size — and Σ bucket² pair
+    // cost — grows with the multiplier BY CONSTRUCTION (a boilerplate
+    // stress, the collapse operators' case). Salting word-prefixes each
+    // copy's texts and cyclically rotates (sign-flipping per wrap) each
+    // copy's embeddings: intra-copy dup structure is preserved exactly,
+    // cross-copy payloads are disjoint, so dup-group sizes stay CONSTANT
+    // as the corpus grows — the honest volume-scaling measurement for
+    // dedup/similarity. (Vocabulary-shaped ops — bigram LM, TF-IDF —
+    // read the opposite way: salting grows vocabulary ∝ mult where real
+    // corpora don't; measure those on the plain replication.)
+    val salted = args.lift(2).contains("salt")
+    val out = s"/tmp/graft_sf_x$mult" + (if (salted) "s" else "")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -15,12 +28,33 @@ object ScaleSanity {
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
     if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      lazy val dims = spark.read.parquet(s"$src/embeddings.parquet")
+        .selectExpr("size(embedding) d").head().getInt(0)
       def rep(t: String, idCols: Seq[String], perCopy: Long): Unit = {
         val base = if (t == "events") ops.Tables.events(spark, src)
           else spark.read.parquet(s"$src/$t.parquet")
         val big = (0 until mult).map { i =>
-          idCols.foldLeft(base)((df, c) =>
+          val shifted = idCols.foldLeft(base)((df, c) =>
             df.withColumn(c, col(c) + lit(i * perCopy)))
+          if (!salted) shifted
+          else t match {
+            case "documents" => shifted.withColumn("text",
+              // injective per-copy word map: intra-copy shingle/dup
+              // structure preserved, cross-copy shingles disjoint
+              regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
+            case "embeddings" =>
+              val shift = i % dims
+              val rot = if (shift == 0) col("embedding")
+                else concat(slice(col("embedding"), shift + 1, dims - shift),
+                  slice(col("embedding"), 1, shift))
+              // norms and intra-copy cosines are rotation/sign-invariant;
+              // the sign flip per full rotation keeps copies distinct up
+              // to 2×dims multipliers
+              val signed = if ((i / dims) % 2 == 1)
+                transform(rot, x => -x) else rot
+              shifted.withColumn("embedding", signed)
+            case _ => shifted
+          }
         }.reduce(_ union _)
         big.write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
