@@ -76,8 +76,15 @@ object Queries {
        |  md5(string_agg(mh, '' ORDER BY seed)) AS band_key
        | FROM mh GROUP BY doc_id, seed // ${Dedup.BandSize})""".stripMargin
 
+  // Zero-norm guard mirrors Similarity.cosOrNull EXACTLY: either side
+  // having norm 0 scores NULL (fails every threshold, excluded from
+  // sums). A bare division would give NaN here, and DuckDB compares NaN
+  // GREATER than everything — NaN >= τ is true — so an unguarded oracle
+  // would DROP zero vectors' partners while Spark keeps them.
   private def cosSql(a: String, b: String) =
-    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"round(CASE WHEN list_dot_product($a, $a) * list_dot_product($b, $b) = 0" +
+      s" THEN NULL ELSE list_dot_product($a, $b) /" +
+      s" (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END, 6)"
 
   /** The embeddings table's dimensionality. The Spark operators probe the
     * table at plan build; the oracle needs the same constant at SQL-gen

@@ -30,6 +30,13 @@ object ScaleSanity {
     if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
       lazy val dims = spark.read.parquet(s"$src/embeddings.parquet")
         .selectExpr("size(embedding) d").head().getInt(0)
+      // rotation+sign-flip yields distinct copies only up to 2×dims; past
+      // that, copies repeat bit-identically and the constant-dup-structure
+      // invariant this mode exists for silently reverts to the replicated
+      // boilerplate stress — fail fast instead of misattributing numbers
+      if (salted) require(mult <= 2 * dims,
+        s"salt mode supports mult <= ${2 * dims} (2×dims): copy i and " +
+          s"i+${2 * dims} would be bit-identical embeddings")
       def rep(t: String, idCols: Seq[String], perCopy: Long): Unit = {
         val base = if (t == "events") ops.Tables.events(spark, src)
           else spark.read.parquet(s"$src/$t.parquet")

@@ -45,6 +45,10 @@ object Similarity {
     * under descending sort) ranks after every real cosine — instead of
     * tripping ANSI DIVIDE_BY_ZERO. An all-zero embedding in a 100 TB
     * corpus must degrade to "no near neighbors", never kill the job.
+    * The DuckDB oracles carry the SAME guard (`cosSql`): their bare
+    * float division would yield NaN, and DuckDB treats NaN as greater
+    * than every value, so an unguarded oracle would diverge on exactly
+    * the zero-vector corpora this guard exists for.
     */
   private def cosOrNull(d: Column, na: Column, nb: Column): Column =
     round(when(na * nb =!= 0d, d / (na * nb)), 6)
@@ -507,9 +511,10 @@ object Similarity {
     val e = e0.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     // zero-norm sides score null (fails every threshold) instead of
     // tripping ANSI DIVIDE_BY_ZERO — a corpus with an all-zero embedding
-    // must degrade to "it has no near-dups", not kill the job; the DuckDB
-    // oracle's float division yields NaN, which fails the threshold the
-    // same way
+    // must degrade to "it has no near-dups", not kill the job. The DuckDB
+    // oracles embed the same CASE guard (a bare division there gives NaN,
+    // which DuckDB compares GREATER than everything — the opposite of
+    // failing the threshold).
     e.as("a").join(e.as("b"),
         blocking && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

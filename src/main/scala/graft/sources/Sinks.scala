@@ -110,7 +110,15 @@ object Sinks {
                        path: String)(train: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def committed = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    // completeness = our OWN marker (written below before the atomic
+    // rename), with _SUCCESS accepted for dirs published by the old
+    // direct-write scheme. Relying on _SUCCESS alone would tie
+    // correctness to mapreduce.fileoutputcommitter.marksuccessfuljobs —
+    // with markers disabled every call would judge a valid model torn,
+    // delete it, and retrain forever.
+    def committed =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_OK")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     if (fs.exists(p) && !committed)
       fs.delete(p, true) // torn leftover of a crashed trainer
     if (!fs.exists(p)) {
@@ -118,6 +126,10 @@ object Sinks {
         p.getParent, s".${p.getName}.train-${System.nanoTime()}")
       try {
         train.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // marker travels INSIDE the dir through the atomic rename, so a
+        // published dir is complete-by-construction under any committer
+        fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_OK"), true)
+          .close()
         // a concurrent trainer may have published while we trained; their
         // model is equally valid (same corpus key) — keep theirs. The
         // exists-guard also prevents HDFS rename-INTO-existing-dir nesting.
@@ -261,24 +273,55 @@ object Sinks {
       // sweep pointer temps a crashed publisher left behind (uniquely
       // named, so they accumulate silently otherwise)
       fs.listStatus(tableP).toSeq
-        .filter(_.getPath.getName.startsWith("._current.tmp-"))
+        .filter(_.getPath.getName.contains("_current.tmp-"))
         .foreach(s => fs.delete(s.getPath, false))
+      // sweep ORPHAN versions too: a publisher that crashed after writing
+      // its version dir but before repointing leaves a dir numbered above
+      // the pointed version that was never live. Left in place it would
+      // consume a retention slot while numeric pruning deleted the
+      // just-replaced LIVE version — exactly the in-flight-reader window
+      // keepVersions exists to protect. With orphans gone, numeric order
+      // equals publication-lineage order and the prune below is safe.
+      val pointed: Option[Long] =
+        if (!fs.exists(pointer(table))) None
+        else Some(currentPath(spark, table).split('/').last.drop(2).toLong)
+      fs.listStatus(tableP).toSeq.map(_.getPath.getName)
+        .filter(_.matches("v-\\d+")).map(_.drop(2).toLong)
+        .filter(v => pointed.exists(v > _))
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(tableP, s"v-$v"), true))
       val existing = fs.listStatus(tableP).toSeq.map(_.getPath.getName)
         .filter(_.matches("v-\\d+")).map(_.drop(2).toLong)
       val next = (existing.sorted.lastOption.getOrElse(0L) + 1)
       val vName = s"v-$next"
       val vPath = new org.apache.hadoop.fs.Path(tableP, vName)
       df.write.mode(SaveMode.Overwrite).parquet(vPath.toString)
-      // the version dir is complete (committer-renamed) but unnamed until
-      // the pointer moves — publish = one atomic file replace
+      // The version dir is complete (committer-renamed) but unnamed until
+      // the pointer moves — publish = one atomic file replace. The replace
+      // primitive is filesystem-specific: HDFS's rename(OVERWRITE) is
+      // atomic, but on the LOCAL filesystem Hadoop's overwrite rename is
+      // delete-then-rename — a reader between the two sees NO pointer
+      // (observed as a FileNotFoundException under a racing reader), so
+      // local paths go through POSIX rename(2) via NIO, which replaces
+      // atomically. Object stores without an atomic replace need their
+      // atomic PUT (a table format's commit protocol) instead.
       val ptr = pointer(table)
-      val tmp = new org.apache.hadoop.fs.Path(tableP,
-        s"._current.tmp-${System.nanoTime()}")
-      val out = fs.create(tmp, true)
-      try out.write(vName.getBytes("UTF-8")) finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        tableP.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      if (fs.getUri.getScheme == "file") {
+        val tmpNio = java.nio.file.Paths.get(ptr.toUri.getPath + s".tmp-${System.nanoTime()}")
+        java.nio.file.Files.write(tmpNio, vName.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmpNio,
+          java.nio.file.Paths.get(ptr.toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        val tmp = new org.apache.hadoop.fs.Path(tableP,
+          s"._current.tmp-${System.nanoTime()}")
+        val out = fs.create(tmp, true)
+        try out.write(vName.getBytes("UTF-8")) finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          tableP.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
       // prune: never the live version, never the newest keepVersions
       val stale = (existing :+ next).sorted.dropRight(math.max(1, keepVersions))
       stale.foreach(v => fs.delete(

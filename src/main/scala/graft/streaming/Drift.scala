@@ -115,19 +115,9 @@ object Drift {
                        dir: String, checkpoint: String, out: String,
                        ref: DataFrame, glob: String = "*.parquet",
                        maxFilesPerTrigger: Option[Int] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(m =>
-      reader = reader.option("maxFilesPerTrigger", m.toString))
-    sourceDriftWindows(reader.parquet(dir), ref)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("parquet")
-      .start(out)
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    FileStreams.startParquetSink(spark, dir, checkpoint, out, glob,
+      maxFilesPerTrigger)(sourceDriftWindows(_, ref))
 
   /** The drift core — identical plan for a batch frame (the oracle twin)
     * and a `readStream` frame (`docs` needs ts/source/text; `ref` is the

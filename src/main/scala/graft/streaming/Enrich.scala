@@ -30,19 +30,9 @@ object Enrich {
                             watermark: String = "1 hour",
                             glob: String = "*.parquet",
                             maxFilesPerTrigger: Option[Int] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(m =>
-      reader = reader.option("maxFilesPerTrigger", m.toString))
-    dedupStream(reader.parquet(dir), watermark)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("parquet")
-      .start(out)
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    FileStreams.startParquetSink(spark, dir, checkpoint, out, glob,
+      maxFilesPerTrigger)(dedupStream(_, watermark))
 
   /** Stream-static enrichment: each micro-batch joins the (small, cached)
     * static dimension — broadcast per batch, no stream-side state.

@@ -77,27 +77,15 @@ object Hourly {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Stream with the RAW on-disk schema (ts as nano-long), then apply the
-    // same µs conversion Tables.events does for batch.
-    val rawSchema =
-      spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-    // the file source needs a directory; glob-filter down to the table files
-    var reader = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(m =>
-      reader = reader.option("maxFilesPerTrigger", m.toString))
-    val raw = reader.parquet(dir)
-    // same schema guard as Tables.events: only nano-long ts needs converting
-    val stream =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    hourlyAgg(stream)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("parquet")
-      .start(out)
+    // same µs conversion Tables.events does for batch — only nano-long ts
+    // needs converting, same schema guard as Tables.events.
+    FileStreams.startParquetSink(spark, dir, checkpoint, out, glob,
+        maxFilesPerTrigger) { raw =>
+      hourlyAgg(
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw)
+    }
   }
 
   /** File-source streaming variant over the events parquet directory —

@@ -29,7 +29,12 @@ object Sessions {
   // twin sums through `decSum` (cast to decimal(18,2), exact, order-
   // independent), and a double accumulator here would drift a cent on
   // multi-event sessions whose partial sums fold across micro-batches
-  // (caught by the restart spec's full-equality check on real values)
+  // (caught by the restart spec's full-equality check on real values).
+  // STATE-SCHEMA MIGRATION NOTE: this replaced `sum: Double` — the state
+  // store rejects the changed value schema on restart
+  // (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE), so a checkpoint written by
+  // the double-summing version must be drained (flush all held sessions,
+  // stop cleanly) before upgrading, or discarded and reprocessed.
   case class OpenSession(startUs: Long, lastUs: Long, n: Long, cents: Long)
   case class Held(sessions: Seq[OpenSession])
   case class ClosedSession(user_id: Long, session_start: Timestamp,
@@ -122,19 +127,11 @@ object Sessions {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     implicit val evEnc = Encoders.product[Ev]
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(m =>
-      reader = reader.option("maxFilesPerTrigger", m.toString))
-    val ev = reader.parquet(dir)
-      .select(col("ts"), col("user_id"), col("value")).as[Ev]
-    sessionizeStream(ev, gapMinutes, watermark)
-      .toDF()
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("parquet")
-      .start(out)
+    FileStreams.startParquetSink(spark, dir, checkpoint, out, glob,
+        maxFilesPerTrigger) { df =>
+      sessionizeStream(
+        df.select(col("ts"), col("user_id"), col("value")).as[Ev],
+        gapMinutes, watermark).toDF()
+    }
   }
 }

@@ -190,6 +190,51 @@ class SinksSpec extends SparkSpec {
       "retention must keep exactly the newest keepVersions versions")
   }
 
+  test("versioned publish sweeps a crashed publish's orphan version " +
+    "instead of letting it evict the live one from retention") {
+    val table = Files.createTempDirectory("graft_vorphan").toString + "/t"
+    Sinks.Versioned.publish(spark.range(10).toDF("id"), table)   // v-1
+    Sinks.Versioned.publish(spark.range(20).toDF("id"), table)   // v-2 live
+    // simulate a publisher that crashed AFTER writing its version dir but
+    // BEFORE repointing: v-3 exists, _current still names v-2
+    spark.range(99).toDF("id").write.parquet(s"$table/v-3")
+    val next = Sinks.Versioned.publish(spark.range(30).toDF("id"), table)
+    assert(Sinks.Versioned.read(spark, table).count() === 30L)
+    // the orphan must be swept (its number reused by the new publish),
+    // and the retained versions must be the published lineage (v-2, new) —
+    // numeric pruning with the orphan in place would have deleted v-2,
+    // the version a racing reader may still be reading
+    assert(next.endsWith("v-3"))
+    val versions = new java.io.File(table).listFiles()
+      .map(_.getName).filter(_.startsWith("v-")).sorted
+    assert(versions.toSeq === Seq("v-2", "v-3"))
+    assert(spark.read.parquet(s"$table/v-2").count() === 20L,
+      "the just-replaced live version must survive for in-flight readers")
+  }
+
+  test("materializeModel completeness does not depend on the committer's " +
+    "_SUCCESS marker config") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val saved = hconf.get(key)
+    try {
+      hconf.set(key, "false") // common object-store tuning: no _SUCCESS
+      val dir = Files.createTempDirectory("graft_nomark").toString + "/m"
+      var trained = 0
+      def train = { trained += 1; Seq((1, "a")).toDF("k", "v") }
+      assert(Sinks.materializeModel(spark, dir)(train).count() === 1L)
+      assert(!new java.io.File(dir, "_SUCCESS").exists(),
+        "precondition: the committer really wrote no _SUCCESS")
+      // the old _SUCCESS-only check judged this valid model torn, deleted
+      // it, and retrained on EVERY call — the module's own marker decouples
+      // completeness from committer config
+      assert(Sinks.materializeModel(spark, dir)(train).count() === 1L)
+      assert(trained === 1, "a marker-complete model must not retrain")
+    } finally {
+      if (saved == null) hconf.unset(key) else hconf.set(key, saved)
+    }
+  }
+
   test("versioned compact: a reader racing the swap always sees a full " +
     "table (the absent-window of the rename swap does not exist here)") {
     val table = Files.createTempDirectory("graft_vrace").toString + "/t"
