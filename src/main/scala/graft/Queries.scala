@@ -76,13 +76,17 @@ object Queries {
        |  md5(string_agg(mh, '' ORDER BY seed)) AS band_key
        | FROM mh GROUP BY doc_id, seed // ${Dedup.BandSize})""".stripMargin
 
-  // Zero-norm guard mirrors Similarity.cosOrNull EXACTLY: either side
-  // having norm 0 scores NULL (fails every threshold, excluded from
-  // sums). A bare division would give NaN here, and DuckDB compares NaN
-  // GREATER than everything — NaN >= τ is true — so an unguarded oracle
-  // would DROP zero vectors' partners while Spark keeps them.
+  // Zero-norm guard mirrors Similarity.cosOrNull EXACTLY — the same
+  // sqrt(dot)·sqrt(dot) product is tested, NOT dot·dot, whose square
+  // can underflow to 0 for tiny-but-nonzero vectors where the norm
+  // product is still representable. Either side having norm 0 scores
+  // NULL (fails every threshold, excluded from sums). A bare division
+  // would give NaN here, and DuckDB compares NaN GREATER than
+  // everything — NaN >= τ is true — so an unguarded oracle would DROP
+  // zero vectors' partners while Spark keeps them.
   private def cosSql(a: String, b: String) =
-    s"round(CASE WHEN list_dot_product($a, $a) * list_dot_product($b, $b) = 0" +
+    s"round(CASE WHEN sqrt(list_dot_product($a, $a)) *" +
+      s" sqrt(list_dot_product($b, $b)) = 0" +
       s" THEN NULL ELSE list_dot_product($a, $b) /" +
       s" (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END, 6)"
 

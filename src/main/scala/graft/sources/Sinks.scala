@@ -143,6 +143,35 @@ object Sinks {
     spark.read.parquet(path)
   }
 
+  /** Janitor for [[materializeModel]]'s temp dirs: a hard-killed trainer
+    * (OOM, SIGKILL) skips the catch-block cleanup and leaves its
+    * uniquely-named `.<name>.train-<nanos>` dir behind — model-sized,
+    * accumulating across crashes. They can NOT be swept inside
+    * [[materializeModel]] itself: concurrent trainers are supported
+    * there ("race to a single winner"), and another trainer's in-flight
+    * temp is indistinguishable from a dead one's by name alone. So the
+    * sweep is explicit and age-gated: dirs whose modification time
+    * predates `olderThanMs` (default 24 h — far beyond any live
+    * training run) are deleted. Run it from the same scheduled context
+    * that owns model refreshes. Returns the number of dirs removed.
+    */
+  def sweepModelTemps(spark: org.apache.spark.sql.SparkSession,
+                      modelPath: String,
+                      olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val p = new org.apache.hadoop.fs.Path(modelPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    if (parent == null || !fs.exists(parent)) 0
+    else {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val stale = fs.listStatus(parent).toSeq.filter(s =>
+        s.getPath.getName.startsWith(s".${p.getName}.train-") &&
+          s.getModificationTime < cutoff)
+      stale.foreach(s => fs.delete(s.getPath, true))
+      stale.size
+    }
+  }
+
   /** Globally key-clustered write: range-repartition then sort within
     * partitions, so every output file covers a disjoint key range and
     * parquet min/max row-group stats prune point/range reads — the
@@ -233,6 +262,14 @@ object Sinks {
     * which is exactly why table formats commit through a pointer/manifest;
     * retention (`keepVersions`) covers in-flight readers, mirroring their
     * snapshot-expiry contract.
+    *
+    * WRITE CONCURRENCY CONTRACT: readers are unlimited; writers are
+    * SINGLE-WRITER per table (serialize publishes externally — a cron
+    * slot, a job-scheduler lock). Two concurrent publishers race on the
+    * next version number, and the orphan sweep in [[publish]] would
+    * treat the other's unfinished version dir as a crashed publish's
+    * leftover. Multi-writer commit coordination is a table format's job
+    * (optimistic pointer CAS + retry), deliberately out of scope here.
     */
   object Versioned {
     private def fsOf(spark: org.apache.spark.sql.SparkSession,
@@ -275,21 +312,34 @@ object Sinks {
       fs.listStatus(tableP).toSeq
         .filter(_.getPath.getName.contains("_current.tmp-"))
         .foreach(s => fs.delete(s.getPath, false))
-      // sweep ORPHAN versions too: a publisher that crashed after writing
+      // Sweep ORPHAN versions too: a publisher that crashed after writing
       // its version dir but before repointing leaves a dir numbered above
       // the pointed version that was never live. Left in place it would
       // consume a retention slot while numeric pruning deleted the
       // just-replaced LIVE version — exactly the in-flight-reader window
       // keepVersions exists to protect. With orphans gone, numeric order
       // equals publication-lineage order and the prune below is safe.
+      // (This sweep is also why the SINGLE-WRITER contract above is a
+      // contract, not advice: a second in-flight publisher's unfinished
+      // version dir is indistinguishable from a crashed one's.)
+      // A corrupt/unreadable pointer yields None — the sweep is skipped
+      // and the publish proceeds to REWRITE the pointer, self-healing the
+      // table rather than failing forever on the broken state.
       val pointed: Option[Long] =
         if (!fs.exists(pointer(table))) None
-        else Some(currentPath(spark, table).split('/').last.drop(2).toLong)
+        else scala.util.Try(
+          currentPath(spark, table).split('/').last.drop(2).toLong).toOption
       fs.listStatus(tableP).toSeq.map(_.getPath.getName)
         .filter(_.matches("v-\\d+")).map(_.drop(2).toLong)
         .filter(v => pointed.exists(v > _))
-        .foreach(v => fs.delete(
-          new org.apache.hadoop.fs.Path(tableP, s"v-$v"), true))
+        .foreach { v =>
+          // a silently failed delete would put the orphan back in the
+          // numeric prune below, re-enabling the live-version eviction
+          // this sweep exists to prevent — fail loudly instead
+          val orphan = new org.apache.hadoop.fs.Path(tableP, s"v-$v")
+          require(fs.delete(orphan, true) || !fs.exists(orphan),
+            s"publish: could not sweep orphan version $orphan")
+        }
       val existing = fs.listStatus(tableP).toSeq.map(_.getPath.getName)
         .filter(_.matches("v-\\d+")).map(_.drop(2).toLong)
       val next = (existing.sorted.lastOption.getOrElse(0L) + 1)

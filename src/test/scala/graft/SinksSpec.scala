@@ -212,6 +212,37 @@ class SinksSpec extends SparkSpec {
       "the just-replaced live version must survive for in-flight readers")
   }
 
+  test("versioned publish self-heals a corrupt pointer instead of " +
+    "failing forever") {
+    val table = Files.createTempDirectory("graft_vcorrupt").toString + "/t"
+    Sinks.Versioned.publish(spark.range(10).toDF("id"), table)
+    // external truncation / disk-full artifact: a zero-byte pointer
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_current"), Array.emptyByteArray)
+    intercept[Exception](Sinks.Versioned.read(spark, table))
+    // publish is the only writer of the pointer — it must repair, not throw
+    Sinks.Versioned.publish(spark.range(25).toDF("id"), table)
+    assert(Sinks.Versioned.read(spark, table).count() === 25L)
+  }
+
+  test("sweepModelTemps removes only this model's STALE train temps") {
+    val base = Files.createTempDirectory("graft_sweep").toString
+    val model = s"$base/m"
+    def mk(name: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(base, name)
+      assert(d.mkdir())
+      assert(d.setLastModified(System.currentTimeMillis() - ageMs))
+      d
+    }
+    val dead = mk(".m.train-111", 48L * 3600 * 1000)   // crashed yesterday
+    val live = mk(".m.train-222", 60 * 1000)           // in-flight trainer
+    val other = mk(".other.train-333", 48L * 3600 * 1000) // different model
+    assert(Sinks.sweepModelTemps(spark, model) === 1)
+    assert(!dead.exists(), "the stale temp must be removed")
+    assert(live.exists(), "an in-flight trainer's temp must survive")
+    assert(other.exists(), "another model's temp is not ours to sweep")
+  }
+
   test("materializeModel completeness does not depend on the committer's " +
     "_SUCCESS marker config") {
     val hconf = spark.sparkContext.hadoopConfiguration
