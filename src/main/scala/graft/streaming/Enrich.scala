@@ -76,6 +76,32 @@ object Enrich {
         col("click_id"), col("click_ts"))
   }
 
+  /** Start the checkpointed click-attribution join over two parquet
+    * directories and return the running query — the restartable S7 shape
+    * of the stream-stream interval join. Restart recovers the JOIN state
+    * stores on both sides: a click ingested before the kill must still
+    * match a purchase arriving after the resume (inner-join rows emit as
+    * matches are found; the watermark + range condition bound how long
+    * each side's rows are held). EnrichStreamSpec proves it with a
+    * purchase planted on the far side of the kill from its clicks.
+    */
+  def startAttributionFromParquet(spark: org.apache.spark.sql.SparkSession,
+                                  clicksDir: String, purchasesDir: String,
+                                  checkpoint: String, out: String,
+                                  window: String = "30 minutes",
+                                  watermark: String = "1 hour",
+                                  glob: String = "*.parquet",
+                                  maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    FileStreams.startParquetSink(
+      attributeStream(
+        FileStreams.readParquetStream(spark, clicksDir, glob,
+          maxFilesPerTrigger),
+        FileStreams.readParquetStream(spark, purchasesDir, glob,
+          maxFilesPerTrigger),
+        window, watermark),
+      checkpoint, out)
+
   /** foreachBatch sink with exactly-once replay semantics: partitions are
     * keyed by (day, batch_id), so a re-run of a failed batch (same
     * batchId — Spark replays with the original id) overwrites exactly its

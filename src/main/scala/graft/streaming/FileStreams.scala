@@ -21,20 +21,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 private[streaming] object FileStreams {
 
-  def startParquetSink(spark: SparkSession, dir: String, checkpoint: String,
-                       out: String, glob: String,
-                       maxFilesPerTrigger: Option[Int])
-                      (transform: DataFrame => DataFrame): StreamingQuery = {
+  /** Streaming parquet source over `dir`, schema inferred from a batch
+    * read (a streaming file source requires one), glob-filtered to the
+    * table's files, optionally paced by file count per micro-batch.
+    */
+  def readParquetStream(spark: SparkSession, dir: String, glob: String,
+                        maxFilesPerTrigger: Option[Int]): DataFrame = {
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(m =>
       reader = reader.option("maxFilesPerTrigger", m.toString))
-    transform(reader.parquet(dir))
-      .writeStream
+    reader.parquet(dir)
+  }
+
+  /** Drain `df` through a checkpointed parquet sink with `AvailableNow`. */
+  def startParquetSink(df: DataFrame, checkpoint: String,
+                       out: String): StreamingQuery =
+    df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .format("parquet")
       .start(out)
-  }
+
+  def startParquetSink(spark: SparkSession, dir: String, checkpoint: String,
+                       out: String, glob: String,
+                       maxFilesPerTrigger: Option[Int])
+                      (transform: DataFrame => DataFrame): StreamingQuery =
+    startParquetSink(
+      transform(readParquetStream(spark, dir, glob, maxFilesPerTrigger)),
+      checkpoint, out)
 }

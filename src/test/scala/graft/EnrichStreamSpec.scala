@@ -198,6 +198,78 @@ class EnrichStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- S7 on the stream-stream join: BOTH sides' join state must
+  // survive a kill — the decisive row is a purchase arriving after the
+  // resume whose attributable clicks were ingested before the kill.
+  test("checkpointed attribution restart: pre-kill clicks match a " +
+    "post-resume purchase; output equals the batch twin; torn sink " +
+    "files stay invisible") {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    val tmp = JFiles.createTempDirectory("graft_attr_restart").toString
+    val cin = s"$tmp/clicks"; val pin = s"$tmp/purchases"
+    val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
+    Seq(cin, pin).foreach(d =>
+      JFiles.createDirectories(java.nio.file.Paths.get(d)))
+    // rows: (event_id, ts, user_id); the join also needs a value-free
+    // events shape for the batch twin below
+    val clicks1 = Seq((1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:10:00"), 1L))
+    val purchases1 = Seq((3L, ts("2024-01-01 10:20:00"), 1L))
+    val clicks2 = Seq((6L, ts("2024-01-01 10:15:00"), 2L))
+    val purchases2 = Seq(
+      (8L, ts("2024-01-01 10:25:00"), 1L), // ← matches PRE-KILL clicks 1, 2
+      (7L, ts("2024-01-01 10:30:00"), 2L)) // ← matches post-resume click 6
+    def stage(rows: Seq[(Long, Timestamp, Long)], dir: String,
+              name: String): Unit = {
+      val s = s"$tmp/stage_$name"
+      rows.toDF("event_id", "ts", "user_id").coalesce(1).write.parquet(s)
+      val part = new java.io.File(s).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      JFiles.copy(part.toPath, dst.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // Run 1: clicks 1-2 and purchase 3 → emits (3,1), (3,2); kill.
+    stage(clicks1, cin, "c1"); stage(purchases1, pin, "p1")
+    graft.streaming.Enrich.startAttributionFromParquet(
+      spark, cin, pin, ckpt, out).awaitTermination()
+    assert(spark.read.parquet(out).count() === 2L,
+      "run 1 must emit purchase 3's two attributed clicks")
+
+    val donor = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .find(p => spark.read.parquet(p.getPath).count() > 0)
+    assert(donor.nonEmpty)
+    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
+    JFiles.copy(donor.get.toPath, torn.toPath)
+
+    // Run 2: click 6 and purchases 7-8; same checkpoint + join state.
+    stage(clicks2, cin, "c2"); stage(purchases2, pin, "p2")
+    graft.streaming.Enrich.startAttributionFromParquet(
+      spark, cin, pin, ckpt, out).awaitTermination()
+
+    val got = spark.read.parquet(out)
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // batch twin over ALL rows delivered across both runs
+    val events = (clicks1 ++ clicks2).map(r => (r._1, r._2, r._3, "click")) ++
+      (purchases1 ++ purchases2).map(r => (r._1, r._2, r._3, "purchase"))
+    val batch = graft.ops.Reports.clickAttribution(
+        events.toDF("event_id", "ts", "user_id", "event_type")
+          .withColumn("value", lit(1.0)), 30)
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === batch,
+      "restarted join must equal the batch twin — purchase 8's match " +
+        "against pre-kill clicks requires the recovered join state")
+    assert(got.contains((8L, 1L)) && got.contains((8L, 2L)))
+    assert(got.length === got.distinct.length, "no replay duplicates")
+    assert(torn.exists())
+    assert(spark.read.parquet(torn.getPath).count() > 0)
+  }
+
   test("foreachBatch sink replays idempotently (dynamic partition overwrite)") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
