@@ -204,6 +204,15 @@ class PlanSpec extends SparkSpec {
       "expected a left-anti join against dropped ids:\n" + p)
   }
 
+  test("n54: collapsed keep list anti-joins dropped REPS and semi-joins " +
+    "survivors — the full corpus never re-enters the pair join") {
+    val p = plan("n54_semantic_dedup_collapsed")
+    assert(p.contains("LeftAnti"),
+      "expected the rep-side anti join against dropped ids:\n" + p)
+    assert(p.contains("LeftSemi"),
+      "expected the survivor-id semi join back to (vec_id, label):\n" + p)
+  }
+
   test("n48: knn-graph top-k pre-limits below the shuffle (WindowGroupLimit)") {
     // same skew guard as n39: at most k candidate edges per (partition,
     // src) survive to the rank exchange, so one hot bucket can't flood a
