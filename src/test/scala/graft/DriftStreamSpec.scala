@@ -139,13 +139,7 @@ class DriftStreamSpec extends SparkSpec {
     assert(afterKill > 0, "run 1 must have committed some closed windows")
 
     // Plant the mid-batch-kill artifact: an uncommitted data file.
-    val donor = new java.io.File(out).listFiles()
-      .filter(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .find(p => spark.read.parquet(p.getPath).count() > 0)
-    assert(donor.nonEmpty, "afterKill > 0 implies some part file has rows")
-    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
-    JFiles.copy(donor.get.toPath, torn.toPath)
+    val torn = plantTornFile(out)
 
     // Run 2: the rest arrives; same checkpoint + sink.
     arrive(3); arrive(4)
@@ -165,8 +159,7 @@ class DriftStreamSpec extends SparkSpec {
       .filter(col("window_start") < maxClosed).count() === 0,
       "restart lost closed windows")
     // the torn file is physically present, non-empty, and yet unread
-    assert(torn.exists())
-    assert(spark.read.parquet(torn.getPath).count() > 0)
+    assertTornInvisible(torn)
   }
 
   test("reference distribution sums to 1 over the vocabulary") {

@@ -78,13 +78,7 @@ class EnrichStreamSpec extends SparkSpec {
     val afterKill = spark.read.parquet(out).count()
     assert(afterKill === 3L, "run 1 must emit exactly {101, 201, 102}")
 
-    val donor = new java.io.File(out).listFiles()
-      .filter(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .find(p => spark.read.parquet(p.getPath).count() > 0)
-    assert(donor.nonEmpty)
-    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
-    JFiles.copy(donor.get.toPath, torn.toPath)
+    val torn = plantTornFile(out)
 
     arrive(3); arrive(4)
     Enrich.startDedupFromParquet(spark, in, ckpt, out,
@@ -97,8 +91,7 @@ class EnrichStreamSpec extends SparkSpec {
     assert(emitted.sorted.toSeq === Seq(101L, 102L, 201L, 301L, 401L),
       "exactly one row per distinct id must survive — 102's post-kill " +
         "duplicate must be suppressed by the RECOVERED state store")
-    assert(torn.exists())
-    assert(spark.read.parquet(torn.getPath).count() > 0)
+    assertTornInvisible(torn)
   }
 
   test("streaming near-dup: reordered duplicate docs are suppressed") {
@@ -237,13 +230,7 @@ class EnrichStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 2L,
       "run 1 must emit purchase 3's two attributed clicks")
 
-    val donor = new java.io.File(out).listFiles()
-      .filter(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .find(p => spark.read.parquet(p.getPath).count() > 0)
-    assert(donor.nonEmpty)
-    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
-    JFiles.copy(donor.get.toPath, torn.toPath)
+    val torn = plantTornFile(out)
 
     // Run 2: click 6 and purchases 7-8; same checkpoint + join state.
     stage(clicks2, cin, "c2"); stage(purchases2, pin, "p2")
@@ -266,8 +253,7 @@ class EnrichStreamSpec extends SparkSpec {
         "against pre-kill clicks requires the recovered join state")
     assert(got.contains((8L, 1L)) && got.contains((8L, 2L)))
     assert(got.length === got.distinct.length, "no replay duplicates")
-    assert(torn.exists())
-    assert(spark.read.parquet(torn.getPath).count() > 0)
+    assertTornInvisible(torn)
   }
 
   test("foreachBatch sink replays idempotently (dynamic partition overwrite)") {

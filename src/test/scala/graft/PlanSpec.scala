@@ -211,6 +211,18 @@ class PlanSpec extends SparkSpec {
       "expected the rep-side anti join against dropped ids:\n" + p)
     assert(p.contains("LeftSemi"),
       "expected the survivor-id semi join back to (vec_id, label):\n" + p)
+    // The collapse property itself: the Σ bucket² pair join reads the
+    // CHECKPOINTED rep frame (ExistingRDD scans), never the raw corpus —
+    // exactly 2 embeddings scans remain (the zero-norm filter and the
+    // final survivor semi-join). The uncollapsed shape needs 3 (both
+    // sides of the self-join plus the final join), so a regression that
+    // drops the rep collapse while keeping the join kinds fails here.
+    val embScans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(embScans <= 2,
+      s"pair join must run over collapsed reps, not the corpus " +
+        s"($embScans embeddings scans):\n" + p)
+    assert(p.contains("Scan ExistingRDD"),
+      "expected the checkpointed rep frame feeding the pair join:\n" + p)
   }
 
   test("n48: knn-graph top-k pre-limits below the shuffle (WindowGroupLimit)") {

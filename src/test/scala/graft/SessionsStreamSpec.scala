@@ -91,13 +91,7 @@ class SessionsStreamSpec extends SparkSpec {
     assert(afterKill > 0, "run 1 must have closed some sessions")
 
     // Plant the torn-sink artifact (a non-empty uncommitted data file).
-    val donor = new java.io.File(out).listFiles()
-      .filter(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .find(p => spark.read.parquet(p.getPath).count() > 0)
-    assert(donor.nonEmpty)
-    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
-    JFiles.copy(donor.get.toPath, torn.toPath)
+    val torn = plantTornFile(out)
 
     // Run 2: the rest + the flush rows; same checkpoint + sink + state.
     (3 to 6).foreach(arrive)
@@ -123,8 +117,7 @@ class SessionsStreamSpec extends SparkSpec {
         r.getLong(2), r.getLong(4), r.getDouble(5))).toSet
     assert(emitted.toSet === batchTwin,
       "after the flush, restart-streamed sessions must equal the batch twin")
-    assert(torn.exists())
-    assert(spark.read.parquet(torn.getPath).count() > 0)
+    assertTornInvisible(torn)
   }
 
   test("late events: in-gap predecessor extends the session backward; " +

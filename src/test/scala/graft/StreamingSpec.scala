@@ -123,18 +123,7 @@ class StreamingSpec extends SparkSpec {
 
     // Plant the mid-batch-kill artifact: a data file in the sink directory
     // that no committed batch registered in _spark_metadata.
-    val parts = new java.io.File(out).listFiles()
-      .filter(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-    assert(parts.nonEmpty)
-    // pick a part file that actually holds rows — a shuffle partition
-    // with no closed windows writes a footer-only empty part, and a
-    // zero-row torn file would vacuously pass the visibility check
-    val donor = parts.find(p =>
-      spark.read.parquet(p.getPath).count() > 0)
-    assert(donor.nonEmpty, "afterKill > 0 implies some part file has rows")
-    val torn = new java.io.File(out, "part-99999-torn.snappy.parquet")
-    JFiles.copy(donor.get.toPath, torn.toPath)
+    val torn = plantTornFile(out)
 
     // Run 2: the rest of the input arrives; same checkpoint + sink.
     arrive(3); arrive(4)
@@ -155,8 +144,7 @@ class StreamingSpec extends SparkSpec {
       .filter(col("hour_start") < maxClosed).count() === 0,
       "restart lost closed windows")
     // The torn file is physically present, non-empty, and yet unread.
-    assert(torn.exists())
-    assert(spark.read.parquet(torn.getPath).count() > 0)
+    assertTornInvisible(torn)
   }
 
   test("streaming report artifact: checkpointed sink + memoized atomic HTML") {
