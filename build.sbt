@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the LITERAL LAST stdout line of `sbt runMain
+// graft.Bench` as JSON. Two sbt wrappers have defeated that for six rounds:
+// (1) forked-process stdout is routed through sbt's logger, which prefixes
+// every line with "[info] ", and (2) sbt appends its own "[success] Total
+// time: ..." banner AFTER the program's output. StdoutOutput makes the
+// forked JVM inherit the real stdout (no prefix); showSuccess := false
+// drops the banner, so Bench's compact JSON line lands bare and last.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -600,10 +600,10 @@ object Similarity {
     * and scores the same cosine. SimilaritySpec pins equality; the
     * registry's n54 passes n46's oracle verbatim.
     *
-    * Zero-norm vectors sit outside the collapse: cosine against them is
-    * null, so they never drop and are never dropped — they pass straight
-    * to the survivor side, exactly as in the uncollapsed join where the
-    * null score fails every threshold.
+    * Zero-norm and NULL embeddings sit outside the collapse: cosine
+    * against either is null, so they never drop and are never dropped —
+    * they pass straight to the survivor side, exactly as in the
+    * uncollapsed join where the null score fails every threshold.
     *
     * Why it matters at 100 TB: the pair join is Σ bucket², and corpora
     * with duplicated payloads carry bit-identical embeddings (same text
@@ -616,13 +616,20 @@ object Similarity {
     val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
     val cast = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
-    val zeroNorm = cast.filter(dot(col("emb"), col("emb")) === 0d)
+    // NULL embeddings (missing or uncastable) ride the same passthrough as
+    // zero-norm vectors: their cosine against anything is null, which fails
+    // every threshold in the uncollapsed join, so they always survive there
+    // — and must survive here too for the documented bit-equality. dot(null)
+    // is null, so the groups filter below (null-rejecting =!= 0d) already
+    // excludes them; without the isNull arm they'd vanish from BOTH branches.
+    val selfDot = dot(col("emb"), col("emb"))
+    val zeroNorm = cast.filter(selfDot.isNull || selfDot === 0d)
       .select(col("vec_id"))
     // one shuffle keyed by the vector itself; map-side combine collapses
     // copies per partition before anything moves. Cut: the frame feeds
     // both the rep pair join and the survivor expansion.
     val groups = Checkpoints.cut(
-      cast.filter(dot(col("emb"), col("emb")) =!= 0d)
+      cast.filter(selfDot =!= 0d)
         .groupBy(col("emb")).agg(min(col("vec_id")).as("rep")))
     val reps = groups.select(col("rep").as("vec_id"), col("emb"))
       .withColumn("bucket", rpBucket(col("emb"), bits, probeDims(emb)))

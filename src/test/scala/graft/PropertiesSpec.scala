@@ -167,11 +167,14 @@ class PropertiesSpec extends SparkSpec {
   }
 
   test("property: collapsed semantic dedup ≡ uncollapsed on random " +
-    "vectors with copies and zero vectors (n54)") {
+    "vectors with copies, zero vectors, and null embeddings (n54)") {
     // coordinates from a tiny set so exact copies are common; the zero
-    // vector appears naturally and must always survive both paths
+    // vector appears naturally and must always survive both paths; null
+    // embeddings (1-in-5) must too — null cosine fails every threshold
     val coord = Gen.oneOf(-1.0f, 0.0f, 1.0f)
-    val vec = Gen.listOfN(3, coord).map(_.toArray)
+    val vec = Gen.frequency(
+      (4, Gen.listOfN(3, coord).map(v => v.toArray)),
+      (1, Gen.const(null.asInstanceOf[Array[Float]])))
     val corpus = Gen.choose(5, 12).flatMap(n => Gen.listOfN(n, vec))
     check(Prop.forAll(corpus) { vecs =>
       val emb = vecs.zipWithIndex

@@ -311,26 +311,32 @@ class SimilaritySpec extends SparkSpec {
       .count() === 0)
   }
 
-  test("semanticDedupCollapsed ≡ semanticDedup: hand corpus with copies " +
-    "and zero vectors, real embeddings, and a replicated corpus") {
+  test("semanticDedupCollapsed ≡ semanticDedup: hand corpus with copies, " +
+    "zero vectors, and null embeddings; real embeddings; replicated corpus") {
     def keepSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     // hand corpus: a copy group whose rep survives (1,2,3 identical —
     // only 1 survives), a copy group whose rep is itself dropped by a
     // smaller near-dup (5,6 identical, near-dup of 1), an isolated
-    // vector (10), and zero vectors (20,21) that must all survive
+    // vector (10), zero vectors (20,21) that must all survive, and
+    // NULL embeddings (30,31) — null cosine fails every threshold in
+    // the uncollapsed join, so they must survive the collapsed path too
     val hand = Seq(
       (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f), 0),
       (3L, Array(1f, 0f, 0f), 0),
       (5L, Array(1f, 0.001f, 0f), 0), (6L, Array(1f, 0.001f, 0f), 0),
       (10L, Array(-1f, 5f, 2f), 1),
-      (20L, Array(0f, 0f, 0f), 2), (21L, Array(0f, 0f, 0f), 2)
+      (20L, Array(0f, 0f, 0f), 2), (21L, Array(0f, 0f, 0f), 2),
+      (30L, null.asInstanceOf[Array[Float]], 3),
+      (31L, null.asInstanceOf[Array[Float]], 3)
     ).toDF("vec_id", "embedding", "label")
     val direct = keepSet(Similarity.semanticDedup(hand, 0.3, 4))
     val collapsed = keepSet(Similarity.semanticDedupCollapsed(hand, 0.3, 4))
     assert(collapsed === direct)
     assert(collapsed.map(_._1).intersect(Set(20L, 21L)) === Set(20L, 21L),
       "zero vectors are never near-dups and must all survive")
+    assert(collapsed.map(_._1).intersect(Set(30L, 31L)) === Set(30L, 31L),
+      "null-embedding rows are never near-dups and must all survive")
     assert(!collapsed.map(_._1).contains(5L),
       "a copy-group rep that has a smaller near-dup must be dropped")
 
