@@ -116,11 +116,32 @@ object Sinks {
     // correctness to mapreduce.fileoutputcommitter.marksuccessfuljobs —
     // with markers disabled every call would judge a valid model torn,
     // delete it, and retrain forever.
-    def committed =
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_OK")) ||
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    if (fs.exists(p) && !committed)
-      fs.delete(p, true) // torn leftover of a crashed trainer
+    def markedIn(dir: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_GRAFT_OK")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    def committed = markedIn(p)
+    if (fs.exists(p) && !committed) {
+      // Torn leftover of a crashed trainer. Deleting in place has a TOCTOU
+      // hazard under the supported concurrent-trainer regime: between the
+      // `committed` check and the delete, a peer may delete the same torn
+      // dir and publish a VALID model, which a plain delete would discard.
+      // Instead, move whatever is at `p` aside with one atomic rename and
+      // re-judge the MOVED dir (now immutable — no peer can change it):
+      // genuinely torn → delete it; actually a peer's completed publish
+      // that won the race → rename it straight back (or drop it if yet
+      // another peer has re-published meanwhile — same corpus key, either
+      // model is valid). A finished training run is never discarded.
+      // Remaining caveat (documented, not closed): a reader resolving the
+      // model path between the rename-aside and the rename-back can
+      // transiently see a missing directory — torn-dir REPAIR is
+      // trainer-safe but not reader-safe concurrently.
+      val aside = new org.apache.hadoop.fs.Path(
+        p.getParent, s".${p.getName}.torn-${System.nanoTime()}")
+      if (fs.rename(p, aside)) {
+        if (!markedIn(aside)) fs.delete(aside, true)
+        else if (fs.exists(p) || !fs.rename(aside, p)) fs.delete(aside, true)
+      } // rename lost a race (peer already repaired) — fall through
+    }
     if (!fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(
         p.getParent, s".${p.getName}.train-${System.nanoTime()}")
@@ -164,8 +185,12 @@ object Sinks {
     if (parent == null || !fs.exists(parent)) 0
     else {
       val cutoff = System.currentTimeMillis() - olderThanMs
+      // .train-: a hard-killed trainer's temp; .torn-: a hard-killed
+      // torn-dir REPAIR's aside dir (moved out of the model path but not
+      // yet judged/deleted) — both uniquely named, both model-sized
       val stale = fs.listStatus(parent).toSeq.filter(s =>
-        s.getPath.getName.startsWith(s".${p.getName}.train-") &&
+        (s.getPath.getName.startsWith(s".${p.getName}.train-") ||
+          s.getPath.getName.startsWith(s".${p.getName}.torn-")) &&
           s.getModificationTime < cutoff)
       stale.foreach(s => fs.delete(s.getPath, true))
       stale.size
@@ -264,12 +289,18 @@ object Sinks {
     * snapshot-expiry contract.
     *
     * WRITE CONCURRENCY CONTRACT: readers are unlimited; writers are
-    * SINGLE-WRITER per table (serialize publishes externally — a cron
-    * slot, a job-scheduler lock). Two concurrent publishers race on the
-    * next version number, and the orphan sweep in [[publish]] would
-    * treat the other's unfinished version dir as a crashed publish's
-    * leftover. Multi-writer commit coordination is a table format's job
-    * (optimistic pointer CAS + retry), deliberately out of scope here.
+    * serialized by a LOCK-FILE LEASE taken inside [[publish]] — an
+    * atomic exclusive create of `_publish.lock` (create-fails-if-exists
+    * is atomic on HDFS and, via NIO O_EXCL, on local disk). A second
+    * in-flight publisher fails LOUDLY with
+    * ConcurrentModificationException instead of racing the version
+    * number and having its unfinished dir orphan-swept; callers retry
+    * after the winner finishes. A publisher that dies holding the lock
+    * is self-healed by a lease age-out (`lockLeaseMs`, default 15 min —
+    * size it above the longest version write). Full optimistic
+    * multi-writer commit (pointer CAS + automatic retry) remains a table
+    * format's job; the lease turns the documented race into a detected,
+    * recoverable failure.
     */
   object Versioned {
     private def fsOf(spark: org.apache.spark.sql.SparkSession,
@@ -301,12 +332,60 @@ object Sinks {
       * to it; returns the new version's path. Versions older than the
       * newest `keepVersions` are pruned (in-flight readers of a retained
       * version are unaffected; size retention to reader lifetimes).
+      * Throws ConcurrentModificationException when another publisher
+      * holds the lease (see the concurrency contract above) — retry
+      * after it finishes; a crashed holder's lock ages out after
+      * `lockLeaseMs`.
       */
-    def publish(df: DataFrame, table: String, keepVersions: Int = 2): String = {
+    def publish(df: DataFrame, table: String, keepVersions: Int = 2,
+                lockLeaseMs: Long = 15L * 60 * 1000): String = {
       val spark = df.sparkSession
       val tableP = new org.apache.hadoop.fs.Path(table)
       val fs = fsOf(spark, tableP)
       fs.mkdirs(tableP)
+      val lock = new org.apache.hadoop.fs.Path(tableP, "_publish.lock")
+      // break a dead publisher's lease: age-gated, like sweepModelTemps —
+      // a LIVE publisher's lock is younger than lockLeaseMs by contract
+      if (fs.exists(lock) &&
+          fs.getFileStatus(lock).getModificationTime <
+            System.currentTimeMillis() - lockLeaseMs)
+        fs.delete(lock, false)
+      // atomic exclusive create = the lease acquisition. On the local FS
+      // Hadoop's create(overwrite=false) is check-then-create (TOCTOU), so
+      // local paths go through NIO createFile (O_EXCL, atomic); elsewhere
+      // (HDFS) create-fails-if-exists is atomic server-side.
+      val acquired =
+        try {
+          if (fs.getUri.getScheme == "file")
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(lock.toUri.getPath))
+          else {
+            val out = fs.create(lock, false)
+            try out.write(
+              String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+            finally out.close()
+          }
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      if (!acquired)
+        throw new java.util.ConcurrentModificationException(
+          s"publish: another publisher holds $lock — concurrent publishes " +
+            "to a Versioned table are serialized by this lease (loud " +
+            "failure, not a silent race). Retry after the holder finishes; " +
+            s"a crashed holder's lock ages out after ${lockLeaseMs} ms.")
+      try publishLocked(df, spark, tableP, fs, table, keepVersions)
+      finally fs.delete(lock, false)
+    }
+
+    private def publishLocked(df: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession,
+                              tableP: org.apache.hadoop.fs.Path,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              table: String, keepVersions: Int): String = {
       // sweep pointer temps a crashed publisher left behind (uniquely
       // named, so they accumulate silently otherwise)
       fs.listStatus(tableP).toSeq

@@ -114,10 +114,14 @@ object Drift {
   def startFromParquet(spark: org.apache.spark.sql.SparkSession,
                        dir: String, checkpoint: String, out: String,
                        ref: DataFrame, glob: String = "*.parquet",
-                       maxFilesPerTrigger: Option[Int] = None)
+                       maxFilesPerTrigger: Option[Int] = None,
+                       schema: Option[org.apache.spark.sql.types.StructType] =
+                         None)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    // `schema` (ts/source/text) lets the monitor start AHEAD of its first
+    // data file — the inference fallback needs one matching file to exist
     FileStreams.startParquetSink(spark, dir, checkpoint, out, glob,
-      maxFilesPerTrigger)(sourceDriftWindows(_, ref))
+      maxFilesPerTrigger, schema)(sourceDriftWindows(_, ref))
 
   /** The drift core — identical plan for a batch frame (the oracle twin)
     * and a `readStream` frame (`docs` needs ts/source/text; `ref` is the

@@ -29,10 +29,14 @@ object Enrich {
                             dir: String, checkpoint: String, out: String,
                             watermark: String = "1 hour",
                             glob: String = "*.parquet",
-                            maxFilesPerTrigger: Option[Int] = None)
+                            maxFilesPerTrigger: Option[Int] = None,
+                            schema: Option[org.apache.spark.sql.types.StructType] =
+                              None)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    // `schema` lets the ingest start AHEAD of its first data file — the
+    // inference fallback needs one matching file to exist
     FileStreams.startParquetSink(spark, dir, checkpoint, out, glob,
-      maxFilesPerTrigger)(dedupStream(_, watermark))
+      maxFilesPerTrigger, schema)(dedupStream(_, watermark))
 
   /** Stream-static enrichment: each micro-batch joins the (small, cached)
     * static dimension — broadcast per batch, no stream-side state.
@@ -91,14 +95,20 @@ object Enrich {
                                   window: String = "30 minutes",
                                   watermark: String = "1 hour",
                                   glob: String = "*.parquet",
-                                  maxFilesPerTrigger: Option[Int] = None)
+                                  maxFilesPerTrigger: Option[Int] = None,
+                                  clicksSchema: Option[org.apache.spark.sql.types.StructType] =
+                                    None,
+                                  purchasesSchema: Option[org.apache.spark.sql.types.StructType] =
+                                    None)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    // per-side schemas let either leg start AHEAD of its first data file —
+    // the inference fallback needs one matching file per directory
     FileStreams.startParquetSink(
       attributeStream(
         FileStreams.readParquetStream(spark, clicksDir, glob,
-          maxFilesPerTrigger),
+          maxFilesPerTrigger, clicksSchema),
         FileStreams.readParquetStream(spark, purchasesDir, glob,
-          maxFilesPerTrigger),
+          maxFilesPerTrigger, purchasesSchema),
         window, watermark),
       checkpoint, out)
 

@@ -21,14 +21,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 private[streaming] object FileStreams {
 
-  /** Streaming parquet source over `dir`, schema inferred from a batch
-    * read (a streaming file source requires one), glob-filtered to the
-    * table's files, optionally paced by file count per micro-batch.
+  /** Streaming parquet source over `dir`, glob-filtered to the table's
+    * files, optionally paced by file count per micro-batch. A streaming
+    * file source requires a schema up front: pass one explicitly
+    * (`schema`) when the pipeline knows its input shape — REQUIRED for a
+    * monitor deployed AHEAD of its data, because the inference fallback
+    * is an eager batch read that throws AnalysisException while the
+    * directory holds no matching files yet (a normal pre-arrival state).
+    * With no explicit schema the shape is inferred from the files
+    * present, as before.
     */
   def readParquetStream(spark: SparkSession, dir: String, glob: String,
-                        maxFilesPerTrigger: Option[Int]): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+                        maxFilesPerTrigger: Option[Int],
+                        schema: Option[org.apache.spark.sql.types.StructType] =
+                          None): DataFrame = {
+    val resolved = schema.getOrElse(
+      spark.read.option("pathGlobFilter", glob).parquet(dir).schema)
+    var reader = spark.readStream.schema(resolved).option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(m =>
       reader = reader.option("maxFilesPerTrigger", m.toString))
     reader.parquet(dir)
@@ -46,9 +55,12 @@ private[streaming] object FileStreams {
 
   def startParquetSink(spark: SparkSession, dir: String, checkpoint: String,
                        out: String, glob: String,
-                       maxFilesPerTrigger: Option[Int])
+                       maxFilesPerTrigger: Option[Int],
+                       schema: Option[org.apache.spark.sql.types.StructType] =
+                         None)
                       (transform: DataFrame => DataFrame): StreamingQuery =
     startParquetSink(
-      transform(readParquetStream(spark, dir, glob, maxFilesPerTrigger)),
+      transform(
+        readParquetStream(spark, dir, glob, maxFilesPerTrigger, schema)),
       checkpoint, out)
 }

@@ -73,14 +73,18 @@ object Hourly {
   def startFromParquet(spark: SparkSession, dir: String,
                        checkpoint: String, out: String,
                        glob: String = "events.parquet",
-                       maxFilesPerTrigger: Option[Int] = None)
+                       maxFilesPerTrigger: Option[Int] = None,
+                       schema: Option[org.apache.spark.sql.types.StructType] =
+                         None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Stream with the RAW on-disk schema (ts as nano-long), then apply the
     // same µs conversion Tables.events does for batch — only nano-long ts
-    // needs converting, same schema guard as Tables.events.
+    // needs converting, same schema guard as Tables.events. Pass `schema`
+    // (the raw file shape) to deploy the pipeline AHEAD of its first data
+    // file — the inference fallback needs at least one matching file.
     FileStreams.startParquetSink(spark, dir, checkpoint, out, glob,
-        maxFilesPerTrigger) { raw =>
+        maxFilesPerTrigger, schema) { raw =>
       hourlyAgg(
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -123,15 +123,60 @@ object Sessions {
                        dir: String, checkpoint: String, out: String,
                        gapMinutes: Int = 30, watermark: String = "1 hour",
                        glob: String = "*.parquet",
-                       maxFilesPerTrigger: Option[Int] = None)
+                       maxFilesPerTrigger: Option[Int] = None,
+                       schema: Option[org.apache.spark.sql.types.StructType] =
+                         None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.col
     implicit val evEnc = Encoders.product[Ev]
+    // `schema` (at least ts/user_id/value — Encoders.product[Ev].schema
+    // fits) lets the pipeline start AHEAD of its first data file; the
+    // inference fallback needs one matching file to exist. A checkpoint
+    // written by the pre-cents build of [[OpenSession]] fails restart with
+    // STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE — rethrown here (or mapped
+    // via [[stateSchemaMigrationHint]] when it surfaces asynchronously)
+    // with the drain-or-discard instructions attached.
+    rethrowWithMigrationHint(
     FileStreams.startParquetSink(spark, dir, checkpoint, out, glob,
-        maxFilesPerTrigger) { df =>
+        maxFilesPerTrigger, schema) { df =>
       sessionizeStream(
         df.select(col("ts"), col("user_id"), col("value")).as[Ev],
         gapMinutes, watermark).toDF()
-    }
+    })
   }
+
+  /** Actionable message for the one known restart-breaking upgrade: the
+    * [[OpenSession]] state value schema changed (`sum: Double` →
+    * `cents: Long`), and the state store rejects a checkpoint written by
+    * the old build rather than silently misreading it.
+    */
+  val StateSchemaMigrationMsg: String =
+    "This checkpoint was written by a pre-cents build of graft sessionization " +
+      "(OpenSession held `sum: Double`; it now holds `cents: Long`), and the " +
+      "state store refuses the changed value schema. Either DRAIN the old " +
+      "build first (run it until the watermark closes every held session, " +
+      "stop cleanly, then start this build on a FRESH checkpoint over the " +
+      "remaining input), or DISCARD the checkpoint and sink and reprocess " +
+      "the source from scratch — the pipeline is deterministic, so a full " +
+      "reprocess converges to the same sessions."
+
+  private def isStateSchemaError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists(t =>
+      String.valueOf(t.getMessage).contains("STATE_STORE_VALUE_SCHEMA") ||
+        t.getClass.getName.contains("StateSchemaNotCompatible"))
+
+  /** The drain-or-discard instructions, iff `e` (or a cause) is the state
+    * schema incompatibility — for callers that hit the error ASYNCHRONOUSLY
+    * as a StreamingQueryException from `awaitTermination`/
+    * `processAllAvailable`, where [[startFromParquet]]'s synchronous wrap
+    * cannot intercept it.
+    */
+  def stateSchemaMigrationHint(e: Throwable): Option[String] =
+    if (isStateSchemaError(e)) Some(StateSchemaMigrationMsg) else None
+
+  private def rethrowWithMigrationHint[T](body: => T): T =
+    try body catch {
+      case e: Throwable if isStateSchemaError(e) =>
+        throw new IllegalStateException(StateSchemaMigrationMsg, e)
+    }
 }

@@ -225,6 +225,67 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.Versioned.read(spark, table).count() === 25L)
   }
 
+  test("versioned publish: lock-file lease — a second in-flight publisher " +
+    "fails loudly, the table stays intact, a dead lease ages out") {
+    val table = Files.createTempDirectory("graft_vlock").toString + "/t"
+    Sinks.Versioned.publish(spark.range(10).toDF("id"), table) // v-1 live
+    // publisher A mid-publish: its lease is on disk
+    val lock = java.nio.file.Paths.get(table, "_publish.lock")
+    java.nio.file.Files.createFile(lock)
+    // publisher B must fail LOUDLY — not race the version number and have
+    // its dir orphan-swept — leaving A's lease and the live version intact
+    intercept[java.util.ConcurrentModificationException](
+      Sinks.Versioned.publish(spark.range(99).toDF("id"), table))
+    assert(Sinks.Versioned.read(spark, table).count() === 10L)
+    assert(java.nio.file.Files.exists(lock),
+      "the losing publisher must not release the holder's lease")
+    assert(!new java.io.File(table).listFiles().map(_.getName)
+        .exists(_ == "v-2"),
+      "the losing publisher must not have written a version dir")
+    // A finishes and releases; B's retry proceeds normally
+    java.nio.file.Files.delete(lock)
+    Sinks.Versioned.publish(spark.range(20).toDF("id"), table)
+    assert(Sinks.Versioned.read(spark, table).count() === 20L)
+    // a crashed holder's lease self-heals: deterministic mtime age-out
+    // (the SinksSpec convention — no sleeps)
+    java.nio.file.Files.createFile(lock)
+    assert(new java.io.File(lock.toString).setLastModified(
+      System.currentTimeMillis() - 16L * 60 * 1000))
+    Sinks.Versioned.publish(spark.range(30).toDF("id"), table)
+    assert(Sinks.Versioned.read(spark, table).count() === 30L)
+    assert(!java.nio.file.Files.exists(lock),
+      "publish must release the lease it broke and re-acquired")
+  }
+
+  test("versioned publish: two genuinely interleaved publishers — at " +
+    "least one wins, losers fail loudly, the table never corrupts") {
+    val table = Files.createTempDirectory("graft_vrace2").toString + "/t"
+    Sinks.Versioned.publish(spark.range(5).toDF("id"), table)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, String]]()
+    val threads = Seq(100L, 200L).map { n =>
+      val t = new Thread(() =>
+        try outcomes.add(Right(
+          Sinks.Versioned.publish(spark.range(n).toDF("id"), table)))
+        catch { case e: Throwable => outcomes.add(Left(e)) })
+      t.start(); t
+    }
+    threads.foreach(_.join(60000))
+    val (losers, winners) = {
+      import scala.jdk.CollectionConverters._
+      outcomes.asScala.toSeq.partitionMap(identity)
+    }
+    assert(winners.nonEmpty, "at least one publisher must win the lease")
+    losers.foreach(e => assert(
+      e.isInstanceOf[java.util.ConcurrentModificationException],
+      s"a losing publisher must fail with the loud lease error, got $e"))
+    // the table reads one WINNER's complete version — never a torn mix
+    assert(Set(100L, 200L).contains(
+      Sinks.Versioned.read(spark, table).count()))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "_publish.lock")),
+      "every exit path must release the lease")
+  }
+
   test("sweepModelTemps removes only this model's STALE train temps") {
     val base = Files.createTempDirectory("graft_sweep").toString
     val model = s"$base/m"

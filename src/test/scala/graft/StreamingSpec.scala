@@ -201,6 +201,45 @@ class StreamingSpec extends SparkSpec {
     assert(html.contains("hour_start") && html.contains("<section"))
   }
 
+  test("explicit source schema lets the pipeline start AHEAD of data: " +
+    "empty input dir runs clean with schema, throws without") {
+    import java.nio.file.{Files => JFiles}
+    import org.apache.spark.sql.types._
+    val tmp = JFiles.createTempDirectory("graft_ahead").toString
+    val in = s"$tmp/in"
+    JFiles.createDirectories(java.nio.file.Paths.get(in))
+    // a monitor deployed before its first data file arrives: the dir
+    // exists, no matching files yet — a NORMAL state, not an error
+    val raw = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val q = Hourly.startFromParquet(spark, in, s"$tmp/ckpt", s"$tmp/out",
+      schema = Some(raw))
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    assert(q.exception.isEmpty, s"ahead-of-data start failed: ${q.exception}")
+    // the sink holds zero committed files; the derived-schema read is empty
+    assert(spark.read.schema(Hourly.hourlyAggSchema(spark))
+      .parquet(s"$tmp/out").count() === 0L)
+    // without the explicit schema the inference fallback still throws —
+    // the documented pre-existing behavior the schema param exists to fix
+    intercept[org.apache.spark.sql.AnalysisException](
+      Hourly.startFromParquet(spark, in, s"$tmp/ckpt2", s"$tmp/out2"))
+  }
+
+  test("graft.streaming.Sessions.stateSchemaMigrationHint maps the state-store schema " +
+    "error (any depth) to the drain-or-discard instructions") {
+    val deep = new RuntimeException("outer",
+      new RuntimeException(
+        "[STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE] Provided value schema " +
+          "does not match existing state value schema"))
+    assert(graft.streaming.Sessions.stateSchemaMigrationHint(deep)
+      .exists(_.contains("DRAIN")), "nested error must map to instructions")
+    assert(graft.streaming.Sessions.stateSchemaMigrationHint(
+      new RuntimeException("unrelated")).isEmpty,
+      "unrelated failures must not be relabeled as migration breaks")
+  }
+
   test("per-row text operators run UNCHANGED on a stream: " +
     "normalizeRedactRaw + chunkDocsRaw, stream ≡ batch") {
     implicit val sqlCtx = spark.sqlContext
