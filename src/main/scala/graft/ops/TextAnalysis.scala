@@ -40,7 +40,8 @@ object TextAnalysis {
         sum(col("n_chars_measured")).as("total_chars"))
       .orderBy(col("source"))
 
-  private val Stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+  private[graft] val Stopwords =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is")
 
   /** Quality signals per doc: length, word count, mean word length,
     * stopword ratio, punctuation ratio, uppercase ratio — the standard
@@ -183,22 +184,39 @@ object TextAnalysis {
   /** The composite training-data preparation pipeline: exact dedup →
     * quality filter → deterministic split → per-(lang, split) corpus
     * accounting. Each stage is one of the operators above; chained, they
-    * are the end-to-end "prepare a training corpus" job. Shuffles: one
-    * dedup hash-group, one broadcast-able keeper semi join, one final
-    * tiny-key aggregate.
+    * are the end-to-end "prepare a training corpus" job.
+    *
+    * COLLAPSED FRONT (the n53 pattern applied to the composite): the
+    * quality metrics depend only on the text, so copies of one digest
+    * group all qualify or all fail — the filter commutes with keeper
+    * selection and runs per row BEFORE anything shuffles, and the
+    * exact-dedup keeper folds into the same digest aggregation
+    * (min struct, ordered by doc_id first) instead of a keeper semi-join
+    * that re-shuffled the full corpus by doc_id. Shuffles: ONE map-side-
+    * combined hash-group moving (digest, doc_id, lang, n_words,
+    * stop_ratio) for qualifying rows only — the text itself never
+    * travels — plus the final tiny-key aggregate. (The previous shape —
+    * digest group + full-corpus semi-join — moved every surviving text
+    * through a second exchange; at 100 TB that join IS the job.)
     */
   def trainingCorpusCounts(docs: DataFrame): DataFrame = {
-    val keepers = docs.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
     val stopRatio = round(
       size(filter(col("ws"), w => w.isin(Stopwords: _*))).cast("double") /
         size(col("ws")), 6)
-    docs.join(keepers, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
-      .select(col("doc_id"), col("lang"), size(col("ws")).as("n_words"),
-        stopRatio.as("stop_ratio"), splitCol.as("split"))
+    docs
+      .select(md5(col("text")).as("h"), col("doc_id"), col("lang"),
+        words(col("text")).as("ws"))
+      .select(col("h"), col("doc_id"), col("lang"),
+        size(col("ws")).as("n_words"), stopRatio.as("stop_ratio"))
       .filter(col("n_words") >= 30 && col("stop_ratio") <= 0.3)
+      // doc_id is unique, so the struct min never compares past its first
+      // field: the keeper is exactly the min-doc_id copy, carrying ITS
+      // lang — bit-equal to the semi-join formulation
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_words"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.n_words").as("n_words"))
+      .select(col("lang"), splitCol.as("split"), col("n_words"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_tokens"))
       .orderBy(col("lang"), col("split"))

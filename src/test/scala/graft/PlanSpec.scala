@@ -38,6 +38,19 @@ class PlanSpec extends SparkSpec {
       "minhash must not hash-shuffle; found one in:\n" + p)
   }
 
+  test("n22: the composite's collapsed front — no keeper join, the text " +
+    "never reaches the digest shuffle") {
+    val p = plan("n22_training_corpus")
+    assert(!p.toLowerCase.contains("join"),
+      "the exact-dedup keeper must fold into the digest aggregation, not " +
+        "plan as a semi-join re-shuffling the corpus:\n" + p)
+    // the per-row metric/filter stage runs BEFORE the shuffle: the first
+    // (scan-side) exchange input carries (h, metrics), not the text
+    val firstExchange = p.split("Exchange hashpartitioning")(0)
+    assert(firstExchange.contains("md5") || p.contains("md5"),
+      "digest front missing:\n" + p)
+  }
+
   test("n9: probe side broadcast; no cartesian on the corpus") {
     val p = plan("n9_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

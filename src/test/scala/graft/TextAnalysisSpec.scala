@@ -254,6 +254,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum === 1L) // exactly one survivor
   }
 
+  test("trainingCorpusCounts collapsed front ≡ the keeper-semi-join " +
+    "formulation, copies with differing langs included") {
+    val long30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 35).map(i => s"v$i").mkString(" ")
+    // copy group whose copies DISAGREE on lang: the keeper is the min
+    // doc_id row and its lang must win in both formulations
+    val docs = Seq(
+      (5L, long30, "de", "s", 0L), (9L, long30, "en", "s", 0L),
+      (2L, other, "fr", "s", 0L), (7L, other, "fr", "s", 0L),
+      (3L, "too short", "en", "s", 0L),
+      (11L, (1 to 40).map(_ => "the").mkString(" "), "en", "s", 0L)) // stopword-heavy
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the pre-collapse reference: digest keepers, full-corpus semi-join,
+    // metrics + filter after
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val ws = split(col("text"), " ") // TextAnalysis.words
+    val stopRatio = round(
+      size(filter(ws, w => w.isin(TextAnalysis.Stopwords: _*))).cast("double") /
+        size(ws), 6)
+    val reference = docs.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), size(ws).as("n_words"),
+        stopRatio.as("stop_ratio"), TextAnalysis.splitCol.as("split"))
+      .filter(col("n_words") >= 30 && col("stop_ratio") <= 0.3)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
+    assert(TextAnalysis.trainingCorpusCounts(docs).collect().toSeq ===
+      reference.collect().toSeq)
+  }
+
   test("bigramLmScore: hand-computed add-one bigram probabilities") {
     // corpus: doc1 "a b a", doc2 "b a", doc3 "x" (no bigrams → excluded)
     // vocab {a,b,x} → V=3; counts: (a,b)=1, (b,a)=2; contexts: a=1, b=2
