@@ -21,8 +21,11 @@ object ScaleSanity {
     // corpora don't; measure those on the plain replication.)
     val salted = args.lift(2).contains("salt")
     val out = s"/tmp/graft_sf_x$mult" + (if (salted) "s" else "")
+    // default stays 4 (all recorded sweeps ran there); 32 approximates the
+    // bench box for isolating local[4] scheduling variance from real cost
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "4")
     val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -78,8 +81,12 @@ object ScaleSanity {
     // args(1), comma-separated, overrides the default list — at high
     // multipliers the oracle-pinned twins (n41 at fixed 4 bits) are
     // super-linear BY DESIGN and would dominate the run; target the
-    // production paths instead
-    val names = args.drop(1).headOption.map(_.split(",").toSeq).getOrElse(
+    // production paths instead. The list also FILTERS the tagged blocks
+    // below (skew twins, auto-bits family, model halves) by tag, so one
+    // tag alone (e.g. n48_auto_bits) times just that operator.
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    def wanted(tag: String) = only.forall(_.contains(tag))
+    val names = only.map(_.toSeq).getOrElse(
       Seq("r1_pricing_summary", "r2_revenue_by_nation",
         "b2_hourly_histogram", "b15_sessionize", "b23_asof_join",
         "b25_click_attribution", "n4_minhash_signatures",
@@ -93,7 +100,7 @@ object ScaleSanity {
         "n47_dup_span_stats", "n49_incremental_dedup",
         "n50_snapshot_diff", "n53_dup_clusters_collapsed",
         "m1_multimodal_features"))
-    for (name <- names) {
+    for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very
       // projections being measured (same fix as Bench)
@@ -116,7 +123,8 @@ object ScaleSanity {
           "n43_skewed_one_window" ->
             ops.TextAnalysis.sequencePacking(docs, 512L),
           "n43_skewed_two_stage" ->
-            ops.TextAnalysis.sequencePackingSkewAware(docs, 512L))) {
+            ops.TextAnalysis.sequencePackingSkewAware(docs, 512L))
+          if wanted(tag)) {
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()
         println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $tag")
@@ -125,7 +133,8 @@ object ScaleSanity {
     // the production (derived-bits) n41 path: bucket width grows with the
     // corpus so pair cost stays near-linear — the registry entry above
     // pins 4 bits for its oracle and goes super-linear by design
-    {
+    if (Seq("n41_auto_bits", "n46_auto_bits", "n48_auto_bits",
+        "n10_auto_bits", "n54_auto_bits").exists(wanted)) {
       val e = spark.read.parquet(s"$out/embeddings.parquet")
       // derive once and pass down — each op would otherwise re-run the
       // count job internally
@@ -136,7 +145,8 @@ object ScaleSanity {
           "n48_auto_bits" -> ops.Similarity.knnGraph(e, 5, bits),
           "n10_auto_bits" -> ops.Similarity.lshBucketTopK(e, 10, 5, bits),
           "n54_auto_bits" ->
-            ops.Similarity.semanticDedupCollapsed(e, 0.3, bits))) {
+            ops.Similarity.semanticDedupCollapsed(e, 0.3, bits))
+          if wanted(tag)) {
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()
         println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
@@ -146,7 +156,8 @@ object ScaleSanity {
     // train-once/score-many (n51/n52): training is paid once per corpus
     // refresh; the scoring side must stay near-linear map-side work with
     // zero training subtrees — time the two halves separately
-    {
+    if (Seq("n51_train_ivf", "n51_score_from_model", "n52_train_bigram_lm",
+        "n52_score_from_model").exists(wanted)) {
       def time(tag: String)(body: => Unit): Unit = {
         val t0 = System.nanoTime()
         body
