@@ -19,8 +19,20 @@ object ScaleSanity {
     // dedup/similarity. (Vocabulary-shaped ops — bigram LM, TF-IDF —
     // read the opposite way: salting grows vocabulary ∝ mult where real
     // corpora don't; measure those on the plain replication.)
-    val salted = args.lift(2).contains("salt")
-    val out = s"/tmp/graft_sf_x$mult" + (if (salted) "s" else "")
+    // args(2): "" = plain replication (dup groups grow ∝ mult — the
+    // boilerplate stress); "salt" = fully disjoint copies (constant dup
+    // structure — pure volume); "mixed<pct>" = fraction pct/100 of each
+    // copy keeps the ORIGINAL payload (cross-copy dup groups of size mult
+    // for that slice) while the rest is salted — the realistic regime for
+    // charting where the collapse operators (n53/n54) start paying against
+    // their uncollapsed twins at a given boilerplate fraction.
+    val mode = args.lift(2).getOrElse("")
+    val salted = mode == "salt"
+    val mixedPct = if (mode.startsWith("mixed")) mode.drop(5).toInt else -1
+    require(mode.isEmpty || salted || (mixedPct >= 0 && mixedPct <= 100),
+      s"mode '$mode' (want '', salt, or mixed<0-100>)")
+    val out = s"/tmp/graft_sf_x$mult" +
+      (if (salted) "s" else if (mixedPct >= 0) s"m$mixedPct" else "")
     // default stays 4 (all recorded sweeps ran there); 32 approximates the
     // bench box for isolating local[4] scheduling variance from real cost
     val cpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "4")
@@ -37,34 +49,50 @@ object ScaleSanity {
       // that, copies repeat bit-identically and the constant-dup-structure
       // invariant this mode exists for silently reverts to the replicated
       // boilerplate stress — fail fast instead of misattributing numbers
-      if (salted) require(mult <= 2 * dims,
-        s"salt mode supports mult <= ${2 * dims} (2×dims): copy i and " +
-          s"i+${2 * dims} would be bit-identical embeddings")
+      if (salted || mixedPct >= 0) require(mult <= 2 * dims,
+        s"salt/mixed modes support mult <= ${2 * dims} (2×dims): copy i " +
+          s"and i+${2 * dims} would be bit-identical embeddings")
       def rep(t: String, idCols: Seq[String], perCopy: Long): Unit = {
         val base = if (t == "events") ops.Tables.events(spark, src)
           else spark.read.parquet(s"$src/$t.parquet")
         val big = (0 until mult).map { i =>
-          val shifted = idCols.foldLeft(base)((df, c) =>
+          // mixed: the dup/keep decision runs on the ORIGINAL id (before
+          // the shift), so the same base rows duplicate in every copy —
+          // dup groups of size mult for the kept fraction
+          def mixKeep(idCol: String) = pmod(col(idCol), lit(100)) < mixedPct
+          // plain replication: no transform; mixed: copy 0 IS the
+          // originals (transform only i>0); salt: transform every copy
+          // (copy 0's c0_ prefix kept — the recorded r6 datasets' shape)
+          val transformed =
+            if ((!salted && mixedPct < 0) || (mixedPct >= 0 && i == 0)) base
+            else t match {
+              case "documents" =>
+                // injective per-copy word map: intra-copy shingle/dup
+                // structure preserved, cross-copy shingles disjoint
+                val saltedText =
+                  regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1")
+                base.withColumn("text",
+                  if (salted) saltedText
+                  else when(mixKeep("doc_id"), col("text"))
+                    .otherwise(saltedText))
+              case "embeddings" =>
+                val shift = i % dims
+                val rot = if (shift == 0) col("embedding")
+                  else concat(slice(col("embedding"), shift + 1, dims - shift),
+                    slice(col("embedding"), 1, shift))
+                // norms and intra-copy cosines are rotation/sign-invariant;
+                // the sign flip per full rotation keeps copies distinct up
+                // to 2×dims multipliers
+                val signed = if ((i / dims) % 2 == 1)
+                  transform(rot, x => -x) else rot
+                base.withColumn("embedding",
+                  if (salted) signed
+                  else when(mixKeep("vec_id"), col("embedding"))
+                    .otherwise(signed))
+              case _ => base
+            }
+          idCols.foldLeft(transformed)((df, c) =>
             df.withColumn(c, col(c) + lit(i * perCopy)))
-          if (!salted) shifted
-          else t match {
-            case "documents" => shifted.withColumn("text",
-              // injective per-copy word map: intra-copy shingle/dup
-              // structure preserved, cross-copy shingles disjoint
-              regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
-            case "embeddings" =>
-              val shift = i % dims
-              val rot = if (shift == 0) col("embedding")
-                else concat(slice(col("embedding"), shift + 1, dims - shift),
-                  slice(col("embedding"), 1, shift))
-              // norms and intra-copy cosines are rotation/sign-invariant;
-              // the sign flip per full rotation keeps copies distinct up
-              // to 2×dims multipliers
-              val signed = if ((i / dims) % 2 == 1)
-                transform(rot, x => -x) else rot
-              shifted.withColumn("embedding", signed)
-            case _ => shifted
-          }
         }.reduce(_ union _)
         big.write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
