@@ -1091,6 +1091,35 @@ object Queries {
         |WHERE vec_id NOT IN (SELECT vec_id FROM d)
         |ORDER BY vec_id""".stripMargin)),
 
+    // Incremental semantic dedup (n49's batch-ingest contract on the
+    // embedding side): vec_id % 4 = 0 plays the NEW batch, the rest the
+    // already-published index. A new vector drops on a near-dup in the
+    // index (index always wins) or a smaller-id near-dup in its batch.
+    ("n55_incremental_semantic_dedup",
+      (s: SparkSession, d: String) => {
+        val e = emb(s, d)
+        Similarity.incrementalSemanticDedup(
+          e.filter(col("vec_id") % 4 === 0),
+          e.filter(col("vec_id") % 4 =!= 0),
+          0.3, Similarity.BucketBits)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    ${rpBucketSql(Similarity.BucketBits)} AS bucket
+        |  FROM embeddings),
+        |nw AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+        |ix AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+        |di AS (SELECT DISTINCT a.vec_id FROM nw a JOIN ix b
+        |  ON a.bucket = b.bucket
+        |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.3),
+        |db AS (SELECT DISTINCT b.vec_id FROM nw a JOIN nw b
+        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.3)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id % 4 = 0
+        |  AND vec_id NOT IN (SELECT vec_id FROM di)
+        |  AND vec_id NOT IN (SELECT vec_id FROM db)
+        |ORDER BY vec_id""".stripMargin)),
+
     // Bucket-blocked k-NN graph: every vector's top-5 in-bucket cosine
     // neighbors (rounded cosine + dst tiebreak → deterministic ranks).
     ("n48_knn_graph",

@@ -644,6 +644,52 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cross-snapshot (incremental) semantic dedup — the embedding-side
+    * twin of [[Dedup.incrementalDedup]]'s batch-ingest contract (n49): a
+    * NEW vector is dropped when it has a cosine near-dup (≥ `threshold`)
+    * in the already-published INDEX, or a smaller-id near-dup within its
+    * own batch (the same one-pass min-id keeper as [[semanticDedup]] —
+    * with an empty index the two policies coincide). Index vectors
+    * always win: they are already published, so a new batch can never
+    * evict them. Zero-norm and null embeddings score null against
+    * everything and therefore always survive, as everywhere in this
+    * family.
+    *
+    * Scale shape: both drop decisions are bucket equi-joins. The index
+    * check is a LEFT SEMI join — the index contributes one boolean per
+    * new vector, never pair rows, and nothing rescans old embeddings
+    * beyond one pass; the batch check is the Σ bucket² pair join over
+    * the BATCH alone (batches are small next to the corpus). Bucket
+    * width derives from the INDEX (the corpus-sized side) unless
+    * pinned; dims probe from the batch so an empty index still plans.
+    */
+  def incrementalSemanticDedup(newEmb: DataFrame, index: DataFrame,
+                               threshold: Double,
+                               bucketBits: Int = 0): DataFrame = {
+    val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(index)
+    val dims = probeDims(newEmb)
+    def prep(df: DataFrame) = df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", rpBucket(col("emb"), bits, dims))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val nw = prep(newEmb)
+    val ix = prep(index)
+    val droppedByIndex = nw.as("a").join(ix.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          cosOrNull(dot(col("a.emb"), col("b.emb")),
+            col("a.nrm"), col("b.nrm")) >= threshold,
+        "left_semi")
+      .select(col("vec_id"))
+    val droppedInBatch = nearDupPairsUnsorted(
+        nw.select(col("vec_id"), col("emb"), col("bucket")),
+        col("a.bucket") === col("b.bucket"), threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    newEmb.select(col("vec_id"), col("label"))
+      .join(droppedByIndex, Seq("vec_id"), "left_anti")
+      .join(droppedInBatch, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
   /** [[semanticDedup]] with an explicit bucket expression over the
     * double `emb` column (spec seam, like [[lshNearDupPairsWith]]).
     */

@@ -355,6 +355,31 @@ class SimilaritySpec extends SparkSpec {
       keepSet(Similarity.semanticDedup(replicated, 0.3, 4)))
   }
 
+  test("incrementalSemanticDedup: index dups drop, batch keeper applies, " +
+    "zero/null vectors survive, empty index ≡ semanticDedup") {
+    def keepSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // exact copies guarantee shared buckets (cos = 1) without depending
+    // on which side of a plane a near-identical pair lands
+    val index = Seq((1L, Array(1f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val batch = Seq(
+      (10L, Array(1f, 0f, 0f), 0),   // exact copy of index 1 → dropped
+      (11L, Array(-1f, 5f, 2f), 1),  // unique → kept
+      (12L, Array(-1f, 5f, 2f), 1),  // copy of 11, larger id → dropped
+      (13L, Array(0f, 0f, 0f), 2),   // zero norm → survives
+      (14L, null.asInstanceOf[Array[Float]], 3) // null → survives
+    ).toDF("vec_id", "embedding", "label")
+    assert(keepSet(Similarity.incrementalSemanticDedup(batch, index, 0.3, 4))
+      === Set((11L, 1), (13L, 2), (14L, 3)))
+    // empty index: the incremental policy degenerates to semanticDedup's
+    // one-pass min-id keeper — proven on the real fixture corpus
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    assert(keepSet(Similarity.incrementalSemanticDedup(
+        emb, emb.limit(0), 0.3, Similarity.BucketBits)) ===
+      keepSet(Similarity.semanticDedup(emb, 0.3, Similarity.BucketBits)))
+  }
+
   test("knnGraph core: in-bucket neighbors ranked by cosine on a hand corpus") {
     // dim-1 sign bucket: ids 1,2,4 share the positive bucket, 3 is alone
     // (no edges). cos(1,2)≈1 > cos(1,4)≈0.0995; cos(2,4)≈0.0985.
