@@ -656,12 +656,16 @@ object Similarity {
     * family.
     *
     * Scale shape: both drop decisions are bucket equi-joins. The index
-    * check is a LEFT SEMI join — the index contributes one boolean per
-    * new vector, never pair rows, and nothing rescans old embeddings
-    * beyond one pass; the batch check is the Σ bucket² pair join over
-    * the BATCH alone (batches are small next to the corpus). Bucket
-    * width derives from the INDEX (the corpus-sized side) unless
-    * pinned; dims probe from the batch so an empty index still plans.
+    * check BROADCASTS the batch and streams the index through one
+    * map-side hash join — the index (the 100 TB side) is scanned once
+    * and NEVER shuffles; only matched new ids (≤ batch-sized) leave the
+    * scan, distinct-reduced before the anti join. The batch check is
+    * the Σ bucket² pair join over the BATCH alone. This assumes a batch
+    * bounded by broadcast size (the ingest contract — batches are small
+    * next to the corpus; for a corpus-sized "batch" run [[semanticDedup]]
+    * over the union instead). Bucket width derives from the INDEX
+    * unless pinned; dims probe from the batch so an empty index still
+    * plans.
     */
   def incrementalSemanticDedup(newEmb: DataFrame, index: DataFrame,
                                threshold: Double,
@@ -674,12 +678,11 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val nw = prep(newEmb)
     val ix = prep(index)
-    val droppedByIndex = nw.as("a").join(ix.as("b"),
+    val droppedByIndex = ix.as("b").join(broadcast(nw.as("a")),
         col("a.bucket") === col("b.bucket") &&
           cosOrNull(dot(col("a.emb"), col("b.emb")),
-            col("a.nrm"), col("b.nrm")) >= threshold,
-        "left_semi")
-      .select(col("vec_id"))
+            col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
     val droppedInBatch = nearDupPairsUnsorted(
         nw.select(col("vec_id"), col("emb"), col("bucket")),
         col("a.bucket") === col("b.bucket"), threshold)

@@ -51,6 +51,14 @@ class PlanSpec extends SparkSpec {
       "digest front missing:\n" + p)
   }
 
+  test("n55: the index check broadcasts the batch — the index never " +
+    "shuffles into pair space") {
+    val p = plan("n55_incremental_semantic_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      "the index-side near-dup check must stream the index against the " +
+        "broadcast batch, not shuffle the corpus by bucket:\n" + p)
+  }
+
   test("n9: probe side broadcast; no cartesian on the corpus") {
     val p = plan("n9_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
