@@ -127,6 +127,7 @@ object ScaleSanity {
         "n44_bigram_lm_score", "n45_source_drift",
         "n47_dup_span_stats", "n49_incremental_dedup",
         "n50_snapshot_diff", "n53_dup_clusters_collapsed",
+        "n55_incremental_semantic_dedup",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

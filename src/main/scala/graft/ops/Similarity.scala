@@ -105,10 +105,15 @@ object Similarity {
 
   /** Embedding dimensionality probe (one-row job at plan build — the
     * plane literals need a plan-time dims constant, like the bucket
-    * width needs a plan-time bit count).
+    * width needs a plan-time bit count). Probes the first NON-NULL
+    * embedding: rows with a null embedding are legitimate corpus members
+    * (they ride the null-cosine passthrough everywhere in this family),
+    * and an unfiltered head() would crash the whole plan build on
+    * whichever corpus happens to order a null row first.
     */
   def probeDims(emb: DataFrame): Int =
-    emb.select(size(col("embedding")).as("d")).head(1)
+    emb.select(size(col("embedding")).as("d"))
+      .filter(col("d").isNotNull).head(1)
       .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Seed pinning the random-projection hyperplanes. The planes are part

@@ -355,6 +355,18 @@ class SimilaritySpec extends SparkSpec {
       keepSet(Similarity.semanticDedup(replicated, 0.3, 4)))
   }
 
+  test("probeDims skips null embeddings — a null-FIRST corpus must plan") {
+    val emb = Seq(
+      (0L, null.asInstanceOf[Array[Float]], 0),
+      (1L, Array(1f, 2f, 3f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    assert(Similarity.probeDims(emb) === 3)
+    // every plan-build prober in the family must survive the null-first
+    // ordering end-to-end (head() on the unfiltered size() crashed here)
+    assert(Similarity.semanticDedup(emb, 0.3, 4).count() === 2)
+    assert(Similarity.semanticDedupCollapsed(emb, 0.3, 4).count() === 2)
+  }
+
   test("incrementalSemanticDedup: index dups drop, batch keeper applies, " +
     "zero/null vectors survive, empty index ≡ semanticDedup") {
     def keepSet(df: org.apache.spark.sql.DataFrame) =
