@@ -127,7 +127,6 @@ object ScaleSanity {
         "n44_bigram_lm_score", "n45_source_drift",
         "n47_dup_span_stats", "n49_incremental_dedup",
         "n50_snapshot_diff", "n53_dup_clusters_collapsed",
-        "n55_incremental_semantic_dedup",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
@@ -163,7 +162,7 @@ object ScaleSanity {
     // corpus so pair cost stays near-linear — the registry entry above
     // pins 4 bits for its oracle and goes super-linear by design
     if (Seq("n41_auto_bits", "n46_auto_bits", "n48_auto_bits",
-        "n10_auto_bits", "n54_auto_bits").exists(wanted)) {
+        "n10_auto_bits", "n54_auto_bits", "n55_auto_bits").exists(wanted)) {
       val e = spark.read.parquet(s"$out/embeddings.parquet")
       // derive once and pass down — each op would otherwise re-run the
       // count job internally
@@ -174,7 +173,13 @@ object ScaleSanity {
           "n48_auto_bits" -> ops.Similarity.knnGraph(e, 5, bits),
           "n10_auto_bits" -> ops.Similarity.lshBucketTopK(e, 10, 5, bits),
           "n54_auto_bits" ->
-            ops.Similarity.semanticDedupCollapsed(e, 0.3, bits))
+            ops.Similarity.semanticDedupCollapsed(e, 0.3, bits),
+          // registry n55 pins 4 bits for its oracle (a super-linear twin
+          // at high mult by design); this is the production derived-width
+          // path — batch = 25% of the corpus, the worst batch:index ratio
+          "n55_auto_bits" -> ops.Similarity.incrementalSemanticDedup(
+            e.filter(col("vec_id") % 4 === 0),
+            e.filter(col("vec_id") % 4 =!= 0), 0.3, bits))
           if wanted(tag)) {
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()
