@@ -184,6 +184,28 @@ object Queries {
        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
        |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
 
+  /** Shared oracle for n56/n57 (the collapsed variant must be bit-equal):
+    * the n41 pair graph → the same recursive-reachability labeling as the
+    * text-side [[CcClustersCte]], rolled up to the cluster schema.
+    */
+  private lazy val SemClustersSql =
+    s"""WITH RECURSIVE ee AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    ${rpBucketSql(Similarity.BucketBits)} AS bucket
+       |  FROM embeddings),
+       |cpairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM ee a JOIN ee b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.emb", "b.emb")} >= 0.3),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+       |  UNION SELECT doc_b, doc_a FROM cpairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.id),
+       |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+       |SELECT cluster, count(*) AS n_docs,
+       |  array_to_string(list_sort(list(id)), ',') AS members
+       |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   /** name -> (spark query, optional DuckDB oracle). */
@@ -1119,6 +1141,24 @@ object Queries {
         |  AND vec_id NOT IN (SELECT vec_id FROM di)
         |  AND vec_id NOT IN (SELECT vec_id FROM db)
         |ORDER BY vec_id""".stripMargin)),
+
+    // Semantic near-dup clusters: CC over the n41 pair graph — cluster
+    // labels for embeddings (n21/n24's embedding-side twin). n57 is the
+    // identical-vector pre-collapse front, same oracle, bit-equal.
+    ("n56_semantic_dup_clusters",
+      (s: SparkSession, d: String) =>
+        Similarity.semanticDupClusters(emb(s, d), 0.3, Similarity.BucketBits)
+          .withColumn("members",
+            array_join(transform(col("members"), _.cast("string")), ",")),
+      Some(SemClustersSql)),
+
+    ("n57_semantic_dup_clusters_collapsed",
+      (s: SparkSession, d: String) =>
+        Similarity.semanticDupClustersCollapsed(emb(s, d), 0.3,
+          Similarity.BucketBits)
+          .withColumn("members",
+            array_join(transform(col("members"), _.cast("string")), ",")),
+      Some(SemClustersSql)),
 
     // Bucket-blocked k-NN graph: every vector's top-5 in-bucket cosine
     // neighbors (rounded cosine + dst tiebreak → deterministic ranks).

@@ -649,6 +649,70 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Semantic near-dup CLUSTERS: connected components over the
+    * sign-bucket cosine near-dup graph — cluster labels for embeddings,
+    * the embedding-side twin of the text pipeline's n21/n24 (SemDeDup's
+    * cluster view, where [[semanticDedup]] is its keep-list view).
+    * Reuses the O(log n) large/small-star CC; output is the shared
+    * reporting schema (cluster = component-min vec_id, n_docs, members).
+    * Zero-norm and null embeddings score null against everything, join
+    * no pairs, and appear in no cluster — exactly like edgeless
+    * singletons.
+    */
+  def semanticDupClusters(emb: DataFrame, threshold: Double,
+                          bucketBits: Int = 0): DataFrame = {
+    val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
+    graft.ops.Dedup.dupClustersLogN(
+      lshNearDupPairs(emb, threshold, bits)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+  }
+
+  /** [[semanticDupClusters]] with IDENTICAL-VECTOR PRE-COLLAPSE — the
+    * n53 move on the embedding cluster view. Identical nonzero vectors
+    * share their bucket and every cosine (an exact clique at any
+    * threshold ≤ 1), so CC over one representative per distinct vector
+    * (the group's min vec_id) plus label expansion reconstructs the
+    * uncollapsed components exactly, cluster ids included (component
+    * min = min over group reps = min over all members). A copy group
+    * whose rep gains no cross-group edge still forms its own cluster
+    * when it has ≥ 2 members (pairwise near-dups by identity); zero-norm
+    * and null embeddings are excluded before grouping — they pair with
+    * nothing, so they must never ride the n>1 fallback into a cluster.
+    * SimilaritySpec pins bit-equality with [[semanticDupClusters]]; the
+    * registry's n57 passes n56's oracle verbatim.
+    */
+  def semanticDupClustersCollapsed(emb: DataFrame, threshold: Double,
+                                   bucketBits: Int = 0): DataFrame = {
+    val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
+    val cast = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val selfDot = dot(col("emb"), col("emb"))
+    // one shuffle keyed by the vector itself (exact equality — no
+    // hash-collision risk); cut: feeds both the rep pairs and expansion
+    val groups = Checkpoints.cut(
+      cast.filter(selfDot =!= 0d)
+        .groupBy(col("emb"))
+        .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("n")))
+    val reps = groups.select(col("rep").as("vec_id"), col("emb"))
+      .withColumn("bucket", rpBucket(col("emb"), bits, probeDims(emb)))
+    val repLabels = graft.ops.Dedup.dupLabelsLogN(
+      nearDupPairsUnsorted(reps, col("a.bucket") === col("b.bucket"),
+          threshold)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    cast.filter(selfDot =!= 0d).select(col("vec_id"), col("emb"))
+      .join(groups, Seq("emb"))
+      .join(repLabels.select(col("id").as("rep"), col("cluster")),
+        Seq("rep"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), when(col("n") > 1, col("rep")))
+          .as("cluster"))
+      .filter(col("cluster").isNotNull)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+      .orderBy(col("cluster"))
+  }
+
   /** Cross-snapshot (incremental) semantic dedup — the embedding-side
     * twin of [[Dedup.incrementalDedup]]'s batch-ingest contract (n49): a
     * NEW vector is dropped when it has a cosine near-dup (≥ `threshold`)

@@ -392,6 +392,48 @@ class SimilaritySpec extends SparkSpec {
       keepSet(Similarity.semanticDedup(emb, 0.3, Similarity.BucketBits)))
   }
 
+  test("semanticDupClustersCollapsed ≡ semanticDupClusters: hand corpus " +
+    "with copy groups, zero/null vectors; real and replicated corpora") {
+    def clusters(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).mkString(","))).toSet
+    // copy group {1,2} (own cluster via the n>1 fallback), copy group
+    // {5,6} near-dup of 1 (merges into 1's component), isolated 10,
+    // zero vectors 20,21 and nulls 30,31 (never clustered — identical
+    // zero vectors must NOT ride the n>1 fallback)
+    val hand = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f), 0),
+      (5L, Array(1f, 0.001f, 0f), 0), (6L, Array(1f, 0.001f, 0f), 0),
+      (10L, Array(-1f, 5f, 2f), 1),
+      (20L, Array(0f, 0f, 0f), 2), (21L, Array(0f, 0f, 0f), 2),
+      (30L, null.asInstanceOf[Array[Float]], 3),
+      (31L, null.asInstanceOf[Array[Float]], 3)
+    ).toDF("vec_id", "embedding", "label")
+    val direct = clusters(Similarity.semanticDupClusters(hand, 0.3, 4))
+    val collapsed =
+      clusters(Similarity.semanticDupClustersCollapsed(hand, 0.3, 4))
+    assert(collapsed === direct)
+    assert(direct.exists(c => c._1 == 1L && c._3 == "1,2,5,6"),
+      "the two copy groups must merge into one component rooted at 1")
+    assert(!direct.exists(c => c._3.split(",").toSet.intersect(
+        Set("20", "21", "30", "31")).nonEmpty),
+      "zero/null vectors pair with nothing and must never be clustered")
+
+    // real fixture corpus at the pinned oracle width, then a replicated
+    // corpus (copy groups of size 3 — the collapse's reason to exist)
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    assert(clusters(Similarity.semanticDupClustersCollapsed(emb, 0.3,
+        Similarity.BucketBits)) ===
+      clusters(Similarity.semanticDupClusters(emb, 0.3,
+        Similarity.BucketBits)))
+    val replicated = (0 until 3).map(i =>
+      emb.limit(100).withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    assert(clusters(Similarity.semanticDupClustersCollapsed(replicated,
+        0.3, 4)) ===
+      clusters(Similarity.semanticDupClusters(replicated, 0.3, 4)))
+  }
+
   test("knnGraph core: in-bucket neighbors ranked by cosine on a hand corpus") {
     // dim-1 sign bucket: ids 1,2,4 share the positive bucket, 3 is alone
     // (no edges). cos(1,2)≈1 > cos(1,4)≈0.0995; cos(2,4)≈0.0985.
