@@ -162,27 +162,39 @@ object ScaleSanity {
     // corpus so pair cost stays near-linear — the registry entry above
     // pins 4 bits for its oracle and goes super-linear by design
     if (Seq("n41_auto_bits", "n46_auto_bits", "n48_auto_bits",
-        "n10_auto_bits", "n54_auto_bits", "n55_auto_bits").exists(wanted)) {
+        "n10_auto_bits", "n54_auto_bits", "n55_auto_bits",
+        "n56_auto_bits", "n57_auto_bits").exists(wanted)) {
       val e = spark.read.parquet(s"$out/embeddings.parquet")
       // derive once and pass down — each op would otherwise re-run the
       // count job internally
       val bits = ops.Similarity.deriveBucketBits(e)
-      for ((tag, df) <- Seq(
-          "n41_auto_bits" -> ops.Similarity.lshNearDupPairs(e, 0.3, bits),
-          "n46_auto_bits" -> ops.Similarity.semanticDedup(e, 0.3, bits),
-          "n48_auto_bits" -> ops.Similarity.knnGraph(e, 5, bits),
-          "n10_auto_bits" -> ops.Similarity.lshBucketTopK(e, 10, 5, bits),
+      // THUNKS, not DataFrames: the CC entries (n56/n57) run their
+      // fixpoint loop eagerly at plan-construction time, so an eager Seq
+      // would execute them even when the tag filter excludes them (and
+      // their loop jobs would land OUTSIDE the timed region)
+      for ((tag, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          "n41_auto_bits" ->
+            (() => ops.Similarity.lshNearDupPairs(e, 0.3, bits)),
+          "n46_auto_bits" ->
+            (() => ops.Similarity.semanticDedup(e, 0.3, bits)),
+          "n48_auto_bits" -> (() => ops.Similarity.knnGraph(e, 5, bits)),
+          "n10_auto_bits" ->
+            (() => ops.Similarity.lshBucketTopK(e, 10, 5, bits)),
           "n54_auto_bits" ->
-            ops.Similarity.semanticDedupCollapsed(e, 0.3, bits),
+            (() => ops.Similarity.semanticDedupCollapsed(e, 0.3, bits)),
           // registry n55 pins 4 bits for its oracle (a super-linear twin
           // at high mult by design); this is the production derived-width
           // path — batch = 25% of the corpus, the worst batch:index ratio
-          "n55_auto_bits" -> ops.Similarity.incrementalSemanticDedup(
+          "n55_auto_bits" -> (() => ops.Similarity.incrementalSemanticDedup(
             e.filter(col("vec_id") % 4 === 0),
-            e.filter(col("vec_id") % 4 =!= 0), 0.3, bits))
+            e.filter(col("vec_id") % 4 =!= 0), 0.3, bits)),
+          "n56_auto_bits" ->
+            (() => ops.Similarity.semanticDupClusters(e, 0.3, bits)),
+          "n57_auto_bits" ->
+            (() => ops.Similarity.semanticDupClustersCollapsed(e, 0.3, bits)))
           if wanted(tag)) {
         val t0 = System.nanoTime()
-        df.queryExecution.toRdd.count()
+        mk().queryExecution.toRdd.count()
         println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
           s"$tag (bits=$bits)")
       }
