@@ -458,6 +458,21 @@ object Sinks {
       vPath.toString
     }
 
+    /** Forcibly release the publish lease. For a deployment whose OWNER
+      * is the single writer by construction (a streaming foreachBatch
+      * ingest, a cron slot): restarting after a crash that died holding
+      * the lease would otherwise stall publishes until the lease ages
+      * out. Call once at owner startup — NEVER from a deployment with
+      * independent concurrent publishers, where a live holder's lease
+      * would be broken. Returns true when a lease file was removed.
+      */
+    def breakLease(spark: org.apache.spark.sql.SparkSession,
+                   table: String): Boolean = {
+      val lock = new org.apache.hadoop.fs.Path(table, "_publish.lock")
+      val fs = fsOf(spark, lock)
+      fs.exists(lock) && fs.delete(lock, false)
+    }
+
     /** Reader-safe compaction: rewrite the live version into
       * `targetFiles` files as a NEW version and repoint — the table never
       * vanishes mid-swap, unlike [[Sinks.compact]]'s rename window.

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+import graft.sources.Sinks
+
+/** Streaming near-dup-suppressed ingest — the production composite the
+  * round-7 pieces exist for: each micro-batch of embeddings is deduped
+  * against the PUBLISHED SURVIVOR INDEX (plus itself) via
+  * [[Similarity.incrementalSemanticDedup]], the survivors are appended
+  * to the index — a [[Sinks.Versioned]] table, so concurrent readers
+  * always see a complete snapshot — and emitted to the sink partitioned
+  * by batch id.
+  *
+  * POLICY: this is the greedy STREAM variant of semantic dedup — a
+  * vector dropped in batch b is not in the index, so it can never drop
+  * a later arrival (unlike the one-pass batch policy n46, where a
+  * dropped vector still drops others). Arrival order is part of the
+  * contract, exactly as in every streaming dedup.
+  *
+  * EXACTLY-ONCE REPLAY: Spark replays a failed micro-batch with the
+  * SAME batch id. The index carries a `batch_id` column; a replay
+  * whose id is already present in the index recomputes NOTHING — its
+  * survivors are by definition the index rows stamped with that id
+  * (deterministic: they were computed against the pre-batch index
+  * state) — and only rewrites its own sink partition via dynamic
+  * partition overwrite. A crash between the index publish and the sink
+  * write therefore resumes without double-publishing the index or
+  * duplicating sink rows. SemanticIngestSpec drives the torn orders.
+  *
+  * Scale shape: the per-batch work is [[Similarity
+  * .incrementalSemanticDedup]]'s — the index streams map-side against
+  * the broadcast batch, never shuffling per batch; the Versioned
+  * publish rewrites index data once per batch (at very high ingest
+  * rates, compact the index on a schedule via [[Sinks.Versioned
+  * .compact]] and size `keepVersions` to reader lifetimes).
+  */
+object SemanticIngest {
+
+  private def indexExists(spark: SparkSession, table: String): Boolean = {
+    val ptr = new org.apache.hadoop.fs.Path(table, "_current")
+    ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ptr)
+  }
+
+  /** The published survivor index (vec_id, label, embedding, batch_id),
+    * empty-but-typed when nothing has been published yet.
+    */
+  def readIndex(spark: SparkSession, table: String,
+                like: DataFrame): DataFrame =
+    if (indexExists(spark, table)) Sinks.Versioned.read(spark, table)
+    else like.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("batch_id", lit(0L)).limit(0)
+
+  /** Process ONE batch: dedup against the index + itself, publish the
+    * survivors into the index, emit them to `out/batch_id=<id>/`.
+    * Idempotent per (batch contents, batchId) — the foreachBatch
+    * contract. Returns the number of survivors.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexTable: String,
+                  out: String, threshold: Double,
+                  bucketBits: Int): Long = {
+    val spark = batch.sparkSession
+    val index = readIndex(spark, indexTable, batch)
+    val maxPublished = index.agg(max(col("batch_id"))).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    val survivors =
+      if (batchId <= maxPublished)
+        // replay of an already-published batch: its survivors ARE the
+        // index rows it stamped (computed against the pre-batch index —
+        // recomputing here against the POST-batch index would wrongly
+        // drop them as near-dups of themselves)
+        index.filter(col("batch_id") === batchId)
+          .select(col("vec_id"), col("label"))
+      else {
+        val kept = Similarity.incrementalSemanticDedup(
+          batch, index.select(col("vec_id"), col("embedding")),
+          threshold, bucketBits)
+        val enriched = batch
+          .join(kept.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .withColumn("batch_id", lit(batchId))
+        Sinks.Versioned.publish(index.unionByName(enriched), indexTable)
+        enriched.select(col("vec_id"), col("label"))
+      }
+    // sink write AFTER the publish: a crash in between replays into the
+    // `batchId <= maxPublished` arm above, which rewrites exactly this
+    // partition from the index — no dupes, no losses
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val rows = survivors.withColumn("batch_id", lit(batchId))
+    rows.write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(out)
+    rows.count()
+  }
+
+  /** Start the checkpointed streaming ingest over a parquet directory of
+    * (vec_id, label, embedding) rows — [[ingestBatch]] wired into
+    * foreachBatch; `schema` lets it start ahead of the first file.
+    */
+  def startFromParquet(spark: SparkSession, dir: String, checkpoint: String,
+                       indexTable: String, out: String,
+                       threshold: Double = 0.3, bucketBits: Int = 0,
+                       glob: String = "*.parquet",
+                       maxFilesPerTrigger: Option[Int] = None,
+                       schema: Option[org.apache.spark.sql.types.StructType] =
+                         None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // this query is the index's single writer by construction; a prior
+    // run that died holding the publish lease must not stall the resume
+    // until the lease ages out
+    Sinks.Versioned.breakLease(spark, indexTable)
+    FileStreams.readParquetStream(spark, dir, glob, maxFilesPerTrigger,
+        schema)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatch(batch, id, indexTable, out, threshold, bucketBits); ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks
+import graft.streaming.SemanticIngest
+
+/** The streaming near-dup-suppressed ingest composite: greedy-stream
+  * dedup policy, versioned survivor index, idempotent batch replay
+  * across the torn crash orders, and the foreachBatch wiring.
+  * Exact-copy vectors keep every expectation bucket-independent.
+  */
+class SemanticIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val A = Array(1f, 0f, 0f)
+  private val B = Array(-1f, 5f, 2f)
+  private val C = Array(0f, 3f, -4f)
+
+  private def df(rows: (Long, Array[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"), col("embedding"))
+
+  private def sinkRows(out: String) =
+    spark.read.parquet(out)
+      // partition-dir inference types batch_id=0 as int — normalize
+      .select(col("batch_id").cast("long"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("greedy-stream policy across batches: index survivors win; a " +
+    "dropped vector never drops later arrivals") {
+    val tmp = Files.createTempDirectory("graft_semingest").toString
+    val (table, out) = (s"$tmp/index", s"$tmp/out")
+    // batch 0: 1=A kept; 2=A dropped (near-dup of 1 in-batch)
+    assert(SemanticIngest.ingestBatch(
+      df((1L, A, 0), (2L, A, 0)), 0L, table, out, 0.3, 4) === 1L)
+    // batch 1: 3=A dropped (near-dup of INDEXED 1 — not of dropped 2);
+    // 4=B kept (novel)
+    assert(SemanticIngest.ingestBatch(
+      df((3L, A, 0), (4L, B, 1)), 1L, table, out, 0.3, 4) === 1L)
+    assert(sinkRows(out) === Set((0L, 1L), (1L, 4L)))
+    // the published index holds exactly the survivors, batch-stamped
+    val idx = Sinks.Versioned.read(spark, table)
+      .select(col("vec_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idx === Set((1L, 0L), (4L, 1L)))
+  }
+
+  test("replay idempotence, both torn orders: after-publish replay " +
+    "reuses the stamped survivors; before-publish replay recomputes") {
+    val tmp = Files.createTempDirectory("graft_semingest_rp").toString
+    val (table, out) = (s"$tmp/index", s"$tmp/out")
+    val b0 = df((1L, A, 0), (2L, A, 0))
+    SemanticIngest.ingestBatch(b0, 0L, table, out, 0.3, 4)
+    val b1 = df((3L, A, 0), (4L, B, 1), (5L, B, 1))
+
+    // CRASH AFTER PUBLISH, BEFORE SINK WRITE: run the publish half by
+    // hand (what a kill mid-ingestBatch leaves behind), then replay
+    val index = Sinks.Versioned.read(spark, table)
+    val kept = graft.ops.Similarity.incrementalSemanticDedup(
+      b1, index.select(col("vec_id"), col("embedding")), 0.3, 4)
+    Sinks.Versioned.publish(index.unionByName(
+      b1.join(kept.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .withColumn("batch_id", lit(1L))), table)
+    // the replay must NOT re-dedup against the post-batch index (4 would
+    // look like a near-dup of its own published copy) and must NOT
+    // publish a second index version for batch 1
+    val versionsBefore = new java.io.File(table).listFiles()
+      .map(_.getName).count(_.startsWith("v-"))
+    assert(SemanticIngest.ingestBatch(b1, 1L, table, out, 0.3, 4) === 1L)
+    assert(new java.io.File(table).listFiles()
+      .map(_.getName).count(_.startsWith("v-")) === versionsBefore,
+      "an after-publish replay must not publish again")
+    assert(sinkRows(out) === Set((0L, 1L), (1L, 4L)))
+
+    // full same-batch replay (Spark's failed-sink retry): still one
+    // survivor set, sink partition rewritten in place
+    assert(SemanticIngest.ingestBatch(b1, 1L, table, out, 0.3, 4) === 1L)
+    assert(sinkRows(out) === Set((0L, 1L), (1L, 4L)))
+
+    // CRASH BEFORE PUBLISH (nothing published for batch 2): the replay
+    // recomputes against the pre-batch index — the normal arm
+    assert(SemanticIngest.ingestBatch(
+      df((6L, C, 2), (7L, C, 2)), 2L, table, out, 0.3, 4) === 1L)
+    assert(sinkRows(out) === Set((0L, 1L), (1L, 4L), (2L, 6L)))
+  }
+
+  test("a crashed holder's publish lease does not stall the restarted " +
+    "single-writer ingest") {
+    val tmp = Files.createTempDirectory("graft_semingest_lk").toString
+    val (table, out) = (s"$tmp/index", s"$tmp/out")
+    SemanticIngest.ingestBatch(df((1L, A, 0)), 0L, table, out, 0.3, 4)
+    // a kill inside Versioned.publish leaves the lease on disk
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(table, "_publish.lock"))
+    assert(Sinks.Versioned.breakLease(spark, table))
+    assert(SemanticIngest.ingestBatch(
+      df((4L, B, 1)), 1L, table, out, 0.3, 4) === 1L)
+  }
+
+  test("foreachBatch wiring end-to-end: AvailableNow over staged files " +
+    "equals the per-batch core, one file per batch") {
+    val tmp = Files.createTempDirectory("graft_semingest_st").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def stage(name: String, rows: (Long, Array[Float], Int)*): Unit = {
+      val staged = s"$tmp/stage_$name"
+      df(rows: _*).coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(in, s"$name.parquet"))
+    }
+    stage("b0", (1L, A, 0), (2L, A, 0))
+    stage("b1", (3L, A, 0), (4L, B, 1))
+    val q = SemanticIngest.startFromParquet(spark, in, s"$tmp/ckpt",
+      s"$tmp/index", s"$tmp/out", threshold = 0.3, bucketBits = 4,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"ingest stream failed: ${q.exception}")
+    // one file per trigger → file-order batches; survivors as in the
+    // per-batch core test
+    assert(sinkRows(s"$tmp/out").map(_._2) === Set(1L, 4L))
+    assert(Sinks.Versioned.read(spark, s"$tmp/index").count() === 2L)
+  }
+}
