@@ -208,6 +208,36 @@ object Sinks {
       .sortWithinPartitions(col(keyCol))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed managed-table write — the CO-LOCATED JOIN half of the
+    * bucketing story ([[writeClusteredBy]] is the sorted-layout half):
+    * rows are hash-partitioned into `numBuckets` buckets on `key` and
+    * sorted within each bucket AT WRITE TIME, so every later equi-join
+    * or aggregation on the key between tables sharing the bucketing
+    * plans with ZERO shuffle exchange — the big-fact ⋈ big-fact shape
+    * where the shuffle IS the job at 100 TB, paid once at write instead
+    * of per query. (A within-partition sort remains under default
+    * config: Spark ≥3.0 trades the scan's reported ordering for
+    * multi-file bucket reads — re-enable via spark.sql.legacy
+    * .bucketedTableScan.outputOrdering if the local sort matters; the
+    * write-time sortBy still buys compression and row-group pruning
+    * either way.) Bucket
+    * metadata lives in the session catalog, so this writes a MANAGED
+    * table via saveAsTable, not a bare path; size `numBuckets` so one
+    * bucket ≈ one task's worth of data at the target scale.
+    * BucketedJoinSpec pins the exchange-free join and aggregate plans.
+    */
+  def writeBucketedBy(df: DataFrame, key: String, numBuckets: Int,
+                      table: String): Unit =
+    // pre-repartition on the SAME hash the bucketing uses, so each
+    // bucket lands in exactly one file: Spark only honors the write-time
+    // sort on read when a bucket is single-file (multi-file buckets
+    // interleave, and the SMJ above the scan re-sorts — the silent way
+    // bucketed tables lose half their benefit)
+    df.repartition(numBuckets, col(key))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Small-file compaction: rewrite a parquet directory into
     * `targetFiles` files (the operational fix for accumulating tiny
     * micro-batch outputs — at scale, run per partition with dynamic
