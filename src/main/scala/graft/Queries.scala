@@ -1009,6 +1009,33 @@ object Queries {
         |WHERE round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.0
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // LSH tuning harness: precision/recall of the band-collision
+    // candidate set vs exact shingle-Jaccard ground truth on a bounded
+    // doc_id window — the number that validates a (bands × rows) config
+    // before committing a 100 TB run to it.
+    ("n59_lsh_tuning",
+      (s: SparkSession, d: String) => Dedup.lshTuning(docs(s, d), 50, 0.5),
+      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+        |    AND l.doc_id < r.doc_id AND r.doc_id - l.doc_id <= 50),
+        |sgs AS (SELECT d.doc_id, coalesce(s.sg, []) AS sg FROM documents d
+        |  LEFT JOIN (SELECT doc_id, list_distinct(list(sh)) AS sg FROM sh GROUP BY doc_id) s
+        |    ON d.doc_id = s.doc_id),
+        |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sgs a JOIN sgs b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+        |  WHERE len(list_distinct(a.sg || b.sg)) > 0
+        |    AND len(list_intersect(a.sg, b.sg))::double
+        |      / len(list_distinct(a.sg || b.sg)) >= 0.5),
+        |c AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+        |  (SELECT count(*) FROM cand) AS n_candidates,
+        |  (SELECT count(*) FROM truth t JOIN cand c2
+        |     ON t.doc_a = c2.doc_a AND t.doc_b = c2.doc_b) AS n_hits)
+        |SELECT n_truth, n_candidates, n_hits,
+        |  round(CASE WHEN n_candidates != 0 THEN n_hits::double / n_candidates END, 6) AS precision,
+        |  round(CASE WHEN n_truth != 0 THEN n_hits::double / n_truth END, 6) AS recall
+        |FROM c""".stripMargin)),
+
     ("n7_simhash",
       (s: SparkSession, d: String) => Dedup.simhash(docs(s, d)),
       Some(s"""WITH $SimhashCte
@@ -1189,6 +1216,18 @@ object Queries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Per-doc token counts incl. the BPE-ish subword proxy (runs of
+    // letters, digits, or single punctuation — the common pre-tokenizer
+    // regex shape); the per-doc twin of n12's per-source roll-up.
+    ("n58_subword_tokens",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.tokenCounts(docs(s, d)).orderBy(col("doc_id")),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS subword_tokens,
+        |  len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9\s]')) AS bpe_pieces,
+        |  length(text) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     ("n13_quality_by_lang",
       (s: SparkSession, d: String) => TextAnalysis.qualityByLang(docs(s, d)),
@@ -1506,6 +1545,20 @@ object Queries {
         |    FROM documents))
         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
+    // Training-shard assignment: shard = salted-md5 bucket % 8 (salted
+    // so shard boundaries don't correlate with n19's split buckets),
+    // pos = the doc's deterministic-shuffle rank within its shard — the
+    // logical core of Sinks.writeShards' epoch-shuffle shard layout.
+    ("n60_shard_assignment",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.shardAssignment(docs(s, d), 8),
+      Some("""WITH k AS (SELECT doc_id, md5('shard|' || doc_id::varchar) AS key FROM documents)
+        |SELECT doc_id,
+        |  ('0x' || substring(key, 1, 8))::bigint % 8 AS shard,
+        |  row_number() OVER (PARTITION BY ('0x' || substring(key, 1, 8))::bigint % 8
+        |    ORDER BY key, doc_id) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin)),
+
     ("n20_vocabulary",
       (s: SparkSession, d: String) => TextAnalysis.vocabulary(docs(s, d), 100),
       Some("""SELECT word, count(*) AS tf FROM (
@@ -1662,6 +1715,22 @@ object Queries {
     // Bloom-filter decontamination: broadcast-bloom semi filter instead of
     // a fingerprint join — the 100 TB path for n26 (rows-only: Bloom bit
     // layout is engine-specific; the spec proves superset-of-exact).
+    // Semantic decontamination: drop corpus vectors whose cosine vs ANY
+    // of the first-10 probe embeddings (the eval-suite stand-in) reaches
+    // 0.35 — the embedding-side member of the decontamination family
+    // (n26 whole-doc, n31 n-gram, n35 bloom catch verbatim leaks; this
+    // catches paraphrased ones). Survivors keep their max probe cosine.
+    ("n61_semantic_decontamination",
+      (s: SparkSession, d: String) =>
+        Similarity.semanticDecontaminate(emb(s, d), 10, 0.35),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT emb AS q_emb FROM e WHERE vec_id < 10),
+        |s AS (SELECT e.vec_id, max(${cosSql("q_emb", "emb")}) AS max_probe_cos
+        |  FROM e CROSS JOIN p WHERE e.vec_id >= 10 GROUP BY e.vec_id)
+        |SELECT vec_id, max_probe_cos FROM s
+        |WHERE max_probe_cos IS NULL OR max_probe_cos < 0.35
+        |ORDER BY vec_id""".stripMargin)),
+
     ("n35_bloom_decontamination",
       (s: SparkSession, d: String) =>
         TextAnalysis.bloomDecontamination(docs(s, d)),

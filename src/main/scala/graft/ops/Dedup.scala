@@ -243,6 +243,56 @@ object Dedup {
       .orderBy(col("doc_a"))
   }
 
+  /** LSH tuning harness: precision/recall of the band-collision
+    * candidate set against EXACT shingle-Jaccard ground truth, both
+    * restricted to a bounded doc_id window. The window is what keeps an
+    * exact ground truth computable at corpus scale — O(n·window) pairs
+    * instead of O(n²) — and it is realized as a BLOCK EQUI-JOIN (each
+    * doc probes its id-block and the next one), never a nested-loop
+    * range join. Truth uses the SAME 3-word shingle sets the MinHash
+    * signatures sketch ([[shingles]]), so recall measures banding loss,
+    * not tokenization drift — the number this harness exists to put on
+    * a (bands × rows) config before a 100 TB run commits to it.
+    * One row: n_truth, n_candidates, n_hits, precision, recall
+    * (ratios null when their denominator is 0).
+    */
+  def lshTuning(docs: DataFrame, window: Int = 50,
+                threshold: Double = 0.5): DataFrame = {
+    val sg = docs.select(col("doc_id"), array_distinct(shingles).as("sg"),
+      (col("doc_id") / window).cast("long").as("blk"))
+    val left = sg.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"),
+      explode(array(col("blk"), col("blk") + 1)).as("pblk"))
+    // jaccard guarded for empty shingle sets (< 3-word docs): an empty
+    // union scores null, which fails every threshold instead of tripping
+    // ANSI DIVIDE_BY_ZERO
+    val union = size(array_union(col("sg_a"), col("sg_b")))
+    val truth = left
+      .join(sg.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"),
+        col("blk")), col("pblk") === col("blk"))
+      .filter(col("doc_b") > col("doc_a") &&
+        col("doc_b") <= col("doc_a") + window)
+      .select(col("doc_a"), col("doc_b"),
+        when(union > 0,
+          size(array_intersect(col("sg_a"), col("sg_b"))).cast("double") /
+            union).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
+    val cand = lshCandidatePairs(docs)
+      .filter(col("doc_b") - col("doc_a") <= window)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("in_t")).as("n_truth"),
+        count(col("in_c")).as("n_candidates"),
+        count(when(col("in_t").isNotNull && col("in_c").isNotNull, 1))
+          .as("n_hits"))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        round(when(col("n_candidates") =!= 0,
+          col("n_hits").cast("double") / col("n_candidates")), 6)
+          .as("precision"),
+        round(when(col("n_truth") =!= 0,
+          col("n_hits").cast("double") / col("n_truth")), 6).as("recall"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash per doc from word-occurrence md5s: bit i of the

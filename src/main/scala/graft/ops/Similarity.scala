@@ -583,6 +583,43 @@ object Similarity {
     * the dropped-id set is distinct-reduced before a single left-anti
     * join on vec_id — embeddings themselves never re-shuffle.
     */
+  /** Semantic decontamination: drop every corpus vector whose cosine
+    * against ANY of the first `nProbes` vectors (the benchmark/eval
+    * embedding set) reaches `threshold` — the embedding-side member of
+    * the decontamination family (n26 whole-doc, n31 n-gram, n35 bloom
+    * catch verbatim leaks; this catches paraphrased ones).
+    *
+    * Scale shape: the probe set is an eval suite — small by
+    * construction — so it is collected into ONE row of probe structs,
+    * broadcast, and the max-over-probes cosine is computed PER CORPUS
+    * ROW with higher-order functions (zip_with dot + array_max over the
+    * probe array). Zero shuffle, zero groupBy: a corpus×nProbes
+    * pair-then-regroup join would shuffle nProbes copies of a 100 TB
+    * scan just to take a per-row max. array_max skips null entries, so
+    * zero-norm/null embeddings (cos null against every probe) degrade
+    * to a null max and SURVIVE — same keep-on-null convention as
+    * [[cosOrNull]], pinned against a join+groupBy twin in
+    * SimilaritySpec.
+    */
+  def semanticDecontaminate(emb: DataFrame, nProbes: Int,
+                            threshold: Double): DataFrame = {
+    val e = withNorm(emb)
+    val probes = broadcast(e.filter(col("vec_id") < nProbes)
+      .agg(collect_list(struct(col("emb").as("q_emb"), col("nrm").as("q_nrm")))
+        .as("probes")))
+    e.filter(col("vec_id") >= nProbes)
+      .crossJoin(probes)
+      .select(col("vec_id"), expr(
+        """array_max(transform(probes, p ->
+          |  CASE WHEN p.q_nrm * nrm <> 0D THEN
+          |    round(aggregate(zip_with(p.q_emb, emb, (x, y) -> x * y),
+          |      0D, (acc, v) -> acc + v) / (p.q_nrm * nrm), 6)
+          |  END))""".stripMargin).as("max_probe_cos"))
+      .filter(col("max_probe_cos") < threshold ||
+        col("max_probe_cos").isNull)
+      .orderBy(col("vec_id"))
+  }
+
   def semanticDedup(emb: DataFrame, threshold: Double,
                     bucketBits: Int = 0): DataFrame = {
     val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)

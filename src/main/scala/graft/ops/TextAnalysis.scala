@@ -16,13 +16,19 @@ object TextAnalysis {
   def words(text: Column): Column = split(text, " ")
 
   /** Whitespace token count + a BPE-ish subword proxy (runs of letters,
-    * digits, or single punctuation — the common pre-tokenizer regex shape).
+    * digits, or single punctuation — the common pre-tokenizer regex
+    * shape) + a BPE piece-count proxy (the same classes capped at 4
+    * chars per piece, the typical average BPE piece length — so long
+    * words cost multiple tokens, the signal token-budget planning
+    * actually needs).
     */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         size(words(col("text"))).as("ws_tokens"),
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
           .as("subword_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9\\\\s]', 0))")
+          .as("bpe_pieces"),
         length(col("text")).as("n_chars_measured"))
 
   /** Per-source token totals — the corpus-accounting roll-up. One pass:
@@ -169,6 +175,31 @@ object TextAnalysis {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("split"))
+
+  /** Training-shard assignment — the logical core of the epoch-shuffle
+    * shard writer (the pipeline's last step: emit the corpus as N shards
+    * in a deterministic pseudo-random order). shard = md5-bucket of the
+    * doc id mod `numShards` (salted 'shard|' so it does NOT correlate
+    * with [[splitBucket]]'s unsalted hash — reusing one hash would leak
+    * the train/val/test boundary into shard boundaries); pos = the doc's
+    * rank within its shard by the same md5 key, i.e. a per-shard
+    * deterministic shuffle. Deliberately NO global row_number: a global
+    * sort is a total-order barrier at 100 TB, while this shape is one
+    * hash shuffle into numShards window partitions, each sorted locally.
+    * [[graft.sources.Sinks.writeShards]] materializes the physical files.
+    */
+  def shardAssignment(docs: DataFrame, numShards: Int): DataFrame = {
+    val key = md5(concat(lit("shard|"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("key"), 1, 8), 16, 10).cast("long"),
+          lit(numShards)))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).as("pos"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Corpus vocabulary: top-K words by document frequency (ties → word
     * asc). Shuffles (word, partial counts) only; at 100 TB this is the

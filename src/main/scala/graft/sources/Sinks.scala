@@ -238,6 +238,26 @@ object Sinks {
       .bucketBy(numBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Training-shard writer — materializes the layout whose logical core
+    * is [[graft.ops.TextAnalysis.shardAssignment]]: every doc lands in
+    * shard md5('shard|'||doc_id) % numShards, written as one parquet
+    * partition dir per shard with rows in the deterministic md5-key
+    * order (the epoch shuffle — stable across runs and engines, unlike
+    * orderBy(rand)). The shard column is computed ON the scan row and
+    * the frame repartitions on it, so each shard is one task's single
+    * sorted file; no join back to an assignment table (that would
+    * shuffle the corpus twice). Trainers read shard=K dirs round-robin.
+    */
+  def writeShards(docs: DataFrame, numShards: Int, path: String): Unit = {
+    val key = md5(concat(lit("shard|"), col("doc_id").cast("string")))
+    docs.withColumn("shard",
+        pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+          lit(numShards)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), key, col("doc_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * `targetFiles` files (the operational fix for accumulating tiny
     * micro-batch outputs — at scale, run per partition with dynamic

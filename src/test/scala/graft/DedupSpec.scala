@@ -268,6 +268,29 @@ class DedupSpec extends SparkSpec {
     assert(rows.length === 6 * Dedup.NumMinhashSeeds)
   }
 
+  test("lshTuning: planted window pair found, out-of-window twin excluded") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4"),
+      (2L, "w1 w2 w3 w4"),   // in-window dup of 1 → truth AND candidate
+      (3L, "zz yy xx ww"),   // unrelated
+      (100L, "w1 w2 w3 w4")) // dup of 1 but 99 ids away → outside window
+      .toDF("doc_id", "text")
+    val r = Dedup.lshTuning(d, window = 50, threshold = 0.5).head()
+    assert(r.getLong(0) === 1L) // n_truth: only (1,2)
+    assert(r.getLong(1) === 1L) // n_candidates: (1,100)/(2,100) window-cut
+    assert(r.getLong(2) === 1L) // the hit
+    assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0)
+  }
+
+  test("lshTuning: zero denominators yield null ratios, not a crash") {
+    val d = Seq((1L, "aa bb cc"), (2L, "dd ee ff gg"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshTuning(d, window = 50, threshold = 0.5).head()
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(4)) // recall null when n_truth = 0
+    if (r.getLong(1) === 0L) assert(r.isNullAt(3))
+  }
+
   test("incrementalDedup: corpus-known and within-batch dups both drop") {
     val corpus = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
     // "x" is corpus-known; "z" appears twice in the batch → keep min id

@@ -434,6 +434,42 @@ class SimilaritySpec extends SparkSpec {
       clusters(Similarity.semanticDupClusters(replicated, 0.3, 4)))
   }
 
+  test("semanticDecontaminate: hand corpus — near-probe dropped; " +
+    "orthogonal, zero-norm, and null embeddings survive") {
+    val emb = Seq(
+      (0L, Option(Seq(1f, 0f))),  // the probe (nProbes = 1)
+      (10L, Option(Seq(2f, 0f))), // cos 1 vs probe → dropped
+      (11L, Option(Seq(0f, 3f))), // cos 0 → survives
+      (12L, Option(Seq(0f, 0f))), // zero-norm → null cos → survives
+      (13L, Option.empty[Seq[Float]])) // null embedding → survives
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(emb, 1, 0.35).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(11L, 12L, 13L))
+    assert(got(0).getDouble(1) === 0.0)
+    assert(got(1).isNullAt(1) && got(2).isNullAt(1))
+  }
+
+  test("semanticDecontaminate matches the join+groupBy twin on sf0.001") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("emb"), col("emb"))))
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val twin = e.filter(col("vec_id") >= 10).crossJoin(p)
+      .select(col("vec_id"),
+        round(when(col("q_nrm") * col("nrm") =!= 0d,
+          Similarity.dot(col("q_emb"), col("emb")) /
+            (col("q_nrm") * col("nrm"))), 6).as("cos"))
+      .groupBy("vec_id").agg(max("cos").as("max_probe_cos"))
+      .filter(col("max_probe_cos") < 0.35 || col("max_probe_cos").isNull)
+    val got = Similarity.semanticDecontaminate(emb, 10, 0.35).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val want = twin.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("knnGraph core: in-bucket neighbors ranked by cosine on a hand corpus") {
     // dim-1 sign bucket: ids 1,2,4 share the positive bucket, 3 is alone
     // (no edges). cos(1,2)≈1 > cos(1,4)≈0.0995; cos(2,4)≈0.0985.

@@ -369,6 +369,29 @@ class SinksSpec extends SparkSpec {
     assert(merged.filter(col("v2_added").isNull).count() === 1)
   }
 
+  test("writeShards: one file per shard, rows preserved, layout matches " +
+    "the logical assignment") {
+    val dir = Files.createTempDirectory("graft_shards").toString + "/s"
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    Sinks.writeShards(docs, 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").as[Long].collect().sorted ===
+      docs.select("doc_id").as[Long].collect().sorted)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty && shardDirs.length <= 4)
+    shardDirs.foreach { sd =>
+      assert(sd.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    }
+    // the physical shard a doc landed in IS its logical assignment
+    val assign = graft.ops.TextAnalysis.shardAssignment(docs, 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val phys = back.select(col("doc_id"), col("shard").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(phys === assign)
+  }
+
   test("partitioned overwrite replaces only the re-run day (S5/S7)") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/p"
     val day1 = Seq(("2024-01-01 10:00:00", 1), ("2024-01-02 10:00:00", 2))

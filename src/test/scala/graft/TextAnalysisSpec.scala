@@ -53,11 +53,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.head.getLong(0) === testId && got.head.getLong(1) === trainId)
   }
 
-  test("tokenCounts: whitespace and subword counts on literals") {
-    val docs = Seq((1L, "ab cd3 ef")).toDF("doc_id", "text")
-    val r = TextAnalysis.tokenCounts(docs).head()
-    assert(r.getInt(1) === 3) // ws tokens
-    assert(r.getInt(2) === 4) // ab, cd, 3, ef
+  test("tokenCounts: whitespace, subword, and capped BPE-piece counts") {
+    val docs = Seq((1L, "ab cd3 ef"), (2L, "abcdefghij x"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs).orderBy("doc_id").collect()
+    assert(r(0).getInt(1) === 3) // ws tokens
+    assert(r(0).getInt(2) === 4) // ab, cd, 3, ef
+    assert(r(0).getInt(3) === 4) // every piece already <= 4 chars
+    assert(r(1).getInt(2) === 2) // abcdefghij, x
+    assert(r(1).getInt(3) === 4) // abcd|efgh|ij + x — the cap splits long words
+  }
+
+  test("shardAssignment: complete, deterministic, dense pos per shard") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val got = TextAnalysis.shardAssignment(docs, 4).collect()
+    assert(got.length.toLong === n) // every doc assigned exactly once
+    assert(got.map(_.getLong(0)).distinct.length.toLong === n)
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 4))
+    // pos is a dense 1..size(shard) rank within each shard
+    got.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    val again = TextAnalysis.shardAssignment(docs, 4).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ===
+      got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    // salted hash: shard boundaries must not mirror the split buckets
+    // (same docs hashed unsalted) — at least one doc pair shares a split
+    // bucket but not a shard
+    val bucketToShards = got.map { r =>
+      val id = r.getLong(0)
+      val b = (BigInt("0" + java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).take(4).map("%02x".format(_))
+        .mkString, 16) % 4).toInt
+      b -> r.getLong(1)
+    }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct }
+    assert(bucketToShards.values.exists(_.length > 1))
   }
 
   test("repetitionQuality: hand-computed ratios, null bigram on 1-word doc") {
