@@ -59,6 +59,27 @@ class PlanSpec extends SparkSpec {
         "broadcast batch, not shuffle the corpus by bucket:\n" + p)
   }
 
+  test("n61: decontamination is per-row — probe array broadcast, no hash " +
+    "shuffle before the presentation sort") {
+    val p = plan("n61_semantic_decontamination")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "probe struct array must arrive by broadcast")
+    // the max-over-probes is computed on the scan row: the only exchange
+    // is the final ORDER BY's range partitioning — a hash exchange would
+    // mean a corpus×nProbes pair blowup got re-grouped
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"unexpected hash exchange:\n$p")
+  }
+
+  test("n59: tuning truth is a block equi-join and candidates a band-key " +
+    "equi-join — never a cartesian/range nested loop") {
+    val p = plan("n59_lsh_tuning")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, "expected equi-join operators")
+  }
+
   test("n9: probe side broadcast; no cartesian on the corpus") {
     val p = plan("n9_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
