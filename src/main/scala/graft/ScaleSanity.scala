@@ -127,6 +127,8 @@ object ScaleSanity {
         "n44_bigram_lm_score", "n45_source_drift",
         "n47_dup_span_stats", "n49_incremental_dedup",
         "n50_snapshot_diff", "n53_dup_clusters_collapsed",
+        "n58_subword_tokens", "n59_lsh_tuning", "n60_shard_assignment",
+        "n61_semantic_decontamination",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
