@@ -1078,6 +1078,33 @@ object Queries {
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
 
+    // ANN recall@k harness: lshBucketTopK vs brute-force ground truth
+    // per probe — the vector-side twin of n59's LSH tuning harness.
+    // Bits pinned to the oracle constant like n10; production callers
+    // pass 0 → deriveBucketBits.
+    ("n62_ann_recall",
+      (s: SparkSession, d: String) =>
+        Similarity.annRecall(emb(s, d), 10, 5, Similarity.BucketBits),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  ${rpBucketSql(Similarity.BucketBits)} AS bucket FROM embeddings),
+        |p AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM e WHERE vec_id < 10),
+        |truth AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM (SELECT q_id, vec_id, ${cosSql("q_emb", "emb")} AS cos
+        |    FROM e, p WHERE vec_id != q_id))
+        |  WHERE rnk <= 5),
+        |approx AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM (SELECT q_id, vec_id, ${cosSql("q_emb", "emb")} AS cos
+        |    FROM e JOIN p ON bucket = q_bucket AND vec_id != q_id))
+        |  WHERE rnk <= 5)
+        |SELECT t.q_id, count(*) AS n_truth, count(a.vec_id) AS n_hits,
+        |  round(count(a.vec_id)::double / count(*), 6) AS recall
+        |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
+
     ("n11_cosine_neardup",
       (s: SparkSession, d: String) =>
         Similarity.cosineNearDupPairs(emb(s, d), 0.3, 100),

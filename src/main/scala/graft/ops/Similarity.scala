@@ -583,6 +583,30 @@ object Similarity {
     * the dropped-id set is distinct-reduced before a single left-anti
     * join on vec_id — embeddings themselves never re-shuffle.
     */
+  /** ANN recall@k harness — [[lshBucketTopK]] scored against
+    * [[bruteForceTopK]] ground truth, per probe: the vector-side twin of
+    * the text pipeline's LSH tuning harness (n59). The brute-force side
+    * is the expensive half and that cost IS the product — an exact
+    * evaluation number for a bucket width before a 100 TB ANN run
+    * commits to it — and it stays bounded because `nProbes` bounds it
+    * (probes broadcast; the corpus is scanned, never shuffled). The
+    * final join/agg runs on nProbes×k rows — nothing at corpus scale.
+    */
+  def annRecall(emb: DataFrame, nProbes: Int, k: Int,
+                bucketBits: Int = 0): DataFrame = {
+    val truth = bruteForceTopK(emb, nProbes, k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = lshBucketTopK(emb, nProbes, k, bucketBits)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "vec_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .select(col("q_id"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6)
+          .as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** Semantic decontamination: drop every corpus vector whose cosine
     * against ANY of the first `nProbes` vectors (the benchmark/eval
     * embedding set) reaches `threshold` — the embedding-side member of

@@ -434,6 +434,32 @@ class SimilaritySpec extends SparkSpec {
       clusters(Similarity.semanticDupClusters(replicated, 0.3, 4)))
   }
 
+  test("annRecall: colinear corpus — one bucket holds everyone, recall 1.0") {
+    val base = Seq(0.3f, -0.7f, 0.5f)
+    val emb = (0L to 14L).map(i => (i, base.map(x => x * (i + 1))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.annRecall(emb, 2, 3, 4).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+      assert(r.getDouble(3) === 1.0)
+    }
+  }
+
+  test("annRecall on sf0.001: per-probe recall bounded, truth size = k; " +
+    "derived width runs") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val got = Similarity.annRecall(emb, 10, 5, Similarity.BucketBits)
+      .collect()
+    assert(got.length === 10)
+    got.foreach { r =>
+      assert(r.getLong(1) === 5L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 5L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    assert(Similarity.annRecall(emb, 5, 3).count() === 5) // derived bits
+  }
+
   test("semanticDecontaminate: hand corpus — near-probe dropped; " +
     "orthogonal, zero-norm, and null embeddings survive") {
     val emb = Seq(
