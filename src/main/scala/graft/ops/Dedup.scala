@@ -258,23 +258,39 @@ object Dedup {
     */
   def lshTuning(docs: DataFrame, window: Int = 50,
                 threshold: Double = 0.5): DataFrame = {
-    val sg = docs.select(col("doc_id"), array_distinct(shingles).as("sg"),
-      (col("doc_id") / window).cast("long").as("blk"))
+    // hoist the split BEFORE shingling (ngramsOf over a materialized word
+    // array): the one-shot `shingles` form re-splits the text for every
+    // element inside the transform lambda — subexpression elimination
+    // cannot reach across a lambda boundary, and at 250k windowed pairs
+    // per sf0.1 that re-split dominated the whole harness (measured
+    // ~4.6 s per scan side)
+    val sg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.ngramsOf(col("ws"), 3)).as("sg"),
+        (col("doc_id") / window).cast("long").as("blk"))
     val left = sg.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"),
       explode(array(col("blk"), col("blk") + 1)).as("pblk"))
-    // jaccard guarded for empty shingle sets (< 3-word docs): an empty
-    // union scores null, which fails every threshold instead of tripping
-    // ANSI DIVIDE_BY_ZERO
-    val union = size(array_union(col("sg_a"), col("sg_b")))
+    // jaccard via ONE array_intersect per pair: the sets are distinct, so
+    // |A ∪ B| = |A| + |B| - |A ∩ B| — integer arithmetic instead of two
+    // more hash-set builds (the CASE's union guard would otherwise
+    // evaluate array_union twice per pair). The intersect is hoisted into
+    // its own projection level so it is computed once, not re-inlined
+    // into both the guard and the ratio. Empty sets (< 3-word docs) give
+    // union size 0 → null jaccard, which fails every threshold instead
+    // of tripping ANSI DIVIDE_BY_ZERO.
+    val unionSz = col("na") + col("nb") - col("inter")
     val truth = left
       .join(sg.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"),
         col("blk")), col("pblk") === col("blk"))
       .filter(col("doc_b") > col("doc_a") &&
         col("doc_b") <= col("doc_a") + window)
       .select(col("doc_a"), col("doc_b"),
-        when(union > 0,
-          size(array_intersect(col("sg_a"), col("sg_b"))).cast("double") /
-            union).as("jaccard"))
+        size(array_intersect(col("sg_a"), col("sg_b"))).as("inter"),
+        size(col("sg_a")).as("na"), size(col("sg_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        when(unionSz > 0, col("inter").cast("double") / unionSz)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
     val cand = lshCandidatePairs(docs)
