@@ -189,6 +189,92 @@ class PropertiesSpec extends SparkSpec {
     }, n = 6)
   }
 
+  test("property: lshTuning's truth count matches a naive Scala oracle; " +
+    "hits bounded by both sides") {
+    val docGen = for {
+      n <- Gen.choose(5, 25)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 120L)).map(_.distinct)
+      wss <- Gen.listOfN(ids.size, Gen.choose(3, 10)
+        .flatMap(k => Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))))
+    } yield ids.zip(wss.map(_.mkString(" ")))
+    check(Prop.forAll(docGen) { docs =>
+      val r = graft.ops.Dedup.lshTuning(docs.toDF("doc_id", "text"), 50, 0.5)
+        .head()
+      val sets = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      val ids = docs.map(_._1)
+      val nTruth = (for {
+        a <- ids; b <- ids
+        if b > a && b <= a + 50
+        u = (sets(a) ++ sets(b)).size
+        if u > 0 && sets(a).intersect(sets(b)).size.toDouble / u >= 0.5
+      } yield 1).size.toLong
+      r.getLong(0) == nTruth &&
+        r.getLong(2) <= math.min(r.getLong(0), r.getLong(1))
+    }, n = 8)
+  }
+
+  test("property: shardAssignment partitions the corpus and matches the " +
+    "reference md5 hash") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 100000L)).map(_.distinct)
+      k <- Gen.choose(1, 8)
+    } yield (ids, k)
+    check(Prop.forAll(gen) { case (ids, k) =>
+      val got = graft.ops.TextAnalysis
+        .shardAssignment(ids.map((_, "t")).toDF("doc_id", "text"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      def refShard(id: Long): Long =
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"shard|$id".getBytes("UTF-8")).take(4)
+            .map("%02x".format(_)).mkString, 16) % k
+      got.map(_._1).toSet == ids.toSet &&
+        got.forall { case (id, s, _) => s == refShard(id) } &&
+        got.groupBy(_._2).values.forall(rows =>
+          rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }, n = 10)
+  }
+
+  test("property: semanticDecontaminate survivors equal the exact Scala " +
+    "complement (zero-norm and null embeddings included)") {
+    val vecGen: Gen[Option[List[Float]]] = Gen.frequency(
+      8 -> Gen.listOfN(3, Gen.choose(-5, 5)).map(l => Option(l.map(_.toFloat))),
+      1 -> Gen.const(Option(List(0f, 0f, 0f))),
+      1 -> Gen.const(Option.empty[List[Float]]))
+    val gen = for {
+      n <- Gen.choose(3, 30)
+      vs <- Gen.listOfN(n, vecGen)
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    // forAllNoShrink: the container shrinker NPEs on null array elements
+    check(Prop.forAllNoShrink(gen) { rows =>
+      val tau = 0.35
+      def cos(a: List[Double], b: List[Double]): Option[Double] = {
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na * nb == 0) None
+        else Some(BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum /
+            (na * nb))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val probes = rows.filter(_._1 < 2).flatMap(_._2)
+        .map(_.map(_.toDouble))
+      val expected = rows.filter(_._1 >= 2).filter {
+        case (_, None) => true
+        case (_, Some(vec)) =>
+          val cs = probes.flatMap(p => cos(p, vec.map(_.toDouble)))
+          cs.isEmpty || cs.max < tau
+      }.map(_._1).toSet
+      val got = graft.ops.Similarity
+        .semanticDecontaminate(rows.toDF("vec_id", "embedding"), 2, tau)
+        .collect().map(_.getLong(0)).toSet
+      got == expected
+    }, n = 10)
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)
