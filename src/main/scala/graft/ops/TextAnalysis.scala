@@ -188,14 +188,24 @@ object TextAnalysis {
     * hash shuffle into numShards window partitions, each sorted locally.
     * [[graft.sources.Sinks.writeShards]] materializes the physical files.
     */
+  /** The salted md5 shard key — the SINGLE definition both
+    * [[shardAssignment]] and [[graft.sources.Sinks.writeShards]] derive
+    * their shard from, so the physical layout can never drift from the
+    * logical assignment (the contract SinksSpec pins).
+    */
+  def shardKey: Column =
+    md5(concat(lit("shard|"), col("doc_id").cast("string")))
+
+  /** Shard id from [[shardKey]]'s first 8 hex chars mod `numShards`. */
+  def shardOf(numShards: Int): Column =
+    pmod(conv(substring(shardKey, 1, 8), 16, 10).cast("long"),
+      lit(numShards))
+
   def shardAssignment(docs: DataFrame, numShards: Int): DataFrame = {
-    val key = md5(concat(lit("shard|"), col("doc_id").cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
-    docs.select(col("doc_id"), key.as("key"))
-      .withColumn("shard",
-        pmod(conv(substring(col("key"), 1, 8), 16, 10).cast("long"),
-          lit(numShards)))
+    docs.select(col("doc_id"), shardKey.as("key"),
+        shardOf(numShards).as("shard"))
       .select(col("doc_id"), col("shard"),
         row_number().over(w).as("pos"))
       .orderBy(col("doc_id"))

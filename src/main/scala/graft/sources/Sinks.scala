@@ -243,20 +243,23 @@ object Sinks {
     * shard md5('shard|'||doc_id) % numShards, written as one parquet
     * partition dir per shard with rows in the deterministic md5-key
     * order (the epoch shuffle — stable across runs and engines, unlike
-    * orderBy(rand)). The shard column is computed ON the scan row and
-    * the frame repartitions on it, so each shard is one task's single
-    * sorted file; no join back to an assignment table (that would
-    * shuffle the corpus twice). Trainers read shard=K dirs round-robin.
+    * orderBy(rand)). The shard column is computed ON the scan row from
+    * the SAME [[graft.ops.TextAnalysis.shardOf]] expression the logical
+    * assignment uses (one definition — the layout cannot drift), and the
+    * frame RANGE-repartitions on it: equal shard values always land in
+    * one partition, so each shard stays a single sorted file, and range
+    * boundaries give ~one shard per task (a hash repartition collides
+    * distinct shard values birthday-style — ~1/e of tasks idle while
+    * others write 2-3 shards serially, the wall-clock gate at scale).
+    * No join back to an assignment table (that would shuffle the corpus
+    * twice). Trainers read shard=K dirs round-robin.
     */
-  def writeShards(docs: DataFrame, numShards: Int, path: String): Unit = {
-    val key = md5(concat(lit("shard|"), col("doc_id").cast("string")))
-    docs.withColumn("shard",
-        pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
-          lit(numShards)))
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("shard"), key, col("doc_id"))
+  def writeShards(docs: DataFrame, numShards: Int, path: String): Unit =
+    docs.withColumn("shard", graft.ops.TextAnalysis.shardOf(numShards))
+      .repartitionByRange(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), graft.ops.TextAnalysis.shardKey,
+        col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
-  }
 
   /** Small-file compaction: rewrite a parquet directory into
     * `targetFiles` files (the operational fix for accumulating tiny
