@@ -1609,6 +1609,32 @@ object Queries {
         |FROM q WHERE nw >= 30 AND sr <= 0.3
         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
+    // Pipeline funnel: per-stage doc/token survivor counts for the n22
+    // pipeline (raw → dedup keeper → quality → train split) — the
+    // where-did-the-tokens-go observability query, one scan + one agg.
+    ("n63_pipeline_funnel",
+      (s: SparkSession, d: String) => TextAnalysis.pipelineFunnel(docs(s, d)),
+      Some(s"""WITH base AS (SELECT doc_id, md5(text) AS h,
+        |    len(string_split(text, ' ')) AS nw,
+        |    round(len(list_filter(string_split(text, ' '), w -> w IN $Stop))::double
+        |      / len(string_split(text, ' ')), 6) AS sr,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |  FROM documents),
+        |k AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS keep FROM base),
+        |f AS (SELECT count(*) AS d0, CAST(sum(nw) AS BIGINT) AS t0,
+        |  count(*) FILTER (WHERE keep) AS d1,
+        |  CAST(sum(nw) FILTER (WHERE keep) AS BIGINT) AS t1,
+        |  count(*) FILTER (WHERE keep AND nw >= 30 AND sr <= 0.3) AS d2,
+        |  CAST(sum(nw) FILTER (WHERE keep AND nw >= 30 AND sr <= 0.3) AS BIGINT) AS t2,
+        |  count(*) FILTER (WHERE keep AND nw >= 30 AND sr <= 0.3 AND b < 80) AS d3,
+        |  CAST(sum(nw) FILTER (WHERE keep AND nw >= 30 AND sr <= 0.3 AND b < 80) AS BIGINT) AS t3
+        |  FROM k)
+        |SELECT '0_raw' AS stage, d0 AS n_docs, t0 AS n_tokens FROM f
+        |UNION ALL SELECT '1_exact_dedup', d1, t1 FROM f
+        |UNION ALL SELECT '2_quality', d2, t2 FROM f
+        |UNION ALL SELECT '3_train_split', d3, t3 FROM f
+        |ORDER BY stage""".stripMargin)),
+
     ("n25_tfidf_top_terms",
       (s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(docs(s, d), 5),
       Some("""WITH tfc AS (

@@ -623,7 +623,11 @@ object Similarity {
     * zero-norm/null embeddings (cos null against every probe) degrade
     * to a null max and SURVIVE — same keep-on-null convention as
     * [[cosOrNull]], pinned against a join+groupBy twin in
-    * SimilaritySpec.
+    * SimilaritySpec. An EMPTY probe set contaminates nothing: the whole
+    * corpus survives with a null max (the registry oracle's cross-join
+    * formulation would return zero rows there — it pins a non-empty
+    * probe set, so the engines agree everywhere the gate runs; the
+    * operator's keep-all semantics is the intended one).
     */
   def semanticDecontaminate(emb: DataFrame, nProbes: Int,
                             threshold: Double): DataFrame = {

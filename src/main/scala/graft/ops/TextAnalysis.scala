@@ -263,6 +263,55 @@ object TextAnalysis {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Pipeline funnel — per-stage survivor accounting for the n22
+    * training-corpus pipeline (raw → exact-dedup keeper → quality →
+    * train split), the observability query a production pipeline
+    * publishes with every run: where did the tokens go. All four stages
+    * are evaluated as FLAGS on one scan row (the keeper via a window
+    * over the content hash — the same single shuffle exact dedup
+    * already pays) and rolled up in ONE aggregate, then pivoted long;
+    * four filtered re-scans would read the corpus four times at 100 TB
+    * for numbers one pass already knows. Stage predicates reuse
+    * [[trainingCorpusCounts]]'s definitions verbatim, so the funnel can
+    * never disagree with the pipeline it explains (copies share a text,
+    * so flag order vs n22's filter-then-group is count-equivalent).
+    */
+  def pipelineFunnel(docs: DataFrame): DataFrame = {
+    val stopRatio = round(
+      size(filter(col("ws"), w => w.isin(Stopwords: _*))).cast("double") /
+        size(col("ws")), 6)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val flagged = docs
+      .select(md5(col("text")).as("h"), col("doc_id"),
+        words(col("text")).as("ws"))
+      .select(col("h"), col("doc_id"), size(col("ws")).as("n_words"),
+        stopRatio.as("stop_ratio"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("q", col("n_words") >= 30 && col("stop_ratio") <= 0.3)
+      .withColumn("tr", splitBucket < 80)
+    def d(cond: Column) = count(when(cond, 1))
+    def t(cond: Column) = sum(when(cond, col("n_words")))
+    flagged
+      .agg(count(lit(1)).as("d0"), sum(col("n_words")).as("t0"),
+        d(col("keep")).as("d1"), t(col("keep")).as("t1"),
+        d(col("keep") && col("q")).as("d2"),
+        t(col("keep") && col("q")).as("t2"),
+        d(col("keep") && col("q") && col("tr")).as("d3"),
+        t(col("keep") && col("q") && col("tr")).as("t3"))
+      .select(explode(array(
+        struct(lit("0_raw").as("stage"), col("d0").as("n_docs"),
+          col("t0").as("n_tokens")),
+        struct(lit("1_exact_dedup").as("stage"), col("d1").as("n_docs"),
+          col("t1").as("n_tokens")),
+        struct(lit("2_quality").as("stage"), col("d2").as("n_docs"),
+          col("t2").as("n_tokens")),
+        struct(lit("3_train_split").as("stage"), col("d3").as("n_docs"),
+          col("t3").as("n_tokens")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"),
+        col("s.n_tokens").as("n_tokens"))
+      .orderBy(col("stage"))
+  }
+
   /** Word n-grams over an ALREADY-PROJECTED words-array column. Callers
     * must bind `split(text)` to a column first — inlining the split makes
     * every element access re-split the text (O(words²) per row; measured

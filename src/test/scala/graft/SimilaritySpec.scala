@@ -475,6 +475,13 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1).isNullAt(1) && got(2).isNullAt(1))
   }
 
+  test("semanticDecontaminate with an empty probe set keeps the corpus") {
+    val emb = Seq((10L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(emb, 0, 0.35).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(10L))
+    assert(got(0).isNullAt(1))
+  }
+
   test("semanticDecontaminate matches the join+groupBy twin on sf0.001") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val e = emb.select(col("vec_id"),

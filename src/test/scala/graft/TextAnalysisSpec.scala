@@ -91,6 +91,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bucketToShards.values.exists(_.length > 1))
   }
 
+  test("pipelineFunnel: hand corpus — dedup, quality, and split stages") {
+    def bucket(id: Long) =
+      (BigInt("0" + java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).take(4).map("%02x".format(_))
+        .mkString, 16) % 100).toInt
+    val trainIds = (0L until 50L).filter(b => bucket(b) < 80)
+    val t1 = (1 to 30).map(i => s"w$i").mkString(" ") // 30 words, 0 stop
+    val keeper = trainIds.head        // smallest id → the dedup keeper
+    val dup = keeper + 40
+    val short = trainIds.find(i => i != keeper && i != dup).get
+    val docs = Seq((keeper, t1), (dup, t1), (short, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pipelineFunnel(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("0_raw", 3L, 62L),
+      ("1_exact_dedup", 2L, 32L),
+      ("2_quality", 1L, 30L),
+      ("3_train_split", 1L, 30L)))
+  }
+
   test("repetitionQuality: hand-computed ratios, null bigram on 1-word doc") {
     val docs = Seq(
       (1L, "a a b"),     // 3 words, 2 uniq, top 'a'=2; bigrams [a a, a b] all uniq
