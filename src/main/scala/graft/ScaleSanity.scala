@@ -129,6 +129,7 @@ object ScaleSanity {
         "n50_snapshot_diff", "n53_dup_clusters_collapsed",
         "n58_subword_tokens", "n59_lsh_tuning", "n60_shard_assignment",
         "n61_semantic_decontamination", "n62_ann_recall",
+        "n63_pipeline_funnel",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
