@@ -80,6 +80,23 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).nonEmpty, "expected equi-join operators")
   }
 
+  test("n60: shard ranks are per-shard windows — never a global " +
+    "row_number (a total-order barrier at 100 TB)") {
+    val p = plan("n60_shard_assignment")
+    assert(p.contains("row_number"))
+    assert(p.contains("windowspecdefinition(shard"),
+      s"rank must partition by shard:\n$p")
+  }
+
+  test("n63: the funnel is one scan — exactly one hash exchange (the " +
+    "dedup window), stages as flags not re-scans") {
+    val p = plan("n63_pipeline_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the content-hash window exchange:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected a single corpus scan:\n$p")
+  }
+
   test("n9: probe side broadcast; no cartesian on the corpus") {
     val p = plan("n9_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
