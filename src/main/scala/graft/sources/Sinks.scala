@@ -131,15 +131,32 @@ object Sinks {
       // that won the race → rename it straight back (or drop it if yet
       // another peer has re-published meanwhile — same corpus key, either
       // model is valid). A finished training run is never discarded.
-      // Remaining caveat (documented, not closed): a reader resolving the
-      // model path between the rename-aside and the rename-back can
-      // transiently see a missing directory — torn-dir REPAIR is
-      // trainer-safe but not reader-safe concurrently.
+      // A reader resolving the model path between the rename-aside and
+      // the rename-back transiently sees a missing directory — which is
+      // why reads go through [[readModel]]'s bounded retry (below and
+      // for external readers): repair is trainer-safe, and readers ride
+      // out the window instead of failing on it.
       val aside = new org.apache.hadoop.fs.Path(
         p.getParent, s".${p.getName}.torn-${System.nanoTime()}")
       if (fs.rename(p, aside)) {
         if (!markedIn(aside)) fs.delete(aside, true)
-        else if (fs.exists(p) || !fs.rename(aside, p)) fs.delete(aside, true)
+        else {
+          // the moved dir is a VALID model (a peer won the repair race
+          // and published between our judgment and the move): put it
+          // back. A transient rename-back failure must NOT discard a
+          // finished training run — retry, and if the path is still
+          // free but the rename keeps failing, LEAVE the aside dir for
+          // sweepModelTemps-style recovery (liveness: the train branch
+          // below republishes; the aside copy ages out or is recovered
+          // by an operator).
+          var restored = fs.exists(p)
+          var attempts = 0
+          while (!restored && attempts < 3) {
+            restored = fs.rename(aside, p) || fs.exists(p)
+            attempts += 1
+          }
+          if (restored && fs.exists(aside)) fs.delete(aside, true)
+        }
       } // rename lost a race (peer already repaired) — fall through
     }
     if (!fs.exists(p)) {
@@ -160,6 +177,33 @@ object Sinks {
           try fs.delete(tmp, true) catch { case _: Exception => () }
           throw e
       }
+    }
+    // a PEER's in-flight torn-dir repair can hold the path aside for a
+    // moment between our publish check and this read — ride it out
+    readModel(spark, path)
+  }
+
+  /** Read a model dir published by [[materializeModel]], riding out a
+    * concurrent torn-dir REPAIR's transient absence (the rename-aside →
+    * judge → rename-back window): bounded exponential backoff until the
+    * path resolves, then the read. A path still absent at the deadline
+    * fails with the underlying error — absence that long is a real
+    * missing model, not a repair window. This is the reader half of the
+    * repair contract: repair is trainer-safe by construction, and
+    * readers are safe by retry (the remaining mid-scan race — a repair
+    * moving files under an already-resolved scan — is the standard
+    * concurrent-mutation caveat every directory-shaped table has;
+    * tables needing stronger isolation publish through [[Versioned]]).
+    */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                waitMs: Long = 10000): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = System.currentTimeMillis() + waitMs
+    var delay = 25L
+    while (!fs.exists(p) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(delay)
+      delay = math.min(delay * 2, 500L)
     }
     spark.read.parquet(path)
   }
@@ -328,32 +372,52 @@ object Sinks {
   }
 
   /** Versioned-pointer table layout — the concurrent-reader-safe
-    * compaction the [[compact]] Scaladoc points at. Data lives in
-    * `table/v-<n>/`; a one-line `_current` file names the live version.
-    * Writers publish a COMPLETE new version directory (invisible until
-    * named) and then atomically replace the pointer via
-    * `FileContext.rename(OVERWRITE)`, so a reader that resolved the
-    * pointer a moment earlier keeps reading its (retained) version and a
-    * reader resolving now sees the new one — there is no instant where
-    * the table is absent or partial, on HDFS or local disk. On object
-    * stores the pointer PUT is atomic where directory rename is not,
-    * which is exactly why table formats commit through a pointer/manifest;
-    * retention (`keepVersions`) covers in-flight readers, mirroring their
-    * snapshot-expiry contract.
+    * compaction the [[compact]] Scaladoc points at. A one-line
+    * `_current` file names the live version `v-<n>`; every version dir
+    * carries a tiny `_MANIFEST` naming the DATA directories (relative to
+    * the table root) that make up that snapshot, plus string metadata.
+    * Two commit shapes share the layout:
+    *
+    *   - [[publish]] (full): data is written INTO `v-<n>/` and the
+    *     manifest references only it — O(df), the rewrite/compact shape;
+    *   - [[append]] (incremental): ONLY the new rows are written, to
+    *     `data/c-<n>-<nanos>/`, and the manifest = the previous
+    *     version's directory list + the new commit dir — O(batch)
+    *     regardless of table size. This is what keeps a streaming ingest
+    *     LINEAR over its life: B batches write O(total new rows) bytes,
+    *     not O(B·index) (the table-format commit idea — a version is a
+    *     manifest, not a copy).
+    *
+    * Writers make the new version COMPLETE (invisible until named) and
+    * then atomically replace the pointer via POSIX/`FileContext` rename,
+    * so a reader that resolved the pointer a moment earlier keeps
+    * reading its (retained) version and a reader resolving now sees the
+    * new one — there is no instant where the table is absent or partial.
+    * Retention (`keepVersions`) covers in-flight readers; pruning
+    * removes version dirs past retention and garbage-collects `data/`
+    * commit dirs no retained manifest references (a full version dir
+    * referenced by a newer append manifest survives until that manifest
+    * itself is pruned). Version dirs published before the manifest
+    * scheme (data, no `_MANIFEST`) read as themselves.
     *
     * WRITE CONCURRENCY CONTRACT: readers are unlimited; writers are
-    * serialized by a LOCK-FILE LEASE taken inside [[publish]] — an
-    * atomic exclusive create of `_publish.lock` (create-fails-if-exists
-    * is atomic on HDFS and, via NIO O_EXCL, on local disk). A second
+    * serialized by a LOCK-FILE LEASE — an atomic exclusive create of
+    * `_publish.lock` carrying the holder's OWNER TOKEN. A second
     * in-flight publisher fails LOUDLY with
     * ConcurrentModificationException instead of racing the version
-    * number and having its unfinished dir orphan-swept; callers retry
-    * after the winner finishes. A publisher that dies holding the lock
-    * is self-healed by a lease age-out (`lockLeaseMs`, default 15 min —
-    * size it above the longest version write). Full optimistic
-    * multi-writer commit (pointer CAS + automatic retry) remains a table
-    * format's job; the lease turns the documented race into a detected,
-    * recoverable failure.
+    * number; callers retry after the winner finishes. A publisher that
+    * dies holding the lock is self-healed by a lease age-out
+    * (`lockLeaseMs`, default 15 min — size it above the longest version
+    * write): the breaker RENAMES the stale lock to a unique name before
+    * deleting it, so two breakers can never each delete-then-create and
+    * both enter (rename is atomic; exactly one wins). Release deletes
+    * the lock only while it still holds this publisher's token — a
+    * holder that overran its lease never deletes a successor's lock.
+    * Only create-fails-if-exists maps to the loud contention error;
+    * any other IOException (permissions, quota, network) propagates
+    * as itself. Full optimistic multi-writer commit (pointer CAS +
+    * automatic retry) remains a table format's job; the lease turns the
+    * documented race into a detected, recoverable failure.
     */
   object Versioned {
     private def fsOf(spark: org.apache.spark.sql.SparkSession,
@@ -363,9 +427,20 @@ object Sinks {
     private def pointer(table: String) =
       new org.apache.hadoop.fs.Path(table, "_current")
 
-    /** The live version's data path, from the pointer file. */
+    private val ManifestHeader = "graft-manifest-v1"
+
+    /** The live version's data path, from the pointer file. For an
+      * append (manifest-only) version this is the version DIRECTORY —
+      * resolve its data through [[read]]/[[currentDirs]], not a direct
+      * parquet read of this path.
+      */
     def currentPath(spark: org.apache.spark.sql.SparkSession,
-                    table: String): String = {
+                    table: String): String =
+      new org.apache.hadoop.fs.Path(table,
+        currentVersion(spark, table)).toString
+
+    private def currentVersion(spark: org.apache.spark.sql.SparkSession,
+                               table: String): String = {
       val ptr = pointer(table)
       val fs = fsOf(spark, ptr)
       val in = fs.open(ptr)
@@ -373,56 +448,156 @@ object Sinks {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       require(name.matches("v-\\d+"), s"corrupt pointer $ptr: '$name'")
-      new org.apache.hadoop.fs.Path(table, name).toString
+      name
+    }
+
+    /** Parse a version dir's `_MANIFEST`: (meta, data dirs relative to
+      * the table root). None for a pre-manifest (legacy) version dir,
+      * which reads as itself.
+      */
+    private def manifest(fs: org.apache.hadoop.fs.FileSystem,
+                         tableP: org.apache.hadoop.fs.Path, vName: String)
+        : Option[(Map[String, String], Seq[String])] = {
+      val mf = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(tableP, vName), "_MANIFEST")
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toVector
+          finally in.close()
+        require(lines.headOption.contains(ManifestHeader),
+          s"corrupt manifest $mf: ${lines.headOption.getOrElse("<empty>")}")
+        val meta = lines.collect {
+          case l if l.startsWith("meta ") =>
+            val kv = l.drop(5).split("=", 2)
+            kv(0) -> (if (kv.length > 1) kv(1) else "")
+        }.toMap
+        val dirs = lines.collect { case l if l.startsWith("dir ") => l.drop(4) }
+        Some((meta, dirs))
+      }
+    }
+
+    /** The data directories of version `vName`, absolute. */
+    private def dirsOf(fs: org.apache.hadoop.fs.FileSystem,
+                       tableP: org.apache.hadoop.fs.Path,
+                       vName: String): Seq[String] =
+      manifest(fs, tableP, vName).map(_._2).getOrElse(Seq(vName))
+        .map(rel => new org.apache.hadoop.fs.Path(tableP, rel).toString)
+
+    /** The live version's data directories — the reader-side seam for
+      * engines that want the file list (manifest resolution without a
+      * DataFrame).
+      */
+    def currentDirs(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Seq[String] = {
+      val tableP = new org.apache.hadoop.fs.Path(table)
+      dirsOf(fsOf(spark, tableP), tableP, currentVersion(spark, table))
+    }
+
+    /** The live version's metadata (empty for legacy/meta-less
+      * versions) — O(1): one tiny manifest read, never a data scan.
+      * This is where an ingest keeps its high-water batch id instead of
+      * aggregating the whole index per batch.
+      */
+    def meta(spark: org.apache.spark.sql.SparkSession,
+             table: String): Map[String, String] = {
+      val tableP = new org.apache.hadoop.fs.Path(table)
+      manifest(fsOf(spark, tableP), tableP, currentVersion(spark, table))
+        .map(_._1).getOrElse(Map.empty)
     }
 
     /** Read the live version — the reader half of the contract. */
     def read(spark: org.apache.spark.sql.SparkSession,
              table: String): DataFrame =
-      spark.read.parquet(currentPath(spark, table))
+      spark.read.parquet(currentDirs(spark, table): _*)
 
-    /** Publish `df` as the next version and atomically repoint `_current`
-      * to it; returns the new version's path. Versions older than the
-      * newest `keepVersions` are pruned (in-flight readers of a retained
-      * version are unaffected; size retention to reader lifetimes).
-      * Throws ConcurrentModificationException when another publisher
-      * holds the lease (see the concurrency contract above) — retry
-      * after it finishes; a crashed holder's lock ages out after
-      * `lockLeaseMs`.
+    /** Publish `df` as a FULL next version (complete data rewrite) and
+      * atomically repoint `_current`; returns the new version's path.
+      * Versions older than the newest `keepVersions` are pruned
+      * (in-flight readers of a retained version are unaffected; size
+      * retention to reader lifetimes). `meta` is stamped into the
+      * version's manifest ([[Versioned.meta]] reads it back). Throws
+      * ConcurrentModificationException when another publisher holds the
+      * lease — retry after it finishes; a crashed holder's lock ages
+      * out after `lockLeaseMs`.
       */
     def publish(df: DataFrame, table: String, keepVersions: Int = 2,
-                lockLeaseMs: Long = 15L * 60 * 1000): String = {
-      val spark = df.sparkSession
+                lockLeaseMs: Long = 15L * 60 * 1000,
+                meta: Map[String, String] = Map.empty): String =
+      withLease(df.sparkSession, table, lockLeaseMs) { (tableP, fs) =>
+        commitLocked(df, df.sparkSession, tableP, fs, table, keepVersions,
+          meta, inherit = false)
+      }
+
+    /** Append `df` as the next version WITHOUT rewriting existing data:
+      * only the new rows are written (to `data/c-<n>-<nanos>/`); the new
+      * version's manifest inherits the previous version's directory
+      * list. O(batch) per call — the streaming-ingest publish shape.
+      * Same lease, retention, and meta contract as [[publish]].
+      * Appended batches must share the live schema (the reader resolves
+      * a multi-directory parquet scan).
+      */
+    def append(df: DataFrame, table: String, keepVersions: Int = 2,
+               lockLeaseMs: Long = 15L * 60 * 1000,
+               meta: Map[String, String] = Map.empty): String =
+      withLease(df.sparkSession, table, lockLeaseMs) { (tableP, fs) =>
+        commitLocked(df, df.sparkSession, tableP, fs, table, keepVersions,
+          meta, inherit = true)
+      }
+
+    private def withLease[A](spark: org.apache.spark.sql.SparkSession,
+                             table: String, lockLeaseMs: Long)(
+        body: (org.apache.hadoop.fs.Path,
+               org.apache.hadoop.fs.FileSystem) => A): A = {
       val tableP = new org.apache.hadoop.fs.Path(table)
       val fs = fsOf(spark, tableP)
       fs.mkdirs(tableP)
       val lock = new org.apache.hadoop.fs.Path(tableP, "_publish.lock")
       // break a dead publisher's lease: age-gated, like sweepModelTemps —
-      // a LIVE publisher's lock is younger than lockLeaseMs by contract
+      // a LIVE publisher's lock is younger than lockLeaseMs by contract.
+      // The break is rename-then-delete, NOT delete-in-place: two racing
+      // breakers each running delete-then-create could interleave so the
+      // slower delete removes the faster breaker's FRESH lock and both
+      // enter. Rename to a unique name is atomic — exactly one breaker's
+      // rename succeeds; the loser falls through to the exclusive create
+      // and loses that too.
       if (fs.exists(lock) &&
           fs.getFileStatus(lock).getModificationTime <
-            System.currentTimeMillis() - lockLeaseMs)
-        fs.delete(lock, false)
-      // atomic exclusive create = the lease acquisition. On the local FS
-      // Hadoop's create(overwrite=false) is check-then-create (TOCTOU), so
-      // local paths go through NIO createFile (O_EXCL, atomic); elsewhere
-      // (HDFS) create-fails-if-exists is atomic server-side.
+            System.currentTimeMillis() - lockLeaseMs) {
+        val broken = new org.apache.hadoop.fs.Path(tableP,
+          s"._publish.lock.broken-${System.nanoTime()}")
+        if (scala.util.Try(fs.rename(lock, broken)).getOrElse(false))
+          fs.delete(broken, false)
+      }
+      // atomic exclusive create = the lease acquisition, carrying this
+      // publisher's owner token so release can prove ownership. On the
+      // local FS Hadoop's create(overwrite=false) is check-then-create
+      // (TOCTOU), so local paths go through NIO (O_EXCL, atomic);
+      // elsewhere (HDFS) create-fails-if-exists is atomic server-side.
+      // ONLY already-exists means contention — any other IOException
+      // (permissions, quota, network) is a real infrastructure failure
+      // and propagates as itself instead of masquerading as a lease
+      // holder that will never release.
+      val token = java.util.UUID.randomUUID().toString
       val acquired =
         try {
           if (fs.getUri.getScheme == "file")
-            java.nio.file.Files.createFile(
-              java.nio.file.Paths.get(lock.toUri.getPath))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(lock.toUri.getPath),
+              token.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
           else {
             val out = fs.create(lock, false)
-            try out.write(
-              String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+            try out.write(token.getBytes("UTF-8"))
             finally out.close()
           }
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.io.IOException => false
         }
       if (!acquired)
         throw new java.util.ConcurrentModificationException(
@@ -430,19 +605,39 @@ object Sinks {
             "to a Versioned table are serialized by this lease (loud " +
             "failure, not a silent race). Retry after the holder finishes; " +
             s"a crashed holder's lock ages out after ${lockLeaseMs} ms.")
-      try publishLocked(df, spark, tableP, fs, table, keepVersions)
-      finally fs.delete(lock, false)
+      try body(tableP, fs)
+      finally releaseIfOwned(fs, lock, token)
     }
 
-    private def publishLocked(df: DataFrame,
-                              spark: org.apache.spark.sql.SparkSession,
-                              tableP: org.apache.hadoop.fs.Path,
-                              fs: org.apache.hadoop.fs.FileSystem,
-                              table: String, keepVersions: Int): String = {
-      // sweep pointer temps a crashed publisher left behind (uniquely
-      // named, so they accumulate silently otherwise)
+    /** Delete the lease only while it still carries `token`: a publisher
+      * that overran its lease (its lock aged out and a successor broke
+      * it and acquired) must NOT delete the successor's lock on the way
+      * out. A read failure (lock already gone) is a no-op.
+      */
+    private[graft] def releaseIfOwned(fs: org.apache.hadoop.fs.FileSystem,
+                                        lock: org.apache.hadoop.fs.Path,
+                                        token: String): Boolean = {
+      val owned = scala.util.Try {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }.toOption.contains(token)
+      owned && fs.delete(lock, false)
+    }
+
+    private def commitLocked(df: DataFrame,
+                             spark: org.apache.spark.sql.SparkSession,
+                             tableP: org.apache.hadoop.fs.Path,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             table: String, keepVersions: Int,
+                             metaKv: Map[String, String],
+                             inherit: Boolean): String = {
+      // sweep pointer temps and renamed-aside stale locks a crashed
+      // publisher/breaker left behind (uniquely named, so they
+      // accumulate silently otherwise)
       fs.listStatus(tableP).toSeq
-        .filter(_.getPath.getName.contains("_current.tmp-"))
+        .filter(s => s.getPath.getName.contains("_current.tmp-") ||
+          s.getPath.getName.startsWith("._publish.lock.broken-"))
         .foreach(s => fs.delete(s.getPath, false))
       // Sweep ORPHAN versions too: a publisher that crashed after writing
       // its version dir but before repointing leaves a dir numbered above
@@ -477,16 +672,44 @@ object Sinks {
       val next = (existing.sorted.lastOption.getOrElse(0L) + 1)
       val vName = s"v-$next"
       val vPath = new org.apache.hadoop.fs.Path(tableP, vName)
-      df.write.mode(SaveMode.Overwrite).parquet(vPath.toString)
-      // The version dir is complete (committer-renamed) but unnamed until
-      // the pointer moves — publish = one atomic file replace. The replace
-      // primitive is filesystem-specific: HDFS's rename(OVERWRITE) is
-      // atomic, but on the LOCAL filesystem Hadoop's overwrite rename is
-      // delete-then-rename — a reader between the two sees NO pointer
-      // (observed as a FileNotFoundException under a racing reader), so
-      // local paths go through POSIX rename(2) via NIO, which replaces
-      // atomically. Object stores without an atomic replace need their
-      // atomic PUT (a table format's commit protocol) instead.
+      // --- data: full rewrite into the version dir, or O(batch) commit
+      // dir + inherited manifest (the append-only path) ---
+      val dirs: Seq[String] =
+        if (!inherit) {
+          df.write.mode(SaveMode.Overwrite).parquet(vPath.toString)
+          Seq(vName)
+        } else {
+          val inherited = pointed match {
+            case Some(v) => manifest(fs, tableP, s"v-$v").map(_._2)
+              .getOrElse(Seq(s"v-$v"))
+            case None => Seq.empty
+          }
+          val commitDir = s"data/c-$next-${System.nanoTime()}"
+          df.write.mode(SaveMode.Overwrite).parquet(
+            new org.apache.hadoop.fs.Path(tableP, commitDir).toString)
+          inherited :+ commitDir
+        }
+      // --- manifest: tiny, written before the pointer names the version
+      metaKv.foreach { case (k, v) =>
+        require(k.matches("[A-Za-z0-9_.:-]+") && !v.contains("\n"),
+          s"manifest meta key/value not line-safe: '$k'='$v'")
+      }
+      val mf = new org.apache.hadoop.fs.Path(vPath, "_MANIFEST")
+      val body = (ManifestHeader +:
+        (metaKv.toSeq.sorted.map { case (k, v) => s"meta $k=$v" } ++
+          dirs.map(d => s"dir $d"))).mkString("", "\n", "\n")
+      val mfOut = fs.create(mf, true)
+      try mfOut.write(body.getBytes("UTF-8")) finally mfOut.close()
+      // The version is complete (data committer-renamed, manifest in
+      // place) but unnamed until the pointer moves — publish = one atomic
+      // file replace. The replace primitive is filesystem-specific:
+      // HDFS's rename(OVERWRITE) is atomic, but on the LOCAL filesystem
+      // Hadoop's overwrite rename is delete-then-rename — a reader
+      // between the two sees NO pointer (observed as a
+      // FileNotFoundException under a racing reader), so local paths go
+      // through POSIX rename(2) via NIO, which replaces atomically.
+      // Object stores without an atomic replace need their atomic PUT
+      // (a table format's commit protocol) instead.
       val ptr = pointer(table)
       if (fs.getUri.getScheme == "file") {
         val tmpNio = java.nio.file.Paths.get(ptr.toUri.getPath + s".tmp-${System.nanoTime()}")
@@ -504,10 +727,36 @@ object Sinks {
           tableP.toUri, spark.sparkContext.hadoopConfiguration)
         fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
-      // prune: never the live version, never the newest keepVersions
-      val stale = (existing :+ next).sorted.dropRight(math.max(1, keepVersions))
-      stale.foreach(v => fs.delete(
-        new org.apache.hadoop.fs.Path(tableP, s"v-$v"), true))
+      // --- prune versions: never the live one, never the newest
+      // keepVersions. A stale FULL version dir still referenced by a
+      // retained append manifest is DATA now — it survives until the
+      // last manifest referencing it is itself pruned (then it is stale
+      // and unreferenced, and this same pass deletes it).
+      val all = (existing :+ next).sorted
+      val retainedV = all.takeRight(math.max(1, keepVersions))
+      val referenced: Set[String] = retainedV
+        .flatMap(v => manifest(fs, tableP, s"v-$v").map(_._2)
+          .getOrElse(Seq(s"v-$v")))
+        .toSet
+      all.dropRight(math.max(1, keepVersions))
+        .filterNot(v => referenced.contains(s"v-$v"))
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(tableP, s"v-$v"), true))
+      // --- GC append-commit data dirs no surviving manifest references:
+      // pruned-away versions' commits, and a crashed append's data dir
+      // that never got a manifest (its version number was orphan-swept).
+      // Under the lease there is no in-flight writer to confuse this.
+      val dataP = new org.apache.hadoop.fs.Path(tableP, "data")
+      if (fs.exists(dataP)) {
+        val live: Set[String] = fs.listStatus(tableP).toSeq
+          .map(_.getPath.getName).filter(_.matches("v-\\d+"))
+          .flatMap(vn => manifest(fs, tableP, vn).map(_._2)
+            .getOrElse(Seq(vn)))
+          .toSet
+        fs.listStatus(dataP).toSeq
+          .filterNot(s => live.contains(s"data/${s.getPath.getName}"))
+          .foreach(s => fs.delete(s.getPath, true))
+      }
       vPath.toString
     }
 
@@ -527,12 +776,20 @@ object Sinks {
     }
 
     /** Reader-safe compaction: rewrite the live version into
-      * `targetFiles` files as a NEW version and repoint — the table never
-      * vanishes mid-swap, unlike [[Sinks.compact]]'s rename window.
+      * `targetFiles` files as a NEW FULL version and repoint — the table
+      * never vanishes mid-swap, unlike [[Sinks.compact]]'s rename
+      * window. For an append-built table this is the manifest-rewrite
+      * half of the contract: the new version's manifest references only
+      * the fresh data, and the old commit dirs are GC'd as their
+      * manifests age out of retention. The live version's metadata
+      * (e.g. the ingest's high-water batch id) is carried forward.
       */
     def compact(spark: org.apache.spark.sql.SparkSession, table: String,
-                targetFiles: Int, keepVersions: Int = 2): String =
-      publish(read(spark, table).repartition(targetFiles), table, keepVersions)
+                targetFiles: Int, keepVersions: Int = 2): String = {
+      val kv = meta(spark, table)
+      publish(read(spark, table).repartition(targetFiles), table,
+        keepVersions, meta = kv)
+    }
   }
 
   /** Re-runnable partitioned write: overwrites only the partitions present
@@ -540,14 +797,14 @@ object Sinks {
     * untouched. This is the 100 TB-safe idempotence story: a failed hourly
     * job re-runs without rewriting history.
     */
-  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit = {
-    val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    // dynamic overwrite as a PER-WRITE option — mutating the session conf
+    // would silently change every later partitioned write on the session
     df.withColumn("p_day", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_day")
       .parquet(path)
-  }
 
   /** Luigi-style memoized ATOMIC string artifact (the reference's
     * `LocalTarget.temporary_path()` + rename for its HTML reports,

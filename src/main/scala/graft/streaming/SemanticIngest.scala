@@ -32,17 +32,43 @@ import graft.sources.Sinks
   *
   * Scale shape: the per-batch work is [[Similarity
   * .incrementalSemanticDedup]]'s — the index streams map-side against
-  * the broadcast batch, never shuffling per batch; the Versioned
-  * publish rewrites index data once per batch (at very high ingest
-  * rates, compact the index on a schedule via [[Sinks.Versioned
-  * .compact]] and size `keepVersions` to reader lifetimes).
+  * the broadcast batch, never shuffling per batch — and the per-batch
+  * PUBLISH is [[Sinks.Versioned.append]]: an O(batch) manifest commit
+  * (only the batch's survivors are written; the index data is inherited
+  * by reference), so B batches write O(total survivors) bytes, not
+  * O(B·index). The replay high-water mark rides the version METADATA
+  * (`max_batch_id`) — one tiny manifest read per batch, never an index
+  * scan. Small per-batch files accumulate across commits; compact on a
+  * schedule via [[Sinks.Versioned.compact]] (it carries the metadata
+  * forward) and size `keepVersions` to reader lifetimes.
   */
 object SemanticIngest {
+
+  private val BatchIdMeta = "max_batch_id"
 
   private def indexExists(spark: SparkSession, table: String): Boolean = {
     val ptr = new org.apache.hadoop.fs.Path(table, "_current")
     ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ptr)
   }
+
+  /** The highest batch id already published into the index — from the
+    * live version's metadata (O(1): a manifest read, ZERO Spark jobs).
+    * An index published by a pre-metadata build falls back to the
+    * one-off `max(batch_id)` scan; every commit this object makes
+    * stamps the metadata, so the fallback runs at most once per table
+    * lifetime.
+    */
+  def maxPublished(spark: SparkSession, table: String): Long =
+    if (!indexExists(spark, table)) -1L
+    else Sinks.Versioned.meta(spark, table).get(BatchIdMeta) match {
+      case Some(v) => v.toLong
+      case None =>
+        Sinks.Versioned.read(spark, table)
+          .agg(max(col("batch_id"))).head() match {
+            case r if r.isNullAt(0) => -1L
+            case r => r.getLong(0)
+          }
+    }
 
   /** The published survivor index (vec_id, label, embedding, batch_id),
     * empty-but-typed when nothing has been published yet.
@@ -63,12 +89,8 @@ object SemanticIngest {
                   bucketBits: Int): Long = {
     val spark = batch.sparkSession
     val index = readIndex(spark, indexTable, batch)
-    val maxPublished = index.agg(max(col("batch_id"))).head() match {
-      case r if r.isNullAt(0) => -1L
-      case r => r.getLong(0)
-    }
     val survivors =
-      if (batchId <= maxPublished)
+      if (batchId <= maxPublished(spark, indexTable))
         // replay of an already-published batch: its survivors ARE the
         // index rows it stamped (computed against the pre-batch index —
         // recomputing here against the POST-batch index would wrongly
@@ -83,15 +105,27 @@ object SemanticIngest {
           .join(kept.select(col("vec_id")), Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("label"), col("embedding"))
           .withColumn("batch_id", lit(batchId))
-        Sinks.Versioned.publish(index.unionByName(enriched), indexTable)
+        // append-only manifest commit: O(batch) — only the survivors are
+        // written; the index data is inherited by reference. The old
+        // `publish(index ∪ batch)` rewrote the WHOLE index per batch —
+        // quadratic over the stream's life.
+        if (indexExists(spark, indexTable))
+          Sinks.Versioned.append(enriched, indexTable,
+            meta = Map(BatchIdMeta -> batchId.toString))
+        else
+          Sinks.Versioned.publish(enriched, indexTable,
+            meta = Map(BatchIdMeta -> batchId.toString))
         enriched.select(col("vec_id"), col("label"))
       }
     // sink write AFTER the publish: a crash in between replays into the
     // `batchId <= maxPublished` arm above, which rewrites exactly this
-    // partition from the index — no dupes, no losses
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // partition from the index — no dupes, no losses. Dynamic overwrite
+    // is a PER-WRITE option, not a session-conf mutation that would
+    // silently change every later partitioned write on this session.
     val rows = survivors.withColumn("batch_id", lit(batchId))
-    rows.write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(out)
+    rows.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(out)
     rows.count()
   }
 

@@ -57,13 +57,15 @@ class SemanticIngestSpec extends SparkSpec {
     val b1 = df((3L, A, 0), (4L, B, 1), (5L, B, 1))
 
     // CRASH AFTER PUBLISH, BEFORE SINK WRITE: run the publish half by
-    // hand (what a kill mid-ingestBatch leaves behind), then replay
+    // hand (what a kill mid-ingestBatch leaves behind — the same
+    // append-only commit ingestBatch makes), then replay
     val index = Sinks.Versioned.read(spark, table)
     val kept = graft.ops.Similarity.incrementalSemanticDedup(
       b1, index.select(col("vec_id"), col("embedding")), 0.3, 4)
-    Sinks.Versioned.publish(index.unionByName(
+    Sinks.Versioned.append(
       b1.join(kept.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        .withColumn("batch_id", lit(1L))), table)
+        .withColumn("batch_id", lit(1L)), table,
+      meta = Map("max_batch_id" -> "1"))
     // the replay must NOT re-dedup against the post-batch index (4 would
     // look like a near-dup of its own published copy) and must NOT
     // publish a second index version for batch 1
@@ -98,6 +100,106 @@ class SemanticIngestSpec extends SparkSpec {
     assert(Sinks.Versioned.breakLease(spark, table))
     assert(SemanticIngest.ingestBatch(
       df((4L, B, 1)), 1L, table, out, 0.3, 4) === 1L)
+  }
+
+  test("append-only publish: B batches write O(total new rows) bytes — " +
+    "the index is never rewritten per batch") {
+    val tmp = Files.createTempDirectory("graft_semingest_ob").toString
+    val (table, out) = (s"$tmp/index", s"$tmp/out")
+    def parquetBytesByFile(dir: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(root)) Map.empty
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet"))
+            .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+        } finally s.close()
+      }
+    }
+    // 12 constant-size batches of mutually-ORTHOGONAL vectors (one-hot
+    // over 96 dims — every pairwise cosine is 0, so all survive): under
+    // the old full-rewrite publish, batch b rewrote all b·|batch| index
+    // rows — new-bytes-per-batch GREW with b (quadratic total); under
+    // the append commit it must stay ~flat (one batch-sized commit dir)
+    def oneHot(id: Int) = Array.tabulate(96)(j => if (j == id) 1f else 0f)
+    val perBatchNewBytes = (0 until 12).map { b =>
+      val before = parquetBytesByFile(table)
+      SemanticIngest.ingestBatch(
+        df((0 until 8).map(i => (b * 8L + i, oneHot(b * 8 + i), b)): _*),
+        b.toLong, table, out, 0.3, 4)
+      val after = parquetBytesByFile(table)
+      // bytes in files that did not exist before this batch
+      after.collect {
+        case (p, n) if !before.contains(p) => n
+      }.sum
+    }
+    // every batch's newly-written bytes stay within a small constant
+    // factor of the FIRST batch's (parquet framing noise), instead of
+    // growing ~12x by the last batch as a full rewrite would
+    val base = perBatchNewBytes.head
+    perBatchNewBytes.zipWithIndex.foreach { case (n, b) =>
+      assert(n <= base * 2,
+        s"batch $b wrote $n new bytes (batch 0 wrote $base) — " +
+          "per-batch publish cost must not grow with index size")
+    }
+    // and the index still reads complete: every survivor, batch-stamped
+    assert(Sinks.Versioned.read(spark, table).count() === 96L)
+    // the replay high-water mark rides the version metadata
+    assert(SemanticIngest.maxPublished(spark, table) === 11L)
+  }
+
+  test("maxPublished reads version metadata with ZERO Spark jobs — no " +
+    "per-batch index scan in the ingest") {
+    val tmp = Files.createTempDirectory("graft_semingest_mj").toString
+    val (table, out) = (s"$tmp/index", s"$tmp/out")
+    SemanticIngest.ingestBatch(df((1L, A, 0)), 0L, table, out, 0.3, 4)
+    SemanticIngest.ingestBatch(df((4L, B, 1)), 1L, table, out, 0.3, 4)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(SemanticIngest.maxPublished(spark, table) === 1L)
+      // listener delivery is async; a started job's event lands well
+      // inside this window (the expectation is zero, so the sleep can
+      // only catch a regression, never flake a pass into a failure)
+      Thread.sleep(1000)
+      assert(jobs.get() === 0,
+        "the high-water mark must come from the manifest metadata, " +
+          "not an index aggregate")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("compaction between batches carries the high-water mark and " +
+    "collapses the per-batch commit dirs") {
+    val tmp = Files.createTempDirectory("graft_semingest_cp").toString
+    val (table, out) = (s"$tmp/index", s"$tmp/out")
+    // one-hot vectors: pairwise cosine 0 < threshold, so every batch's
+    // vector survives regardless of bucket collisions
+    def oneHot(id: Int) = Array.tabulate(16)(j => if (j == id) 1f else 0f)
+    (0 until 6).foreach(b => SemanticIngest.ingestBatch(
+      df((b.toLong, oneHot(b), b)), b.toLong, table, out, 0.3, 4))
+    Sinks.Versioned.compact(spark, table, 1)
+    assert(SemanticIngest.maxPublished(spark, table) === 5L,
+      "compact must carry the max_batch_id metadata forward")
+    // a later batch keeps ingesting normally over the compacted index
+    assert(SemanticIngest.ingestBatch(
+      df((100L, oneHot(8), 9)), 6L, table, out, 0.3, 4) === 1L)
+    assert(Sinks.Versioned.read(spark, table).count() === 7L)
+    // after one more commit cycles retention, the pre-compaction commit
+    // dirs are GC'd — the data dir holds only post-compaction commits
+    SemanticIngest.ingestBatch(
+      df((101L, oneHot(9), 9)), 7L, table, out, 0.3, 4)
+    val commits = new java.io.File(s"$table/data").listFiles()
+      .map(_.getName).filter(_.startsWith("c-")).sorted
+    assert(commits.forall(_.drop(2).takeWhile(_ != '-').toLong > 6),
+      s"pre-compaction commit dirs must be GC'd, found: ${commits.mkString(",")}")
   }
 
   test("foreachBatch wiring end-to-end: AvailableNow over staged files " +

@@ -5,6 +5,21 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.Sinks
 
+/** Local-disk FileSystem under a distinct scheme whose file CREATE fails
+  * with a quota-style IOException — drives the SinksSpec case proving a
+  * non-contention infrastructure failure during lease acquisition is
+  * not misreported as "another publisher holds the lock". Instantiated
+  * reflectively by Hadoop via `fs.graftmock.impl`.
+  */
+class QuotaFailLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftmock:///")
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (f.getName == "_publish.lock")
+      throw new java.io.IOException("simulated quota exceeded")
+    else super.create(f, overwrite)
+}
+
 /** S5-S7 sink semantics: memoized write (Luigi `output().exists()` skip)
   * and dynamic-partition idempotent re-run.
   */
@@ -284,6 +299,150 @@ class SinksSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(table, "_publish.lock")),
       "every exit path must release the lease")
+  }
+
+  test("versioned append: O(batch) manifest commits — data inherited by " +
+    "reference, read spans all commits, retention GCs unreferenced dirs") {
+    val table = Files.createTempDirectory("graft_vappend").toString + "/t"
+    Sinks.Versioned.publish(spark.range(0, 10).toDF("id"), table)   // v-1 full
+    Sinks.Versioned.append(spark.range(10, 15).toDF("id"), table)   // v-2
+    Sinks.Versioned.append(spark.range(15, 18).toDF("id"), table)   // v-3
+    assert(Sinks.Versioned.read(spark, table)
+      .as[Long].collect().sorted === (0L until 18L).toArray)
+    // the append commits live under data/, and v-1's full data survived
+    // retention (keep 2 → v-2, v-3) because v-3's manifest inherits it
+    val commits = new java.io.File(s"$table/data").listFiles()
+      .map(_.getName).filter(_.startsWith("c-"))
+    assert(commits.length === 2, s"got ${commits.mkString(",")}")
+    assert(new java.io.File(s"$table/v-1").isDirectory,
+      "a full version referenced by a retained append manifest is data " +
+        "now — it must survive its own retention window")
+    // an old reader that resolved v-2 a moment before v-3 landed still
+    // reads a complete snapshot (retention covers it)
+    // compact rewrites everything into one full version; once the append
+    // manifests age out of retention, v-1 and the commit dirs are GC'd
+    Sinks.Versioned.compact(spark, table, 1)                         // v-4
+    Sinks.Versioned.append(spark.range(18, 20).toDF("id"), table)    // v-5
+    Sinks.Versioned.append(spark.range(20, 21).toDF("id"), table)    // v-6
+    assert(Sinks.Versioned.read(spark, table)
+      .as[Long].collect().sorted === (0L until 21L).toArray)
+    assert(!new java.io.File(s"$table/v-1").exists(),
+      "once no retained manifest references the old full version it is GC'd")
+    val commitsAfter = new java.io.File(s"$table/data").listFiles()
+      .map(_.getName).filter(_.startsWith("c-")).sorted
+    assert(commitsAfter.forall(_.drop(2).takeWhile(_ != '-').toLong >= 5),
+      s"pre-compaction commits must be GC'd, got ${commitsAfter.mkString(",")}")
+  }
+
+  test("versioned meta: stamped at publish/append, O(1) read-back, " +
+    "carried forward by compact") {
+    val table = Files.createTempDirectory("graft_vmeta").toString + "/t"
+    Sinks.Versioned.publish(spark.range(5).toDF("id"), table,
+      meta = Map("max_batch_id" -> "0", "source" -> "unit"))
+    assert(Sinks.Versioned.meta(spark, table) ===
+      Map("max_batch_id" -> "0", "source" -> "unit"))
+    Sinks.Versioned.append(spark.range(5, 9).toDF("id"), table,
+      meta = Map("max_batch_id" -> "1"))
+    assert(Sinks.Versioned.meta(spark, table) === Map("max_batch_id" -> "1"))
+    Sinks.Versioned.compact(spark, table, 1)
+    assert(Sinks.Versioned.meta(spark, table) === Map("max_batch_id" -> "1"),
+      "compact must carry the live version's metadata forward")
+    assert(Sinks.Versioned.read(spark, table).count() === 9L)
+  }
+
+  test("versioned append onto a LEGACY (pre-manifest) version inherits " +
+    "its data dir by reference") {
+    val table = Files.createTempDirectory("graft_vlegacy").toString + "/t"
+    // a version published by the old layout: raw data dir + pointer,
+    // no _MANIFEST anywhere
+    spark.range(7).toDF("id").write.parquet(s"$table/v-1")
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "_current"),
+      "v-1".getBytes("UTF-8"))
+    assert(Sinks.Versioned.meta(spark, table) === Map.empty)
+    Sinks.Versioned.append(spark.range(7, 10).toDF("id"), table)
+    assert(Sinks.Versioned.read(spark, table)
+      .as[Long].collect().sorted === (0L until 10L).toArray)
+  }
+
+  test("stale-lease break is rename-based: the break leaves no residue " +
+    "and the publish proceeds") {
+    val table = Files.createTempDirectory("graft_vbreak").toString + "/t"
+    Sinks.Versioned.publish(spark.range(3).toDF("id"), table)
+    val lock = java.nio.file.Paths.get(table, "_publish.lock")
+    java.nio.file.Files.write(lock, "dead-holder-token".getBytes("UTF-8"))
+    assert(new java.io.File(lock.toString).setLastModified(
+      System.currentTimeMillis() - 16L * 60 * 1000))
+    Sinks.Versioned.publish(spark.range(8).toDF("id"), table)
+    assert(Sinks.Versioned.read(spark, table).count() === 8L)
+    assert(!java.nio.file.Files.exists(lock))
+    assert(!new java.io.File(table).listFiles().map(_.getName)
+        .exists(_.contains("_publish.lock.broken")),
+      "the renamed-aside stale lock must not accumulate")
+  }
+
+  test("lease release is owner-checked: an overrunning publisher never " +
+    "deletes a successor's lock") {
+    val table = Files.createTempDirectory("graft_vown").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table))
+    val lock = new org.apache.hadoop.fs.Path(table, "_publish.lock")
+    // successor's lock on disk; the overrunning holder's token differs
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "_publish.lock"),
+      "successor-token".getBytes("UTF-8"))
+    assert(!Sinks.Versioned.releaseIfOwned(fs, lock, "overrunner-token"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "_publish.lock")),
+      "a lock the releaser no longer owns must be left in place")
+    assert(Sinks.Versioned.releaseIfOwned(fs, lock, "successor-token"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "_publish.lock")))
+    // releasing an already-released lock is a quiet no-op
+    assert(!Sinks.Versioned.releaseIfOwned(fs, lock, "successor-token"))
+  }
+
+  test("a non-contention IOException during lease acquisition propagates " +
+    "as itself, not as the misleading 'another publisher holds the lock'") {
+    // a filesystem whose exclusive create fails with a quota-style
+    // IOException (NOT already-exists): the old catch-all mapped this to
+    // ConcurrentModificationException and told callers to retry forever
+    spark.sparkContext.hadoopConfiguration.set("fs.graftmock.impl",
+      classOf[QuotaFailLocalFs].getName)
+    val table = "graftmock://" +
+      Files.createTempDirectory("graft_vioerr").toString + "/t"
+    val e = intercept[java.io.IOException](
+      Sinks.Versioned.publish(spark.range(3).toDF("id"), table))
+    assert(!e.isInstanceOf[java.util.ConcurrentModificationException],
+      s"an infrastructure IOException must not be reported as lease " +
+        s"contention (got $e)")
+    assert(e.getMessage.contains("simulated quota exceeded"),
+      s"expected the underlying IO failure to surface, got $e")
+  }
+
+  test("readModel waits out a concurrent repair's transient absence " +
+    "instead of observing a missing model") {
+    val base = Files.createTempDirectory("graft_rsafe").toString
+    val dir = s"$base/m"
+    Sinks.materializeModel(spark, dir)(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    // a peer's torn-dir repair in progress: the model is aside right now
+    val aside = java.nio.file.Paths.get(base, ".m.torn-test")
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir), aside)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val read = scala.concurrent.Future {
+        Sinks.readModel(spark, dir, waitMs = 30000).count()
+      }
+      Thread.sleep(500)
+      assert(!read.isCompleted,
+        "the reader must WAIT through the repair window, not fail fast " +
+          "on the transient absence")
+      // repair finishes: the dir is renamed back
+      java.nio.file.Files.move(aside, java.nio.file.Paths.get(dir))
+      assert(scala.concurrent.Await.result(read,
+        scala.concurrent.duration.Duration(30, "s")) === 2L)
+    } finally pool.shutdown()
   }
 
   test("sweepModelTemps removes only this model's STALE train temps") {
