@@ -1036,6 +1036,37 @@ object Queries {
         |  round(CASE WHEN n_truth != 0 THEN n_hits::double / n_truth END, 6) AS recall
         |FROM c""".stripMargin)),
 
+    // Sampled twin of n59: the SAME harness over a deterministic
+    // md5-bucket 20% sample — the shape a 100 TB user tunes with (hold
+    // the absolute sample volume fixed as the corpus grows and the cost
+    // is flat in corpus size). The `documents` CTE shadows the base
+    // table so every n59 fragment runs on the sampled universe verbatim.
+    ("n65_lsh_tuning_sampled",
+      (s: SparkSession, d: String) =>
+        Dedup.lshTuningSampled(docs(s, d), 20, 50, 0.5),
+      Some(s"""WITH sdocs AS (SELECT * FROM documents
+        |  WHERE ('0x' || substring(md5('tune|' || doc_id::varchar), 1, 8))::bigint % 100 < 20),
+        |sh AS (${ShinglesCte.replace("FROM documents", "FROM sdocs")}), $MinhashCte, $BandsCte,
+        |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+        |    AND l.doc_id < r.doc_id AND r.doc_id - l.doc_id <= 50),
+        |sgs AS (SELECT d.doc_id, coalesce(s.sg, []) AS sg FROM sdocs d
+        |  LEFT JOIN (SELECT doc_id, list_distinct(list(sh)) AS sg FROM sh GROUP BY doc_id) s
+        |    ON d.doc_id = s.doc_id),
+        |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sgs a JOIN sgs b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+        |  WHERE len(list_distinct(a.sg || b.sg)) > 0
+        |    AND len(list_intersect(a.sg, b.sg))::double
+        |      / len(list_distinct(a.sg || b.sg)) >= 0.5),
+        |c AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+        |  (SELECT count(*) FROM cand) AS n_candidates,
+        |  (SELECT count(*) FROM truth t JOIN cand c2
+        |     ON t.doc_a = c2.doc_a AND t.doc_b = c2.doc_b) AS n_hits)
+        |SELECT n_truth, n_candidates, n_hits,
+        |  round(CASE WHEN n_candidates != 0 THEN n_hits::double / n_candidates END, 6) AS precision,
+        |  round(CASE WHEN n_truth != 0 THEN n_hits::double / n_truth END, 6) AS recall
+        |FROM c""".stripMargin)),
+
     ("n7_simhash",
       (s: SparkSession, d: String) => Dedup.simhash(docs(s, d)),
       Some(s"""WITH $SimhashCte
@@ -1104,6 +1135,41 @@ object Queries {
         |  round(count(a.vec_id)::double / count(*), 6) AS recall
         |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)),
+
+    // ANN recall-vs-width CURVE: recall@k for every candidate bucket
+    // width in ONE pass — rpPlanes are width-shared, so width w's bucket
+    // is the low w bits of the max-width bucket and the corpus buckets
+    // once. The evaluation that validates deriveBucketBits against a
+    // recall floor, not just candidate volume.
+    ("n64_ann_recall_curve",
+      (s: SparkSession, d: String) =>
+        Similarity.annRecallCurve(emb(s, d), 10, 5, Seq(2, 4, 6, 8, 10, 12)),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  ${rpBucketSql(12)} AS bucket FROM embeddings),
+        |p AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM e WHERE vec_id < 10),
+        |widths(bits, mask) AS (VALUES (2, 3), (4, 15), (6, 63), (8, 255), (10, 1023), (12, 4095)),
+        |truth AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM (SELECT q_id, vec_id, ${cosSql("q_emb", "emb")} AS cos
+        |    FROM e, p WHERE vec_id != q_id))
+        |  WHERE rnk <= 5),
+        |cand AS (SELECT w.bits AS bits, p.q_id AS q_id, e.vec_id AS vec_id,
+        |    ${cosSql("p.q_emb", "e.emb")} AS cos
+        |  FROM e JOIN p ON e.vec_id != p.q_id CROSS JOIN widths w
+        |  WHERE (e.bucket & w.mask) = (p.q_bucket & w.mask)),
+        |approx AS (SELECT bits, q_id, vec_id FROM (
+        |  SELECT bits, q_id, vec_id,
+        |    row_number() OVER (PARTITION BY bits, q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM cand)
+        |  WHERE rnk <= 5),
+        |tw AS (SELECT w.bits AS bits, t.q_id AS q_id, t.vec_id AS vec_id
+        |  FROM truth t CROSS JOIN widths w)
+        |SELECT t.bits, count(*) AS n_truth, count(a.vec_id) AS n_hits,
+        |  round(count(a.vec_id)::double / count(*), 6) AS recall
+        |FROM tw t LEFT JOIN approx a
+        |  ON t.bits = a.bits AND t.q_id = a.q_id AND t.vec_id = a.vec_id
+        |GROUP BY t.bits ORDER BY t.bits""".stripMargin)),
 
     ("n11_cosine_neardup",
       (s: SparkSession, d: String) =>

@@ -28,7 +28,12 @@ object ScaleSanity {
     // their uncollapsed twins at a given boilerplate fraction.
     val mode = args.lift(2).getOrElse("")
     val salted = mode == "salt"
-    val mixedPct = if (mode.startsWith("mixed")) mode.drop(5).toInt else -1
+    // tolerant parse so a malformed mode ('mixed', 'mixedX') reaches the
+    // require's explanatory message instead of a raw NumberFormatException
+    val mixedPct =
+      if (mode.startsWith("mixed"))
+        scala.util.Try(mode.drop(5).toInt).toOption.getOrElse(-1)
+      else -1
     require(mode.isEmpty || salted || (mixedPct >= 0 && mixedPct <= 100),
       s"mode '$mode' (want '', salt, or mixed<0-100>)")
     val out = s"/tmp/graft_sf_x$mult" +
@@ -129,7 +134,7 @@ object ScaleSanity {
         "n50_snapshot_diff", "n53_dup_clusters_collapsed",
         "n58_subword_tokens", "n59_lsh_tuning", "n60_shard_assignment",
         "n61_semantic_decontamination", "n62_ann_recall",
-        "n63_pipeline_funnel",
+        "n63_pipeline_funnel", "n64_ann_recall_curve",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
@@ -200,6 +205,57 @@ object ScaleSanity {
         mk().queryExecution.toRdd.count()
         println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
           s"$tag (bits=$bits)")
+      }
+    }
+    // sampled tuning at constant ABSOLUTE volume: pct ∝ 1/mult keeps the
+    // sampled universe ~1x-corpus-sized as the fixture grows — the cost
+    // the flat-in-corpus-size claim is about (the registry's fixed-20%
+    // entry grows with the corpus by construction: 20% of 50x is 10x)
+    if (wanted("n65_sampled_flat")) {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val pct = math.max(1, 100 / mult)
+      val t0 = System.nanoTime()
+      ops.Dedup.lshTuningSampled(docs, pct).queryExecution.toRdd.count()
+      println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+        s"n65_sampled_flat (pct=$pct)")
+    }
+    // the recall-vs-width CURVE at scale: one annRecallCurve pass over a
+    // width ladder PLUS the corpus-derived production width — the chart
+    // that validates deriveBucketBits against a recall floor (does the
+    // width the sizing rule picks still find the true neighbors at this
+    // corpus size, not just cut candidates?)
+    if (wanted("n64_recall_vs_bits")) {
+      val e = spark.read.parquet(s"$out/embeddings.parquet")
+      val derived = ops.Similarity.deriveBucketBits(e)
+      val widths = (Seq(2, 4, 6, 8, 10, 12) :+ derived).distinct.sorted
+      val t0 = System.nanoTime()
+      val curve = ops.Similarity.annRecallCurve(e, 20, 5, widths).collect()
+      println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+        s"n64_recall_vs_bits (derived=$derived)")
+      curve.foreach(r => println(
+        f"SCALE$mult%d   curve bits=${r.getInt(0)}%2d " +
+          f"recall=${r.getDouble(3)}%.4f" +
+          (if (r.getInt(0) == derived) "  <- derived" else "")))
+    }
+    // streaming ingest end-to-end: drive the foreachBatch core over 20+
+    // disjoint micro-batches and print PER-BATCH wall time — the
+    // measurement the append-only Versioned commit must keep flat as the
+    // index grows (the old full-rewrite publish grew it linearly per
+    // batch, quadratic over the stream)
+    if (wanted("semantic_ingest_stream")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/ingest"), true)
+      val e = spark.read.parquet(s"$out/embeddings.parquet")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val nBatches = 20
+      for (b <- 0 until nBatches) {
+        val batch = e.filter(pmod(col("vec_id"), lit(nBatches)) === b)
+        val t0 = System.nanoTime()
+        val kept = streaming.SemanticIngest.ingestBatch(batch, b.toLong,
+          s"$out/ingest/index", s"$out/ingest/out", 0.3, 0)
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"ingest_batch_$b (kept=$kept)")
       }
     }
     // train-once/score-many (n51/n52): training is paid once per corpus

@@ -309,6 +309,35 @@ object Dedup {
           col("n_hits").cast("double") / col("n_truth")), 6).as("recall"))
   }
 
+  /** Deterministic md5-bucket for sampling the tuning harness — the n19
+    * split-bucket machinery with its own salt, so sample membership never
+    * correlates with train/val/test buckets or shard boundaries.
+    */
+  def tuneSampleBucket: Column =
+    pmod(conv(substring(md5(concat(lit("tune|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(100))
+
+  /** [[lshTuning]] over a deterministic `samplePct`% md5-bucket sample —
+    * how a 100 TB corpus runs the harness. The full harness is LINEAR in
+    * corpus size by design (its cost IS the product: exact shingle-set
+    * intersects over every windowed pair), which is exactly right for an
+    * oracle and exactly wrong for routine tuning at scale; banding
+    * behavior is a per-pair property, so a uniform sample estimates the
+    * same precision/recall at samplePct/100 of the pair volume. Hold the
+    * ABSOLUTE sample volume fixed as the corpus grows (pct ∝ 1/n) and
+    * tuning cost stays flat in corpus size. Same caveat as the full
+    * harness: id-local dup bursts make any id-window estimate (sampled
+    * or not) optimistic — the sample inherits, not adds, that bias.
+    * The id window spans the sampled universe's ids (sparser than the
+    * full corpus's), mirroring the registry oracle exactly.
+    */
+  def lshTuningSampled(docs: DataFrame, samplePct: Int, window: Int = 50,
+                       threshold: Double = 0.5): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct must be 1..100, got $samplePct")
+    lshTuning(docs.filter(tuneSampleBucket < samplePct), window, threshold)
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash per doc from word-occurrence md5s: bit i of the

@@ -607,6 +607,71 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** ANN recall@k ACROSS bucket widths — the curve [[annRecall]]'s
+    * single-width number sits on, and the evaluation that validates
+    * [[deriveBucketBits]] against a target recall floor (not just
+    * candidate volume) before a 100 TB run commits to a width.
+    *
+    * One pass, not one per width: [[rpPlanes]] are width-shared by
+    * construction (plane i depends only on (seed, i, dims)), so the
+    * width-w bucket is the LOW w BITS of the max-width bucket —
+    * `bucket & (2^w − 1)`. The corpus is bucketed ONCE at `widths.max`;
+    * the probe side (an eval set — tiny) is exploded per width and
+    * broadcast, and candidate generation is one join whose predicate
+    * masks the shared bucket, exactly what a per-width re-scan would
+    * compute. Truth is [[bruteForceTopK]]'s scan, computed once and
+    * shared across all widths. Output: one row per width —
+    * (bits, n_truth, n_hits, recall), recall averaged over the whole
+    * probe set (n_hits / n_truth).
+    */
+  def annRecallCurve(emb: DataFrame, nProbes: Int, k: Int,
+                     widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty && widths.forall(w => w > 0 && w <= 24),
+      s"widths must be 1..24 hyperplanes, got $widths")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = probeDims(emb)
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", rpBucket(col("emb"), widths.max, dims))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val p = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val wdf = widths.sorted.map(w => (w, (1 << w) - 1)).toDF("bits", "mask")
+    // truth once, shared by every width
+    val truth = rankTopK(
+      e.crossJoin(broadcast(p)).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosOrNull(dot(col("q_emb"), col("emb")), col("q_nrm"), col("nrm"))
+            .as("cos")), k)
+      .select(col("q_id"), col("vec_id"))
+    // candidates: ONE masked-bucket join against the width-exploded
+    // broadcast probe set (probes × widths rows — eval-suite sized)
+    val pw = p.crossJoin(broadcast(wdf))
+    val approx = e.join(broadcast(pw),
+        (col("bucket").bitwiseAND(col("mask")) ===
+          col("q_bucket").bitwiseAND(col("mask"))) &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("bits"), col("q_id"), col("vec_id"),
+        cosOrNull(dot(col("q_emb"), col("emb")), col("q_nrm"), col("nrm"))
+          .as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bits"), col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val approxTopK = approx.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("bits"), col("q_id"), col("vec_id"), lit(1).as("hit"))
+    truth.crossJoin(broadcast(wdf.select(col("bits"))))
+      .join(approxTopK, Seq("bits", "q_id", "vec_id"), "left_outer")
+      .groupBy(col("bits"))
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .select(col("bits"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6)
+          .as("recall"))
+      .orderBy(col("bits"))
+  }
+
   /** Semantic decontamination: drop every corpus vector whose cosine
     * against ANY of the first `nProbes` vectors (the benchmark/eval
     * embedding set) reaches `threshold` — the embedding-side member of

@@ -291,6 +291,22 @@ class DedupSpec extends SparkSpec {
     if (r.getLong(1) === 0L) assert(r.isNullAt(3))
   }
 
+  test("lshTuningSampled: agrees with the full harness on the sampled " +
+    "universe; pct=100 is the full harness; the sample really shrinks") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sampledUniverse = d.filter(Dedup.tuneSampleBucket < 20)
+    val n = d.count()
+    val sn = sampledUniverse.count()
+    assert(sn > 0 && sn < n / 2,
+      s"a 20% md5-bucket sample must really sample ($sn of $n)")
+    // the sampled harness IS the harness over the sampled universe —
+    // pinned so a refactor can't silently fork the two paths
+    assert(Dedup.lshTuningSampled(d, 20).collect().toSeq ===
+      Dedup.lshTuning(sampledUniverse).collect().toSeq)
+    assert(Dedup.lshTuningSampled(d, 100).collect().toSeq ===
+      Dedup.lshTuning(d).collect().toSeq)
+  }
+
   test("incrementalDedup: corpus-known and within-batch dups both drop") {
     val corpus = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
     // "x" is corpus-known; "z" appears twice in the batch → keep min id

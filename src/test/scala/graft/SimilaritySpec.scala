@@ -460,6 +460,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.annRecall(emb, 5, 3).count() === 5) // derived bits
   }
 
+  test("annRecallCurve: recall is non-increasing in width (nested " +
+    "buckets), and the curve's aggregate agrees with annRecall at the " +
+    "shared width") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val curve = Similarity.annRecallCurve(emb, 10, 5, Seq(2, 4, 6, 8))
+      .collect()
+    assert(curve.map(_.getInt(0)).toSeq === Seq(2, 4, 6, 8))
+    curve.foreach { r =>
+      assert(r.getLong(1) === 50L, "n_truth = nProbes × k at every width")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // width w+Δ's buckets are refinements of width w's (shared-prefix
+    // planes): a truth item that stays a candidate can only lose
+    // competitors, and one that leaves the bucket loses its hit —
+    // per-item hits, and so recall, never increase with width
+    val recalls = curve.map(_.getDouble(3))
+    recalls.zip(recalls.tail).foreach { case (lo, hi) =>
+      assert(lo >= hi, s"recall must be non-increasing in bits: $lo < $hi")
+    }
+    // the 4-bit point IS annRecall's number, aggregated over probes
+    val per = Similarity.annRecall(emb, 10, 5, 4)
+      .agg(sum(col("n_truth")), sum(col("n_hits"))).head()
+    val at4 = curve.find(_.getInt(0) === 4).get
+    assert(at4.getLong(1) === per.getLong(0) &&
+      at4.getLong(2) === per.getLong(1),
+      "the curve's 4-bit row must aggregate annRecall's per-probe rows")
+  }
+
   test("semanticDecontaminate: hand corpus — near-probe dropped; " +
     "orthogonal, zero-norm, and null embeddings survive") {
     val emb = Seq(
