@@ -1171,6 +1171,48 @@ object Queries {
         |  ON t.bits = a.bits AND t.q_id = a.q_id AND t.vec_id = a.vec_id
         |GROUP BY t.bits ORDER BY t.bits""".stripMargin)),
 
+    // Multi-probe twin of n64 (probeRadius=1): every (probe, width) also
+    // scans the `bits` buckets one hyperplane-flip away — the standard
+    // recall repair for sign-LSH. On this near-uniform corpus the
+    // single-probe curve collapses at production widths (n64); this
+    // measures exactly how much Hamming-1 probing buys back per width.
+    ("n68_ann_recall_curve_mp",
+      (s: SparkSession, d: String) =>
+        Similarity.annRecallCurve(emb(s, d), 10, 5, Seq(2, 4, 6, 8, 10, 12),
+          probeRadius = 1),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  ${rpBucketSql(12)} AS bucket FROM embeddings),
+        |p AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM e WHERE vec_id < 10),
+        |widths(bits, mask) AS (VALUES (2, 3), (4, 15), (6, 63), (8, 255), (10, 1023), (12, 4095)),
+        |truth AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM (SELECT q_id, vec_id, ${cosSql("q_emb", "emb")} AS cos
+        |    FROM e, p WHERE vec_id != q_id))
+        |  WHERE rnk <= 5),
+        |pb AS (SELECT w.bits AS bits, w.mask AS mask, p.q_id AS q_id, p.q_emb AS q_emb,
+        |    unnest(list_distinct(list_append(
+        |      list_transform(generate_series(0, w.bits - 1),
+        |        i -> xor(p.q_bucket & w.mask, (2**i)::int)),
+        |      p.q_bucket & w.mask))) AS probe_bucket
+        |  FROM p CROSS JOIN widths w),
+        |cand AS (SELECT pb.bits AS bits, pb.q_id AS q_id, e.vec_id AS vec_id,
+        |    ${cosSql("pb.q_emb", "e.emb")} AS cos
+        |  FROM e JOIN pb ON (e.bucket & pb.mask) = pb.probe_bucket
+        |    AND e.vec_id != pb.q_id),
+        |approx AS (SELECT bits, q_id, vec_id FROM (
+        |  SELECT bits, q_id, vec_id,
+        |    row_number() OVER (PARTITION BY bits, q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM cand)
+        |  WHERE rnk <= 5),
+        |tw AS (SELECT w.bits AS bits, t.q_id AS q_id, t.vec_id AS vec_id
+        |  FROM truth t CROSS JOIN widths w)
+        |SELECT t.bits, count(*) AS n_truth, count(a.vec_id) AS n_hits,
+        |  round(count(a.vec_id)::double / count(*), 6) AS recall
+        |FROM tw t LEFT JOIN approx a
+        |  ON t.bits = a.bits AND t.q_id = a.q_id AND t.vec_id = a.vec_id
+        |GROUP BY t.bits ORDER BY t.bits""".stripMargin)),
+
     ("n11_cosine_neardup",
       (s: SparkSession, d: String) =>
         Similarity.cosineNearDupPairs(emb(s, d), 0.3, 100),
@@ -1431,6 +1473,29 @@ object Queries {
         |    AS decimal(18,6))) AS double) / count(*), 6) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
+    // Label-noise / embedding-QC pass: per-label centroid (component
+    // averages through round-6 + decimal — fold-order-independent, so
+    // both engines build the SAME centroid bit-exactly), then each
+    // vector's cosine to its own label's centroid; far-from-centroid
+    // rows are flagged. Null/zero-norm embeddings score NULL.
+    ("n66_label_centroid_outliers",
+      (s: SparkSession, d: String) =>
+        Similarity.labelCentroidOutliers(emb(s, d), 0.1),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |u0 AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos, emb FROM e),
+        |u AS (SELECT label, pos, round(emb[pos], 6) AS v FROM u0),
+        |c AS (SELECT label, pos,
+        |    round(CAST(sum(CAST(v AS decimal(18,6))) AS double) / count(*), 6) AS cv
+        |  FROM u GROUP BY label, pos),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS cemb FROM c GROUP BY label),
+        |x AS (SELECT e.vec_id AS vec_id, e.label AS label,
+        |    ${cosSql("e.emb", "cent.cemb")} AS cos_centroid
+        |  FROM e LEFT JOIN cent ON e.label = cent.label)
+        |SELECT vec_id, label, cos_centroid,
+        |  CASE WHEN cos_centroid IS NULL THEN NULL
+        |    ELSE CAST(cos_centroid < 0.1 AS INT) END AS is_outlier
+        |FROM x ORDER BY vec_id""".stripMargin)),
+
     // Normalization/scrub pass: lowercase, digit runs -> <num>, space
     // collapse, trim — per-row regex chain, identical in both engines
     // (DuckDB regexp_replace needs the 'g' flag to match Spark's
@@ -1657,6 +1722,23 @@ object Queries {
       Some("""SELECT word, count(*) AS tf FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY tf DESC, word ASC LIMIT 100""".stripMargin)),
+
+    // Tokenizer-fit signal: per-doc out-of-vocabulary rate against the
+    // top-100 corpus vocabulary (token OCCURRENCES counted). Vocab is
+    // k rows — broadcast; the coverage pass is one doc_id-keyed shuffle
+    // of two counts.
+    ("n67_vocab_coverage",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.vocabCoverage(docs(s, d), 100),
+      Some("""WITH v AS (SELECT word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 100),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
+        |  CAST(count(*) - count(v.word) AS BIGINT) AS n_oov,
+        |  round((count(*) - count(v.word))::double / count(*), 6) AS oov_rate
+        |FROM t LEFT JOIN v ON t.word = v.word
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
 
     // The composite training-corpus pipeline: exact dedup → quality
     // filter → deterministic split → per-(lang, split) accounting.

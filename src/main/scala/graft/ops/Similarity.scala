@@ -197,6 +197,46 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe variant of [[lshBucketTopK]]: each query scans its own
+    * sign bucket PLUS the `bits` buckets one hyperplane-flip away
+    * (Hamming-1 multi-probe — the standard recall repair for sign-LSH:
+    * a true neighbor lost to ONE noisy hyperplane is recovered instead
+    * of gone forever; see the multi-probe LSH literature). Candidate
+    * volume grows (bits+1)× — still a ~2^bits/(bits+1) cut over brute
+    * force — and the probe side stays a broadcast (nProbes × (bits+1)
+    * rows), so the corpus still never shuffles. [[annRecallCurve]] with
+    * `probeRadius = 1` is this operator's evaluation harness; on an
+    * unclustered (near-uniform) corpus single-probe recall collapses at
+    * production widths and this is the difference between a usable ANN
+    * and a random sample — measure, don't assume.
+    */
+  def lshBucketTopKMultiProbe(emb: DataFrame, nProbes: Int, k: Int,
+                              bucketBits: Int = 0): DataFrame = {
+    val bits = if (bucketBits > 0) bucketBits else deriveBucketBits(emb)
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket",
+        rpBucket(col("emb"), bits, probeDims(emb)))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val p = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      .withColumn("probe_bucket", explode(concat(
+        array(col("q_bucket")),
+        transform(sequence(lit(0), lit(bits - 1)), i =>
+          // shiftleft needs a literal count; 2^i is exact ≤ 2^24
+          col("q_bucket").bitwiseXOR(pow(lit(2d), i).cast("int"))))))
+    // a corpus vector's bucket is ONE value and the probe buckets are
+    // pairwise distinct, so each (q, vec) candidate appears exactly once
+    val scored = e.join(broadcast(p),
+        col("bucket") === col("probe_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosOrNull(dot(col("q_emb"), col("emb")), col("q_nrm"), col("nrm"))
+          .as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** IVF (inverted-file) ANN with deterministically-trained centroids:
     * Lloyd's k-means entirely in DataFrame ops — init = the first
     * `nCentroids` vectors, `iters` fixed assignment/update rounds (fixed
@@ -355,6 +395,47 @@ object Similarity {
         round(sum(col("nrm").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 6).as("avg_norm"))
       .orderBy(col("label"))
+
+  /** Per-label centroid + per-vector cosine-to-own-centroid — the
+    * label-noise / embedding-QC pass: a vector far from its label's
+    * centroid is a mislabeled or degenerate row, flagged BEFORE it
+    * poisons contrastive training. Output: (vec_id, label,
+    * cos_centroid, is_outlier∈{0,1}), is_outlier = cos < `threshold`
+    * (null cosine — null/zero-norm embedding or a label with no usable
+    * vectors — flags NULL, never crashes, like every cosine op here).
+    *
+    * Scale shape: the centroid aggregate runs on posexplode(label, dim)
+    * keys with map-side partial aggregation, so the exchange carries
+    * ~labels × dims rows per map partition — NOT corpus × dims (sum and
+    * count combine before the shuffle); the centroid table
+    * (labels × dims, KBs) then broadcast-joins back, and the cosine is
+    * a per-row codegen'd dot — zero further shuffle. Component sums go
+    * through round-6 + decimal(18,6), the [[labelNorms]] recipe, so the
+    * centroid — and therefore the cosine — is bit-identical across
+    * engines (a raw double sum would be fold-order-dependent).
+    */
+  def labelCentroidOutliers(emb: DataFrame,
+                            threshold: Double = 0.5): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val comps = e.select(col("label"), posexplode(col("emb")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(round(col("col"), 6).cast("decimal(18,6)"))
+        .cast("double") / count(lit(1)), 6).as("cv"))
+    val centroids = comps
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("cemb"))
+    e.join(broadcast(centroids), Seq("label"), "left_outer")
+      .withColumn("cos_centroid", cosOrNull(
+        dot(col("emb"), col("cemb")),
+        sqrt(dot(col("emb"), col("emb"))),
+        sqrt(dot(col("cemb"), col("cemb")))))
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        when(col("cos_centroid").isNotNull,
+          (col("cos_centroid") < threshold).cast("int")).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Scalar (int8) quantization of the embedding column — the 4× memory
     * cut that makes a 100 TB ANN index fit executor memory. Two passes:
@@ -625,9 +706,12 @@ object Similarity {
     * probe set (n_hits / n_truth).
     */
   def annRecallCurve(emb: DataFrame, nProbes: Int, k: Int,
-                     widths: Seq[Int]): DataFrame = {
+                     widths: Seq[Int], probeRadius: Int = 0): DataFrame = {
     require(widths.nonEmpty && widths.forall(w => w > 0 && w <= 24),
       s"widths must be 1..24 hyperplanes, got $widths")
+    require(probeRadius >= 0 && probeRadius <= 1,
+      s"probeRadius 0 (own bucket) or 1 (Hamming-1 multi-probe), got " +
+        probeRadius)
     val spark = emb.sparkSession
     import spark.implicits._
     val dims = probeDims(emb)
@@ -647,11 +731,26 @@ object Similarity {
             .as("cos")), k)
       .select(col("q_id"), col("vec_id"))
     // candidates: ONE masked-bucket join against the width-exploded
-    // broadcast probe set (probes × widths rows — eval-suite sized)
-    val pw = p.crossJoin(broadcast(wdf))
+    // broadcast probe set (probes × widths rows — eval-suite sized).
+    // probeRadius=1 further explodes each (probe, width) into its own
+    // bucket PLUS the `bits` buckets one sign-flip away (multi-probe
+    // LSH: a true neighbor straddling one hyperplane is recovered at
+    // (bits+1)× the probe rows — still eval-suite sized — instead of
+    // being lost to that plane forever)
+    val pw0 = p.crossJoin(broadcast(wdf))
+    val pw =
+      if (probeRadius == 0)
+        pw0.withColumn("probe_bucket",
+          col("q_bucket").bitwiseAND(col("mask")))
+      else
+        pw0.withColumn("probe_bucket", explode(array_distinct(concat(
+            array(col("q_bucket").bitwiseAND(col("mask"))),
+            transform(sequence(lit(0), col("bits") - 1), i =>
+              col("q_bucket").bitwiseAND(col("mask"))
+                // shiftleft needs a literal count; 2^i is exact ≤ 2^24
+                .bitwiseXOR(pow(lit(2d), i).cast("int")))))))
     val approx = e.join(broadcast(pw),
-        (col("bucket").bitwiseAND(col("mask")) ===
-          col("q_bucket").bitwiseAND(col("mask"))) &&
+        (col("bucket").bitwiseAND(col("mask")) === col("probe_bucket")) &&
           col("vec_id") =!= col("q_id"))
       .select(col("bits"), col("q_id"), col("vec_id"),
         cosOrNull(dot(col("q_emb"), col("emb")), col("q_nrm"), col("nrm"))

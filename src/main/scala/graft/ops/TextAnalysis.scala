@@ -222,6 +222,32 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("word").asc)
       .limit(k)
 
+  /** Per-document vocabulary coverage against the top-`k` corpus
+    * vocabulary — the tokenizer-fit signal: a doc whose tokens are
+    * mostly out-of-vocabulary (OOV) is noise, the wrong language, or
+    * evidence the tokenizer budget is too small. Output: (doc_id,
+    * n_tokens, n_oov, oov_rate), token OCCURRENCES counted (a doc
+    * repeating one rare word is still mostly OOV).
+    *
+    * Scale shape: the vocabulary is [[vocabulary]]'s word-count top-k
+    * (one map-side-combined shuffle + TakeOrdered tail); it is k rows —
+    * broadcast — so the coverage pass is explode → broadcast left join →
+    * ONE groupBy(doc_id) shuffle carrying (doc_id, two counts) partials.
+    * The corpus text never moves.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int): DataFrame = {
+    val vocab = vocabulary(docs, k).select(col("word"), lit(1).as("in_v"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(lit(1)).minus(count(col("in_v"))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The composite training-data preparation pipeline: exact dedup →
     * quality filter → deterministic split → per-(lang, split) corpus
     * accounting. Each stage is one of the operators above; chained, they

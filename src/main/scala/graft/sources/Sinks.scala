@@ -513,6 +513,51 @@ object Sinks {
              table: String): DataFrame =
       spark.read.parquet(currentDirs(spark, table): _*)
 
+    /** The version numbers still on disk, ascending. Every listed
+      * version is fully readable via [[readVersion]]: pruning removes
+      * whole version dirs past retention, and the data-dir GC only
+      * collects commit dirs referenced by NO version dir still present —
+      * a listed version's data is never out from under it.
+      */
+    def versions(spark: org.apache.spark.sql.SparkSession,
+                 table: String): Seq[Long] = {
+      val tableP = new org.apache.hadoop.fs.Path(table)
+      fsOf(spark, tableP).listStatus(tableP).toSeq
+        .map(_.getPath.getName).filter(_.matches("v-\\d+"))
+        .map(_.drop(2).toLong).sorted
+    }
+
+    /** TIME TRAVEL: read a pinned snapshot version — the reproducibility
+      * half of the versioned contract (a training run records the
+      * version number it read; a re-run months later reads the SAME
+      * rows even though the live table has moved on). Only versions
+      * within retention exist ([[versions]] lists them); a pruned
+      * version fails loudly with the retention knob to turn, instead of
+      * resolving to wrong data. Size `keepVersions` to the
+      * reproducibility window, not just reader lifetimes.
+      */
+    def readVersion(spark: org.apache.spark.sql.SparkSession,
+                    table: String, version: Long): DataFrame = {
+      val tableP = new org.apache.hadoop.fs.Path(table)
+      val fs = fsOf(spark, tableP)
+      require(fs.exists(new org.apache.hadoop.fs.Path(tableP, s"v-$version")),
+        s"version v-$version of $table does not exist " +
+          s"(on disk: ${versions(spark, table).mkString(", ")}) — " +
+          "pruned past keepVersions, or never published; raise " +
+          "keepVersions to cover the reproducibility window")
+      spark.read.parquet(dirsOf(fs, tableP, s"v-$version"): _*)
+    }
+
+    /** A pinned version's manifest metadata, like [[meta]] for the live
+      * one (empty for legacy/meta-less versions).
+      */
+    def metaOf(spark: org.apache.spark.sql.SparkSession,
+               table: String, version: Long): Map[String, String] = {
+      val tableP = new org.apache.hadoop.fs.Path(table)
+      manifest(fsOf(spark, tableP), tableP, s"v-$version")
+        .map(_._1).getOrElse(Map.empty)
+    }
+
     /** Publish `df` as a FULL next version (complete data rewrite) and
       * atomically repoint `_current`; returns the new version's path.
       * Versions older than the newest `keepVersions` are pruned

