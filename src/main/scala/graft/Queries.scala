@@ -1352,6 +1352,37 @@ object Queries {
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Per-source ADAPTIVE length thresholds (exact p05/p95 of token
+    // count) + outlier counts — the per-source length filter; a fixed
+    // global cutoff is wrong across tweet-like and book-like sources.
+    ("n69_length_outliers",
+      (s: SparkSession, d: String) => TextAnalysis.lengthOutliers(docs(s, d)),
+      Some("""WITH d AS (SELECT source, len(string_split(text, ' ')) AS nw FROM documents),
+        |s AS (SELECT source, round(quantile_cont(nw, 0.05), 4) AS p05,
+        |    round(quantile_cont(nw, 0.95), 4) AS p95
+        |  FROM d GROUP BY source)
+        |SELECT d.source AS source, count(*) AS n_docs, s.p05 AS p05, s.p95 AS p95,
+        |  CAST(sum(CASE WHEN d.nw < s.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN d.nw > s.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        |FROM d JOIN s USING (source)
+        |GROUP BY d.source, s.p05, s.p95 ORDER BY source""".stripMargin)),
+
+    // Per-source dataset card: volume, exact-dup fraction, language
+    // spread, quality pass rate — one scan + one per-source aggregate;
+    // the quality predicate is n22's verbatim.
+    ("n70_dataset_card",
+      (s: SparkSession, d: String) => TextAnalysis.datasetCard(docs(s, d)),
+      Some(s"""SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique_texts,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 30
+        |    AND round(len(list_filter(string_split(text, ' '), w -> w IN $Stop))::double
+        |      / len(string_split(text, ' ')), 6) <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  round(1 - count(DISTINCT md5(text))::double / count(*), 6) AS dup_frac,
+        |  round(sum(len(string_split(text, ' ')))::double / count(*), 6) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Per-doc token counts incl. the BPE-ish subword proxy (runs of
     // letters, digits, or single punctuation — the common pre-tokenizer
     // regex shape); the per-doc twin of n12's per-source roll-up.

@@ -135,6 +135,8 @@ object ScaleSanity {
         "n58_subword_tokens", "n59_lsh_tuning", "n60_shard_assignment",
         "n61_semantic_decontamination", "n62_ann_recall",
         "n63_pipeline_funnel", "n64_ann_recall_curve",
+        "n66_label_centroid_outliers", "n67_vocab_coverage",
+        "n68_ann_recall_curve_mp",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
@@ -228,14 +230,17 @@ object ScaleSanity {
       val e = spark.read.parquet(s"$out/embeddings.parquet")
       val derived = ops.Similarity.deriveBucketBits(e)
       val widths = (Seq(2, 4, 6, 8, 10, 12) :+ derived).distinct.sorted
-      val t0 = System.nanoTime()
-      val curve = ops.Similarity.annRecallCurve(e, 20, 5, widths).collect()
-      println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
-        s"n64_recall_vs_bits (derived=$derived)")
-      curve.foreach(r => println(
-        f"SCALE$mult%d   curve bits=${r.getInt(0)}%2d " +
-          f"recall=${r.getDouble(3)}%.4f" +
-          (if (r.getInt(0) == derived) "  <- derived" else "")))
+      for ((tag, radius) <- Seq("single-probe" -> 0, "multi-probe" -> 1)) {
+        val t0 = System.nanoTime()
+        val curve = ops.Similarity.annRecallCurve(e, 20, 5, widths, radius)
+          .collect()
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"n64_recall_vs_bits $tag (derived=$derived)")
+        curve.foreach(r => println(
+          f"SCALE$mult%d   $tag bits=${r.getInt(0)}%2d " +
+            f"recall=${r.getDouble(3)}%.4f" +
+            (if (r.getInt(0) == derived) "  <- derived" else "")))
+      }
     }
     // streaming ingest end-to-end: drive the foreachBatch core over 20+
     // disjoint micro-batches and print PER-BATCH wall time — the

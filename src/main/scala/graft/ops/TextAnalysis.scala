@@ -338,6 +338,67 @@ object TextAnalysis {
       .orderBy(col("stage"))
   }
 
+  /** Per-source ADAPTIVE length thresholds + outlier counts: exact p05 /
+    * p95 of per-doc token count within each source, and how many docs
+    * fall outside — the per-source length filter (a fixed global cutoff
+    * is wrong when one source is tweets and another is books; the
+    * RefinedWeb/Gopher-style rules are per-source quantiles). Two passes
+    * over a (source, nw) projection — the stats pass must complete
+    * before flagging can start (inherent to any adaptive threshold);
+    * both passes move two small columns, never the text, and the
+    * per-source stats table is broadcast back. Exact `percentile` is a
+    * per-group sort at 100 TB — swap `percentile_approx` in at scale
+    * (the b4/b13 twin relationship) once the thresholds are tuned.
+    */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"),
+      size(words(col("text"))).as("nw"))
+    val stats = d.groupBy(col("source")).agg(
+      round(expr("percentile(nw, 0.05)"), 4).as("p05"),
+      round(expr("percentile(nw, 0.95)"), 4).as("p95"))
+    d.join(broadcast(stats), Seq("source"))
+      .groupBy(col("source"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nw") < col("p05"), 1).otherwise(0)).as("n_short"),
+        sum(when(col("nw") > col("p95"), 1).otherwise(0)).as("n_long"))
+      .select(col("source"), col("n_docs"), col("p05"), col("p95"),
+        col("n_short"), col("n_long"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source DATASET CARD: the one-scan summary a corpus publishes
+    * with every release — volume (docs/tokens), exact-dup fraction,
+    * language spread, and quality pass rate per source. Quality reuses
+    * [[trainingCorpusCounts]]'s predicate verbatim (the n63 move), so
+    * the card can never disagree with the pipeline. ONE scan + one
+    * per-source aggregate; the distinct counts are two-phase
+    * (map-side partial distinct), and the text never travels — only
+    * (source, lang, md5, two small ints).
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val stopRatio = round(
+      size(filter(col("ws"), w => w.isin(Stopwords: _*))).cast("double") /
+        size(col("ws")), 6)
+    docs.select(col("source"), col("lang"), md5(col("text")).as("h"),
+        words(col("text")).as("ws"))
+      .select(col("source"), col("lang"), col("h"),
+        size(col("ws")).as("nw"), stopRatio.as("sr"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("nw")).as("total_tokens"),
+        count(when(col("nw") >= 30 && col("sr") <= 0.3, 1)).as("n_quality"))
+      .select(col("source"), col("n_docs"), col("n_unique_texts"),
+        col("n_langs"), col("total_tokens"), col("n_quality"),
+        round(lit(1d) - col("n_unique_texts").cast("double") /
+          col("n_docs"), 6).as("dup_frac"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Word n-grams over an ALREADY-PROJECTED words-array column. Callers
     * must bind `split(text)` to a column first — inlining the split makes
     * every element access re-split the text (O(words²) per row; measured

@@ -132,6 +132,17 @@ object SemanticIngest {
   /** Start the checkpointed streaming ingest over a parquet directory of
     * (vec_id, label, embedding) rows — [[ingestBatch]] wired into
     * foreachBatch; `schema` lets it start ahead of the first file.
+    *
+    * `compactEvery = k` (0 = off) compacts the index table after every
+    * k-th batch: append commits are O(batch) but accumulate one small
+    * data dir per batch, and a long-lived stream would otherwise leave
+    * the index a thousand-dir parquet scan. Compaction is the owning
+    * stream's job exactly because it holds the single-writer role; it
+    * runs BETWEEN batches under the same lease, carries the high-water
+    * metadata forward, and a replay after a crash mid-compact is safe
+    * (compact publishes a full version or nothing — the pointer swap is
+    * atomic). Amortized cost stays linear: each row is rewritten once
+    * per compaction cycle, not once per batch.
     */
   def startFromParquet(spark: SparkSession, dir: String, checkpoint: String,
                        indexTable: String, out: String,
@@ -139,7 +150,9 @@ object SemanticIngest {
                        glob: String = "*.parquet",
                        maxFilesPerTrigger: Option[Int] = None,
                        schema: Option[org.apache.spark.sql.types.StructType] =
-                         None)
+                         None,
+                       compactEvery: Int = 0,
+                       compactTargetFiles: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // this query is the index's single writer by construction; a prior
     // run that died holding the publish lease must not stall the resume
@@ -152,7 +165,11 @@ object SemanticIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestBatch(batch, id, indexTable, out, threshold, bucketBits); ()
+        ingestBatch(batch, id, indexTable, out, threshold, bucketBits)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0 &&
+            indexExists(spark, indexTable))
+          Sinks.Versioned.compact(spark, indexTable, compactTargetFiles)
+        ()
       }
       .start()
   }

@@ -227,4 +227,41 @@ class SemanticIngestSpec extends SparkSpec {
     assert(sinkRows(s"$tmp/out").map(_._2) === Set(1L, 4L))
     assert(Sinks.Versioned.read(spark, s"$tmp/index").count() === 2L)
   }
+
+  test("compactEvery: the stream compacts its own index between " +
+    "batches — data dirs stay bounded, content and high-water survive") {
+    val tmp = Files.createTempDirectory("graft_semingest_cp").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def stage(name: String, rows: (Long, Array[Float], Int)*): Unit = {
+      val staged = s"$tmp/stage_$name"
+      df(rows: _*).coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(in, s"$name.parquet"))
+    }
+    // six batches with pairwise |cos| <= 0.58: every vector survives, so
+    // each append commit adds a data dir — without compaction data/
+    // grows per batch
+    val vecs = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f),
+      Array(-1f, 1f, 1f), Array(1f, -1f, 1f), Array(1f, 1f, -1f))
+    for (b <- 0 until 6) stage(s"b$b", (10L + b, vecs(b), b))
+    val q = SemanticIngest.startFromParquet(spark, in, s"$tmp/ckpt",
+      s"$tmp/index", s"$tmp/out", threshold = 0.99, bucketBits = 4,
+      maxFilesPerTrigger = Some(1), compactEvery = 2)
+    q.awaitTermination(180000)
+    assert(q.exception.isEmpty, s"ingest stream failed: ${q.exception}")
+    assert(Sinks.Versioned.read(spark, s"$tmp/index").count() === 6L)
+    // batches 2 and 4 triggered compacts (full rewrites); the remaining
+    // append commit dirs are only those since the LAST compact — bounded
+    // by compactEvery, not by stream length
+    val dataDirs = Option(new java.io.File(s"$tmp/index/data").listFiles())
+      .map(_.count(_.getName.startsWith("c-"))).getOrElse(0)
+    assert(dataDirs <= 2,
+      s"auto-compaction must bound append commit dirs, got $dataDirs")
+    // the high-water mark survived the compacts: a replay of the final
+    // batch is recognized as already published
+    assert(SemanticIngest.maxPublished(spark, s"$tmp/index") === 5L)
+  }
 }

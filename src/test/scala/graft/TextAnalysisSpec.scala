@@ -46,6 +46,58 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 6L, 3L, 0.5)))
   }
 
+  test("lengthOutliers: per-source exact quantile thresholds flag the " +
+    "planted extremes, and only within their own source") {
+    // source A: nine 10-token docs + one 1-token + one 100-token; the
+    // p05/p95 of {1,10×9,100} (linear interpolation over 11 values) sit
+    // strictly between the extremes and the bulk, so exactly one short
+    // and one long flag. Source B's docs are all 50 tokens — its p05 =
+    // p95 = 50 and NOTHING flags, even though 10-token docs would all
+    // be "short" under A-derived or global thresholds.
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = ((1 to 9).map(i => (i.toLong, doc(10), "A")) ++
+      Seq((10L, doc(1), "A"), (11L, doc(100), "A")) ++
+      (12 to 14).map(i => (i.toLong, doc(50), "B")))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lengthOutliers(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("A")
+    assert(a.getLong(1) === 11L)
+    assert(a.getDouble(2) > 1.0 && a.getDouble(2) < 10.0,
+      s"p05 between the short extreme and the bulk, got ${a.getDouble(2)}")
+    assert(a.getDouble(3) > 10.0 && a.getDouble(3) < 100.0)
+    assert(a.getLong(4) === 1L && a.getLong(5) === 1L,
+      "exactly the planted extremes flag")
+    val b = r("B")
+    assert(b.getDouble(2) === 50.0 && b.getDouble(3) === 50.0)
+    assert(b.getLong(4) === 0L && b.getLong(5) === 0L,
+      "a uniform source flags nothing under its OWN thresholds")
+  }
+
+  test("datasetCard: per-source volume, dup fraction, and quality rate " +
+    "from one hand-checked corpus") {
+    val good = (1 to 40).map(i => s"tok$i").mkString(" ") // 40 words, 0 stop
+    val docs = Seq(
+      (1L, good, "en", "web"),
+      (2L, good, "en", "web"),       // exact dup of 1
+      (3L, "short doc", "fr", "web"),
+      (4L, good, "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.datasetCard(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val web = r("web")
+    assert(web.getLong(1) === 3L, "n_docs")
+    assert(web.getLong(2) === 2L, "two distinct texts")
+    assert(web.getLong(3) === 2L, "en + fr")
+    assert(web.getLong(4) === 82L, "40 + 40 + 2 tokens")
+    assert(web.getLong(5) === 2L, "both copies of the good text qualify")
+    assert(web.getDouble(6) === math.rint((1d - 2d / 3d) * 1e6) / 1e6,
+      "dup_frac = 1 - unique/docs, round 6")
+    val books = r("books")
+    assert(books.getLong(1) === 1L && books.getDouble(6) === 0.0)
+    assert(books.getDouble(7) === 40.0, "avg_tokens")
+  }
+
   test("decontamination finds planted cross-split duplicate") {
     // craft doc ids whose md5-bucket puts one in train and one in test,
     // sharing the same word set
