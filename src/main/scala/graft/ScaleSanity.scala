@@ -136,7 +136,8 @@ object ScaleSanity {
         "n61_semantic_decontamination", "n62_ann_recall",
         "n63_pipeline_funnel", "n64_ann_recall_curve",
         "n66_label_centroid_outliers", "n67_vocab_coverage",
-        "n68_ann_recall_curve_mp",
+        "n68_ann_recall_curve_mp", "n69_length_outliers",
+        "n70_dataset_card",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

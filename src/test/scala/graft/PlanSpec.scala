@@ -72,6 +72,35 @@ class PlanSpec extends SparkSpec {
       s"unexpected hash exchange:\n$p")
   }
 
+  test("n66: centroid join is broadcast and the component aggregate " +
+    "keeps a map-side partial phase") {
+    val p = plan("n66_label_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the labels×dims centroid table must broadcast back, never " +
+        "shuffle the corpus by label:\n" + p)
+    assert("partial_count|partial".r.findAllIn(p).nonEmpty &&
+      p.contains("HashAggregate"),
+      "the (label, pos) sums must partial-aggregate map-side:\n" + p)
+  }
+
+  test("n67: the top-k vocabulary arrives by broadcast; the corpus " +
+    "shuffles only on doc_id") {
+    val p = plan("n67_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k-row vocabulary must broadcast, not shuffle the exploded " +
+        "corpus by word:\n" + p)
+  }
+
+  test("n69: the per-source stats table broadcasts back; the corpus " +
+    "projection carries two columns, not the text") {
+    val p = plan("n69_length_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source quantile table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join here means the stats table lost its " +
+        "broadcast hint:\n" + p)
+  }
+
   test("n59: tuning truth is a block equi-join and candidates a band-key " +
     "equi-join — never a cartesian/range nested loop") {
     val p = plan("n59_lsh_tuning")
