@@ -275,6 +275,113 @@ class PropertiesSpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("property: vocabCoverage matches the naive Scala oracle exactly") {
+    val gen = for {
+      n <- Gen.choose(2, 20)
+      texts <- Gen.listOfN(n, Gen.choose(1, 8).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+          .map(_.mkString(" "))))
+      k <- Gen.choose(1, 5)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, k)
+    check(Prop.forAll(gen) { case (docs, k) =>
+      val got = graft.ops.TextAnalysis
+        .vocabCoverage(docs.toDF("doc_id", "text"), k)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val tf = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, xs) => (w, xs.size) }
+      val vocab = tf.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+        .map(_._1).toSet
+      val want = docs.sortBy(_._1).map { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        val oov = toks.count(!vocab.contains(_))
+        (id, toks.size.toLong, oov.toLong,
+          math.rint(oov.toDouble / toks.size * 1e6) / 1e6)
+      }
+      got.toSeq == want
+    }, n = 10)
+  }
+
+  test("property: datasetCard matches the naive Scala roll-up") {
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("s1", "s2")
+        lang <- Gen.oneOf("en", "fr", "de")
+        nw <- Gen.choose(1, 40)
+        w <- Gen.oneOf("the", "xx") // 'the' is a stopword; 'xx' is not
+      } yield (src, lang, Seq.fill(nw)(w).mkString(" ")))
+    } yield rows.zipWithIndex.map { case ((s, l, t), i) => (i.toLong, t, l, s) }
+    check(Prop.forAll(gen) { docs =>
+      val got = graft.ops.TextAnalysis
+        .datasetCard(docs.toDF("doc_id", "text", "lang", "source"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getDouble(6), r.getDouble(7))).toMap
+      docs.groupBy(_._4).forall { case (src, rows) =>
+        val nDocs = rows.size.toLong
+        val uniq = rows.map(_._2).distinct.size.toLong
+        val langs = rows.map(_._3).distinct.size.toLong
+        val toks = rows.map(_._2.split(" ").length.toLong).sum
+        // stop_ratio is 0.0 ('xx' docs) or 1.0 ('the' docs) — quality
+        // is exactly the long-enough all-'xx' docs
+        val q = rows.count(r => r._2.split(" ").length >= 30 &&
+          r._2.startsWith("xx")).toLong
+        got(src) == ((nDocs, uniq, langs, toks, q,
+          math.rint((1d - uniq.toDouble / nDocs) * 1e6) / 1e6,
+          math.rint(toks.toDouble / nDocs * 1e6) / 1e6))
+      }
+    }, n = 10)
+  }
+
+  test("property: lengthOutliers thresholds equal the interpolated " +
+    "quantile and flag exactly the strict outliers") {
+    val gen = for {
+      n <- Gen.choose(2, 30)
+      nws <- Gen.listOfN(n, Gen.choose(1, 200))
+    } yield nws.zipWithIndex.map { case (nw, i) =>
+      (i.toLong, Seq.fill(nw)("w").mkString(" "), "src") }
+    check(Prop.forAll(gen) { docs =>
+      val r = graft.ops.TextAnalysis
+        .lengthOutliers(docs.toDF("doc_id", "text", "source")).head()
+      val nws = docs.map(_._2.split(" ").length.toDouble).sorted
+      def quant(p: Double): Double = {
+        val pos = p * (nws.size - 1)
+        val lo = nws(pos.toInt)
+        val hi = nws(math.min(nws.size - 1, pos.toInt + 1))
+        val frac = pos - pos.toInt
+        math.rint((lo + (hi - lo) * frac) * 1e4) / 1e4
+      }
+      val (p05, p95) = (quant(0.05), quant(0.95))
+      r.getLong(1) == nws.size.toLong &&
+        r.getDouble(2) == p05 && r.getDouble(3) == p95 &&
+        r.getLong(4) == nws.count(_ < p05).toLong &&
+        r.getLong(5) == nws.count(_ > p95).toLong
+    }, n = 10)
+  }
+
+  test("property: labelCentroidOutliers is row-order and partitioning " +
+    "invariant (the decimal centroid is fold-order-independent)") {
+    val gen = for {
+      n <- Gen.choose(2, 20)
+      rows <- Gen.listOfN(n, for {
+        label <- Gen.oneOf("a", "b")
+        vec <- Gen.option(Gen.listOfN(3, Gen.choose(-100, 100)
+          .map(_ / 7.0f)))
+      } yield (label, vec.map(_.toArray).orNull))
+    } yield rows.zipWithIndex.map { case ((l, v), i) => (i.toLong, l, v) }
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("vec_id", "label", "embedding")
+      val base = graft.ops.Similarity
+        .labelCentroidOutliers(df, 0.3).collect().toSeq
+      val shuffled = graft.ops.Similarity
+        .labelCentroidOutliers(
+          rows.reverse.toDF("vec_id", "label", "embedding").repartition(7),
+          0.3).collect().toSeq
+      base == shuffled
+    }, n = 8)
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)
