@@ -35,6 +35,10 @@ private[streaming] object FileStreams {
                         maxFilesPerTrigger: Option[Int],
                         schema: Option[org.apache.spark.sql.types.StructType] =
                           None): DataFrame = {
+    // tz-naive parquet timestamps must surface as session-zone (UTC)
+    // TimestampType, not TIMESTAMP_NTZ — watermarks require TIMESTAMP,
+    // and the batch twins read through Tables with the same conf
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val resolved = schema.getOrElse(
       spark.read.option("pathGlobFilter", glob).parquet(dir).schema)
     var reader = spark.readStream.schema(resolved).option("pathGlobFilter", glob)

@@ -27,7 +27,10 @@ class PlanSpec extends SparkSpec {
   test("a1: planner compiles to TakeOrderedAndProject reading only ts") {
     val p = plan("a1_catalog_topk")
     assert(p.contains("TakeOrderedAndProject"))
-    assert(p.contains("ReadSchema: struct<ts:bigint>"))
+    // ts must surface as TimestampType (exactly "timestamp" — the
+    // trailing ">" rejects a timestamp_ntz scan, which would break every
+    // TIMESTAMP consumer downstream) and the scan must read ONLY ts
+    assert(p.contains("ReadSchema: struct<ts:timestamp>"))
   }
 
   test("n4: minhash plan has no shuffle exchange before the signature") {
