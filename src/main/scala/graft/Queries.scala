@@ -1495,6 +1495,31 @@ object Queries {
         |FROM g JOIN c USING (g)
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Boilerplate POSITION coverage: per doc, the fraction of word
+    // positions covered by ≥1 corpus-repeated 5-gram (df ≥ 2) — the
+    // span-granular trim signal (n47 counts distinct shared grams; this
+    // measures how much token stream a trimmer would remove). Spark
+    // positions are 0-based and DuckDB's 1-based: both stay internal,
+    // only the distinct-coverage COUNT (shift-invariant) is emitted.
+    ("n71_boilerplate_coverage",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.boilerplateCoverage(docs(s, d), 5, 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM w)),
+        |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+        |  FROM g GROUP BY g) WHERE df >= 2),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov FROM (
+        |  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS p
+        |  FROM g JOIN hot USING (g)) GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
+        |  coalesce(cov.n_cov, 0)::bigint AS n_cov,
+        |  round(coalesce(cov.n_cov, 0)::double / len(w.ws), 6) AS boilerplate_frac
+        |FROM w LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // Per-label embedding norm stats (exact-decimal average of rounded
     // norms — bit-identical across engines).
     ("n34_label_norms",
@@ -1670,6 +1695,36 @@ object Queries {
     ("n44_bigram_lm_score",
       (s: SparkSession, d: String) => TextAnalysis.bigramLmScore(docs(s, d)),
       Some(BigramLmSql)),
+
+    // DSIR-style importance weight: per train doc, mean per-token
+    // log-likelihood ratio between the val-split (target) and train-split
+    // (raw) add-one-smoothed unigram LMs — the data-selection score.
+    // Terms through decimal(18,9): order-independent, oracle-exact (the
+    // n44 discipline).
+    ("n73_dsir_weights",
+      (s: SparkSession, d: String) => TextAnalysis.dsirWeights(docs(s, d)),
+      Some("""WITH sp AS (
+        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |    FROM documents)),
+        |tk AS (SELECT d.doc_id, s.split, unnest(string_split(text, ' ')) AS w
+        |  FROM documents d JOIN sp s USING (doc_id)),
+        |c AS (SELECT w,
+        |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM tk GROUP BY w),
+        |k AS (SELECT count(*) AS vsize, CAST(sum(ct) AS BIGINT) AS nt,
+        |  CAST(sum(cr) AS BIGINT) AS nr FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(
+        |      ln((c.ct + 1)::double / (k.nt + k.vsize))
+        |      - ln((c.cr + 1)::double / (k.nr + k.vsize))
+        |    AS decimal(18,9))) AS double) / count(*), 6) AS dsir_weight
+        |FROM tk JOIN c USING (w) CROSS JOIN k
+        |WHERE tk.split = 'train'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Per-source unigram-distribution drift KL(source || corpus) — the
     // mixing-time divergence check. Terms in a fixed op order through
@@ -1852,6 +1907,33 @@ object Queries {
         |SELECT t.doc_id AS test_doc, tr.doc_id AS train_doc, t.fingerprint
         |FROM j t JOIN j tr ON t.fingerprint = tr.fingerprint
         |WHERE t.split = 'test' AND tr.split = 'train'
+        |ORDER BY test_doc, train_doc""".stripMargin)),
+
+    // MinHash/LSH NEAR-DUP decontamination: test docs flagged against
+    // train docs sharing an LSH band-bucket, verified with exact word-set
+    // Jaccard ≥ 0.5 — catches lightly-edited benchmark copies that the
+    // exact-fingerprint n26 misses, on the signatures the dedup path
+    // already computes.
+    ("n72_minhash_decontamination",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashDecontamination(docs(s, d), 0.5),
+      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |    FROM documents)),
+        |pairs AS (SELECT DISTINCT t.doc_id AS test_doc, tr.doc_id AS train_doc
+        |  FROM bands t JOIN sp spt ON t.doc_id = spt.doc_id
+        |  JOIN bands tr ON t.band = tr.band AND t.band_key = tr.band_key
+        |  JOIN sp sptr ON tr.doc_id = sptr.doc_id
+        |  WHERE spt.split = 'test' AND sptr.split = 'train'),
+        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        |SELECT test_doc, train_doc,
+        |  round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
+        |FROM pairs JOIN w wa ON test_doc = wa.doc_id JOIN w wb ON train_doc = wb.doc_id
+        |WHERE round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.5
         |ORDER BY test_doc, train_doc""".stripMargin)),
 
     // Quality-aware keeper per near-dup cluster; oracled via the recursive

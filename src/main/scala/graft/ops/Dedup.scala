@@ -229,6 +229,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash/LSH NEAR-DUP decontamination: test-split docs flagged
+    * against train-split docs that share an LSH band-bucket, verified
+    * with exact word-set Jaccard ≥ `threshold`. Fills the gap between
+    * the exact-fingerprint check ([[graft.ops.TextAnalysis.decontamination]]
+    * — verbatim copies only) and the n-gram overlap fraction
+    * ([[graft.ops.TextAnalysis.ngramDecontamination]] — a per-doc score,
+    * not flagged pairs): this is the benchmark-leakage sweep as run in
+    * practice (near-duplicate eval docs in the train set, lightly edited
+    * copies included), and it rides the SAME signatures the dedup path
+    * already computes.
+    *
+    * Scale shape: the split label is a column of doc_id (never a join);
+    * candidate pairs generate per-bucket from a collected (id, split)
+    * list — bounded by bucket size, the minhash subtree computed once —
+    * and only test×train pairs materialize, so a bucket of pure train
+    * docs (the overwhelming case) emits nothing. The verify join touches
+    * candidate pairs only. Same no-self-join contract as
+    * [[lshCandidatePairs]].
+    */
+  def minhashDecontamination(docs: DataFrame,
+                             threshold: Double = 0.5): DataFrame = {
+    val pairs = lshBandKeys(docs)
+      .withColumn("split", TextAnalysis.splitCol)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("split"))))
+        .as("ms"))
+      .select(explode(expr(
+        """flatten(transform(filter(ms, m -> m.split = 'test'), t ->
+          |  transform(filter(ms, m -> m.split = 'train'),
+          |    r -> named_struct('test_doc', t.doc_id,
+          |                      'train_doc', r.doc_id))))""".stripMargin))
+        .as("p"))
+      .select(col("p.test_doc"), col("p.train_doc")).distinct()
+    val w = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    pairs
+      .join(w.as("wa"), col("test_doc") === col("wa.doc_id"))
+      .join(w.as("wb"), col("train_doc") === col("wb.doc_id"))
+      .select(col("test_doc"), col("train_doc"),
+        round(size(array_intersect(col("wa.ws"), col("wb.ws"))).cast("double") /
+          size(array_union(col("wa.ws"), col("wb.ws"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("test_doc"), col("train_doc"))
+  }
+
   /** Exact n-gram (word-set) Jaccard over adjacent-id pairs — a
     * deterministic linear-size sample of the pair space used as the
     * oracle-checkable twin of the LSH candidate path.

@@ -521,6 +521,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate POSITION coverage (the CCNet-style repeated-fragment
+    * trim signal, adapted to span granularity because the corpus has no
+    * line structure): per document, the fraction of word POSITIONS
+    * covered by at least one n-gram whose corpus document frequency is
+    * ≥ `minDf`. [[dupSpanStats]] counts a doc's DISTINCT shared grams —
+    * a gram-set measure; this measures how much of the actual token
+    * stream a trimmer would remove (overlapping shared grams cover the
+    * same position once), which is the number that decides trim-vs-drop.
+    *
+    * Scale shape: one (gram, doc) shuffle for the df aggregate; the
+    * boilerplate gram set (df ≥ minDf) is then SMALL by the boilerplate
+    * premise — repeated fragments are few, their copies are many — so
+    * it broadcasts back into the positional-gram stream (map-side
+    * semi-join; the corpus never re-shuffles on the gram key), and only
+    * COVERED positions shuffle into the per-doc count, bounded by
+    * boilerplate hits, not corpus size. A corpus where the "hot" set is
+    * itself huge (minDf too low) degrades the broadcast — raise minDf
+    * or fall back to the n47 full-join shape at that point.
+    */
+  def boilerplateCoverage(docs: DataFrame, n: Int = 5,
+                          minDf: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val posGrams = base.select(col("doc_id"),
+      posexplode(ngramsOf(col("ws"), n)).as(Seq("pos", "g")))
+    val hot = posGrams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select(col("g"))
+    val covered = posGrams.join(broadcast(hot), Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("n_cov"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+        round(coalesce(col("n_cov"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("boilerplate_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID confusion matrix: labeled lang × predicted lang counts —
     * the eval roll-up of [[langId]] (how a classifier audit reads at
     * corpus scale: one tiny aggregate over a map-side scorer).
@@ -874,6 +914,55 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(round(sum(col("term")).cast("double"), 6).as("kl_vs_corpus"))
       .orderBy(col("source"))
+  }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every TRAIN-split
+    * document by the mean per-token log-likelihood ratio between a
+    * high-quality TARGET distribution (the val split, standing in for
+    * the curated target a real run supplies) and the raw train
+    * distribution — both add-one-smoothed unigram LMs. High-weight docs
+    * "look like the target"; resampling by weight is the selection step.
+    * Unigram rather than DSIR's hashed n-grams: the published estimator
+    * admits any feature LM, and the unigram form keeps the model table
+    * vocabulary-sized (the hashed variant is the same join on a hashed
+    * key). Terms go through decimal(18,9) so the per-doc sum is
+    * order-independent and bit-exact against the DuckDB oracle (the n44
+    * discipline).
+    *
+    * Scale shape: one (word, split) count aggregate yields BOTH LMs in a
+    * vocabulary-sized table; the totals (vsize, nt, nr) are a 1-row
+    * aggregate DERIVED from it, and scoring is a map-side broadcast join
+    * of the token stream against the model. Catalyst expands the shared
+    * model frame into each consumer, so this single-job audit form
+    * explodes the corpus three times (model, totals, scoring) — the
+    * [[bigramLmScore]] trade; a production run persists the tiny model
+    * like [[trainBigramLm]] and scores with zero count subtrees.
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), splitCol.as("split"),
+      explode(words(col("text"))).as("w"))
+    // vocabulary-sized: one row per corpus word, target + raw counts
+    val model = toks.groupBy(col("w")).agg(
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("cr"))
+    // the smoothing constants as DATA (1-row broadcast, lazy end-to-end):
+    // vsize counts the FULL corpus vocabulary — including test-only words
+    // — so the two smoothed denominators share one support
+    val consts = model.agg(count(lit(1)).as("vsize"),
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    toks.filter(col("split") === "train")
+      .join(broadcast(model), Seq("w"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + col("vsize"))) -
+          log((col("cr") + 1).cast("double") / (col("nr") + col("vsize"))))
+          .cast("decimal(18,9)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6)
+          .as("dsir_weight"))
+      .orderBy(col("doc_id"))
   }
 
   /** The shared projection of the budget/packing operators: per-doc

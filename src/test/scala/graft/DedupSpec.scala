@@ -337,4 +337,30 @@ class DedupSpec extends SparkSpec {
       ("s1", "changed", 1L), ("s1", "removed", 1L),
       ("s2", "added", 1L), ("s2", "unchanged", 1L)))
   }
+
+  test("minhashDecontamination flags test→train copies, nothing else") {
+    // the split is a pure function of doc_id: read it back, then plant
+    // an exact copy across test→train (must be flagged), another across
+    // train→train (must NOT — only test docs are probes), and unique
+    // texts elsewhere
+    val ids = (1L to 60L)
+    val splits = graft.ops.TextAnalysis
+      .splitAssignment(ids.map((_, "x")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val testId = ids.find(splits(_) == "test").get
+    val trainIds = ids.filter(splits(_) == "train")
+    val (copyTrain, dupA, dupB) = (trainIds(0), trainIds(1), trainIds(2))
+    val docs = ids.map { i =>
+      val text =
+        if (i == testId || i == copyTrain) "p q r s t u v w"
+        else if (i == dupA || i == dupB) "h i j k l m n o"
+        else s"u$i v$i w$i x$i y$i z$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = Dedup.minhashDecontamination(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((testId, copyTrain, 1.0)),
+      s"test=$testId copyTrain=$copyTrain trainDup=($dupA,$dupB)")
+  }
 }

@@ -349,6 +349,23 @@ class PlanSpec extends SparkSpec {
       "embedding collapse lost its map-side combine:\n" + embPlan)
   }
 
+  test("n71: the boilerplate gram set arrives by broadcast — the corpus " +
+    "never re-shuffles on the gram key") {
+    val p = plan("n71_boilerplate_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      "hot grams (df >= minDf) must broadcast into the positional " +
+        "stream, not shuffle it:\n" + p)
+  }
+
+  test("n73: the unigram model is a broadcast join and the constants a " +
+    "1-row broadcast — the token stream never shuffles to score") {
+    val p = plan("n73_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-sized (ct, cr) model must broadcast:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "(vsize, nt, nr) must arrive as a broadcast 1-row aggregate:\n" + p)
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // the silent scale-killer: an unkeyed join degenerating to all-pairs.
     // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin

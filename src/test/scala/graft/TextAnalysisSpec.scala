@@ -503,4 +503,92 @@ class TextAnalysisSpec extends SparkSpec {
       ("s1", kl((2.0 / 3, 2.0 / 5), (1.0 / 3, 3.0 / 5))),
       ("s2", kl((1.0, 3.0 / 5)))))
   }
+
+  test("boilerplateCoverage: hand corpus — positions, not distinct grams") {
+    // bigrams, minDf=2: only "a b" repeats across docs (d1, d2).
+    // d1 "a b c d": hot gram at pos 0 covers positions {0,1} → 2/4
+    // d2 "a b x y": same → 2/4; d3 "q r s": nothing hot → 0/3
+    val docs = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "q r s"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateCoverage(docs, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 2L, 0.5), (2L, 4L, 2L, 0.5), (3L, 3L, 0L, 0.0)))
+  }
+
+  test("boilerplateCoverage: overlapping hot grams cover a position once") {
+    // "a a a a" vs "a a a": every bigram is "a a" (df 2). d1's three
+    // hot grams cover {0,1},{1,2},{2,3} — union 4 positions, NOT 6.
+    val docs = Seq((1L, "a a a a"), (2L, "a a a")).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateCoverage(docs, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 4L, 4L, 1.0), (2L, 3L, 3L, 1.0)))
+  }
+
+  test("boilerplateCoverage: a doc shorter than n scores zero coverage") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateCoverage(docs, 5, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 6L, 6L, 1.0), (2L, 6L, 6L, 1.0), (3L, 2L, 0L, 0.0)))
+  }
+
+  test("dsirWeights: naive Scala recompute on a synthetic corpus") {
+    // split labels come from the REAL splitCol (md5-bucketed), so the
+    // naive oracle reads them back rather than assuming any assignment
+    val docs = (1L to 60L)
+      .map(i => (i, s"w${i % 5} w${(i + 1) % 7} common"))
+      .toDF("doc_id", "text")
+    val splits = TextAnalysis
+      .splitAssignment(docs.withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val toks = (1L to 60L).map(i =>
+      i -> s"w${i % 5} w${(i + 1) % 7} common".split(" ").toSeq).toMap
+    val vocab = toks.values.flatten.toSet
+    def cnt(split: String): Map[String, Long] = toks
+      .filter { case (id, _) => splits(id) == split }
+      .values.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val ct = cnt("val"); val cr = cnt("train")
+    val nt = ct.values.sum; val nr = cr.values.sum; val v = vocab.size
+    def weight(ws: Seq[String]): Double = {
+      val terms = ws.map { w =>
+        BigDecimal(
+          math.log((ct.getOrElse(w, 0L) + 1).toDouble / (nt + v)) -
+            math.log((cr.getOrElse(w, 0L) + 1).toDouble / (nr + v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      BigDecimal(terms.sum.toDouble / terms.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = toks.toSeq
+      .filter { case (id, _) => splits(id) == "train" }
+      .sortBy(_._1)
+      .map { case (id, ws) => (id, ws.size.toLong, weight(ws)) }
+    assert(want.nonEmpty, "fixture must land train docs")
+    val got = TextAnalysis.dsirWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === want)
+  }
+
+  test("dsirWeights: target-looking docs outscore off-target docs") {
+    // the split is a pure function of doc_id, so build texts AFTER
+    // reading it back: every val (target) doc says q, train docs split
+    // between q and z — q-made train docs must then strictly outscore
+    val ids = (1L to 80L)
+    val splits = TextAnalysis
+      .splitAssignment(ids.map((_, "x")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val docs = ids.map { i =>
+      (i, if (splits(i) == "val" || i % 2 == 0) "q q q q" else "z z z z")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val qW = got.collect { case (id, w) if id % 2 == 0 => w }
+    val zW = got.collect { case (id, w) if id % 2 == 1 => w }
+    assert(qW.nonEmpty && zW.nonEmpty)
+    assert(qW.min > zW.max,
+      s"q-docs must outscore z-docs: q=${qW.toSet} z=${zW.toSet}")
+  }
 }
