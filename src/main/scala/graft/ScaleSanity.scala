@@ -138,7 +138,8 @@ object ScaleSanity {
         "n63_pipeline_funnel", "n64_ann_recall_curve",
         "n66_label_centroid_outliers", "n67_vocab_coverage",
         "n68_ann_recall_curve_mp", "n69_length_outliers",
-        "n70_dataset_card",
+        "n70_dataset_card", "n71_boilerplate_coverage",
+        "n72_minhash_decontamination", "n73_dsir_weights",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

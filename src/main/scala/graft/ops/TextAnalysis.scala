@@ -545,8 +545,14 @@ object TextAnalysis {
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
     val posGrams = base.select(col("doc_id"),
       posexplode(ngramsOf(col("ws"), n)).as(Seq("pos", "g")))
-    val hot = posGrams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df via per-doc-DISTINCT gram rows + a map-side-combinable count(*)
+    // (the n47 shape) — a countDistinct(doc_id) over the positional
+    // stream computes the same df but cannot collapse rows before the
+    // shuffle (measured 2.8× slower at salted 50×)
+    val hot = base
+      .select(col("doc_id"),
+        explode(array_distinct(ngramsOf(col("ws"), n))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select(col("g"))
     val covered = posGrams.join(broadcast(hot), Seq("g"))
       .select(col("doc_id"),

@@ -382,6 +382,108 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  // the real splitCol reimplemented directly (first 8 md5 hex chars of
+  // the id string, mod 100) so the properties below never depend on the
+  // code under test for their own ground truth
+  private def naiveSplit(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(d, 16) % 100 match {
+      case b if b < 80 => "train"
+      case b if b < 90 => "val"
+      case _           => "test"
+    }
+  }
+
+  private val smallCorpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(8, 30)
+    texts <- Gen.listOfN(n, Gen.choose(3, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+        .map(_.mkString(" "))))
+  } yield texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+
+  test("property: boilerplateCoverage matches the naive positional oracle") {
+    check(Prop.forAll(smallCorpusGen) { docs =>
+      val got = graft.ops.TextAnalysis
+        .boilerplateCoverage(docs.toDF("doc_id", "text"), 2, 2)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      def grams(t: String): Seq[String] =
+        t.split(" ").toSeq.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")).toSeq
+      val df = docs.flatMap { case (_, t) => grams(t).distinct }
+        .groupBy(identity).map { case (g, xs) => g -> xs.size }
+      val hot = df.collect { case (g, c) if c >= 2 => g }.toSet
+      val want = docs.sortBy(_._1).map { case (id, t) =>
+        val ws = t.split(" ").toSeq
+        val cov = ws.indices.dropRight(1)
+          .filter(i => hot(ws(i) + " " + ws(i + 1)))
+          .flatMap(i => Seq(i, i + 1)).distinct.size
+        (id, ws.size.toLong, cov.toLong,
+          math.rint(cov.toDouble / ws.size * 1e6) / 1e6)
+      }
+      got.toSeq == want
+    }, n = 10)
+  }
+
+  test("property: minhashDecontamination is sound (every flagged pair is " +
+    "a real test→train near-dup) and catches every exact test→train copy") {
+    check(Prop.forAll(smallCorpusGen) { docs =>
+      val byId = docs.toMap
+      val got = graft.ops.Dedup
+        .minhashDecontamination(docs.toDF("doc_id", "text"), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      def jac(a: String, b: String): Double = {
+        val (wa, wb) = (a.split(" ").toSet, b.split(" ").toSet)
+        math.rint((wa & wb).size.toDouble / (wa | wb).size * 1e6) / 1e6
+      }
+      val sound = got.forall { case (t, tr, j) =>
+        naiveSplit(t) == "test" && naiveSplit(tr) == "train" &&
+          j == jac(byId(t), byId(tr)) && j >= 0.5
+      }
+      // identical texts share every band key, so an exact test→train
+      // copy (with at least one 3-word shingle) can never be missed
+      val flagged = got.map(p => (p._1, p._2)).toSet
+      val complete = docs.forall { case (t, text) =>
+        naiveSplit(t) != "test" || text.split(" ").length < 3 ||
+          docs.forall { case (tr, text2) =>
+            naiveSplit(tr) != "train" || text2 != text || flagged((t, tr))
+          }
+      }
+      sound && complete
+    }, n = 10)
+  }
+
+  test("property: dsirWeights matches the naive log-ratio oracle") {
+    check(Prop.forAll(smallCorpusGen) { docs =>
+      val got = graft.ops.TextAnalysis
+        .dsirWeights(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      def cnt(split: String): Map[String, Long] = toks
+        .filter { case (id, _) => naiveSplit(id) == split }
+        .flatMap(_._2).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val (ct, cr) = (cnt("val"), cnt("train"))
+      val nt = ct.values.sum; val nr = cr.values.sum
+      val v = toks.flatMap(_._2).toSet.size
+      val want = toks.filter { case (id, _) => naiveSplit(id) == "train" }
+        .sortBy(_._1).map { case (id, ws) =>
+          val terms = ws.map { w =>
+            BigDecimal(
+              math.log((ct.getOrElse(w, 0L) + 1).toDouble / (nt + v)) -
+                math.log((cr.getOrElse(w, 0L) + 1).toDouble / (nr + v)))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          }
+          (id, ws.size.toLong,
+            BigDecimal(terms.sum.toDouble / terms.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      got.toSeq == want
+    }, n = 10)
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)
