@@ -1909,6 +1909,56 @@ object Queries {
         |WHERE t.split = 'test' AND tr.split = 'train'
         |ORDER BY test_doc, train_doc""".stripMargin)),
 
+    // Contamination report: every test doc × all three text-side
+    // detectors in one row — exact train copies (n26), distinct-5-gram
+    // overlap (n31), worst LSH candidate's exact Jaccard (n72 at τ=0,
+    // NULL = no band-bucket candidate). Components composed verbatim, so
+    // the report cannot disagree with the individual gates.
+    ("n74_contamination_report",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.contaminationReport(docs(s, d)),
+      Some(s"""WITH sp AS (
+        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |    FROM documents)),
+        |g AS (
+        |  SELECT d.doc_id, s.split, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 4),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |      || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+        |      || ' ' || string_split(text, ' ')[i+4]))) AS g
+        |  FROM documents d JOIN sp s USING (doc_id)),
+        |trg AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+        |ng AS (SELECT t.doc_id AS test_doc, count(*) AS n_grams,
+        |  round(count(trg.g)::double / count(*), 6) AS ngram_frac
+        |  FROM g t LEFT OUTER JOIN trg ON t.g = trg.g
+        |  WHERE t.split = 'test' GROUP BY t.doc_id),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |  FROM documents),
+        |j AS (SELECT fp.doc_id, fingerprint, split FROM fp JOIN sp USING (doc_id)),
+        |ex AS (SELECT t.doc_id AS test_doc, count(*) AS n_exact
+        |  FROM j t JOIN j tr2 ON t.fingerprint = tr2.fingerprint
+        |  WHERE t.split = 'test' AND tr2.split = 'train' GROUP BY t.doc_id),
+        |sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+        |pairs AS (SELECT DISTINCT t.doc_id AS test_doc, tr.doc_id AS train_doc
+        |  FROM bands t JOIN sp spt ON t.doc_id = spt.doc_id
+        |  JOIN bands tr ON t.band = tr.band AND t.band_key = tr.band_key
+        |  JOIN sp sptr ON tr.doc_id = sptr.doc_id
+        |  WHERE spt.split = 'test' AND sptr.split = 'train'),
+        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+        |nr AS (SELECT test_doc,
+        |  max(round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6)) AS max_jaccard
+        |  FROM pairs JOIN w wa ON test_doc = wa.doc_id JOIN w wb ON train_doc = wb.doc_id
+        |  GROUP BY test_doc)
+        |SELECT ng.test_doc, ng.n_grams, ng.ngram_frac,
+        |  coalesce(ex.n_exact, 0)::bigint AS n_exact, nr.max_jaccard
+        |FROM ng LEFT JOIN ex USING (test_doc) LEFT JOIN nr USING (test_doc)
+        |ORDER BY test_doc""".stripMargin)),
+
     // MinHash/LSH NEAR-DUP decontamination: test docs flagged against
     // train docs sharing an LSH band-bucket, verified with exact word-set
     // Jaccard ≥ 0.5 — catches lightly-edited benchmark copies that the

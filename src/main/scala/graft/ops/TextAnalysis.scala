@@ -640,6 +640,40 @@ object TextAnalysis {
         col("fingerprint"))
       .orderBy(col("test_doc"), col("train_doc"))
 
+  /** Contamination REPORT — the leakage dashboard: every TEST-split
+    * document scored by all three text-side detectors in one row
+    * (the [[pipelineFunnel]]-style accounting view of the
+    * decontamination family):
+    *
+    *   - `n_exact`: verbatim train copies ([[decontamination]] hits)
+    *   - `ngram_frac`: distinct 5-gram overlap with the train split
+    *     ([[ngramDecontamination]] — partial copies)
+    *   - `max_jaccard`: the worst LSH candidate's exact word-set Jaccard
+    *     ([[graft.ops.Dedup.minhashDecontamination]] at τ=0 — edited
+    *     near-copies; NULL when no band-bucket candidate exists, which
+    *     is itself the signal "no near-dup evidence")
+    *
+    * The detectors are the REGISTRY operators composed verbatim (same
+    * definitions, never re-derived), so the report cannot disagree with
+    * the individual checks a pipeline gates on. Scale shape: each
+    * component keeps its own audited shape; the roll-ups join on
+    * test-split-sized keys only.
+    */
+  def contaminationReport(docs: DataFrame): DataFrame = {
+    val exact = decontamination(docs)
+      .groupBy(col("test_doc")).agg(count(lit(1)).as("n_exact"))
+    val near = Dedup.minhashDecontamination(docs, 0.0)
+      .groupBy(col("test_doc")).agg(max(col("jaccard")).as("max_jaccard"))
+    ngramDecontamination(docs, 5)
+      .join(exact, Seq("test_doc"), "left_outer")
+      .join(near, Seq("test_doc"), "left_outer")
+      .select(col("test_doc"), col("n_grams"),
+        col("contamination_frac").as("ngram_frac"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("max_jaccard"))
+      .orderBy(col("test_doc"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB path for [[decontamination]]:
     * instead of shuffling (fingerprint, doc) pairs into a join, aggregate
     * the train split's fingerprints into ONE Bloom filter, broadcast it,

@@ -534,6 +534,46 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 6L, 6L, 1.0), (2L, 6L, 6L, 1.0), (3L, 2L, 0L, 0.0)))
   }
 
+  test("contaminationReport ≡ its three component detectors composed") {
+    // split read back from the real splitCol, then plant: an exact
+    // test→train copy and otherwise-unique texts
+    val ids = (1L to 60L)
+    val splits = TextAnalysis
+      .splitAssignment(ids.map((_, "x")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val testIds = ids.filter(splits(_) == "test")
+    val trainIds = ids.filter(splits(_) == "train")
+    val (copyTest, copyTrain) = (testIds.head, trainIds.head)
+    val docs = ids.map { i =>
+      val text =
+        if (i == copyTest || i == copyTrain) "p q r s t u v w"
+        else s"u$i v$i w$i x$i y$i z$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val rep = TextAnalysis.contaminationReport(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // components, independently
+    val ng = TextAnalysis.ngramDecontamination(docs, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val exCnt = TextAnalysis.decontamination(docs).collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val nrMax = graft.ops.Dedup.minhashDecontamination(docs, 0.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).max }
+    val want = ng.keys.toSeq.sorted.map { t =>
+      (t, ng(t)._1, ng(t)._2, exCnt.getOrElse(t, 0L), nrMax.get(t))
+    }
+    assert(rep.toSeq === want)
+    // spot values: the planted copy is flagged by all three detectors,
+    // and a clean test doc by none
+    val copyRow = rep.find(_._1 == copyTest).get
+    assert(copyRow === ((copyTest, 4L, 1.0, 1L, Some(1.0))))
+    val cleanRow = rep.find(_._1 == testIds(1)).get
+    assert(cleanRow._3 === 0.0 && cleanRow._4 === 0L)
+  }
+
   test("dsirWeights: naive Scala recompute on a synthetic corpus") {
     // split labels come from the REAL splitCol (md5-bucketed), so the
     // naive oracle reads them back rather than assuming any assignment
