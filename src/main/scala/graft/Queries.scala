@@ -1111,6 +1111,14 @@ object Queries {
 
     // ANN recall@k harness: lshBucketTopK vs brute-force ground truth
     // per probe — the vector-side twin of n59's LSH tuning harness.
+    // IVF recall@k vs brute-force truth — the number on the "sign-LSH
+    // recall collapsed, switch to IVF" decision n64 surfaces; nProbe=2
+    // of 16 cells, the production-shaped setting.
+    ("n75_ivf_recall",
+      (s: SparkSession, d: String) =>
+        Similarity.ivfRecall(emb(s, d), 10, 5),
+      None), // k-means float means are engine-specific, like n23/n51
+
     // Bits pinned to the oracle constant like n10; production callers
     // pass 0 → deriveBucketBits.
     ("n62_ann_recall",

@@ -688,6 +688,34 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** IVF ANN recall@k — [[ivfTopK]] scored against [[bruteForceTopK]]
+    * ground truth, per probe. The [[annRecallCurve]] run at 10× showed
+    * sign-LSH recall collapsing at production widths on near-uniform
+    * corpora, with IVF named as the fallback; this harness puts the
+    * recall number on that switch (same shape as [[annRecall]], so the
+    * two fallback candidates are compared on identical terms). With
+    * `nProbe >= nCentroids` IVF scans every cell and recall is exactly
+    * 1.0 (spec-pinned) — the knob a 100 TB run turns DOWN from there
+    * until recall hits its floor. Rows-only in the registry: the
+    * k-means training iterations are not oracle-expressible (the
+    * n23/n51 exemption), but the truth side IS the oracled n9 scan.
+    */
+  def ivfRecall(emb: DataFrame, nProbes: Int, k: Int,
+                nCentroids: Int = 16, iters: Int = 3,
+                nProbe: Int = 2): DataFrame = {
+    val truth = bruteForceTopK(emb, nProbes, k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = ivfTopK(emb, nProbes, k, nCentroids, iters, nProbe)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "vec_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .select(col("q_id"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 6)
+          .as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** ANN recall@k ACROSS bucket widths — the curve [[annRecall]]'s
     * single-width number sits on, and the evaluation that validates
     * [[deriveBucketBits]] against a target recall floor (not just

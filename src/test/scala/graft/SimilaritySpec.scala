@@ -655,4 +655,28 @@ class SimilaritySpec extends SparkSpec {
     assert(wide.length <= narrow,
       "widening buckets must never grow the candidate/result set")
   }
+
+  test("ivfRecall: probing every cell IS brute force — recall exactly 1.0") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    // nProbe >= nCentroids scans the whole corpus per probe, so the IVF
+    // top-k must equal the brute-force truth and recall must be 1.0 for
+    // every probe — the anchor the production nProbe is turned DOWN from
+    val full = Similarity
+      .ivfRecall(emb, 10, 5, nCentroids = 8, iters = 2, nProbe = 8)
+      .collect()
+    assert(full.length === 10)
+    full.foreach { r =>
+      assert(r.getLong(1) === 5L, "n_truth must be k")
+      assert(r.getDouble(3) === 1.0,
+        s"probe ${r.getLong(0)}: recall ${r.getDouble(3)} != 1.0")
+    }
+    // the production-shaped setting stays well-formed: recall in [0, 1]
+    val partial = Similarity.ivfRecall(emb, 10, 5).collect()
+    assert(partial.length === 10)
+    partial.foreach { r =>
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
 }
