@@ -1704,6 +1704,16 @@ object Queries {
       (s: SparkSession, d: String) => TextAnalysis.bigramLmScore(docs(s, d)),
       Some(BigramLmSql)),
 
+    // BPE merge induction: train the tokenizer's merge table (10 rounds)
+    // on the corpus word-frequency table. Rows-only: each round's argmax
+    // feeds the next round's re-segmentation — an iterative data-dependent
+    // fixpoint that is not single-statement SQL (the n23/n51 class);
+    // determinism (lexicographic tie-break) is property-tested against a
+    // naive Scala BPE instead.
+    ("n76_bpe_merges",
+      (s: SparkSession, d: String) => TextAnalysis.bpeMerges(docs(s, d), 10),
+      None),
+
     // DSIR-style importance weight: per train doc, mean per-token
     // log-likelihood ratio between the val-split (target) and train-split
     // (raw) add-one-smoothed unigram LMs — the data-selection score.

@@ -1005,6 +1005,71 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge induction — train the tokenizer's merge table on the
+    * corpus (Sennrich et al. 2016): start from characters, repeatedly
+    * merge the most frequent adjacent symbol pair (ties broken
+    * lexicographic so the rule sequence is deterministic and
+    * engine-stable). The one tokenizer-side piece the counting surface
+    * ([[tokenCounts]] proxies, [[vocabCoverage]] OOV) presupposes.
+    *
+    * Output: one row per merge round — (round, left, right, merged,
+    * pair_freq), ordered by round; stops early when no adjacent pair
+    * remains.
+    *
+    * Scale shape: BPE trains on the WORD-FREQUENCY table, not the
+    * corpus — ONE corpus aggregate produces (word, freq), and every
+    * merge round is a vocabulary-sized job (pair explode + one sum
+    * aggregate + a map-side HOF re-segmentation), with
+    * [[graft.ops.Checkpoints.cut]] truncating the per-round lineage
+    * exactly like the CC/k-means loops. The per-round driver collect is
+    * ONE row (the argmax pair — bounded, the n23 precedent). Merge
+    * application is leftmost-first: the fold's accumulator ends in the
+    * merged symbol, which cannot re-match the pair's left side, so
+    * overlapping runs (`a a a` under `(a,a)`) merge exactly like the
+    * reference implementation.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    var wordTable = Checkpoints.cut(
+      docs.select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          filter(split(col("word"), ""), s => s =!= "").as("syms")))
+    val adjacentPairs =
+      when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to nMerges if !exhausted) {
+      val top = wordTable
+        .select(col("freq"), explode(adjacentPairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((round, l, r, l + r, cnt))
+        wordTable = Checkpoints.cut(wordTable.select(col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s)))).as("syms")))
+      }
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("round", "left", "right", "merged", "pair_freq")
+      .orderBy(col("round"))
+  }
+
   /** The shared projection of the budget/packing operators: per-doc
     * token count + stable walk key.
     */

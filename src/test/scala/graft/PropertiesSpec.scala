@@ -484,6 +484,44 @@ class PropertiesSpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("property: bpeMerges equals a naive Scala BPE, rule for rule") {
+    check(Prop.forAll(smallCorpusGen) { docs =>
+      val got = graft.ops.TextAnalysis
+        .bpeMerges(docs.toDF("doc_id", "text"), 6)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+      // reference BPE on the word-frequency table
+      val freqs = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      var table: Map[Vector[String], Long] = freqs.toSeq
+        .map { case (w, f) => w.map(_.toString).toVector -> f }
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      val want = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      var stop = false
+      for (round <- 1 to 6 if !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        table.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((l, r), cnt) = counts.toSeq
+            .minBy { case ((l, r), c) => (-c, l, r) }
+          want += ((round, l, r, l + r, cnt))
+          table = table.toSeq.map { case (syms, f) =>
+            syms.foldLeft(Vector.empty[String])((acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc.init :+ (l + r)
+              else acc :+ x) -> f
+          }.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+        }
+      }
+      got.toSeq == want.toSeq
+    }, n = 8)
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)

@@ -534,6 +534,25 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 6L, 6L, 1.0), (2L, 6L, 6L, 1.0), (3L, 2L, 0L, 0.0)))
   }
 
+  test("bpeMerges: hand-computed merge sequence, leftmost-first overlaps") {
+    // corpus: "aaab aaab ab" → word freqs: aaab×2, ab×1
+    // round 1: pairs (a,a)×2·2=4? no — PER WORD adjacent pairs weighted
+    // by word freq: aaab = [a,a,a,b] → (a,a)×2, (a,b)×1, each ×2; ab →
+    // (a,b)×1. counts: (a,a)=4, (a,b)=3 → merge (a,a) → aa
+    // aaab → leftmost-first: [aa,a,b]; ab → [a,b]
+    // round 2: (aa,a)×2, (a,b)×2+1=3 → merge (a,b) → ab
+    // aaab → [aa,ab]; ab → [ab]
+    // round 3: (aa,ab)×2 → merge → aaab; round 4: no pairs left → stop
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
   test("contaminationReport ≡ its three component detectors composed") {
     // split read back from the real splitCol, then plant: an exact
     // test→train copy and otherwise-unique texts
