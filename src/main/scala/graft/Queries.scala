@@ -1714,6 +1714,20 @@ object Queries {
       (s: SparkSession, d: String) => TextAnalysis.bpeMerges(docs(s, d), 10),
       None),
 
+    // Tokenize with the PERSISTED merge table (train-once/score-many,
+    // the n51/n52 shape): the scoring plan is a zero-shuffle column
+    // expression with no training subtrees. Rows-only like n76 — the
+    // model half is the iterative trainer.
+    ("n77_bpe_tokenize",
+      (s: SparkSession, d: String) => {
+        val path = graft.sources.Sinks.modelPath(
+          s, s"$d/documents.parquet", "bpe_merges")
+        val model = graft.sources.Sinks.materializeModel(s, path)(
+          TextAnalysis.bpeMerges(docs(s, d), 10))
+        TextAnalysis.bpeTokenize(docs(s, d), model)
+      },
+      None),
+
     // DSIR-style importance weight: per train doc, mean per-token
     // log-likelihood ratio between the val-split (target) and train-split
     // (raw) add-one-smoothed unigram LMs — the data-selection score.

@@ -1070,6 +1070,43 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  /** Tokenize with a TRAINED BPE merge table — the score-many half of
+    * [[bpeMerges]] (the n52/n51 move on the tokenizer): per document,
+    * whitespace token count, BPE piece count under the rule sequence,
+    * and their ratio (the fertility number that replaces [[tokenCounts]]'
+    * 4-char proxy with the real trained tokenizer).
+    *
+    * Application is a PURE column expression — the ordered rules compile
+    * into a chain of `nMerges` HOF folds nested inside one per-word
+    * transform, so scoring is zero-shuffle and rides the scan (the merge
+    * fold is the training fold verbatim: leftmost-first, the merged
+    * symbol cannot re-match its own left side). The model collect is
+    * bounded (`nMerges` rows). Train once via
+    * [[graft.sources.Sinks.materializeModel]]; the scoring plan carries
+    * zero training subtrees.
+    */
+  def bpeTokenize(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val rules = merges.orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def segment(word: Column): Column =
+      rules.foldLeft(filter(split(word, ""), s => s =!= "")) {
+        case (seg, (l, r)) =>
+          aggregate(seg, array().cast("array<string>"), (acc, s) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s))))
+      }
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        aggregate(transform(col("ws"), w => size(segment(w))),
+          lit(0L), (a, x) => a + x).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_tokens"), 6)
+          .as("pieces_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The shared projection of the budget/packing operators: per-doc
     * token count + stable walk key.
     */

@@ -366,6 +366,17 @@ class PlanSpec extends SparkSpec {
       "(vsize, nt, nr) must arrive as a broadcast 1-row aggregate:\n" + p)
   }
 
+  test("n77: tokenizing with the persisted merge table is per-row — no " +
+    "hash exchange, no aggregate, zero training subtrees") {
+    val p = plan("n77_bpe_tokenize")
+    assert(!p.contains("HashAggregate"),
+      "BPE application must not aggregate (the rules are a compiled " +
+        "column expression):\n" + p)
+    assert(!p.contains("hashpartitioning"),
+      "BPE application must not hash-shuffle — only the presentation " +
+        "sort's range exchange is allowed:\n" + p)
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // the silent scale-killer: an unkeyed join degenerating to all-pairs.
     // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin

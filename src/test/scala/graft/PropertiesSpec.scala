@@ -522,6 +522,31 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("property: bpeTokenize equals the naive application of the same " +
+    "trained rules") {
+    check(Prop.forAll(smallCorpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val merges = graft.ops.TextAnalysis.bpeMerges(df, 4)
+      val rules = merges.orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      val got = graft.ops.TextAnalysis.bpeTokenize(df, merges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      def pieces(word: String): Int =
+        rules.foldLeft(word.map(_.toString).toVector) { case (seg, (l, r)) =>
+          seg.foldLeft(Vector.empty[String])((acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+            else acc :+ x)
+        }.size
+      val want = docs.sortBy(_._1).map { case (id, t) =>
+        val ws = t.split(" ").toSeq
+        val np = ws.map(pieces).sum.toLong
+        (id, ws.size.toLong, np,
+          math.rint(np.toDouble / ws.size * 1e6) / 1e6)
+      }
+      got.toSeq == want
+    }, n = 8)
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)

@@ -553,6 +553,20 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 2L)))
   }
 
+  test("bpeTokenize: trained rules segment seen and UNSEEN words alike") {
+    // rules from the hand corpus above: (a,a)→aa, (a,b)→ab, (aa,ab)→aaab
+    val train = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeMerges(train, 10)
+    // seen words collapse fully: aaab→[aaab], ab→[ab] → 3 pieces / 3 toks
+    // unseen "aab": [a,a,b] →(a,a)→ [aa,b] →(a,b) no match (last is aa)
+    // → 2 pieces; "b" → 1 piece
+    val got = TextAnalysis.bpeTokenize(
+      Seq((1L, "aaab aaab ab"), (2L, "aab b")).toDF("doc_id", "text"),
+      rules).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 3L, 3L, 1.0), (2L, 2L, 3L, 1.5)))
+  }
+
   test("contaminationReport ≡ its three component detectors composed") {
     // split read back from the real splitCol, then plant: an exact
     // test→train copy and otherwise-unique texts
