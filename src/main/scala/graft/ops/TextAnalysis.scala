@@ -1076,14 +1076,17 @@ object TextAnalysis {
     * and their ratio (the fertility number that replaces [[tokenCounts]]'
     * 4-char proxy with the real trained tokenizer).
     *
-    * Application is a PURE column expression — the ordered rules compile
-    * into a chain of `nMerges` HOF folds nested inside one per-word
-    * transform, so scoring is zero-shuffle and rides the scan (the merge
-    * fold is the training fold verbatim: leftmost-first, the merged
-    * symbol cannot re-match its own left side). The model collect is
-    * bounded (`nMerges` rows). Train once via
-    * [[graft.sources.Sinks.materializeModel]]; the scoring plan carries
-    * zero training subtrees.
+    * Piece count is a function of the WORD alone, so the rule chain
+    * (`nMerges` chained HOF folds — the training fold verbatim:
+    * leftmost-first, the merged symbol cannot re-match its own left
+    * side) runs on the DISTINCT word table, vocabulary-sized, and the
+    * (word → n_sub) result broadcasts back into the token stream — the
+    * n67 shape. Segmenting per OCCURRENCE instead measured 22.6 s at
+    * sf0.1 vs ~1 s for this form: the fold work multiplies by
+    * corpus-tokens/vocab (~160× here) for identical output. The model
+    * collect is bounded (`nMerges` rows); the scoring plan carries zero
+    * training subtrees, and the per-doc sum keeps a map-side partial
+    * phase below its one doc_id exchange.
     */
   def bpeTokenize(docs: DataFrame, merges: DataFrame): DataFrame = {
     val rules = merges.orderBy(col("round")).collect()
@@ -1097,10 +1100,14 @@ object TextAnalysis {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(s))))
       }
-    docs.select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
-        aggregate(transform(col("ws"), w => size(segment(w))),
-          lit(0L), (a, x) => a + x).as("n_pieces"))
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val vocab = base.select(explode(col("ws")).as("word")).distinct()
+      .select(col("word"), size(segment(col("word"))).cast("long").as("n_sub"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        explode(col("ws")).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("n_sub")).as("n_pieces"))
       .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
         round(col("n_pieces").cast("double") / col("n_tokens"), 6)
           .as("pieces_per_token"))

@@ -366,15 +366,15 @@ class PlanSpec extends SparkSpec {
       "(vsize, nt, nr) must arrive as a broadcast 1-row aggregate:\n" + p)
   }
 
-  test("n77: tokenizing with the persisted merge table is per-row — no " +
-    "hash exchange, no aggregate, zero training subtrees") {
+  test("n77: BPE segmentation runs on the vocab table and broadcasts " +
+    "back — the corpus never shuffles on the word key") {
     val p = plan("n77_bpe_tokenize")
-    assert(!p.contains("HashAggregate"),
-      "BPE application must not aggregate (the rules are a compiled " +
-        "column expression):\n" + p)
-    assert(!p.contains("hashpartitioning"),
-      "BPE application must not hash-shuffle — only the presentation " +
-        "sort's range exchange is allowed:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the (word → n_sub) table must broadcast into the token stream, " +
+        "never shuffle the corpus by word:\n" + p)
+    assert("partial_sum|partial".r.findAllIn(p).nonEmpty &&
+      p.contains("HashAggregate"),
+      "the per-doc piece sum must keep a map-side partial phase:\n" + p)
   }
 
   test("no query in the registry plans a CartesianProduct") {
