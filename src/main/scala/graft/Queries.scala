@@ -1109,8 +1109,6 @@ object Queries {
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
 
-    // ANN recall@k harness: lshBucketTopK vs brute-force ground truth
-    // per probe — the vector-side twin of n59's LSH tuning harness.
     // IVF recall@k vs brute-force truth — the number on the "sign-LSH
     // recall collapsed, switch to IVF" decision n64 surfaces; nProbe=2
     // of 16 cells, the production-shaped setting.
@@ -1119,6 +1117,8 @@ object Queries {
         Similarity.ivfRecall(emb(s, d), 10, 5),
       None), // k-means float means are engine-specific, like n23/n51
 
+    // ANN recall@k harness: lshBucketTopK vs brute-force ground truth
+    // per probe — the vector-side twin of n59's LSH tuning harness.
     // Bits pinned to the oracle constant like n10; production callers
     // pass 0 → deriveBucketBits.
     ("n62_ann_recall",
@@ -1985,10 +1985,13 @@ object Queries {
         |nr AS (SELECT test_doc,
         |  max(round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6)) AS max_jaccard
         |  FROM pairs JOIN w wa ON test_doc = wa.doc_id JOIN w wb ON train_doc = wb.doc_id
-        |  GROUP BY test_doc)
-        |SELECT ng.test_doc, ng.n_grams, ng.ngram_frac,
+        |  GROUP BY test_doc),
+        |base AS (SELECT doc_id AS test_doc FROM sp WHERE split = 'test')
+        |SELECT base.test_doc, coalesce(ng.n_grams, 0)::bigint AS n_grams,
+        |  ng.ngram_frac,
         |  coalesce(ex.n_exact, 0)::bigint AS n_exact, nr.max_jaccard
-        |FROM ng LEFT JOIN ex USING (test_doc) LEFT JOIN nr USING (test_doc)
+        |FROM base LEFT JOIN ng USING (test_doc) LEFT JOIN ex USING (test_doc)
+        |  LEFT JOIN nr USING (test_doc)
         |ORDER BY test_doc""".stripMargin)),
 
     // MinHash/LSH NEAR-DUP decontamination: test docs flagged against

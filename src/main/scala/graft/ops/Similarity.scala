@@ -64,9 +64,19 @@ object Similarity {
   /** Brute-force cosine top-k neighbors for the first `nProbes` vectors. */
   def bruteForceTopK(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
     val e = withNorm(emb)
-    val p = e.filter(col("vec_id") < nProbes)
+    bruteForceTopKFor(e, e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"))
+        col("nrm").as("q_nrm")), k)
+  }
+
+  /** [[bruteForceTopK]] against an EXPLICIT probe frame (q_id, q_emb,
+    * q_nrm) — the seam that lets a harness hand both its truth and its
+    * approximate side the SAME probe set when their selection
+    * conventions differ (scoreIvf's rank-based probes vs the oracled
+    * literal `vec_id < nProbes`).
+    */
+  private def bruteForceTopKFor(e: DataFrame, p: DataFrame,
+                                k: Int): DataFrame = {
     val scored = e.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -698,12 +708,25 @@ object Similarity {
     * 1.0 (spec-pinned) — the knob a 100 TB run turns DOWN from there
     * until recall hits its floor. Rows-only in the registry: the
     * k-means training iterations are not oracle-expressible (the
-    * n23/n51 exemption), but the truth side IS the oracled n9 scan.
+    * n23/n51 exemption), but the truth side IS the n9 scan shape.
+    *
+    * Probe alignment: scoreIvf selects the `nProbes` SMALLEST ids
+    * (rank-based) where the oracled ANN harnesses use the literal
+    * `vec_id < nProbes` — identical on the 0-based fixture ids but NOT
+    * on an offset/filtered shard, where the literal form would score
+    * the wrong probes (or none, yielding an empty harness instead of a
+    * recall number). The truth side here therefore uses the SAME
+    * rank-based probe frame as the IVF path (spec-pinned on a shifted-id
+    * corpus).
     */
   def ivfRecall(emb: DataFrame, nProbes: Int, k: Int,
                 nCentroids: Int = 16, iters: Int = 3,
                 nProbe: Int = 2): DataFrame = {
-    val truth = bruteForceTopK(emb, nProbes, k)
+    val e = withNorm(emb)
+    val truth = bruteForceTopKFor(e,
+      e.orderBy(col("vec_id")).limit(nProbes)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm")), k)
       .select(col("q_id"), col("vec_id"))
     val approx = ivfTopK(emb, nProbes, k, nCentroids, iters, nProbe)
       .select(col("q_id"), col("vec_id"), lit(1).as("hit"))

@@ -660,14 +660,22 @@ object TextAnalysis {
     * test-split-sized keys only.
     */
   def contaminationReport(docs: DataFrame): DataFrame = {
+    // base = the test-split DOC LIST, not any one detector's output: a
+    // test doc shorter than the gram width has no 5-grams and would
+    // vanish from an ngram-based frame — while the fingerprint and
+    // minhash detectors can still flag it. Every test doc gets a row;
+    // ngram_frac stays NULL (not 0) when the doc has no grams to measure.
+    val base = docs.filter(splitCol === "test")
+      .select(col("doc_id").as("test_doc"))
     val exact = decontamination(docs)
       .groupBy(col("test_doc")).agg(count(lit(1)).as("n_exact"))
     val near = Dedup.minhashDecontamination(docs, 0.0)
       .groupBy(col("test_doc")).agg(max(col("jaccard")).as("max_jaccard"))
-    ngramDecontamination(docs, 5)
+    base
+      .join(ngramDecontamination(docs, 5), Seq("test_doc"), "left_outer")
       .join(exact, Seq("test_doc"), "left_outer")
       .join(near, Seq("test_doc"), "left_outer")
-      .select(col("test_doc"), col("n_grams"),
+      .select(col("test_doc"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         col("contamination_frac").as("ngram_frac"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
         col("max_jaccard"))

@@ -678,5 +678,16 @@ class SimilaritySpec extends SparkSpec {
       assert(rec >= 0.0 && rec <= 1.0)
       assert(r.getLong(2) <= r.getLong(1))
     }
+    // probe alignment on NON-0-based ids: scoreIvf picks the nProbes
+    // smallest ids, so the truth side must too — a literal
+    // `vec_id < nProbes` would find zero probes on this shard and
+    // return an empty harness instead of a recall number
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 1000L)
+    val shiftedFull = Similarity
+      .ivfRecall(shifted, 10, 5, nCentroids = 8, iters = 2, nProbe = 8)
+      .collect()
+    assert(shiftedFull.length === 10,
+      "shifted-id corpus must still evaluate exactly nProbes probes")
+    shiftedFull.foreach(r => assert(r.getDouble(3) === 1.0))
   }
 }

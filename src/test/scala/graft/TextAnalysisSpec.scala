@@ -567,9 +567,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 3L, 3L, 1.0), (2L, 2L, 3L, 1.5)))
   }
 
-  test("contaminationReport ≡ its three component detectors composed") {
+  test("contaminationReport ≡ its three component detectors composed — " +
+    "including a SHORT contaminated test doc the gram detector can't see") {
     // split read back from the real splitCol, then plant: an exact
-    // test→train copy and otherwise-unique texts
+    // test→train copy, a 4-word test→train copy (no 5-grams — the
+    // fingerprint and minhash detectors must still surface it in the
+    // report), and otherwise-unique texts
     val ids = (1L to 60L)
     val splits = TextAnalysis
       .splitAssignment(ids.map((_, "x")).toDF("doc_id", "text")
@@ -578,16 +581,19 @@ class TextAnalysisSpec extends SparkSpec {
     val testIds = ids.filter(splits(_) == "test")
     val trainIds = ids.filter(splits(_) == "train")
     val (copyTest, copyTrain) = (testIds.head, trainIds.head)
+    val (shortTest, shortTrain) = (testIds(1), trainIds(1))
     val docs = ids.map { i =>
       val text =
         if (i == copyTest || i == copyTrain) "p q r s t u v w"
+        else if (i == shortTest || i == shortTrain) "g h i j"
         else s"u$i v$i w$i x$i y$i z$i"
       (i, text)
     }.toDF("doc_id", "text")
     val rep = TextAnalysis.contaminationReport(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
         r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
-    // components, independently
+    // components, independently; base = every test doc
     val ng = TextAnalysis.ngramDecontamination(docs, 5).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
     val exCnt = TextAnalysis.decontamination(docs).collect()
@@ -595,16 +601,21 @@ class TextAnalysisSpec extends SparkSpec {
     val nrMax = graft.ops.Dedup.minhashDecontamination(docs, 0.0).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).groupBy(_._1)
       .map { case (k, g) => k -> g.map(_._2).max }
-    val want = ng.keys.toSeq.sorted.map { t =>
-      (t, ng(t)._1, ng(t)._2, exCnt.getOrElse(t, 0L), nrMax.get(t))
+    val want = testIds.sorted.map { t =>
+      (t, ng.get(t).map(_._1).getOrElse(0L), ng.get(t).map(_._2),
+        exCnt.getOrElse(t, 0L), nrMax.get(t))
     }
     assert(rep.toSeq === want)
-    // spot values: the planted copy is flagged by all three detectors,
-    // and a clean test doc by none
+    // the full-length copy: flagged by all three detectors
     val copyRow = rep.find(_._1 == copyTest).get
-    assert(copyRow === ((copyTest, 4L, 1.0, 1L, Some(1.0))))
-    val cleanRow = rep.find(_._1 == testIds(1)).get
-    assert(cleanRow._3 === 0.0 && cleanRow._4 === 0L)
+    assert(copyRow === ((copyTest, 4L, Some(1.0), 1L, Some(1.0))))
+    // the SHORT copy: no grams to measure (n_grams 0, frac NULL) yet
+    // present in the report with the exact and near-dup flags set
+    val shortRow = rep.find(_._1 == shortTest).get
+    assert(shortRow === ((shortTest, 0L, None, 1L, Some(1.0))))
+    // a clean test doc: a row with nothing flagged
+    val cleanRow = rep.find(_._1 == testIds(2)).get
+    assert(cleanRow._3 === Some(0.0) && cleanRow._4 === 0L)
   }
 
   test("dsirWeights: naive Scala recompute on a synthetic corpus") {
