@@ -140,7 +140,8 @@ object ScaleSanity {
         "n68_ann_recall_curve_mp", "n69_length_outliers",
         "n70_dataset_card", "n71_boilerplate_coverage",
         "n72_minhash_decontamination", "n73_dsir_weights",
-        "n74_contamination_report", "n76_bpe_merges",
+        "n74_contamination_report", "n75_ivf_recall", "n76_bpe_merges",
+        "n77_bpe_tokenize",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
