@@ -65,6 +65,11 @@ object Bench {
         "mode string into the committed record")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // UTC like Verify/ScaleSanity/SparkSpec: with inferTimestampNTZ off,
+      // tz-naive fixture timestamps surface as session-zone instants, so an
+      // unpinned zone would make hour/day groupings (and thus the committed
+      // bench record) depend on the host's timezone.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")

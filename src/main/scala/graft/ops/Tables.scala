@@ -26,14 +26,14 @@ object Tables {
     *     Doing this via conf (not a post-read cast) keeps predicate
     *     pushdown on timestamp columns intact — a cast on top of the
     *     scan would strip PushedFilters at 100 TB.
-    *   - `nanosAsLong=true`: back-compat with fixtures that stored
-    *     TIMESTAMP(NANOS), which the vectorized reader rejects.
     *
-    * Both are runtime SQLConfs, safe to set per-session.
+    * `nanosAsLong=true` is deliberately NOT set here: it would make any
+    * TIMESTAMP(NANOS) column in an unrelated table silently surface as
+    * bigint instead of failing loudly. Only [[events]] — the one consumer
+    * that handles the long fallback — opts in, and only for its own read.
     */
   private def reader(s: SparkSession) = {
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read
   }
   def region(s: SparkSession, dir: String): DataFrame    = reader(s).parquet(s"$dir/region.parquet")
@@ -46,8 +46,16 @@ object Tables {
   /** `ts` arrives as µs TimestampType via [[reader]]; a nano-long `ts`
     * (the TIMESTAMP(NANOS) legacy layout) converts to µs TimestampType
     * (lossless — the generator emits µs precision).
+    *
+    * `nanosAsLong` is a session-wide SQLConf (the lazy scan consults it at
+    * execution, so it cannot be set-and-restored around this call): after
+    * the first `events()` read it stays on for the session. That is safe
+    * for the harness sessions, which read only fixture tables; a session
+    * shared with non-fixture parquet reads should be aware TIMESTAMP(NANOS)
+    * columns will surface as bigint from then on.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = reader(s).parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -372,7 +372,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the (word → n_sub) table must broadcast into the token stream, " +
         "never shuffle the corpus by word:\n" + p)
-    assert("partial_sum|partial".r.findAllIn(p).nonEmpty &&
+    assert("partial_sum\\(n_sub".r.findAllIn(p).nonEmpty &&
       p.contains("HashAggregate"),
       "the per-doc piece sum must keep a map-side partial phase:\n" + p)
   }
