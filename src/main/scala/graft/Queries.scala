@@ -76,6 +76,29 @@ object Queries {
        |  md5(string_agg(mh, '' ORDER BY seed)) AS band_key
        | FROM mh GROUP BY doc_id, seed // ${Dedup.BandSize})""".stripMargin
 
+  /** Shared by n72 (uncollapsed) and n78 (exact-dup pre-collapsed): the
+    * two are bit-equal by construction, so one oracle proves both.
+    */
+  private lazy val MinhashDecontOracle =
+    s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+      |sp AS (
+      |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |    ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+      |    FROM documents)),
+      |pairs AS (SELECT DISTINCT t.doc_id AS test_doc, tr.doc_id AS train_doc
+      |  FROM bands t JOIN sp spt ON t.doc_id = spt.doc_id
+      |  JOIN bands tr ON t.band = tr.band AND t.band_key = tr.band_key
+      |  JOIN sp sptr ON tr.doc_id = sptr.doc_id
+      |  WHERE spt.split = 'test' AND sptr.split = 'train'),
+      |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+      |SELECT test_doc, train_doc,
+      |  round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
+      |FROM pairs JOIN w wa ON test_doc = wa.doc_id JOIN w wb ON train_doc = wb.doc_id
+      |WHERE round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.5
+      |ORDER BY test_doc, train_doc""".stripMargin
+
   // Zero-norm guard mirrors Similarity.cosOrNull EXACTLY — the same
   // sqrt(dot)·sqrt(dot) product is tested, NOT dot·dot, whose square
   // can underflow to 0 for tiny-but-nonzero vectors where the norm
@@ -1375,6 +1398,16 @@ object Queries {
         |FROM d JOIN s USING (source)
         |GROUP BY d.source, s.p05, s.p95 ORDER BY source""".stripMargin)),
 
+    // The 100 TB twin of n69: percentile_approx (mergeable fixed-size
+    // sketch) replaces the exact per-group percentile sort — the skew
+    // point at billions of docs per source. Rows-only (sketch internals
+    // are engine-specific); TextAnalysisSpec bounds approx-vs-exact
+    // cutoff and count divergence on the fixtures.
+    ("n79_length_outliers_approx",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.lengthOutliersApprox(docs(s, d)),
+      None),
+
     // Per-source dataset card: volume, exact-dup fraction, language
     // spread, quality pass rate — one scan + one per-source aggregate;
     // the quality predicate is n22's verbatim.
@@ -2002,24 +2035,19 @@ object Queries {
     ("n72_minhash_decontamination",
       (s: SparkSession, d: String) =>
         Dedup.minhashDecontamination(docs(s, d), 0.5),
-      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
-        |sp AS (
-        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-        |    ELSE 'test' END AS split
-        |  FROM (SELECT doc_id,
-        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
-        |    FROM documents)),
-        |pairs AS (SELECT DISTINCT t.doc_id AS test_doc, tr.doc_id AS train_doc
-        |  FROM bands t JOIN sp spt ON t.doc_id = spt.doc_id
-        |  JOIN bands tr ON t.band = tr.band AND t.band_key = tr.band_key
-        |  JOIN sp sptr ON tr.doc_id = sptr.doc_id
-        |  WHERE spt.split = 'test' AND sptr.split = 'train'),
-        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
-        |SELECT test_doc, train_doc,
-        |  round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
-        |FROM pairs JOIN w wa ON test_doc = wa.doc_id JOIN w wb ON train_doc = wb.doc_id
-        |WHERE round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.5
-        |ORDER BY test_doc, train_doc""".stripMargin)),
+      Some(MinhashDecontOracle)),
+
+    // Exact-dup pre-collapse composed into the decontamination banding
+    // front (the n53 move): band ONE representative per distinct text,
+    // verify rep pairs, expand test×train flags back through the digest
+    // map — identical texts share every band key and word set, so the
+    // expansion is exact, and the SAME DuckDB oracle as n72 proves it.
+    // DedupSpec additionally pins bit-equality n72 ≡ n78 on dup-heavy
+    // corpora; this is the form n74's report composes.
+    ("n78_minhash_decontamination_collapsed",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashDecontaminationCollapsed(docs(s, d), 0.5),
+      Some(MinhashDecontOracle)),
 
     // Quality-aware keeper per near-dup cluster; oracled via the recursive
     // CC CTE + argmax on (score DESC, doc_id ASC).

@@ -274,6 +274,96 @@ object Dedup {
       .orderBy(col("test_doc"), col("train_doc"))
   }
 
+  /** [[minhashDecontamination]] with the [[dupLabelsCollapsed]] exact-dup
+    * pre-collapse composed in front of the banding — the production form
+    * for dup-heavy corpora (which is what a decontamination run targets
+    * by definition: the contaminated case IS repeated text).
+    *
+    * Why: per-bucket candidate generation is Σ (test-members ×
+    * train-members) per bucket, and the biggest buckets on real corpora
+    * are exact-duplicate groups, so the uncollapsed pair expansion grows
+    * quadratically with dup-group size. Identical (minhash-eligible)
+    * texts share every shingle, signature, and band key, so banding ONE
+    * REPRESENTATIVE per distinct text loses nothing: a test×train doc
+    * pair shares a bucket iff their reps do (identical band-key sets),
+    * and its exact word-set Jaccard equals its reps' (identical word
+    * sets). The expansion back through the digest map is therefore
+    * EXACT, not approximate:
+    *
+    *   - cross-group flags: verified rep pair (A,B,j) expands to
+    *     tests(A)×trains(B) ∪ tests(B)×trains(A), each at jaccard j;
+    *   - within-group flags: a group holding both test and train members
+    *     emits tests×trains at jaccard 1.0 (identical texts — n72 flags
+    *     these via their shared buckets; rep pairs can't, a group has
+    *     one rep).
+    *
+    * DedupSpec pins bit-equality with [[minhashDecontamination]] on the
+    * fixture corpus and on dup-heavy variants; the registry's n78 proves
+    * it against the same DuckDB oracle as n72. The banding/verify stages
+    * now run on the DISTINCT-TEXT table: Σ bucket² and the verify join
+    * are bounded by distinct-text near-dup structure regardless of how
+    * many copies each text has — the n53 move, applied to the
+    * decontamination front. [[graft.ops.TextAnalysis.contaminationReport]]
+    * composes THIS form (bit-equal, so its oracle is unchanged).
+    */
+  def minhashDecontaminationCollapsed(docs: DataFrame,
+                                      threshold: Double = 0.5): DataFrame = {
+    val eligible = docs
+      .filter(graft.functions.MinHash.eligible(col("text")))
+      .select(col("doc_id"), col("text"), TextAnalysis.splitCol.as("split"))
+    // One digest aggregate collapses copies before anything is shingled;
+    // member ids ride along as per-split arrays (collect_list skips the
+    // nulls of the other splits), so the expansion is a map-side explode,
+    // never a join back to the corpus. Cut once: the groups frame feeds
+    // the rep corpus, the rep-text verify, and both expansions.
+    val groups = Checkpoints.cut(
+      eligible.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"),
+          sort_array(collect_list(when(col("split") === "test",
+            col("doc_id")))).as("test_ids"),
+          sort_array(collect_list(when(col("split") === "train",
+            col("doc_id")))).as("train_ids")))
+    val repDocs = groups.select(col("rep").as("doc_id"), col("text"))
+    // Same per-bucket pair generation as the uncollapsed path, over reps.
+    val repPairs = lshBandKeys(repDocs)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> named_struct('rep_a', x, 'rep_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.rep_a"), col("p.rep_b")).distinct()
+    val w = groups.select(col("rep"),
+      array_distinct(split(col("text"), " ")).as("ws"),
+      col("test_ids"), col("train_ids"))
+    val verified = repPairs
+      .join(w.as("wa"), col("rep_a") === col("wa.rep"))
+      .join(w.as("wb"), col("rep_b") === col("wb.rep"))
+      .select(
+        round(size(array_intersect(col("wa.ws"), col("wb.ws"))).cast("double") /
+          size(array_union(col("wa.ws"), col("wb.ws"))), 6).as("jaccard"),
+        col("wa.test_ids").as("test_a"), col("wa.train_ids").as("train_a"),
+        col("wb.test_ids").as("test_b"), col("wb.train_ids").as("train_b"))
+      .filter(col("jaccard") >= threshold)
+    def cross(tests: Column, trains: Column) = explode(flatten(
+      transform(tests, t => transform(trains, r =>
+        struct(t.as("test_doc"), r.as("train_doc"))))))
+    val expandAB = verified
+      .select(col("jaccard"), cross(col("test_a"), col("train_b")).as("p"))
+    val expandBA = verified
+      .select(col("jaccard"), cross(col("test_b"), col("train_a")).as("p"))
+    val within = groups
+      .filter(size(col("test_ids")) > 0 && size(col("train_ids")) > 0 &&
+        lit(1.0) >= threshold)
+      .select(lit(1.0).as("jaccard"),
+        cross(col("test_ids"), col("train_ids")).as("p"))
+    expandAB.unionAll(expandBA).unionAll(within)
+      .select(col("p.test_doc"), col("p.train_doc"), col("jaccard"))
+      .orderBy(col("test_doc"), col("train_doc"))
+  }
+
   /** Exact n-gram (word-set) Jaccard over adjacent-id pairs — a
     * deterministic linear-size sample of the pair space used as the
     * oracle-checkable twin of the LSH candidate path.

@@ -347,8 +347,9 @@ object TextAnalysis {
     * before flagging can start (inherent to any adaptive threshold);
     * both passes move two small columns, never the text, and the
     * per-source stats table is broadcast back. Exact `percentile` is a
-    * per-group sort at 100 TB — swap `percentile_approx` in at scale
-    * (the b4/b13 twin relationship) once the thresholds are tuned.
+    * per-group sort at 100 TB — [[lengthOutliersApprox]] is the
+    * registered `percentile_approx` swap (the b4/b13 twin relationship);
+    * tune thresholds here, run the approx twin at scale.
     */
   def lengthOutliers(docs: DataFrame): DataFrame = {
     val d = docs.select(col("source"),
@@ -356,6 +357,40 @@ object TextAnalysis {
     val stats = d.groupBy(col("source")).agg(
       round(expr("percentile(nw, 0.05)"), 4).as("p05"),
       round(expr("percentile(nw, 0.95)"), 4).as("p95"))
+    d.join(broadcast(stats), Seq("source"))
+      .groupBy(col("source"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nw") < col("p05"), 1).otherwise(0)).as("n_short"),
+        sum(when(col("nw") > col("p95"), 1).otherwise(0)).as("n_long"))
+      .select(col("source"), col("n_docs"), col("p05"), col("p95"),
+        col("n_short"), col("n_long"))
+      .orderBy(col("source"))
+  }
+
+  /** The 100 TB twin of [[lengthOutliers]]: identical shape with
+    * `percentile_approx` (a fixed-size KLL-style sketch with map-side
+    * merge) in place of exact `percentile` (a per-group sort buffer that
+    * turns one billion-doc source into one straggling reducer — the skew
+    * point the exact form's docstring warns about). Everything else is
+    * shared: same projection, same broadcast-back, same outlier
+    * predicate. Rows-only in the registry (sketch internals are
+    * engine-specific); TextAnalysisSpec bounds the approx-vs-exact
+    * cutoff and count divergence on the bench fixtures, which is the
+    * real contract — the 5%/95% fences land on (or next to) the same
+    * order statistics.
+    */
+  def lengthOutliersApprox(docs: DataFrame,
+                           accuracy: Int = 10000): DataFrame = {
+    val d = docs.select(col("source"),
+      size(words(col("text"))).as("nw"))
+    // cast: percentile_approx returns the input's integer type (it picks
+    // an actual order statistic); double keeps the schema identical to
+    // the exact twin so the two are drop-in interchangeable
+    val stats = d.groupBy(col("source")).agg(
+      round(expr(s"percentile_approx(nw, 0.05, $accuracy)")
+        .cast("double"), 4).as("p05"),
+      round(expr(s"percentile_approx(nw, 0.95, $accuracy)")
+        .cast("double"), 4).as("p95"))
     d.join(broadcast(stats), Seq("source"))
       .groupBy(col("source"), col("p05"), col("p95"))
       .agg(count(lit(1)).as("n_docs"),
@@ -649,7 +684,8 @@ object TextAnalysis {
     *   - `ngram_frac`: distinct 5-gram overlap with the train split
     *     ([[ngramDecontamination]] — partial copies)
     *   - `max_jaccard`: the worst LSH candidate's exact word-set Jaccard
-    *     ([[graft.ops.Dedup.minhashDecontamination]] at τ=0 — edited
+    *     ([[graft.ops.Dedup.minhashDecontaminationCollapsed]] at τ=0,
+    *     bit-equal to the uncollapsed n72 detector — edited
     *     near-copies; NULL when no band-bucket candidate exists, which
     *     is itself the signal "no near-dup evidence")
     *
@@ -669,7 +705,11 @@ object TextAnalysis {
       .select(col("doc_id").as("test_doc"))
     val exact = decontamination(docs)
       .groupBy(col("test_doc")).agg(count(lit(1)).as("n_exact"))
-    val near = Dedup.minhashDecontamination(docs, 0.0)
+    // the collapsed form is spec-pinned bit-equal to minhashDecontamination
+    // (n72/n78), so composing it changes nothing downstream while the
+    // banding front stays bounded by DISTINCT-text structure on the
+    // dup-heavy corpora this report exists for
+    val near = Dedup.minhashDecontaminationCollapsed(docs, 0.0)
       .groupBy(col("test_doc")).agg(max(col("jaccard")).as("max_jaccard"))
     base
       .join(ngramDecontamination(docs, 5), Seq("test_doc"), "left_outer")

@@ -363,4 +363,53 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((testId, copyTrain, 1.0)),
       s"test=$testId copyTrain=$copyTrain trainDup=($dupA,$dupB)")
   }
+
+  test("collapsed decontamination bit-equal to the uncollapsed detector " +
+    "(n78 ≡ n72), within-group and cross-group branches + dup-heavy corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // hand corpus driving both expansion branches deterministically: an
+    // exact test→train copy (a digest group holding both splits — the
+    // within-group emit, rep pairs can't see it), and a near-dup train
+    // text in TWO copies (a verified cross-group rep pair expanding over
+    // a >1-member train array)
+    val ids = (1L to 60L)
+    val splits = graft.ops.TextAnalysis
+      .splitAssignment(ids.map((_, "x")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val testId = ids.find(splits(_) == "test").get
+    val trainIds = ids.filter(splits(_) == "train")
+    val d = ids.map { i =>
+      val text =
+        if (i == testId || i == trainIds(0))
+          "the quick brown fox jumps over the lazy dog"
+        else if (i == trainIds(1) || i == trainIds(2))
+          "the quick brown fox jumps over the lazy cat"
+        else s"u$i v$i w$i x$i y$i z$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    for (tau <- Seq(0.0, 0.5)) {
+      val un = rows(Dedup.minhashDecontamination(d, tau))
+      val co = rows(Dedup.minhashDecontaminationCollapsed(d, tau))
+      assert(co === un, s"hand corpus diverged at threshold $tau")
+    }
+    val at0 = rows(Dedup.minhashDecontaminationCollapsed(d, 0.0))
+    assert(at0.exists(_._3 == 1.0) && at0.exists(p => p._3 < 1.0),
+      "both the within-group (jaccard 1.0) and cross-group (< 1.0) " +
+        s"branches must fire on the hand corpus: $at0")
+
+    // replicated real corpus — every text ×3 under fresh doc_ids (fresh
+    // split assignments), so dup groups span splits and the banding front
+    // is exactly the dup-heavy shape the collapse exists for
+    val base = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(120)
+    val replicated = (0 until 3).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    val un2 = rows(Dedup.minhashDecontamination(replicated, 0.0))
+    val co2 = rows(Dedup.minhashDecontaminationCollapsed(replicated, 0.0))
+    assert(co2 === un2)
+    assert(co2.nonEmpty, "3× replication must produce contamination flags")
+  }
 }

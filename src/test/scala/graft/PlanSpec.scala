@@ -104,6 +104,20 @@ class PlanSpec extends SparkSpec {
         "broadcast hint:\n" + p)
   }
 
+  test("n79: the approx twin keeps n69's broadcast shape AND a partial " +
+    "(map-side mergeable) sketch phase — the properties that remove the " +
+    "per-source sort straggler at 100 TB") {
+    val p = plan("n79_length_outliers_approx")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source quantile table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join here means the stats table lost its " +
+        "broadcast hint:\n" + p)
+    assert("partial_percentile_approx".r.findAllIn(p).nonEmpty,
+      "percentile_approx must keep a map-side partial sketch phase — " +
+        "that mergeability IS the reason the twin exists:\n" + p)
+  }
+
   test("n59: tuning truth is a block equi-join and candidates a band-key " +
     "equi-join — never a cartesian/range nested loop") {
     val p = plan("n59_lsh_tuning")

@@ -74,6 +74,42 @@ class TextAnalysisSpec extends SparkSpec {
       "a uniform source flags nothing under its OWN thresholds")
   }
 
+  test("lengthOutliersApprox: the percentile_approx twin lands on (or " +
+    "next to) the exact fences — counts within 2% per source on the " +
+    "fixture corpus, identical on a uniform source") {
+    // real-corpus bound: same sources, same n_docs, fences bracketed by
+    // the source's own range, outlier counts within max(1, 2%) of exact —
+    // the divergence budget the docstring's "swap at 100 TB" promises
+    val fix = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
+    val exact = TextAnalysis.lengthOutliers(fix).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = TextAnalysis.lengthOutliersApprox(fix).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet === approx.keySet)
+    for ((src, e) <- exact) {
+      val a = approx(src)
+      assert(a.getLong(1) === e.getLong(1), s"$src n_docs")
+      assert(a.getDouble(2) <= a.getDouble(3), s"$src fence order")
+      // floor of 2: the approx fence is an actual order statistic, the
+      // exact fence an interpolation — one position apart, which with
+      // ties moves a couple of docs on a 25-doc fixture source; the 2%
+      // term governs at real source sizes
+      val tol = math.max(2.0, 0.02 * e.getLong(1))
+      assert(math.abs(a.getLong(4) - e.getLong(4)) <= tol,
+        s"$src n_short: approx ${a.getLong(4)} vs exact ${e.getLong(4)}")
+      assert(math.abs(a.getLong(5) - e.getLong(5)) <= tol,
+        s"$src n_long: approx ${a.getLong(5)} vs exact ${e.getLong(5)}")
+    }
+    // a uniform source must behave identically under both: p05 = p95 =
+    // the constant, zero flags (the source-B half of the exact test)
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val uni = (1 to 5).map(i => (i.toLong, doc(50), "B"))
+      .toDF("doc_id", "text", "source")
+    val b = TextAnalysis.lengthOutliersApprox(uni).collect()(0)
+    assert(b.getDouble(2) === 50.0 && b.getDouble(3) === 50.0)
+    assert(b.getLong(4) === 0L && b.getLong(5) === 0L)
+  }
+
   test("datasetCard: per-source volume, dup fraction, and quality rate " +
     "from one hand-checked corpus") {
     val good = (1 to 40).map(i => s"tok$i").mkString(" ") // 40 words, 0 stop
