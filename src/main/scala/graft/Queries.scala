@@ -1140,6 +1140,16 @@ object Queries {
         Similarity.ivfRecall(emb(s, d), 10, 5),
       None), // k-means float means are engine-specific, like n23/n51
 
+    // The production ANN decision, executable: measure derived-width
+    // multi-probe sign-LSH recall on the deterministic probe sample,
+    // fall back to IVF (same truth frame) when it misses the floor.
+    // Rows-only: the IVF side is the n23/n51 k-means exemption;
+    // SimilaritySpec pins the choice both ways on fixture shapes.
+    ("n80_ann_path_select",
+      (s: SparkSession, d: String) =>
+        Similarity.annSelectPath(emb(s, d), 10, 5),
+      None),
+
     // ANN recall@k harness: lshBucketTopK vs brute-force ground truth
     // per probe — the vector-side twin of n59's LSH tuning harness.
     // Bits pinned to the oracle constant like n10; production callers
@@ -1743,6 +1753,15 @@ object Queries {
     // fixpoint that is not single-statement SQL (the n23/n51 class);
     // determinism (lexicographic tie-break) is property-tested against a
     // naive Scala BPE instead.
+    ("n81_bpe_merges_batched",
+      // the production-vocab trainer: up to batchK merges per Spark job,
+      // provably the IDENTICAL rule sequence as n76 (PropertiesSpec pins
+      // rule-for-rule equality incl. adversarial interaction shapes);
+      // rows-only like n76 — the naive-BPE property suite is the oracle
+      (s: SparkSession, d: String) =>
+        TextAnalysis.bpeMergesBatched(docs(s, d), 10, 8),
+      None),
+
     ("n76_bpe_merges",
       (s: SparkSession, d: String) => TextAnalysis.bpeMerges(docs(s, d), 10),
       None),

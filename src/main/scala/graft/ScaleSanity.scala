@@ -269,6 +269,65 @@ object ScaleSanity {
           s"ingest_batch_$b (kept=$kept)")
       }
     }
+    // manifest-chain read amplification: append N tiny commits (no
+    // compaction), time Versioned.read at checkpoint chain lengths, then
+    // one compact + a post-compact read — the chart that pins the
+    // compactEvery cadence to a measured knee instead of a guess
+    if (wanted("versioned_chain")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val table = s"$out/chain_table"
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val batch = spark.read.parquet(s"$out/documents.parquet")
+        .limit(500).select(col("doc_id"), col("text")).coalesce(1)
+      val nCommits =
+        sys.env.getOrElse("SPARK_GRAFT_CHAIN_COMMITS", "200").toInt
+      val marks = Set(1, 5, 10, 25, 50, 100, 150, 200, nCommits)
+      var appendAccum = 0.0
+      for (b <- 1 to nCommits) {
+        val a0 = System.nanoTime()
+        sources.Sinks.Versioned.append(batch, table, keepVersions = 3)
+        appendAccum += (System.nanoTime() - a0) / 1e9
+        if (marks(b)) {
+          val t0 = System.nanoTime()
+          sources.Sinks.Versioned.read(spark, table)
+            .queryExecution.toRdd.count()
+          println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+            f"chain_read_commits_$b (append_mean=${appendAccum / b}%.3f)")
+        }
+      }
+      val c0 = System.nanoTime()
+      sources.Sinks.Versioned.compact(spark, table, targetFiles = 4)
+      println(f"SCALE$mult%d ${(System.nanoTime() - c0) / 1e9}%8.2f  " +
+        "chain_compact")
+      val r0 = System.nanoTime()
+      sources.Sinks.Versioned.read(spark, table)
+        .queryExecution.toRdd.count()
+      println(f"SCALE$mult%d ${(System.nanoTime() - r0) / 1e9}%8.2f  " +
+        "chain_read_post_compact")
+    }
+    // BPE training at production-vocab shape (n76/n81): per-round fixed
+    // cost from the sequential slope (t(300)−t(100))/200, batched wall at
+    // the same vocab target, verbose job/batch accounting on stderr —
+    // the inputs to the 32k-merge projection in BENCH_NOTES
+    if (wanted("n76_bpe_scale")) {
+      val d = spark.read.parquet(s"$out/documents.parquet")
+      def time(tag: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $tag")
+      }
+      time("bpe_seq_100") {
+        ops.TextAnalysis.bpeMerges(d, 100).queryExecution.toRdd.count() }
+      time("bpe_seq_300") {
+        ops.TextAnalysis.bpeMerges(d, 300).queryExecution.toRdd.count() }
+      time("bpe_batched_300") {
+        ops.TextAnalysis.bpeMergesBatched(d, 300, 16, 256, verbose = true)
+          .queryExecution.toRdd.count() }
+      time("bpe_batched_1000") {
+        ops.TextAnalysis.bpeMergesBatched(d, 1000, 32, 512, verbose = true)
+          .queryExecution.toRdd.count() }
+    }
     // train-once/score-many (n51/n52): training is paid once per corpus
     // refresh; the scoring side must stay near-linear map-side work with
     // zero training subtrees — time the two halves separately

@@ -323,16 +323,38 @@ object Dedup {
             col("doc_id")))).as("test_ids"),
           sort_array(collect_list(when(col("split") === "train",
             col("doc_id")))).as("train_ids")))
-    val repDocs = groups.select(col("rep").as("doc_id"), col("text"))
-    // Same per-bucket pair generation as the uncollapsed path, over reps.
-    val repPairs = lshBandKeys(repDocs)
+    // Rep banding CARRIES the group's has-test/has-train flags so the
+    // per-bucket pair generation keeps the uncollapsed path's pruning: a
+    // rep pair materializes only when one side holds test members and
+    // the other train members — without this, every ≥2 bucket would
+    // emit ALL its rep pairs into the verify join (~6× the pair volume
+    // on an 80/10 train/test corpus), and the dup-free (p=0) case would
+    // pay it with nothing to collapse.
+    val nBands = NumMinhashSeeds / BandSize
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat((0 until BandSize)
+        .map(j => element_at(col("sig"), b * BandSize + j + 1)): _*))
+        .as(s"bk$b")
+    }
+    val stackArgs = (0 until nBands).map(b => s"${b}L, bk$b").mkString(", ")
+    val repPairs = groups
+      .select(col("rep"), (size(col("test_ids")) > 0).as("ht"),
+        (size(col("train_ids")) > 0).as("hr"),
+        graft.functions.MinHash.signature(col("text"), NumMinhashSeeds)
+          .as("sig"))
+      .select(col("rep") +: col("ht") +: col("hr") +: bandCols: _*)
+      .selectExpr("rep", "ht", "hr",
+        s"stack($nBands, $stackArgs) AS (band, band_key)")
       .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(sort_array(collect_list(struct(col("rep"), col("ht"), col("hr"))))
+        .as("gs"))
+      .filter(size(col("gs")) > 1)
       .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> named_struct('rep_a', x, 'rep_b', y))))""".stripMargin))
+        """flatten(transform(gs, (x, i) ->
+          |  transform(filter(slice(gs, i + 2, size(gs)),
+          |      y -> (x.ht AND y.hr) OR (y.ht AND x.hr)),
+          |    y -> named_struct('rep_a', x.rep, 'rep_b', y.rep))))"""
+          .stripMargin))
         .as("p"))
       .select(col("p.rep_a"), col("p.rep_b")).distinct()
     val w = groups.select(col("rep"),

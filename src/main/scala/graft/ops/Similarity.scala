@@ -822,6 +822,60 @@ object Similarity {
       .orderBy(col("bits"))
   }
 
+  /** Production ANN entry point: MEASURE, then choose. Evaluates the
+    * derived-width sign-LSH path (multi-probe, [[annRecallCurve]] at
+    * probeRadius=1 — the repaired form) against `recallFloor` on the
+    * deterministic probe sample every harness in this family shares
+    * (the first `nProbes` ids), and falls back to IVF ([[ivfRecall]],
+    * same brute-force truth, so the two paths are compared on identical
+    * terms) when the floor is unmet. This is the decision the n62/n64/
+    * n68/n75 harnesses exist to inform — previously prose in
+    * BENCH_NOTES, now executable: sign-LSH when the corpus clusters
+    * along the pinned hyperplanes (zero training, corpus never
+    * shuffles), IVF when it doesn't (near-uniform corpora collapse
+    * sign-LSH recall at production widths; measured 0.02-0.05 vs IVF
+    * 0.92+ on the fixtures).
+    *
+    * One summary row: (chosen_path, measured_recall, recall_floor,
+    * lsh_recall, ivf_recall, bits, n_probes, k, n_centroids,
+    * n_probe_cells). `ivf_recall` is null when sign-LSH met the floor
+    * (the fallback's training never runs — at 100 TB that skip IS the
+    * point). Rows-only in the registry: the IVF side carries k-means
+    * float iterations (the n23/n51 exemption) and the decision collects
+    * two bounded harness aggregates at plan-build time, like every
+    * trainer in this family. SimilaritySpec pins the choice both ways:
+    * IVF on the near-uniform fixture corpus, sign-LSH on a clustered
+    * one.
+    */
+  def annSelectPath(emb: DataFrame, nProbes: Int, k: Int,
+                    recallFloor: Double = 0.8,
+                    nCentroids: Int = 16, iters: Int = 3,
+                    nProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bits = deriveBucketBits(emb)
+    val lshRecall = annRecallCurve(emb, nProbes, k, Seq(bits), 1)
+      .collect().headOption.map(_.getDouble(3)).getOrElse(0.0)
+    val lshOk = lshRecall >= recallFloor
+    val ivfMeasured: Option[Double] =
+      if (lshOk) None
+      else {
+        val a = ivfRecall(emb, nProbes, k, nCentroids, iters, nProbe)
+          .agg(sum(col("n_truth")).as("t"), sum(col("n_hits")).as("h"))
+          .head()
+        if (a.isNullAt(0) || a.getLong(0) == 0L) Some(0.0)
+        else Some(math.rint(a.getLong(1).toDouble / a.getLong(0) * 1e6) / 1e6)
+      }
+    Seq((
+      if (lshOk) "sign-lsh-multiprobe" else "ivf",
+      ivfMeasured.getOrElse(lshRecall),
+      recallFloor, lshRecall, ivfMeasured,
+      bits, nProbes, k, nCentroids, nProbe))
+      .toDF("chosen_path", "measured_recall", "recall_floor", "lsh_recall",
+        "ivf_recall", "bits", "n_probes", "k", "n_centroids",
+        "n_probe_cells")
+  }
+
   /** Semantic decontamination: drop every corpus vector whose cosine
     * against ANY of the first `nProbes` vectors (the benchmark/eval
     * embedding set) reaches `threshold` — the embedding-side member of

@@ -1118,6 +1118,142 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  /** [[bpeMerges]] with BATCHED rounds — the production-vocab form. A
+    * real tokenizer is 32k-50k merges; one Spark job per merge is 32k
+    * sequential vocab-sized jobs whose per-round FIXED cost (job launch
+    * + argmax collect) dominates the wall. This variant selects up to
+    * `batchK` merges per job and applies them in ONE fold pass, cutting
+    * job count ~batchK× — while provably emitting the IDENTICAL rule
+    * sequence (PropertiesSpec pins rule-for-rule equality against
+    * [[bpeMerges]] on random corpora, dup-heavy and adversarial shapes
+    * included; the registry's n81 runs it on the fixture corpus).
+    *
+    * Why identical, not approximately: candidates are walked in the
+    * sequential argmax order (freq desc, then lexicographic) over a
+    * collected top-`pool` candidate table, and a pair is accepted only
+    * when
+    *
+    *   1. its symbol set {l, r, l+r} is disjoint from every earlier
+    *      accept's — so applying earlier accepts can neither destroy
+    *      nor create occurrences of it (its count is exactly what
+    *      sequential training would re-count), and the one-pass fold
+    *      application commutes with rule-at-a-time application; and
+    *   2. its count strictly exceeds the best count any INTERACTING
+    *      pair could reach when the earlier accepts apply: interacting
+    *      candidates in the pool (tracked max), pairs below the pool
+    *      (bounded by the pool's tail count), and — when an accepted
+    *      merge re-creates a symbol string that ALREADY exists in the
+    *      vocabulary — existing+created occurrences, bounded by 2× (the
+    *      vocabulary is driver-known: initial characters + accepted
+    *      merges, so the ×2 guard engages only on those rare rounds).
+    *
+    * A new pair minted by merge (a,b) has count ≤ the count of the
+    * (x,a)/(b,y) context pair it came from — an interacting pair — so
+    * under (2) no minted pair can overtake an accepted one, strictness
+    * sidesteps ties, and sequential argmax after each accepted merge
+    * still lands on the next accepted pair. The batch stops at the
+    * first candidate that fails (counts only fall from there), so a
+    * round degrades to batch size 1 — never to a wrong rule.
+    */
+  def bpeMergesBatched(docs: DataFrame, nMerges: Int = 10,
+                       batchK: Int = 16, pool: Int = 256,
+                       verbose: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    require(batchK >= 1 && pool > batchK,
+      s"batchK=$batchK pool=$pool (want batchK >= 1, pool > batchK)")
+    var nJobs = 0
+    var wordTable = Checkpoints.cut(
+      docs.select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          filter(split(col("word"), ""), s => s =!= "").as("syms")))
+    val adjacentPairs =
+      when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    // the symbol inventory is driver-sized by construction: initial
+    // characters (one tiny distinct job) + one entry per accepted merge
+    val vocab = scala.collection.mutable.Set[String](
+      wordTable.select(explode(col("syms")).as("s")).distinct()
+        .collect().map(_.getString(0)): _*)
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    while (rules.size < nMerges && !exhausted) {
+      val top = wordTable
+        .select(col("freq"), explode(adjacentPairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(pool).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val tailBound = if (top.length == pool) top.last.getLong(2) else 0L
+        val cand = top.map(row =>
+          (row.getString(0), row.getString(1), row.getLong(2)))
+        val acceptedIdx = scala.collection.mutable.Set.empty[Int]
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val acceptedSyms = scala.collection.mutable.Set.empty[String]
+        var mergedPreexists = false
+        // max count over the WHOLE pool (before and after the current
+        // candidate — an equal-count interacting pair later in the list
+        // can mint a lexicographically-earlier pair and steal the next
+        // sequential round) of non-accepted pairs touching an accepted
+        // symbol; O(pool·batchK) driver arithmetic
+        def interactMax: Long = cand.indices.collect {
+          case i if !acceptedIdx(i) &&
+            Set(cand(i)._1, cand(i)._2, cand(i)._1 + cand(i)._2)
+              .exists(acceptedSyms) => cand(i)._3
+        }.foldLeft(0L)(math.max)
+        var stopped = false
+        for (i <- cand.indices if !stopped &&
+            accepted.size < math.min(batchK, nMerges - rules.size)) {
+          val (l, r, cnt) = cand(i)
+          val syms = Set(l, r, l + r)
+          if (accepted.isEmpty) {
+            acceptedIdx += i; accepted += ((l, r, cnt))
+            mergedPreexists ||= vocab.contains(l + r); acceptedSyms ++= syms
+          } else if (!syms.exists(acceptedSyms)) {
+            val bound = math.max(interactMax, tailBound) *
+              (if (mergedPreexists) 2L else 1L)
+            if (cnt > bound) {
+              acceptedIdx += i; accepted += ((l, r, cnt))
+              mergedPreexists ||= vocab.contains(l + r)
+              acceptedSyms ++= syms
+            } else stopped = true
+          }
+        }
+        nJobs += 1
+        if (verbose) System.err.println(
+          s"[bpe] job $nJobs accepted ${accepted.size} " +
+            s"(rules ${rules.size + accepted.size}/$nMerges)")
+        accepted.foreach { case (l, r, cnt) =>
+          rules += ((rules.size + 1, l, r, l + r, cnt)); vocab += (l + r)
+        }
+        // ONE fold pass applies the whole batch: symbol-disjointness
+        // means at most one rule matches any boundary, so the when-chain
+        // order is immaterial and the pass equals rule-at-a-time folds
+        wordTable = Checkpoints.cut(wordTable.select(col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
+            accepted.foldRight(concat(acc, array(s))) {
+              case ((l, r, _), els) =>
+                when(size(acc) > 0 &&
+                    element_at(acc, -1) === lit(l) && s === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(l + r))))
+                  .otherwise(els)
+            }).as("syms")))
+      }
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("round", "left", "right", "merged", "pair_freq")
+      .orderBy(col("round"))
+  }
+
   /** Tokenize with a TRAINED BPE merge table — the score-many half of
     * [[bpeMerges]] (the n52/n51 move on the tokenizer): per document,
     * whitespace token count, BPE piece count under the rule sequence,

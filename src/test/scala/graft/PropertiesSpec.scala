@@ -522,6 +522,53 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("property: bpeMergesBatched ≡ bpeMerges rule for rule on random " +
+    "corpora, across batch/pool shapes") {
+    // bpeMerges is itself property-pinned to the naive Scala BPE above,
+    // so equality here transitively proves the batched selection emits
+    // the exact sequential rule sequence — counts, tie-breaks, order
+    check(Prop.forAll(smallCorpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      def rules(m: org.apache.spark.sql.DataFrame) =
+        m.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val seq = rules(graft.ops.TextAnalysis.bpeMerges(df, 8))
+      // tiny pool forces the tail bound into play; batchK=3 exercises
+      // mid-batch stops
+      rules(graft.ops.TextAnalysis.bpeMergesBatched(df, 8, 3, 8)) == seq &&
+        rules(graft.ops.TextAnalysis.bpeMergesBatched(df, 8, 16, 64)) == seq
+    }, n = 6)
+  }
+
+  test("bpeMergesBatched: adversarial interaction shapes still match the " +
+    "sequential rules exactly") {
+    def rules(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // 1. equal-count pair AFTER a disjoint candidate in argmax order
+    //    interacts with the first accept and mints a lexicographically
+    //    earlier pair: "x a b"×10 + "c d"×10 — sequential merges (a,b)
+    //    then (x,ab); a naive disjoint-prefix batcher would wrongly take
+    //    {(a,b),(c,d)}
+    // 2. overlapping run under a self-pair ("a a a") — leftmost-first
+    // 3. the merged pair's string also occurring as a standalone word
+    //    ("ab" a word AND the merge of (a,b)) — the symbol-string
+    //    collision shape the preexisting-symbol guard is about
+    val corpora = Seq(
+      (1 to 10).map(i => (i.toLong, "x a b")) ++
+        (11 to 20).map(i => (i.toLong, "c d")),
+      (1 to 6).map(i => (i.toLong, "a a a b b")) ++
+        (7 to 9).map(i => (i.toLong, "c c")),
+      (1 to 8).map(i => (i.toLong, "ab a b q r")) ++
+        (9 to 12).map(i => (i.toLong, "ab ab s t")))
+    for (c <- corpora) {
+      val df = c.toDF("doc_id", "text")
+      val seq = rules(graft.ops.TextAnalysis.bpeMerges(df, 8))
+      val bat = rules(graft.ops.TextAnalysis.bpeMergesBatched(df, 8, 4, 16))
+      assert(bat === seq, s"corpus ${c.take(2)}…")
+    }
+  }
+
   test("property: bpeTokenize equals the naive application of the same " +
     "trained rules") {
     check(Prop.forAll(smallCorpusGen) { docs =>

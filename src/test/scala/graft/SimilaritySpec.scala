@@ -690,4 +690,46 @@ class SimilaritySpec extends SparkSpec {
       "shifted-id corpus must still evaluate exactly nProbes probes")
     shiftedFull.foreach(r => assert(r.getDouble(3) === 1.0))
   }
+
+  test("annSelectPath measures then chooses: IVF on the near-uniform " +
+    "fixture corpus, sign-LSH (IVF never trained) on a " +
+    "hyperplane-clustered one") {
+    // near-uniform: the real embeddings fixture — derived-width
+    // multi-probe sign-LSH recall sits well under the 0.8 floor
+    // (measured 0.66 at sf0.01), so the decision must fall back to IVF
+    // and report ITS measured recall
+    val fix = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val uni = Similarity.annSelectPath(fix, 10, 5).collect()(0)
+    assert(uni.getString(0) === "ivf", uni.toString)
+    assert(uni.getDouble(3) < 0.8,
+      s"premise: fixture lsh recall under the floor, got ${uni.getDouble(3)}")
+    assert(!uni.isNullAt(4) && uni.getDouble(1) === uni.getDouble(4),
+      "measured_recall must be the fallback's number")
+
+    // clustered: 8 tight clusters whose centers clear every pinned
+    // 4-bit hyperplane by a margin (|<c, p>| > 2) 100× the noise
+    // radius, so members share sign buckets, true neighbors are
+    // in-bucket, and the sign-LSH path must clear the floor — with the
+    // IVF column NULL, proving the fallback's training never ran
+    val dims = 16
+    val planes = Similarity.rpPlanes(4, dims)
+    val rnd = new scala.util.Random(42)
+    def center(): Array[Double] = {
+      val c = Array.fill(dims)(rnd.nextGaussian())
+      if (planes.forall(p =>
+        math.abs(p.zip(c).map { case (a, b) => a * b }.sum) > 2.0)) c
+      else center()
+    }
+    val centers = Array.fill(8)(center())
+    val clustered = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + (rnd.nextDouble() - 0.5) * 0.02).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cl = Similarity.annSelectPath(clustered, 10, 5).collect()(0)
+    assert(cl.getString(0) === "sign-lsh-multiprobe", cl.toString)
+    assert(cl.getDouble(1) >= 0.8 && cl.getDouble(1) === cl.getDouble(3))
+    assert(cl.isNullAt(4),
+      "ivf_recall must be NULL when sign-LSH meets the floor — the " +
+        "skipped training is the point of measuring first")
+  }
 }
