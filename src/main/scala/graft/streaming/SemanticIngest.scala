@@ -143,6 +143,13 @@ object SemanticIngest {
     * (compact publishes a full version or nothing — the pointer swap is
     * atomic). Amortized cost stays linear: each row is rewritten once
     * per compaction cycle, not once per batch.
+    *
+    * Cadence (measured, BENCH_NOTES round 9, 200-commit chain): read
+    * wall is flat to ~50 commit dirs and then grows linearly at ~3 ms
+    * per dir of listing overhead, while a compact costs ~one batch-write
+    * and resets it. `compactEvery ≈ 50` (anywhere ≤ 100) keeps reader
+    * amplification under ~2.5× of compacted at ~2-3% of the stream's
+    * batch budget.
     */
   def startFromParquet(spark: SparkSession, dir: String, checkpoint: String,
                        indexTable: String, out: String,
