@@ -1571,6 +1571,88 @@ object Queries {
         |  round(coalesce(cov.n_cov, 0)::double / len(w.ws), 6) AS boilerplate_frac
         |FROM w LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Boilerplate TRIM: execute what n71 measures — drop every word
+    // position covered by a hot (df ≥ 2) 5-gram, emit cleaned text +
+    // accounting. Same hot/cover machinery verbatim; n_removed ≡ n71's
+    // n_cov (spec-pinned). Both engines rebuild text from their own
+    // position base (0- vs 1-based stays internal); the emitted string
+    // is base-invariant.
+    ("n82_boilerplate_trim",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.boilerplateTrim(docs(s, d), 5, 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM w)),
+        |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+        |  FROM g GROUP BY g) WHERE df >= 2),
+        |covp AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS p
+        |  FROM g JOIN hot USING (g))),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        |  FROM w),
+        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
+        |kept AS (SELECT t.doc_id,
+        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS trimmed_text
+        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
+        |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+        |  coalesce(kept.trimmed_text, '') AS trimmed_text
+        |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // The cleaned training corpus ITSELF (the n63 funnel's execute
+    // side): normalize → exact-dup keeper (FIRST, so dup copies can't
+    // inflate gram df) → boilerplate-trim over keepers → quality gate,
+    // every stage a registry operator's machinery verbatim; one row per
+    // surviving doc incl. the cleaned text, hash-compared.
+    ("n83_clean_corpus",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.cleanCorpus(docs(s, d), 5, 2),
+      Some(s"""WITH nrm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |      ' +', ' ', 'g')) AS text
+        |  FROM documents),
+        |kp AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text)),
+        |w AS (SELECT n.doc_id, string_split(n.text, ' ') AS ws
+        |  FROM nrm n JOIN kp USING (doc_id)),
+        |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM w)),
+        |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+        |  FROM g GROUP BY g) WHERE df >= 2),
+        |covp AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS p
+        |  FROM g JOIN hot USING (g))),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        |  FROM w),
+        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
+        |kept AS (SELECT t.doc_id,
+        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS tc
+        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id),
+        |t AS (SELECT w.doc_id, coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+        |    coalesce(kept.tc, '') AS tc
+        |  FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)),
+        |s AS (SELECT doc_id, n_removed, tc,
+        |    len(string_split(tc, ' ')) AS nw,
+        |    round(len(list_filter(string_split(tc, ' '), x -> x IN $Stop))::double
+        |      / len(string_split(tc, ' ')), 6) AS sr,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  nw::bigint AS n_tokens, n_removed, tc AS text_clean
+        |FROM s WHERE nw >= 30 AND sr <= 0.3
+        |ORDER BY doc_id""".stripMargin)),
+
     // Per-label embedding norm stats (exact-decimal average of rounded
     // norms — bit-identical across engines).
     ("n34_label_norms",

@@ -139,6 +139,7 @@ object ScaleSanity {
         "n66_label_centroid_outliers", "n67_vocab_coverage",
         "n68_ann_recall_curve_mp", "n69_length_outliers",
         "n70_dataset_card", "n71_boilerplate_coverage",
+        "n82_boilerplate_trim", "n83_clean_corpus",
         "n72_minhash_decontamination",
         "n78_minhash_decontamination_collapsed", "n73_dsir_weights",
         "n74_contamination_report", "n75_ivf_recall", "n76_bpe_merges",

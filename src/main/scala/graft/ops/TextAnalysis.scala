@@ -602,6 +602,98 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate TRIM — the operator [[boilerplateCoverage]] is the
+    * signal for: REMOVE every word position covered by a hot (df ≥
+    * `minDf`) n-gram and emit the cleaned text plus accounting
+    * (doc_id, n_tokens, n_removed, trimmed_text). The hot set and
+    * covered-position machinery are n71's verbatim, so `n_removed`
+    * equals n71's `n_cov` row-for-row (spec-pinned — the trim cannot
+    * disagree with its signal), and a pipeline runs n71 to DECIDE
+    * trim-vs-drop and this to EXECUTE the trim.
+    *
+    * Scale shape: inherits n71's — one (gram, doc) shuffle for df, hot
+    * set broadcast back map-side, only covered positions shuffle into
+    * per-doc position sets (bounded by boilerplate hits; the set is
+    * doc-length-bounded by construction). The corpus then joins those
+    * sets ONCE on doc_id — the single stage where text moves, and the
+    * output is text-sized anyway. Rebuild is an index-filter fold over
+    * the words array (split once, never re-split per position).
+    */
+  def boilerplateTrim(docs: DataFrame, n: Int = 5,
+                      minDf: Int = 2): DataFrame =
+    boilerplateTrimRaw(docs, n, minDf).orderBy(col("doc_id"))
+
+  /** [[boilerplateTrim]] without the presentation sort — the composable
+    * form ([[cleanCorpus]] sorts once at its own tail).
+    */
+  def boilerplateTrimRaw(docs: DataFrame, n: Int = 5,
+                         minDf: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val posGrams = base.select(col("doc_id"),
+      posexplode(ngramsOf(col("ws"), n)).as(Seq("pos", "g")))
+    val hot = base
+      .select(col("doc_id"),
+        explode(array_distinct(ngramsOf(col("ws"), n))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("g"))
+    val cov = posGrams.join(broadcast(hot), Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    base.join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        concat_ws(" ", expr(
+          """transform(filter(transform(ws, (w, i) ->
+            |  named_struct('w', w, 'i', i)),
+            |  x -> NOT array_contains(cov, x.i)), x -> x.w)"""
+            .stripMargin)).as("trimmed_text"))
+  }
+
+  /** The EXECUTE side of the [[pipelineFunnel]]: emit the cleaned
+    * training corpus ITSELF — normalize (n36's transform) → exact-dup
+    * keeper on the normalized text (n2's min-id policy) →
+    * boilerplate-trim over the KEEPER corpus (n82's machinery; the
+    * keeper runs FIRST so duplicate copies cannot inflate a gram's
+    * document frequency and mark their entire shared content
+    * "boilerplate" — df means "repeated across distinct documents") →
+    * quality gate on the trimmed text (n22's predicate verbatim). One
+    * row per SURVIVING doc: (doc_id, split, n_tokens, n_removed,
+    * text_clean), the frame a shard writer (n60) consumes. Every stage
+    * is a registry operator's machinery reused verbatim, so the emitted
+    * corpus is exactly what the accounting views say survives.
+    *
+    * Scale shape: inherits its stages' audited shapes — the additions
+    * are one md5-keyed shuffle for the keeper window (the n2 shape) and
+    * map-side predicates; text moves twice (keeper shuffle, the trim's
+    * doc_id join), and the output is corpus-sized by definition.
+    */
+  def cleanCorpus(docs: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame = {
+    val normalized = docs.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[0-9]+", "<num>"), " +", " ")).as("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val keepers = normalized
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .filter(col("keep")).select(col("doc_id"), col("text"))
+    val stopRatio = round(
+      size(filter(col("ws"), x => x.isin(Stopwords: _*))).cast("double") /
+        size(col("ws")), 6)
+    boilerplateTrimRaw(keepers, n, minDf)
+      .select(col("doc_id"), col("n_removed"), col("trimmed_text"),
+        words(col("trimmed_text")).as("ws"))
+      .select(col("doc_id"), col("n_removed"), col("trimmed_text"),
+        size(col("ws")).as("nw"), stopRatio.as("sr"))
+      .filter(col("nw") >= 30 && col("sr") <= 0.3)
+      .select(col("doc_id"), splitCol.as("split"),
+        col("nw").cast("long").as("n_tokens"), col("n_removed"),
+        col("trimmed_text").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID confusion matrix: labeled lang × predicted lang counts —
     * the eval roll-up of [[langId]] (how a classifier audit reads at
     * corpus scale: one tiny aggregate over a map-side scorer).

@@ -118,6 +118,22 @@ class PlanSpec extends SparkSpec {
         "that mergeability IS the reason the twin exists:\n" + p)
   }
 
+  test("n82: the trim keeps n71's broadcast hot-set shape — the corpus " +
+    "never re-shuffles on the gram key") {
+    val p = plan("n82_boilerplate_trim")
+    assert(p.contains("BroadcastHashJoin"),
+      "the hot gram set must broadcast into the positional stream:\n" + p)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("n83: the composite keeps its stages' shapes — broadcast hot set, " +
+    "no cartesian") {
+    val p = plan("n83_clean_corpus")
+    assert(p.contains("BroadcastHashJoin"),
+      "the hot gram set must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("n59: tuning truth is a block equi-join and candidates a band-key " +
     "equi-join — never a cartesian/range nested loop") {
     val p = plan("n59_lsh_tuning")

@@ -110,6 +110,85 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b.getLong(4) === 0L && b.getLong(5) === 0L)
   }
 
+  test("boilerplateTrim: removes exactly the hot-gram-covered positions, " +
+    "keeps everything else verbatim, and n_removed ≡ n71's n_cov") {
+    // docs 1 and 2 share the 5-gram "a b c d e" (df=2 → hot); their
+    // other words are unique. doc 3 has no repeated grams. doc 4 IS the
+    // shared gram alone (fully covered → empty trim).
+    val docs = Seq(
+      (1L, "a b c d e x1 y1 z1"),
+      (2L, "p2 a b c d e q2"),
+      (3L, "u v w x y z"),
+      (4L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateTrim(docs, 5, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 8L, 5L, "x1 y1 z1"),
+      (2L, 7L, 5L, "p2 q2"),
+      (3L, 6L, 0L, "u v w x y z"),
+      (4L, 5L, 5L, "")))
+
+    // composition pin on real data: the trim's accounting equals the
+    // coverage signal row-for-row — the trim cannot disagree with n71
+    val fix = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cover = TextAnalysis.boilerplateCoverage(fix, 5, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val trim = TextAnalysis.boilerplateTrim(fix, 5, 2).collect()
+    assert(trim.nonEmpty)
+    trim.foreach { r =>
+      val (nTok, nCov) = cover(r.getLong(0))
+      assert(r.getLong(1) === nTok && r.getLong(2) === nCov,
+        s"doc ${r.getLong(0)}")
+      // removed + kept = total (trim is a partition of positions)
+      // split with -1 keeps trailing empty tokens (the fixture's split
+      // parity convention)
+      val keptWords =
+        if (r.getString(3).isEmpty) 0
+        else r.getString(3).split(" ", -1).length
+      assert(keptWords === (nTok - nCov).toInt, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("cleanCorpus: each stage fires on its planted doc — dup dropped " +
+    "BEFORE df (copies can't self-boilerplate), trim executed, quality " +
+    "gated, normalization applied") {
+    // digit-free unique words — digits ANYWHERE in a word redact to
+    // <num> under n36's normalization (the first draft of this test
+    // used a1..a33 and learned that the hard way)
+    def uniq(p: String, n: Int) = (0 until n)
+      .map(i => s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .mkString(" ")
+    val boiler = "bq bw be br bt"
+    val docs = Seq(
+      // 1: survives untouched; uppercase + digits prove normalization
+      (1L, "Wx " + uniq("a", 33) + " 42"),
+      // 2: EXACT dup of 1 after normalization (already lowercased) —
+      // keeper drops it, and because the keeper runs before df, doc 1
+      // is NOT fully trimmed by its own copy's grams
+      (2L, "wx " + uniq("a", 33) + " 42"),
+      // 3: too short post-trim — quality-dropped
+      (3L, "tiny doc here"),
+      // 4 & 5: share the boilerplate 5-gram + 32 unique words each —
+      // trimmed by 5, survive at 32 tokens
+      (4L, boiler + " " + uniq("c", 32)),
+      (5L, uniq("d", 32) + " " + boiler)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cleanCorpus(docs, 5, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, 35L, 0L, "wx " + uniq("a", 33) + " <num>"),
+      (4L, 32L, 5L, uniq("c", 32)),
+      (5L, 32L, 5L, uniq("d", 32))))
+    // split column is the registry's md5-bucket function of doc_id
+    val splits = TextAnalysis.cleanCorpus(docs, 5, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = graft.ops.TextAnalysis
+      .splitAssignment(docs.withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    splits.foreach { case (id, s) => assert(s === want(id), s"doc $id") }
+  }
+
   test("datasetCard: per-source volume, dup fraction, and quality rate " +
     "from one hand-checked corpus") {
     val good = (1 to 40).map(i => s"tok$i").mkString(" ") // 40 words, 0 stop
