@@ -1386,6 +1386,16 @@ object Queries {
       (s: SparkSession, d: String) => Similarity.ivfTopK(emb(s, d), 10, 5),
       None),
 
+    // Cluster-balanced downsampling: nearest-IVF-cell assignment (the
+    // n23 k-means — float iterations, hence rows-only like n23/n51) +
+    // a salted-md5 per-cell cap planned as WindowGroupLimit. The
+    // ClusterSampleSpec pins determinism, per-cell counts, and the
+    // group-limit plan shape instead of a SQL oracle.
+    ("n85_cluster_balanced_sample",
+      (s: SparkSession, d: String) =>
+        Similarity.clusterBalancedSample(emb(s, d), 8),
+      None),
+
     ("n12_token_stats_by_source",
       (s: SparkSession, d: String) => TextAnalysis.tokenStatsBySource(docs(s, d)),
       Some("""SELECT source, count(*) AS n_docs,
@@ -1891,6 +1901,101 @@ object Queries {
         |FROM tk JOIN c USING (w) CROSS JOIN k
         |WHERE tk.split = 'train'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Quality-classifier distillation + calibration: NB unigram
+    // log-odds fit to the n22 rule gate (the TEACHER, predicate
+    // verbatim) on train, swept over a fixed threshold grid on the
+    // held-out val split. Decimal-summed scores (n73 discipline);
+    // prec/rec/f1 from integer tp/fp/fn, NULL on empty denominators.
+    ("n84_quality_classifier",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.qualityClassifierCalibration(docs(s, d)),
+      Some(s"""WITH sp AS (
+        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |    FROM documents)),
+        |base AS (SELECT d.doc_id, s.split, string_split(d.text, ' ') AS ws
+        |  FROM documents d JOIN sp s USING (doc_id)),
+        |lab AS (SELECT doc_id, split, ws,
+        |  CASE WHEN len(ws) >= 30 AND
+        |    round(len(list_filter(ws, x -> x IN $Stop))::double / len(ws), 6)
+        |      <= 0.3 THEN 1 ELSE 0 END AS label
+        |  FROM base),
+        |tk AS (SELECT doc_id, split, label, unnest(ws) AS w FROM lab),
+        |c AS (SELECT w,
+        |  CAST(sum(CASE WHEN split = 'train' AND label = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cp,
+        |  CAST(sum(CASE WHEN split = 'train' AND label = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cn
+        |  FROM tk GROUP BY w),
+        |k AS (SELECT count(*) AS vsize, CAST(sum(cp) AS BIGINT) AS np,
+        |  CAST(sum(cn) AS BIGINT) AS nn FROM c),
+        |sc AS (SELECT doc_id, label,
+        |  round(CAST(sum(CAST(
+        |      ln((c.cp + 1)::double / (k.np + k.vsize))
+        |      - ln((c.cn + 1)::double / (k.nn + k.vsize))
+        |    AS decimal(18,9))) AS double) / count(*), 6) AS score
+        |  FROM tk JOIN c USING (w) CROSS JOIN k
+        |  WHERE tk.split = 'val' GROUP BY doc_id, label),
+        |g AS (SELECT t::DOUBLE AS threshold FROM (SELECT
+        |  unnest([-0.30, -0.25, -0.20, -0.15, -0.10, -0.05, 0.0,
+        |    0.05, 0.10, 0.15, 0.20, 0.25, 0.30]) AS t)),
+        |r AS (SELECT threshold, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pred_pos,
+        |  CAST(sum(CASE WHEN score >= threshold AND label = 1 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN score >= threshold AND label = 0 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN score < threshold AND label = 1 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS fn
+        |  FROM sc CROSS JOIN g GROUP BY threshold)
+        |SELECT threshold, n_docs, n_pred_pos, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |    ELSE round(tp::double / (tp + fp), 6) END AS prec,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |    ELSE round(tp::double / (tp + fn), 6) END AS rec,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |    ELSE round(2 * tp::double / (2 * tp + fp + fn), 6) END AS f1
+        |FROM r ORDER BY threshold""".stripMargin)),
+
+    // Zipf rank-frequency fit per source: least squares of ln(tf) on
+    // ln(rank) over each source's top-100 words (ties word asc), five
+    // moments per-term through decimal(18,12) — fold-order-independent,
+    // closed-form slope/intercept/r2 bit-exact.
+    ("n86_zipf_fit",
+      (s: SparkSession, d: String) => TextAnalysis.zipfFit(docs(s, d), 100),
+      Some("""WITH sw AS (SELECT source, x AS w, count(*) AS tf FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS x
+        |     FROM documents)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT source, w, tf, row_number() OVER
+        |    (PARTITION BY source ORDER BY tf DESC, w ASC) AS rank
+        |  FROM sw QUALIFY rank <= 100),
+        |t AS (SELECT source, ln(rank::double) AS x, ln(tf::double) AS y
+        |  FROM rk),
+        |m AS (SELECT source, count(*) AS n_terms,
+        |  CAST(sum(CAST(x AS decimal(18,12))) AS double) AS sx,
+        |  CAST(sum(CAST(y AS decimal(18,12))) AS double) AS sy,
+        |  CAST(sum(CAST(x * y AS decimal(18,12))) AS double) AS sxy,
+        |  CAST(sum(CAST(x * x AS decimal(18,12))) AS double) AS sxx,
+        |  CAST(sum(CAST(y * y AS decimal(18,12))) AS double) AS syy
+        |  FROM t GROUP BY source)
+        |SELECT source, n_terms,
+        |  CASE WHEN n_terms * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+        |    END AS slope,
+        |  CASE WHEN n_terms * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round((sy - ((n_terms * sxy - sx * sy) /
+        |      (n_terms * sxx - sx * sx)) * sx) / n_terms, 6) END AS intercept,
+        |  CASE WHEN n_terms * sxx - sx * sx = 0 OR n_terms * syy - sy * sy = 0
+        |    THEN NULL
+        |    ELSE round((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy) /
+        |      ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
+        |    END AS r2
+        |FROM m ORDER BY source""".stripMargin)),
 
     // Per-source unigram-distribution drift KL(source || corpus) — the
     // mixing-time divergence check. Terms in a fixed op order through

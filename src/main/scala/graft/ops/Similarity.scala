@@ -300,6 +300,42 @@ object Similarity {
     else scoreIvf(e, centroids, nProbes, k, nProbe)
   }
 
+  /** Cluster-balanced downsampling — the diversity-preserving corpus
+    * cap (the SemDeDup/DINO-style curation move): where a uniform
+    * random cap keeps the corpus's mode and starves its tails, this one
+    * assigns every embedding to its nearest IVF cell (the [[ivfTopK]]
+    * k-means, deterministic init + fixed rounds) and keeps at most
+    * `cap` vectors PER CELL, chosen by a salted-md5 rank so the
+    * within-cell pick is uniform, deterministic, and uncorrelated with
+    * vec_id order. Output: (vec_id, cluster, in_cell_rank) for the
+    * kept rows — the frame a balanced fine-tuning/eval subset reads.
+    *
+    * Scale shape: assignment is a pure map-side argmin over the
+    * broadcast centroid array (zero shuffle, the [[nearestCells]]
+    * expression); the per-cell cap plans as WindowGroupLimit — the
+    * rank ≤ cap cut runs BELOW the window sort on the map side (the
+    * n48 shape), so at most cells × cap rows survive the exchange.
+    * Nothing but the k-means training (bounded per-round aggregates)
+    * touches the corpus twice.
+    */
+  def clusterBalancedSample(emb: DataFrame, cap: Int,
+                            nCentroids: Int = 16, iters: Int = 3): DataFrame = {
+    val e = Checkpoints.cut(withNorm(emb))
+    val centroids = trainCentroidArray(e, nCentroids, iters)
+    if (centroids.isEmpty)
+      return e.select(col("vec_id"), lit(0L).as("cluster"),
+        lit(1).as("in_cell_rank")).limit(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("sk"), col("vec_id"))
+    e.withColumn("cluster", nearestCells(centroids, 1).getItem(0))
+      .withColumn("sk",
+        md5(concat(lit("cbs|"), col("vec_id").cast("string"))))
+      .withColumn("in_cell_rank", row_number().over(w))
+      .filter(col("in_cell_rank") <= cap)
+      .select(col("vec_id"), col("cluster"), col("in_cell_rank"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Degenerate corpora (empty, or every cell dropped by the all-null
     * mean filter) must yield an EMPTY result, not an analyzer error
     * from array() over zero centroid structs in nearestCells.

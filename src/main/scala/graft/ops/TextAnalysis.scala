@@ -1145,6 +1145,149 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-classifier DISTILLATION + threshold calibration — the
+    * production move behind every "quality classifier" corpus filter
+    * (GPT-3 §2.2, LLaMA, RefinedWeb): the hand-written rule gate
+    * ([[trainingCorpusCounts]]'s n_words/stop_ratio predicate, the
+    * TEACHER — reused verbatim so the distillation target is exactly
+    * the gate the pipeline ships) labels the train split, a Naive-Bayes
+    * unigram log-odds model is fit to those labels, and the HELD-OUT
+    * val split is scored and swept over a fixed threshold grid. Output:
+    * one row per threshold — (threshold, n_docs, n_pred_pos, tp, fp,
+    * fn, prec, rec, f1) against the teacher on val — the calibration
+    * curve an operator reads to pick the deployment threshold (the
+    * classifier generalizes the rule gate to corpora where the rule's
+    * constants don't transfer; the sweep quantifies the fidelity cost).
+    *
+    * Counted on token OCCURRENCES (a word repeated in spammy docs
+    * should carry its evidence), add-one smoothed over the FULL corpus
+    * vocabulary so both class denominators share one support (the
+    * [[dsirWeights]] discipline); per-doc score = mean per-token
+    * log-odds through decimal(18,9) — order-independent, oracle-exact.
+    * prec/rec/f1 compute from the integer tp/fp/fn directly
+    * (f1 = 2tp/(2tp+fp+fn)) and NULL on an empty denominator.
+    *
+    * Scale shape: ONE (word, class-counts) aggregate — vocabulary-sized
+    * — with the smoothing constants a 1-row derived aggregate; scoring
+    * is a broadcast model join + one doc_id-keyed shuffle of decimal
+    * partials (the text never moves); the sweep is a 13-row broadcast
+    * grid (BroadcastNestedLoopJoin of constants, the n73 precedent)
+    * into a threshold-keyed tiny aggregate. Nothing here grows with the
+    * corpus except the two map-side passes.
+    */
+  def qualityClassifierCalibration(docs: DataFrame): DataFrame = {
+    val stopRatio = round(
+      size(filter(col("ws"), w => w.isin(Stopwords: _*))).cast("double") /
+        size(col("ws")), 6)
+    val base = docs
+      .select(col("doc_id"), splitCol.as("split"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("split"), col("ws"),
+        size(col("ws")).as("n_words"), stopRatio.as("stop_ratio"))
+      .withColumn("label",
+        (col("n_words") >= 30 && col("stop_ratio") <= 0.3).cast("int"))
+    val toks = base.select(col("doc_id"), col("split"), col("label"),
+      explode(col("ws")).as("w"))
+    // vocabulary-sized: per-word occurrence counts in positive/negative
+    // TRAIN docs (val words still contribute vocabulary support rows)
+    val model = toks.groupBy(col("w")).agg(
+      sum(when(col("split") === "train" && col("label") === 1, 1L)
+        .otherwise(0L)).as("cp"),
+      sum(when(col("split") === "train" && col("label") === 0, 1L)
+        .otherwise(0L)).as("cn"))
+    val consts = model.agg(count(lit(1)).as("vsize"),
+      sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
+    val scored = toks.filter(col("split") === "val")
+      .join(broadcast(model), Seq("w"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("label"),
+        (log((col("cp") + 1).cast("double") / (col("np") + col("vsize"))) -
+          log((col("cn") + 1).cast("double") / (col("nn") + col("vsize"))))
+          .cast("decimal(18,9)").as("term"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(round(sum(col("term")).cast("double") / count(lit(1)), 6)
+        .as("score"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grid = (-6 to 6).map(i => (BigDecimal(i) * BigDecimal("0.05")).toDouble)
+      .toDF("threshold")
+    val pred = col("score") >= col("threshold")
+    scored.crossJoin(broadcast(grid))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pred, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(pred && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && col("label") === 1, 1L).otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("n_docs"), col("n_pred_pos"),
+        col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fp")), 6)).as("prec"),
+        when(col("tp") + col("fn") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fn")), 6)).as("rec"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
+          .otherwise(round(lit(2) * col("tp").cast("double") /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Zipf rank-frequency fit per source — the corpus-statistics health
+    * check: natural text follows freq ∝ rank^(−s) with s ≈ 1 (Zipf
+    * 1949); a source whose fitted slope sits far from −1 (or whose fit
+    * is poor, low r²) is boilerplate, templated spam, or machine
+    * output masquerading as prose — flagged per SOURCE before any
+    * per-doc gate sees a single row. Least squares of ln(tf) on
+    * ln(rank) over each source's top-`k` words (rank ties broken word
+    * asc — deterministic, engine-stable): emits (source, n_terms,
+    * slope, intercept, r2); a 1-term source fits nothing → NULLs, an
+    * all-equal-tf source has r2 NULL (zero y-variance).
+    *
+    * Sums go per-term through decimal(18,12) (the [[sourceDrift]]
+    * discipline) so the five moments are fold-order-independent and
+    * the closed-form slope/intercept/r² are bit-exact vs the oracle.
+    *
+    * Scale shape: ONE (source, word) map-side-combined count aggregate;
+    * the per-source top-k is a WindowGroupLimit pre-cap (rank ≤ k cuts
+    * below the window sort, the n48 shape) so only sources × k rows
+    * reach the moment aggregate — tiny-key, flat in corpus size.
+    */
+  def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("tf").desc, col("w").asc)
+    val ranked = docs
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("tf").cast("double"))
+    def dec(c: Column) = c.cast("decimal(18,12)")
+    val m = ranked
+      .select(col("source"), dec(x).as("xd"), dec(y).as("yd"),
+        dec(x * y).as("xyd"), dec(x * x).as("xxd"), dec(y * y).as("yyd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("xd")).cast("double").as("sx"),
+        sum(col("yd")).cast("double").as("sy"),
+        sum(col("xyd")).cast("double").as("sxy"),
+        sum(col("xxd")).cast("double").as("sxx"),
+        sum(col("yyd")).cast("double").as("syy"))
+    val n = col("n_terms").cast("double")
+    val covn = n * col("sxy") - col("sx") * col("sy")
+    val varxn = n * col("sxx") - col("sx") * col("sx")
+    val varyn = n * col("syy") - col("sy") * col("sy")
+    m.select(col("source"), col("n_terms"),
+        when(varxn === 0, lit(null)).otherwise(round(covn / varxn, 6))
+          .as("slope"),
+        when(varxn === 0, lit(null))
+          .otherwise(round((col("sy") - (covn / varxn) * col("sx")) / n, 6))
+          .as("intercept"),
+        when(varxn === 0 || varyn === 0, lit(null))
+          .otherwise(round(covn * covn / (varxn * varyn), 6)).as("r2"))
+      .orderBy(col("source"))
+  }
+
   /** BPE merge induction — train the tokenizer's merge table on the
     * corpus (Sennrich et al. 2016): start from characters, repeatedly
     * merge the most frequent adjacent symbol pair (ties broken

@@ -407,6 +407,33 @@ class PlanSpec extends SparkSpec {
       "the per-doc piece sum must keep a map-side partial phase:\n" + p)
   }
 
+  test("n84: the NB model arrives by broadcast and the threshold grid " +
+    "by BNLJ — the token stream never sort-merge-joins") {
+    val p = plan("n84_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "model join must broadcast the vocabulary-sized table:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "constants/grid must ride a broadcast nested loop:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "nothing here justifies a sort-merge join:\n" + p)
+  }
+
+  test("n85: the per-cell cap plans as WindowGroupLimit — the rank cut " +
+    "runs below the window sort") {
+    val p = plan("n85_cluster_balanced_sample")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "expected partial + final WindowGroupLimit:\n" + p)
+  }
+
+  test("n86: per-source top-k is a WindowGroupLimit over a map-side-" +
+    "combined word count") {
+    val p = plan("n86_zipf_fit")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "expected partial + final WindowGroupLimit:\n" + p)
+    assert(p.contains("partial_count"),
+      "the (source, word) count must keep its map-side phase:\n" + p)
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // the silent scale-killer: an unkeyed join degenerating to all-pairs.
     // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin

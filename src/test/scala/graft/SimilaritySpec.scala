@@ -732,4 +732,26 @@ class SimilaritySpec extends SparkSpec {
       "ivf_recall must be NULL when sign-LSH meets the floor — the " +
         "skipped training is the point of measuring first")
   }
+
+  test("clusterBalancedSample: per-cell cap honored, small cells kept " +
+    "whole, pick deterministic") {
+    // two well-separated clusters; the two smallest ids (the k-means
+    // seeds) land one in each, so training converges to the true cells:
+    // A = odd ids {1,3,5} near (10,0), B = even ids 2..40 near (0,10)
+    val a = Seq(1L, 3L, 5L).map(id => (id, Seq(10.0, 0.001 * id)))
+    val b = (2L to 40L by 2).map(id => (id, Seq(0.001 * id, 10.0)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val got = Similarity.clusterBalancedSample(emb, 5, nCentroids = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byCell = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCell.keySet === Set(1L, 2L), s"cells: ${byCell.keySet}")
+    // the 3-member cell survives whole; the 20-member cell is capped at 5
+    assert(byCell(1L) === Set(1L, 3L, 5L))
+    assert(byCell(2L).size === 5 && byCell(2L).forall(_ % 2 == 0))
+    assert(got.forall(_._3 <= 5) && got.map(_._1).distinct.length === got.length)
+    // deterministic end to end (salted-md5 rank, fixed k-means)
+    val again = Similarity.clusterBalancedSample(emb, 5, nCentroids = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSeq === got.toSeq)
+  }
 }

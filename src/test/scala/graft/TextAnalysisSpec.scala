@@ -790,4 +790,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(qW.min > zW.max,
       s"q-docs must outscore z-docs: q=${qW.toSet} z=${zW.toSet}")
   }
+
+  test("qualityClassifierCalibration: disjoint-vocab classes separate " +
+    "perfectly at threshold 0; counts and monotonicity hold") {
+    // the split is a pure function of doc_id — read it back first, then
+    // plant texts so both classes land in train AND val
+    val ids = (1L to 120L)
+    val splits = TextAnalysis
+      .splitAssignment(ids.map((_, "x")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val good = (1 to 35).map(i => s"g$i").mkString(" ") // ≥30 words, 0 stop
+    val bad = "the the the spam junk"                   // short + stoppy
+    val docs = ids.map(i => (i, if (i % 2 == 0) good else bad))
+      .toDF("doc_id", "text")
+    val nVal = ids.count(i => splits(i) == "val")
+    val nValPos = ids.count(i => splits(i) == "val" && i % 2 == 0)
+    assert(nVal > 0 && nValPos > 0 && nValPos < nVal,
+      "fixture must land both classes in the val split")
+    val rows = TextAnalysis.qualityClassifierCalibration(docs).collect()
+    assert(rows.length === 13)
+    rows.foreach { r =>
+      assert(r.getLong(1) === nVal.toLong)              // n_docs = |val|
+      assert(r.getLong(3) + r.getLong(5) === nValPos.toLong) // tp+fn
+    }
+    // disjoint vocabularies → NB separates perfectly at threshold 0
+    val t0 = rows.find(_.getDouble(0) == 0.0).get
+    assert(t0.getLong(3) === nValPos.toLong && t0.getLong(4) === 0L)
+    assert(t0.getDouble(6) === 1.0 && t0.getDouble(7) === 1.0 &&
+      t0.getDouble(8) === 1.0)
+    // predictions can only shrink as the threshold rises
+    val preds = rows.sortBy(_.getDouble(0)).map(_.getLong(2))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("zipfFit: an exact power law fits slope −1 with r² 1; " +
+    "degenerate sources degrade to NULLs, not errors") {
+    def rep(w: String, n: Int) = Seq.fill(n)(w)
+    val docs = Seq(
+      // tf = 12/rank exactly: ln(tf) = ln 12 − ln(rank), perfectly linear
+      (1L, (rep("a", 12) ++ rep("b", 6) ++ rep("c", 4) ++ rep("d", 3))
+        .mkString(" "), "zipf"),
+      (2L, rep("solo", 7).mkString(" "), "single"),
+      (3L, (rep("p", 5) ++ rep("q", 5) ++ rep("r", 5) ++ rep("s", 5))
+        .mkString(" "), "flat")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.zipfFit(docs, 100).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val z = got("zipf")
+    assert(z.getLong(1) === 4L)
+    assert(math.abs(z.getDouble(2) + 1.0) < 1e-4, s"slope ${z.getDouble(2)}")
+    assert(math.abs(z.getDouble(3) - math.log(12.0)) < 1e-4)
+    assert(z.getDouble(4) > 0.9999)
+    val s1 = got("single") // one point fits nothing
+    assert(s1.getLong(1) === 1L && s1.isNullAt(2) && s1.isNullAt(3) &&
+      s1.isNullAt(4))
+    val f = got("flat") // zero y-variance: slope 0, r² NULL (or ~0 if the
+    // decimal-rounded moments miss exact zero by an ulp — both engines
+    // compute the same doubles either way)
+    assert(f.getLong(1) === 4L)
+    assert(f.getDouble(2) === 0.0)
+    assert(math.abs(f.getDouble(3) - math.log(5.0)) < 1e-4)
+    assert(f.isNullAt(4) || math.abs(f.getDouble(4)) < 1e-3)
+  }
 }
