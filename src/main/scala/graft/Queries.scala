@@ -1032,6 +1032,24 @@ object Queries {
         |WHERE round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.0
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Asymmetric containment pairs off the same LSH candidate front:
+    // both per-pair containment directions, kept when either clears
+    // 0.5 — the excerpt/quote detector symmetric Jaccard misses.
+    ("n90_containment_pairs",
+      (s: SparkSession, d: String) => Dedup.containmentPairs(docs(s, d), 0.5),
+      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+        |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+        |sc AS (SELECT doc_a, doc_b,
+        |  round(len(list_intersect(wa.ws, wb.ws))::double / len(wa.ws), 6) AS cont_a_in_b,
+        |  round(len(list_intersect(wa.ws, wb.ws))::double / len(wb.ws), 6) AS cont_b_in_a
+        |FROM pairs JOIN w wa ON doc_a = wa.doc_id JOIN w wb ON doc_b = wb.doc_id)
+        |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM sc
+        |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // LSH tuning harness: precision/recall of the band-collision
     // candidate set vs exact shingle-Jaccard ground truth on a bounded
     // doc_id window — the number that validates a (bands × rows) config
@@ -1395,6 +1413,56 @@ object Queries {
       (s: SparkSession, d: String) =>
         Similarity.clusterBalancedSample(emb(s, d), 8),
       None),
+
+    // JL ±1 random projection (Achlioptas 2003), md5-derived signs —
+    // deterministic in any engine with an md5, so unlike the k-means
+    // family this reduction is fully oracled. Map-side k dot products.
+    ("n88_random_projection",
+      // long (vec_id, j, v) form — the registry convention for
+      // vector-valued results (the n4 shape); the array form stays the
+      // composable API surface (projectedTopK consumes it)
+      (s: SparkSession, d: String) =>
+        Similarity.randomProjection(emb(s, d), 8)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+          .orderBy(col("vec_id"), col("j")),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT j, list_transform(generate_series(0, ${EmbDims - 1}), i ->
+        |    CAST(1 - 2 * (('0x' || substring(md5('rp|' || i || '|' || j), 1, 8))::bigint % 2)
+        |      AS DOUBLE)) AS srow
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS j)),
+        |pr AS (SELECT vec_id, j, round(list_dot_product(emb, srow), 6) AS v
+        |  FROM e CROSS JOIN s)
+        |SELECT vec_id, j, v FROM pr ORDER BY vec_id, j""".stripMargin)),
+
+    // JL-prefiltered exact ANN: shortlist by cosine in the 8-dim
+    // projected space, exact-cosine re-rank of the shortlist only.
+    // Deterministic end to end (md5 signs, rounded stage-1 scores,
+    // vec_id tiebreaks) — the oracle replays both stages.
+    ("n89_projected_ann_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.projectedTopK(emb(s, d), 10, 5),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT j, list_transform(generate_series(0, ${EmbDims - 1}), i ->
+        |    CAST(1 - 2 * (('0x' || substring(md5('rp|' || i || '|' || j), 1, 8))::bigint % 2)
+        |      AS DOUBLE)) AS srow
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS j)),
+        |pr AS (SELECT vec_id, j, round(list_dot_product(emb, srow), 6) AS v
+        |  FROM e CROSS JOIN s),
+        |p AS (SELECT vec_id, list(v ORDER BY j) AS pemb FROM pr GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, pemb AS q_pemb FROM p WHERE vec_id < 10),
+        |c AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id AS q_id, p.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY ${cosSql("q.q_pemb", "p.pemb")} DESC, p.vec_id ASC) AS srnk
+        |  FROM p JOIN q ON p.vec_id != q.q_id) WHERE srnk <= 20),
+        |scored AS (SELECT c.q_id AS q_id, c.vec_id AS vec_id,
+        |    ${cosSql("qe.emb", "e.emb")} AS cos
+        |  FROM c JOIN e ON c.vec_id = e.vec_id JOIN e qe ON c.q_id = qe.vec_id)
+        |SELECT q_id, vec_id, cos, rnk FROM (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
 
     ("n12_token_stats_by_source",
       (s: SparkSession, d: String) => TextAnalysis.tokenStatsBySource(docs(s, d)),
@@ -1996,6 +2064,46 @@ object Queries {
         |      ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
         |    END AS r2
         |FROM m ORDER BY source""".stripMargin)),
+
+    // Temperature-scaled source mixing (XLM/mT5 α-sampling): p_s ∝
+    // n_s^0.5, token-budget targets, and the realized md5-bucket
+    // sample in one sources-sized report. Keep test is INTEGER
+    // (bucket < floor-derived threshold) so no engine float quirk can
+    // flip a boundary doc; pow/ratio go through round(·,6).
+    ("n87_temperature_mix",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.temperatureMix(docs(s, d), 0.5, 20000L),
+      Some("""WITH wt AS (SELECT doc_id, source,
+        |    len(string_split(text, ' '))::bigint AS n_tok,
+        |    ('0x' || substring(md5('tmix|' || doc_id::varchar), 1, 8))::bigint
+        |      % 1000000 AS b6
+        |  FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM wt GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    CAST(round(pow(n_tokens::double, 0.5), 6) AS decimal(18,6)) AS w
+        |  FROM per),
+        |tot AS (SELECT sum(w) AS sw FROM w),
+        |pl AS (SELECT source, n_docs, n_tokens,
+        |    round(w::double / sw::double, 6) AS p_samp,
+        |    CAST(floor(20000.0 * round(w::double / sw::double, 6)) AS BIGINT)
+        |      AS target_tokens
+        |  FROM w CROSS JOIN tot),
+        |pl2 AS (SELECT *, least(1000000::BIGINT,
+        |    CAST(floor(target_tokens::double * 1000000.0 / n_tokens::double)
+        |      AS BIGINT)) AS keep_thresh FROM pl),
+        |kept AS (SELECT wt.source AS source, count(*) AS n_docs_kept,
+        |    CAST(sum(wt.n_tok) AS BIGINT) AS tokens_kept
+        |  FROM wt JOIN pl2 USING (source) WHERE wt.b6 < pl2.keep_thresh
+        |  GROUP BY wt.source)
+        |SELECT p.source AS source, p.n_docs AS n_docs, p.n_tokens AS n_tokens,
+        |  p.p_samp AS p_samp, p.target_tokens AS target_tokens,
+        |  p.keep_thresh AS keep_thresh,
+        |  coalesce(k.n_docs_kept, 0) AS n_docs_kept,
+        |  coalesce(k.tokens_kept, 0) AS tokens_kept
+        |FROM pl2 p LEFT JOIN kept k USING (source)
+        |ORDER BY p.source""".stripMargin)),
 
     // Per-source unigram-distribution drift KL(source || corpus) — the
     // mixing-time divergence check. Terms in a fixed op order through

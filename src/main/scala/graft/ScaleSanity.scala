@@ -143,7 +143,9 @@ object ScaleSanity {
         "n72_minhash_decontamination",
         "n78_minhash_decontamination_collapsed", "n73_dsir_weights",
         "n74_contamination_report", "n75_ivf_recall", "n76_bpe_merges",
-        "n77_bpe_tokenize",
+        "n77_bpe_tokenize", "n84_quality_classifier", "n85_cluster_balanced_sample",
+        "n86_zipf_fit", "n87_temperature_mix", "n88_random_projection",
+        "n89_projected_ann_topk",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

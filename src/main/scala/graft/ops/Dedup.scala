@@ -229,6 +229,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric near-dup CONTAINMENT pairs — the quote/subset signal
+    * symmetric Jaccard misses: a short doc fully quoted inside a long
+    * one scores |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but containment
+    * C(A⊂B) = |A∩B|/|A| = 1. Both directions are emitted per candidate
+    * pair and the pair survives when either clears `threshold` — the
+    * dedup reviewer's "is this just an excerpt" column.
+    *
+    * Candidate front: the SAME LSH band machinery as
+    * [[minhashNearDupPairs]] (one signature subtree, per-bucket pair
+    * gen). Honest caveat, documented not hidden: MinHash collision
+    * probability tracks the SYMMETRIC Jaccard, so extreme-ratio
+    * containment (a 10-word quote in a 10k-word doc) rarely shares a
+    * band and won't be proposed — catching those at 100 TB takes a
+    * containment-aware index (prefix filtering on the shorter side's
+    * rarest shingles), the standard set-similarity-join extension; the
+    * verify math here is already exact for whatever front proposes.
+    *
+    * Scale shape: identical to [[minhashNearDupPairs]] — zero-shuffle
+    * signatures, bucket-bounded pair generation, exact verification on
+    * candidate pairs only.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = lshCandidatePairs(docs)
+    val w = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    pairs
+      .join(w.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(w.as("wb"), col("doc_b") === col("wb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("wa.ws"), col("wb.ws"))).as("inter"),
+        size(col("wa.ws")).as("na"), size(col("wb.ws")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("na"), 6).as("cont_a_in_b"),
+        round(col("inter").cast("double") / col("nb"), 6).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash/LSH NEAR-DUP decontamination: test-split docs flagged
     * against train-split docs that share an LSH band-bucket, verified
     * with exact word-set Jaccard ≥ `threshold`. Fills the gap between

@@ -336,6 +336,94 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Deterministic ±1 sign matrix for the JL projection: s(i,j) from
+    * the parity of the first 8 hex chars of md5("rp|i|j") — the same
+    * bits any engine's md5 yields, so the oracle recomputes the matrix
+    * in SQL and the projection is engine-stable (no RNG state to ship).
+    */
+  private[graft] def jlSigns(dims: Int, k: Int): Array[Array[Double]] =
+    Array.tabulate(k) { j =>
+      Array.tabulate(dims) { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp|$i|$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Johnson–Lindenstrauss random projection with deterministic ±1
+    * signs (Achlioptas 2003): project the embedding column to `k` dims
+    * via k codegen'd dot products against md5-derived sign rows. The
+    * cheap-geometry half of a 100 TB ANN stack: distances survive to
+    * within JL distortion at a dims/k cost cut, so candidate
+    * generation (see [[projectedTopK]]) runs in the small space and
+    * only the shortlist pays full-width arithmetic.
+    *
+    * Scale shape: pure map-side projection (k dot products per row,
+    * whole-stage codegen, zero shuffle, the sign matrix is a literal);
+    * the one extra job is a bounded dims probe. Null embeddings
+    * project to null components, never crash.
+    */
+  def randomProjection(emb: DataFrame, k: Int = 8): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val dimRow = e.agg(max(size(col("emb")))).head()
+    if (dimRow.isNullAt(0))
+      return e.select(col("vec_id"),
+        array().cast("array<double>").as("proj")).limit(0)
+    val signs = jlSigns(dimRow.getInt(0), k)
+    e.select(col("vec_id"),
+        array(signs.map(r => round(dot(col("emb"), typedLit(r.toSeq)), 6))
+          .toIndexedSeq: _*).as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** JL-prefiltered exact ANN: shortlist candidates by cosine in the
+    * [[randomProjection]] space (k dims — an 8× cheaper dot at the
+    * fixture's 64), then re-rank ONLY the shortlist with full-width
+    * exact cosine. Fully deterministic end to end (md5 signs, rounded
+    * stage-1 scores, vec_id tiebreaks) — unlike the k-means IVF path
+    * this variant is oracle-expressible, giving the engine a
+    * dimensionality-reduction ANN whose every row the differential
+    * gate can check.
+    *
+    * Scale shape: stage 1 is the brute-force probe shape (probes
+    * broadcast, corpus map-side) but in k-dim space; the shortlist is
+    * bounded (nProbes × `shortlist`) → broadcast back onto the corpus
+    * for the exact fetch, so full-width vectors are touched once per
+    * SHORTLISTED pair, never per corpus pair, and the corpus never
+    * shuffles.
+    */
+  def projectedTopK(emb: DataFrame, nProbes: Int, k: Int,
+                    projDims: Int = 8, shortlist: Int = 20): DataFrame = {
+    val e = withNorm(emb)
+    val p = randomProjection(emb, projDims)
+      .select(col("vec_id"), col("proj").as("pemb"))
+      .withColumn("pnrm", sqrt(dot(col("pemb"), col("pemb"))))
+    val probesP = p.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("pemb").as("q_pemb"),
+        col("pnrm").as("q_pnrm"))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("pcos").desc, col("vec_id").asc)
+    val shortlisted = p.crossJoin(broadcast(probesP))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosOrNull(dot(col("q_pemb"), col("pemb")),
+          col("q_pnrm"), col("pnrm")).as("pcos"))
+      .withColumn("srnk", row_number().over(sw))
+      .filter(col("srnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val qe = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val exact = e.join(broadcast(shortlisted), Seq("vec_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosOrNull(dot(col("q_emb"), col("emb")), col("q_nrm"), col("nrm"))
+          .as("cos"))
+    rankTopK(exact, k)
+  }
+
   /** Degenerate corpora (empty, or every cell dropped by the all-null
     * mean filter) must yield an EMPTY result, not an analyzer error
     * from array() over zero centroid structs in nearestCells.

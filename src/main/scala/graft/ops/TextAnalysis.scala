@@ -873,6 +873,68 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled source mixing (the multilingual α-sampling of
+    * XLM / mT5 / the Pile): sampling probability p_s ∝ n_s^α flattens
+    * the source distribution (α < 1 up-weights small sources without
+    * letting any source dominate), the published knob between
+    * proportional (α=1) and uniform (α=0) mixing — where [[mixCorpus]]
+    * takes hand-set weights, this DERIVES them from corpus statistics.
+    * Emits one row per source: the plan (n_docs, n_tokens, p_samp,
+    * target_tokens, keep_thresh) AND the realized outcome (n_docs_kept,
+    * tokens_kept) under the deterministic md5-bucket sample that
+    * executes it — so the published mix and what the pipeline would
+    * actually keep can never drift apart.
+    *
+    * Determinism discipline: the per-doc keep test is an INTEGER
+    * comparison (md5-bucket in [0, 1e6) vs a floor-derived integer
+    * threshold), so engine float quirks can't flip a boundary doc; the
+    * only float steps (pow, the p_samp ratio) go through round(·, 6)
+    * like every float surface here.
+    *
+    * Scale shape: ONE (source, tokens) aggregate (map-side combined)
+    * derives the plan; the plan is sources-sized → broadcast back for
+    * the realized pass; the corpus text never shuffles. The sampled
+    * corpus itself is the same filter a consumer composes from
+    * keep_thresh — this op publishes the accounting.
+    */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.5,
+                     budget: Long = 20000L): DataFrame = {
+    val withTok = docs.select(col("doc_id"), col("source"),
+      size(words(col("text"))).as("n_tok"),
+      (conv(substring(md5(concat(lit("tmix|"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000L).as("b6"))
+    val per = withTok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w",
+        round(pow(col("n_tokens").cast("double"), alpha), 6)
+          .cast("decimal(18,6)"))
+    val tot = per.agg(sum(col("w")).as("sw"))
+    val plan = per.crossJoin(broadcast(tot))
+      .withColumn("p_samp",
+        round(col("w").cast("double") / col("sw").cast("double"), 6))
+      .withColumn("target_tokens",
+        floor(lit(budget.toDouble) * col("p_samp")).cast("long"))
+      .withColumn("keep_thresh",
+        least(lit(1000000L), floor(col("target_tokens").cast("double") *
+          1000000d / col("n_tokens").cast("double")).cast("long")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("p_samp"), col("target_tokens"), col("keep_thresh"))
+    val kept = withTok
+      .join(broadcast(plan.select(col("source"), col("keep_thresh"))),
+        Seq("source"))
+      .filter(col("b6") < col("keep_thresh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("tokens_kept"))
+    plan.join(broadcast(kept), Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("p_samp"),
+        col("target_tokens"), col("keep_thresh"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Fingerprint-duplicate groups: docs sharing a word-set signature. */
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     fingerprints(docs)

@@ -412,4 +412,28 @@ class DedupSpec extends SparkSpec {
     assert(co2 === un2)
     assert(co2.nonEmpty, "3× replication must produce contamination flags")
   }
+
+  test("containmentPairs: an excerpt scores containment 1.0 where " +
+    "Jaccard stays low; disjoint docs never pair") {
+    import spark.implicits._
+    val words = (1 to 35).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.take(24).mkString(" ")),         // the excerpt
+      (2L, words.mkString(" ")),                  // the containing doc
+      (3L, (100 to 140).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 1, s"exactly the excerpt pair: ${got.toSeq}")
+    val (a, b, aInB, bInA) = got.head
+    assert((a, b) === ((1L, 2L)))
+    assert(aInB === 1.0, "every excerpt word is in the container")
+    assert(math.abs(bInA - 24.0 / 35) < 1e-6)
+    // the same pair under symmetric Jaccard scores only 24/35 — the
+    // signal containment exists to recover (a MORE extreme excerpt no
+    // longer shares a band at all: the documented symmetric-LSH bias)
+    val jac = Dedup.minhashNearDupPairs(docs, 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(jac((1L, 2L)) - 24.0 / 35) < 1e-6)
+  }
 }

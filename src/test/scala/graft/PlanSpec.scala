@@ -434,6 +434,24 @@ class PlanSpec extends SparkSpec {
       "the (source, word) count must keep its map-side phase:\n" + p)
   }
 
+  test("n87: the mix plan broadcasts back onto the scan — the corpus " +
+    "shuffles only its per-source partials") {
+    val p = plan("n87_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "the sources-sized plan must broadcast back for the realized pass:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("n89: the shortlist cut is a WindowGroupLimit and the exact " +
+    "fetch a broadcast join — full vectors never shuffle") {
+    val p = plan("n89_projected_ann_topk")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "stage-1 shortlist must pre-cap below the window sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded shortlist must broadcast onto the corpus:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // the silent scale-killer: an unkeyed join degenerating to all-pairs.
     // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin

@@ -733,6 +733,46 @@ class SimilaritySpec extends SparkSpec {
         "skipped training is the point of measuring first")
   }
 
+  test("randomProjection: unit basis vectors read the sign matrix back; " +
+    "deterministic across runs") {
+    val dims = 4
+    val basis = (0 until dims).map { i =>
+      (i.toLong, Seq.tabulate(dims)(d => if (d == i) 1.0 else 0.0))
+    }.toDF("vec_id", "embedding")
+    val signs = Similarity.jlSigns(dims, 3)
+    val got = Similarity.randomProjection(basis, 3).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toSeq).toMap
+    (0 until dims).foreach { i =>
+      assert(got(i.toLong) === (0 until 3).map(j => signs(j)(i)),
+        s"basis $i must read column $i of the sign matrix")
+    }
+    val again = Similarity.randomProjection(basis, 3).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toSeq).toMap
+    assert(again === got)
+  }
+
+  test("projectedTopK: an exhaustive shortlist is exactly brute force; " +
+    "the 20-wide shortlist still finds most true neighbors") {
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val truth = Similarity.bruteForceTopK(emb, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // shortlist covering the whole corpus → stage 2 IS brute force
+    val exhaustive = Similarity.projectedTopK(emb, 5, 5, 8, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(exhaustive.toSeq === truth.toSeq)
+    // the real shortlist: per-probe overlap with the true top-5
+    val jl = Similarity.projectedTopK(emb, 5, 5, 8, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val trueSets = truth.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val hits = jl.count { case (q, v) => trueSets(q)(v) }
+    info(s"JL recall@5 with shortlist 20: $hits/${truth.length}")
+    assert(hits > 0, "the projected shortlist must find SOME true neighbors")
+  }
+
   test("clusterBalancedSample: per-cell cap honored, small cells kept " +
     "whole, pick deterministic") {
     // two well-separated clusters; the two smallest ids (the k-means

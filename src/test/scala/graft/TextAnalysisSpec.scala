@@ -824,6 +824,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
   }
 
+  test("temperatureMix: α=0 flattens to uniform shares, α=1 is " +
+    "proportional, and the realized sample respects the plan") {
+    // big source: 60 docs × 10 tokens; small: 6 docs × 10 tokens
+    val txt = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = ((1L to 60L).map((_, txt, "big")) ++
+      (61L to 66L).map((_, txt, "small"))).toDF("doc_id", "text", "source")
+    def byName(alpha: Double, budget: Long) =
+      TextAnalysis.temperatureMix(docs, alpha, budget).collect()
+        .map(r => r.getString(0) -> r).toMap
+    // α=0: w = 1 per source → equal sampling shares
+    val flat = byName(0.0, 300L)
+    assert(flat("big").getDouble(3) === 0.5 && flat("small").getDouble(3) === 0.5)
+    // α=1: shares proportional to token counts (600 vs 60 → 10/11, 1/11)
+    val prop = byName(1.0, 300L)
+    assert(math.abs(prop("big").getDouble(3) - 600.0 / 660) < 1e-6)
+    assert(math.abs(prop("small").getDouble(3) - 60.0 / 660) < 1e-6)
+    // α=0.5 boosts the small source past its proportional share
+    val mid = byName(0.5, 300L)
+    assert(mid("small").getDouble(3) > 60.0 / 660)
+    assert(mid("big").getDouble(3) < 600.0 / 660)
+    mid.values.foreach { r =>
+      // thresholds never exceed the full range; kept ⊆ total
+      assert(r.getLong(5) <= 1000000L)
+      assert(r.getLong(6) <= r.getLong(1) && r.getLong(7) <= r.getLong(2))
+    }
+    // a budget covering everything keeps everything (thresh = 1e6)
+    val all = byName(0.0, 100000L)
+    assert(all.values.forall(r => r.getLong(5) === 1000000L &&
+      r.getLong(6) === r.getLong(1) && r.getLong(7) === r.getLong(2)))
+  }
+
   test("zipfFit: an exact power law fits slope −1 with r² 1; " +
     "degenerate sources degrade to NULLs, not errors") {
     def rep(w: String, n: Int) = Seq.fill(n)(w)
