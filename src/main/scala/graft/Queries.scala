@@ -168,6 +168,22 @@ object Queries {
        |bits AS (SELECT doc_id, $simhashBitSumsSql FROM wh GROUP BY doc_id),
        |sim AS (SELECT doc_id, $simhashSigSql AS simhash FROM bits)""".stripMargin
 
+  /** 60-bit twin of [[SimhashCte]] for the wide pigeonhole index (n94):
+    * per-word h = first 15 md5 hex chars as BIGINT (60 bits — the
+    * widest width a plain ::bigint parse holds), same bit rule.
+    */
+  private val SimhashWideCte = {
+    val bitSums = (0 until Dedup.SimhashWideBits).map(i =>
+      s"sum(CASE WHEN (h & ${1L << i}) != 0 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val sig = (0 until Dedup.SimhashWideBits).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""wh AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::bigint AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |bits AS (SELECT doc_id, $bitSums FROM wh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $sig AS simhash FROM bits)""".stripMargin
+  }
+
   private val Stop = "('the','a','an','of','to','and','in','is')"
 
   /** Shared lang-ID scoring (n14 + the n33 confusion roll-up): stopword-hit
@@ -1050,6 +1066,26 @@ object Queries {
         |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // n90 with the exact-dup pre-collapse in front of the banding (the
+    // n53/n78 move) — bit-equal by construction, proven here against
+    // n90's oracle VERBATIM; the production default on dup-heavy
+    // corpora where per-bucket pair generation grows with dup-group².
+    ("n91_containment_pairs_collapsed",
+      (s: SparkSession, d: String) =>
+        Dedup.containmentPairsCollapsed(docs(s, d), 0.5),
+      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+        |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+        |sc AS (SELECT doc_a, doc_b,
+        |  round(len(list_intersect(wa.ws, wb.ws))::double / len(wa.ws), 6) AS cont_a_in_b,
+        |  round(len(list_intersect(wa.ws, wb.ws))::double / len(wb.ws), 6) AS cont_b_in_a
+        |FROM pairs JOIN w wa ON doc_a = wa.doc_id JOIN w wb ON doc_b = wb.doc_id)
+        |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM sc
+        |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // LSH tuning harness: precision/recall of the band-collision
     // candidate set vs exact shingle-Jaccard ground truth on a bounded
     // doc_id window — the number that validates a (bands × rows) config
@@ -1119,6 +1155,42 @@ object Queries {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
         |FROM sim a JOIN sim b ON a.doc_id + 1 = b.doc_id ORDER BY doc_a""".stripMargin)),
+
+    // Full-pair-space simhash near dups via the Manku pigeonhole block
+    // index: hamming ≤ 3 over 4 exact-match blocks of the 32-bit hash —
+    // candidate recall is EXACT by pigeonhole, verify is xor+popcount.
+    ("n93_simhash_neardup_pairs",
+      (s: SparkSession, d: String) => Dedup.simhashNearDupPairs(docs(s, d)),
+      Some(s"""WITH $SimhashCte,
+        |bl AS (SELECT doc_id, simhash, b.b AS blk,
+        |    (simhash >> (b.b * 8)) & 255 AS bv
+        |  FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM bl a JOIN bl b
+        |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // The 60-bit WIDE pigeonhole index — the production twin of n93:
+    // 15-bit blocks keep candidate buckets 2^7x smaller, the difference
+    // between linear and quadratic candidate volume at corpus scale
+    // (measured in BENCH_NOTES).
+    ("n94_simhash_neardup_pairs_wide",
+      (s: SparkSession, d: String) =>
+        Dedup.simhashNearDupPairsWide(docs(s, d)),
+      Some(s"""WITH $SimhashWideCte,
+        |bl AS (SELECT doc_id, simhash, b.b AS blk,
+        |    (simhash >> (b.b * 15)) & 32767 AS bv
+        |  FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM bl a JOIN bl b
+        |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
 
     ("n9_cosine_topk",
       (s: SparkSession, d: String) => Similarity.bruteForceTopK(emb(s, d), 10, 5),
@@ -2104,6 +2176,36 @@ object Queries {
         |  coalesce(k.tokens_kept, 0) AS tokens_kept
         |FROM pl2 p LEFT JOIN kept k USING (source)
         |ORDER BY p.source""".stripMargin)),
+
+    // UniMax allocation (Chung et al. 2023): waterfill the token budget
+    // uniformly across sources under a per-source epoch cap — closed
+    // form (the saturation predicate is monotone over capacity-sorted
+    // sources), all-integer except the final epochs ratio.
+    ("n92_unimax_mix",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.unimaxMix(docs(s, d), 30000L, 2.0),
+      Some("""WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |c AS (SELECT source, n_docs, n_tokens,
+        |    CAST(floor(n_tokens::double * 2.0) AS BIGINT) AS cap FROM per),
+        |st AS (SELECT *, row_number() OVER (ORDER BY cap, source) AS i,
+        |    sum(cap) OVER (ORDER BY cap, source) AS pfx,
+        |    count(*) OVER () AS nsrc
+        |  FROM c),
+        |f AS (SELECT *, cap * (nsrc - i + 1) <= 30000 - (pfx - cap) AS isfull
+        |  FROM st),
+        |t AS (SELECT coalesce(sum(CASE WHEN isfull THEN cap END), 0) AS pk,
+        |    coalesce(sum(CASE WHEN isfull THEN 1 END), 0) AS k FROM f),
+        |a AS (SELECT f.source AS source, f.n_docs AS n_docs,
+        |    f.n_tokens AS n_tokens, f.cap AS cap,
+        |    CASE WHEN f.isfull THEN f.cap ELSE
+        |      CAST(floor((30000 - t.pk)::double / (f.nsrc - t.k)::double)
+        |        AS BIGINT) END AS alloc_tokens
+        |  FROM f CROSS JOIN t)
+        |SELECT source, n_docs, n_tokens, cap, alloc_tokens,
+        |  round(alloc_tokens::double / n_tokens, 6) AS epochs
+        |FROM a ORDER BY source""".stripMargin)),
 
     // Per-source unigram-distribution drift KL(source || corpus) — the
     // mixing-time divergence check. Terms in a fixed op order through

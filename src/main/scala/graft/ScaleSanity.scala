@@ -145,7 +145,8 @@ object ScaleSanity {
         "n74_contamination_report", "n75_ivf_recall", "n76_bpe_merges",
         "n77_bpe_tokenize", "n84_quality_classifier", "n85_cluster_balanced_sample",
         "n86_zipf_fit", "n87_temperature_mix", "n88_random_projection",
-        "n89_projected_ann_topk",
+        "n89_projected_ann_topk", "n91_containment_pairs_collapsed",
+        "n92_unimax_mix", "n94_simhash_neardup_pairs_wide",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

@@ -267,6 +267,72 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** [[containmentPairs]] with the exact-dup pre-collapse composed in
+    * front of the banding — the production form for dup-heavy corpora,
+    * the same n53/n78 move: identical texts share every shingle,
+    * signature, band key, and word set, so banding ONE representative
+    * per distinct text and expanding verified rep pairs back through
+    * the member lists is EXACT, not approximate. Cross-group member
+    * pairs inherit their reps' containment values with the direction
+    * columns swapped when id order flips across the groups; within-
+    * group pairs are identical texts — containment 1.0 both ways, which
+    * the uncollapsed path emits via their all-bands-shared buckets.
+    * Without the collapse, a bucket holding a size-g dup group pays
+    * g²/2 pair generation and verification for values the group's one
+    * rep already determines. DedupSpec pins bit-equality with
+    * [[containmentPairs]] on the fixture and on replicated dup-heavy
+    * variants; the registry's n91 proves it against n90's DuckDB oracle
+    * verbatim.
+    */
+  def containmentPairsCollapsed(docs: DataFrame,
+                                threshold: Double): DataFrame = {
+    val eligible = docs
+      .filter(graft.functions.MinHash.eligible(col("text")))
+      .select(col("doc_id"), col("text"))
+    val groups = Checkpoints.cut(
+      eligible.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"),
+          sort_array(collect_list(col("doc_id"))).as("ids")))
+    val repPairs = lshCandidatePairs(
+      groups.select(col("rep").as("doc_id"), col("text")))
+    val w = groups.select(col("rep"),
+      array_distinct(split(col("text"), " ")).as("ws"), col("ids"))
+    val verified = repPairs
+      .join(w.as("wa"), col("doc_a") === col("wa.rep"))
+      .join(w.as("wb"), col("doc_b") === col("wb.rep"))
+      .select(
+        size(array_intersect(col("wa.ws"), col("wb.ws"))).as("inter"),
+        size(col("wa.ws")).as("na"), size(col("wb.ws")).as("nb"),
+        col("wa.ids").as("ids_a"), col("wb.ids").as("ids_b"))
+      .select(round(col("inter").cast("double") / col("na"), 6).as("ca"),
+        round(col("inter").cast("double") / col("nb"), 6).as("cb"),
+        col("ids_a"), col("ids_b"))
+      .filter(greatest(col("ca"), col("cb")) >= threshold)
+    // map-side expansion: each member pair ordered doc_a < doc_b, the
+    // containment direction following the id order across the groups
+    val cross = verified.select(col("ca"), col("cb"),
+      explode(flatten(transform(col("ids_a"), a =>
+        transform(col("ids_b"), b =>
+          struct(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"),
+            (a < b).as("aFirst")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        when(col("p.aFirst"), col("ca")).otherwise(col("cb"))
+          .as("cont_a_in_b"),
+        when(col("p.aFirst"), col("cb")).otherwise(col("ca"))
+          .as("cont_b_in_a"))
+    val within = groups
+      .filter(size(col("ids")) > 1 && lit(1.0) >= threshold)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> named_struct('doc_a', x, 'doc_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        lit(1.0).as("cont_a_in_b"), lit(1.0).as("cont_b_in_a"))
+    cross.unionAll(within)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash/LSH NEAR-DUP decontamination: test-split docs flagged
     * against train-split docs that share an LSH band-bucket, verified
     * with exact word-set Jaccard ≥ `threshold`. Fills the gap between
@@ -422,6 +488,87 @@ object Dedup {
     expandAB.unionAll(expandBA).unionAll(within)
       .select(col("p.test_doc"), col("p.train_doc"), col("jaccard"))
       .orderBy(col("test_doc"), col("train_doc"))
+  }
+
+  /** Full-pair-space SimHash near-dup pairs via the PIGEONHOLE block
+    * index (the Manku/Jain/Sarma WWW'07 web-dedup construction): split
+    * the `SimhashBits`-bit hash into `nBlocks` equal blocks and
+    * equi-join on (block index, block value). With maxDist < nBlocks,
+    * any pair within Hamming distance maxDist differs in at most
+    * maxDist blocks, so at least one block matches EXACTLY — the
+    * candidate set provably contains every qualifying pair (exact
+    * recall, unlike MinHash banding's probabilistic recall); the
+    * bit_count verify then discards false candidates. Complements
+    * [[simhashAdjacentHamming]] (n8's linear-sample twin) with the full
+    * pair space at index cost.
+    *
+    * Scale shape: one map-side hash per doc, nBlocks index rows per
+    * doc, equi-join on the block key (never a nested loop), verify is
+    * one xor+popcount per candidate. Skewed block values (the
+    * pathological all-zeros block on short docs) are the documented
+    * hot-bucket risk — AQE skew-join handles moderate skew, and the
+    * Manku permuted-table refinement is the named extension for
+    * extreme corpora.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 3,
+                          nBlocks: Int = 4): DataFrame =
+    blockIndexedHammingPairs(simhash(docs), SimhashBits, maxDist, nBlocks)
+
+  /** The 60-bit signature width for [[simhashNearDupPairsWide]]. */
+  val SimhashWideBits = 60
+
+  /** 60-bit SimHash per doc — the wide production signature (see
+    * [[graft.functions.SimHash60]] for why 60 and why wide).
+    */
+  def simhashWide(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash60(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** [[simhashNearDupPairs]] over the 60-bit signature — the
+    * PRODUCTION twin: same pigeonhole completeness (maxDist < nBlocks),
+    * but 15-bit blocks hold 2⁷× fewer colliding docs than the 32-bit
+    * variant's 8-bit blocks, which is the difference between linear and
+    * quadratic candidate volume at corpus scale (measured in
+    * BENCH_NOTES: the 32-bit index goes super-linear past ~10⁴ docs on
+    * a near-dup-free corpus while this stays near-linear). n93 keeps
+    * the 32-bit form as the n7/n8-family oracle anchor.
+    */
+  def simhashNearDupPairsWide(docs: DataFrame, maxDist: Int = 3,
+                              nBlocks: Int = 4): DataFrame =
+    blockIndexedHammingPairs(simhashWide(docs), SimhashWideBits, maxDist,
+      nBlocks)
+
+  /** Shared pigeonhole block-index machinery over any (doc_id, simhash)
+    * frame: explode nBlocks equal-width block keys, equi-join, verify
+    * with xor+popcount.
+    */
+  private def blockIndexedHammingPairs(hashed: DataFrame, bits: Int,
+                                       maxDist: Int,
+                                       nBlocks: Int): DataFrame = {
+    require(bits % nBlocks == 0, s"$nBlocks must divide $bits")
+    require(maxDist < nBlocks,
+      s"pigeonhole completeness needs maxDist ($maxDist) < nBlocks ($nBlocks)")
+    val blockBits = bits / nBlocks
+    val mask = (1L << blockBits) - 1
+    val blocks = hashed.select(col("doc_id"), col("simhash"),
+        explode(array((0 until nBlocks).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("simhash"), b * blockBits)
+              .bitwiseAND(lit(mask)).as("bv"))): _*)).as("kb"))
+      .select(col("doc_id"), col("simhash"),
+        col("kb.blk").as("blk"), col("kb.bv").as("bv"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Exact n-gram (word-set) Jaccard over adjacent-id pairs — a

@@ -935,6 +935,64 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** UniMax source allocation (Chung et al. 2023): distribute a token
+    * budget as UNIFORMLY as possible across sources subject to a
+    * per-source repeat cap (capacity = n_s × maxEpochs) — the published
+    * alternative to [[temperatureMix]]'s α-sampling that bounds
+    * repetition explicitly instead of tuning a temperature. Waterfill
+    * in closed form: sources sorted by capacity ascending; source i is
+    * saturated iff its capacity fits under an equal split of what's
+    * left after everything smaller saturates (the predicate is
+    * monotone, so no iteration); the unsaturated remainder shares the
+    * leftover equally. Output per source: (source, n_docs, n_tokens,
+    * capacity, alloc_tokens, epochs).
+    *
+    * Determinism discipline: capacities, prefix sums, the saturation
+    * predicate, and the equal-share division are ALL integer arithmetic
+    * (floor division for the share — the allocation may undershoot the
+    * budget by < n_sources tokens, documented not hidden); only the
+    * final epochs ratio is float, through round(·, 6).
+    *
+    * Scale shape: ONE (source, tokens) map-side-combined aggregate;
+    * everything after runs on the sources-sized frame (the
+    * single-partition windows are over tens of rows — the corpus never
+    * enters a window).
+    */
+  def unimaxMix(docs: DataFrame, budget: Long,
+                maxEpochs: Double = 2.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap").asc, col("source").asc)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val per = docs.select(col("source"), size(words(col("text"))).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("cap",
+        floor(col("n_tokens").cast("double") * maxEpochs).cast("long"))
+    val staged = per
+      .withColumn("i", row_number().over(w))
+      .withColumn("pfx", sum(col("cap")).over(w))
+      .withColumn("nsrc", count(lit(1)).over(all))
+      // saturated iff capacity fits under an equal split of the budget
+      // remaining once every smaller source saturates
+      .withColumn("full",
+        col("cap") * (col("nsrc") - col("i") + 1) <=
+          lit(budget) - (col("pfx") - col("cap")))
+    val alloc = staged
+      .withColumn("pk", coalesce(sum(when(col("full"), col("cap"))).over(all),
+        lit(0L)))
+      .withColumn("k", coalesce(sum(when(col("full"), 1L)).over(all), lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("full"), col("cap")).otherwise(
+          floor((lit(budget) - col("pk")).cast("double") /
+            (col("nsrc") - col("k")).cast("double")).cast("long")))
+    alloc.select(col("source"), col("n_docs"), col("n_tokens"), col("cap"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 6)
+          .as("epochs"))
+      .orderBy(col("source"))
+  }
+
   /** Fingerprint-duplicate groups: docs sharing a word-set signature. */
   def fingerprintDupGroups(docs: DataFrame): DataFrame =
     fingerprints(docs)

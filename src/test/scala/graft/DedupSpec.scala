@@ -413,6 +413,101 @@ class DedupSpec extends SparkSpec {
     assert(co2.nonEmpty, "3× replication must produce contamination flags")
   }
 
+  test("simhashNearDupPairs: the pigeonhole index finds EXACTLY the " +
+    "brute-force hamming ≤ 3 pairs over the full pair space") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Dedup.simhashNearDupPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val h = Dedup.simhash(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- h; (idb, hb) <- h if ida < idb
+      dist = java.lang.Long.bitCount(ha ^ hb) if dist <= 3
+    } yield (ida, idb, dist)).toSet
+    assert(got === brute, "pigeonhole candidates must be complete AND " +
+      "the verify exact — no misses, no extras")
+    // the shared fixture: identical docs 0 and 4 land at hamming 0
+    val fx = Dedup.simhashNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(fx.contains((0L, 4L, 0)))
+  }
+
+  test("SimHash60 expression equals the compositional explode→groupBy " +
+    "form (incl. empty tokens)") {
+    val tricky = docs.union(Seq(
+      (100L, "a  b"), (101L, "a b "), (102L, ""), (103L, "solo"))
+      .toDF("doc_id", "text"))
+    val hExpr = conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+    val exploded = tricky
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), hExpr.as("h"))
+    val bitSums = (0 until Dedup.SimhashWideBits).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
+        .as(s"b$i"))
+    val sig = (0 until Dedup.SimhashWideBits).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val compositional = exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = Dedup.simhashWide(tricky).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === compositional)
+  }
+
+  test("simhashNearDupPairsWide: pigeonhole completeness holds at 60 " +
+    "bits over the full sf0.001 pair space") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Dedup.simhashNearDupPairsWide(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val h = Dedup.simhashWide(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- h; (idb, hb) <- h if ida < idb
+      dist = java.lang.Long.bitCount(ha ^ hb) if dist <= 3
+    } yield (ida, idb, dist)).toSet
+    assert(got === brute)
+    // 60 near-uniform bits: unrelated docs essentially never sit at
+    // hamming ≤ 3, so the wide index's output is the real near-dup set
+    assert(got.size <= Dedup.simhashNearDupPairs(d).collect().length)
+  }
+
+  test("containmentPairsCollapsed ≡ containmentPairs on the fixture, " +
+    "on an excerpt corpus, and on dup-heavy replication") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    // the shared fixture corpus (contains an exact dup: docs 0 and 4)
+    val un = rows(Dedup.containmentPairs(docs, 0.0))
+    val co = rows(Dedup.containmentPairsCollapsed(docs, 0.0))
+    assert(co === un)
+    assert(co.nonEmpty)
+    // excerpt corpus driving the cross-group direction flip: the
+    // CONTAINING doc gets the smaller id in one pair and the larger in
+    // the other, so both expansion orderings are exercised
+    val words = (1 to 35).map(i => s"w$i")
+    val exc = Seq(
+      (1L, words.mkString(" ")),           // container (small id)
+      (2L, words.take(24).mkString(" ")),  // excerpt
+      (3L, words.take(24).mkString(" ")),  // exact dup of the excerpt
+      (9L, words.mkString(" "))            // exact dup of the container
+    ).toDF("doc_id", "text")
+    val unE = rows(Dedup.containmentPairs(exc, 0.5))
+    val coE = rows(Dedup.containmentPairsCollapsed(exc, 0.5))
+    assert(coE === unE)
+    assert(unE.exists { case (a, b, ab, _) => a == 2L && b == 9L && ab == 1.0 },
+      s"excerpt-in-later-container pair must flag: $unE")
+    // 3× replication of the fixture: dup groups of size 3 × the base
+    // structure — the regime the collapse exists for
+    val replicated = (0 until 3).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    val un3 = rows(Dedup.containmentPairs(replicated, 0.0))
+    val co3 = rows(Dedup.containmentPairsCollapsed(replicated, 0.0))
+    assert(co3 === un3)
+    assert(co3.length > un.length)
+  }
+
   test("containmentPairs: an excerpt scores containment 1.0 where " +
     "Jaccard stays low; disjoint docs never pair") {
     import spark.implicits._

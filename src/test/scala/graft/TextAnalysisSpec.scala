@@ -855,6 +855,31 @@ class TextAnalysisSpec extends SparkSpec {
       r.getLong(6) === r.getLong(1) && r.getLong(7) === r.getLong(2)))
   }
 
+  test("unimaxMix: waterfill saturates small sources and splits the " +
+    "remainder equally; all-integer allocations") {
+    // capacities at maxEpochs=2: A=20, B=200, C=2000
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = (Seq((1L, mk(10), "A"), (2L, mk(100), "B")) ++
+      (3L to 12L).map((_, mk(100), "C"))).toDF("doc_id", "text", "source")
+    def run(budget: Long) = TextAnalysis.unimaxMix(docs, budget, 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    // budget 1000: A, B saturate (20 + 200), C takes the leftover 780
+    val mid = run(1000L)
+    assert(mid("A") === ((20L, 2.0)))
+    assert(mid("B") === ((200L, 2.0)))
+    assert(mid("C") === ((780L, 0.78)))
+    // budget ≥ total capacity: everything saturates at maxEpochs
+    val big = run(10000L)
+    assert(Seq("A", "B", "C").forall(s => big(s)._2 === 2.0))
+    // budget below the smallest equal split: nobody saturates, equal
+    // integer shares
+    val small = run(30L)
+    assert(small("A") === ((10L, 1.0)))
+    assert(small("B") === ((10L, 0.1)))
+    assert(small("C") === ((10L, 0.01)))
+  }
+
   test("zipfFit: an exact power law fits slope −1 with r² 1; " +
     "degenerate sources degrade to NULLs, not errors") {
     def rep(w: String, n: Int) = Seq.fill(n)(w)
