@@ -1192,6 +1192,69 @@ object Queries {
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Incremental simhash screening: batch (doc_id % 5 = 0) vs the rest
+    // as the persisted index; survivors after corpus-hit + greedy
+    // within-batch drops, all at hamming ≤ 3 over the 60-bit signature.
+    ("n95_incremental_simhash_dedup",
+      (s: SparkSession, d: String) => {
+        val all = docs(s, d)
+        Dedup.incrementalSimhashDedup(
+          all.filter(col("doc_id") % 5 === 0),
+          all.filter(col("doc_id") % 5 =!= 0))
+      },
+      Some(s"""WITH $SimhashWideCte,
+        |nb AS (SELECT * FROM sim WHERE doc_id % 5 = 0),
+        |cb AS (SELECT * FROM sim WHERE doc_id % 5 != 0),
+        |nblk AS (SELECT doc_id, simhash, b.b AS blk,
+        |    (simhash >> (b.b * 15)) & 32767 AS bv
+        |  FROM nb CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+        |cblk AS (SELECT doc_id, simhash, b.b AS blk,
+        |    (simhash >> (b.b * 15)) & 32767 AS bv
+        |  FROM cb CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+        |chit AS (SELECT DISTINCT n.doc_id AS doc_id FROM cblk c JOIN nblk n
+        |  ON c.blk = n.blk AND c.bv = n.bv
+        |  WHERE bit_count(xor(c.simhash, n.simhash)) <= 3),
+        |bhit AS (SELECT DISTINCT b.doc_id AS doc_id FROM nblk a JOIN nblk b
+        |  ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+        |SELECT doc_id, simhash FROM nb
+        |WHERE doc_id NOT IN (SELECT doc_id FROM chit)
+        |  AND doc_id NOT IN (SELECT doc_id FROM bhit)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Pigeonhole-index tuning harness: per (bits, block), bucket count,
+    // max bucket, and the EXACT candidate volume Σ s(s−1)/2 — the
+    // 32-vs-60-bit decision as data. All integers, oracle-exact.
+    ("n96_simhash_index_stats",
+      (s: SparkSession, d: String) => Dedup.simhashIndexStats(docs(s, d)),
+      Some {
+        def bitSums(bits: Int, h: String) = (0 until bits).map(i =>
+          s"sum(CASE WHEN ($h & ${1L << i}) != 0 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        def sig(bits: Int) = (0 until bits).map(i =>
+          s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""WITH wh AS (SELECT doc_id,
+        |    ('0x' || substring(md5(w), 1, 8))::bigint AS h32,
+        |    ('0x' || substring(md5(w), 1, 15))::bigint AS h60
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |b32 AS (SELECT doc_id, ${bitSums(32, "h32")} FROM wh GROUP BY doc_id),
+        |s32 AS (SELECT doc_id, ${sig(32)} AS simhash FROM b32),
+        |b60 AS (SELECT doc_id, ${bitSums(60, "h60")} FROM wh GROUP BY doc_id),
+        |s60 AS (SELECT doc_id, ${sig(60)} AS simhash FROM b60),
+        |g AS (SELECT unnest([0, 1, 2, 3]) AS b),
+        |bl AS (
+        |  SELECT 32 AS bits, g.b AS blk, (simhash >> (g.b * 8)) & 255 AS bv
+        |    FROM s32 CROSS JOIN g
+        |  UNION ALL
+        |  SELECT 60 AS bits, g.b AS blk, (simhash >> (g.b * 15)) & 32767 AS bv
+        |    FROM s60 CROSS JOIN g),
+        |bk AS (SELECT bits, blk, bv, count(*) AS s FROM bl GROUP BY 1, 2, 3)
+        |SELECT bits, blk, count(*) AS n_buckets,
+        |  CAST(max(s) AS BIGINT) AS max_bucket,
+        |  CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS est_candidate_pairs
+        |FROM bk GROUP BY bits, blk ORDER BY bits, blk""".stripMargin
+      }),
+
     ("n9_cosine_topk",
       (s: SparkSession, d: String) => Similarity.bruteForceTopK(emb(s, d), 10, 5),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -540,6 +540,94 @@ object Dedup {
     blockIndexedHammingPairs(simhashWide(docs), SimhashWideBits, maxDist,
       nBlocks)
 
+  /** Incremental near-dup screening of a NEW BATCH against an existing
+    * corpus via the 60-bit pigeonhole index — the simhash member of the
+    * incremental family ([[incrementalDedup]] exact-digest,
+    * [[graft.ops.Similarity.incrementalSemanticDedup]] embedding-side).
+    * Emits the batch's SURVIVORS (doc_id, simhash): docs dropped when
+    * (a) a corpus doc sits within `maxDist` hamming, or (b) a
+    * smaller-id BATCH doc does (the pessimistic greedy keeper —
+    * standard ingest semantics; near-dup is not transitive, so the
+    * greedy rule is the deterministic contract, not a CC pass).
+    *
+    * Scale shape: in production the corpus side is a persisted
+    * (doc_id, simhash) INDEX — 16 bytes a row, never the text; the
+    * batch is small, so BOTH screening joins broadcast the batch's
+    * block keys and the index streams map-side past them (the n55
+    * shape, plan-pinned) — nothing rescans or shuffles the corpus on a
+    * new batch.
+    */
+  def incrementalSimhashDedup(newDocs: DataFrame, corpus: DataFrame,
+                              maxDist: Int = 3,
+                              nBlocks: Int = 4): DataFrame = {
+    val bits = SimhashWideBits
+    require(bits % nBlocks == 0 && maxDist < nBlocks)
+    val blockBits = bits / nBlocks
+    val mask = (1L << blockBits) - 1
+    def withBlocks(h: DataFrame) = h.select(col("doc_id"), col("simhash"),
+        explode(array((0 until nBlocks).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("simhash"), b * blockBits)
+              .bitwiseAND(lit(mask)).as("bv"))): _*)).as("kb"))
+      .select(col("doc_id"), col("simhash"),
+        col("kb.blk").as("blk"), col("kb.bv").as("bv"))
+    val batch = Checkpoints.cut(simhashWide(newDocs))
+    val batchBlocks = withBlocks(batch)
+    val corpusHit = withBlocks(simhashWide(corpus)).as("i")
+      .join(broadcast(batchBlocks.as("n")),
+        col("i.blk") === col("n.blk") && col("i.bv") === col("n.bv"))
+      .filter(bit_count(col("i.simhash").bitwiseXOR(col("n.simhash")))
+        <= maxDist)
+      .select(col("n.doc_id").as("doc_id")).distinct()
+    val batchHit = batchBlocks.as("a")
+      .join(broadcast(batchBlocks.as("b")),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        <= maxDist)
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    batch.join(broadcast(corpusHit.union(batchHit).distinct()),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pigeonhole-index tuning harness — the [[lshTuning]]/recall-curve
+    * discipline applied to the simhash index: per signature width (32
+    * and 60 bits) and block, the bucket count, the largest bucket, and
+    * the EXACT candidate-pair volume the index would generate
+    * (Σ s·(s−1)/2 over bucket sizes s) — the number that says whether a
+    * block width fits the corpus BEFORE a 100 TB join commits to it
+    * (est_candidate_pairs exploding on the 32-bit rows while the
+    * 60-bit rows stay ~linear is the n93→n94 decision, as data).
+    * All-integer, oracle-exact.
+    *
+    * Scale shape: two map-side signature passes, one (blk, bv) count
+    * with map-side combine, then a 4-row-per-width roll-up — the
+    * harness costs two scans regardless of corpus size, never the join
+    * it sizes.
+    */
+  def simhashIndexStats(docs: DataFrame, nBlocks: Int = 4): DataFrame = {
+    def statsFor(hashed: DataFrame, bits: Int) = {
+      val blockBits = bits / nBlocks
+      val mask = (1L << blockBits) - 1
+      hashed.select(explode(array((0 until nBlocks).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("simhash"), b * blockBits)
+              .bitwiseAND(lit(mask)).as("bv"))): _*)).as("kb"))
+        .select(col("kb.blk").as("blk"), col("kb.bv").as("bv"))
+        .groupBy(col("blk"), col("bv")).agg(count(lit(1)).as("s"))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("s")).as("max_bucket"),
+          sum(expr("(s * (s - 1)) div 2")).as("est_candidate_pairs"))
+        .select(lit(bits).as("bits"), col("blk"), col("n_buckets"),
+          col("max_bucket"), col("est_candidate_pairs"))
+    }
+    statsFor(simhash(docs), SimhashBits)
+      .unionAll(statsFor(simhashWide(docs), SimhashWideBits))
+      .orderBy(col("bits"), col("blk"))
+  }
+
   /** Shared pigeonhole block-index machinery over any (doc_id, simhash)
     * frame: explode nBlocks equal-width block keys, equi-join, verify
     * with xor+popcount.

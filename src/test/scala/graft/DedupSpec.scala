@@ -471,6 +471,68 @@ class DedupSpec extends SparkSpec {
     assert(got.size <= Dedup.simhashNearDupPairs(d).collect().length)
   }
 
+  test("incrementalSimhashDedup: corpus hits and greedy within-batch " +
+    "drops match the hand-computed survivors; brute parity on sf0.001") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely different words here entirely now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = corpus 100
+      (2L, "unrelated fresh content appearing nowhere else today"),
+      (3L, "unrelated fresh content appearing nowhere else today"), // = 2
+      (4L, "another novel document with its own vocabulary entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalSimhashDedup(batch, corpus).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 4L),
+      "1 falls to the corpus, 3 to the smaller-id batch twin")
+    // brute parity on the real split: survivors = batch ids with no
+    // hamming ≤ 3 neighbor in the corpus nor among smaller batch ids
+    val all = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = all.filter(col("doc_id") % 5 === 0)
+    val c = all.filter(col("doc_id") % 5 =!= 0)
+    val hb = Dedup.simhashWide(b).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hc = Dedup.simhashWide(c).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = hb.filter { case (id, h) =>
+      !hc.exists { case (_, h2) => java.lang.Long.bitCount(h ^ h2) <= 3 } &&
+      !hb.exists { case (id2, h2) =>
+        id2 < id && java.lang.Long.bitCount(h ^ h2) <= 3 }
+    }.map(_._1).toSeq.sorted
+    val real = Dedup.incrementalSimhashDedup(b, c).collect()
+      .map(_.getLong(0)).toSeq
+    assert(real === want)
+  }
+
+  test("simhashIndexStats: exact bucket stats match a Scala " +
+    "recomputation; the 60-bit index generates no more candidates") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Dedup.simhashIndexStats(d).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def brute(h: Seq[Long], bits: Int) = {
+      val bb = bits / 4
+      val mask = (1L << bb) - 1
+      (0 until 4).map { b =>
+        val sizes = h.groupBy(x => (x >>> (b * bb)) & mask)
+          .values.map(_.size.toLong)
+        (b, (sizes.size.toLong, sizes.max,
+          sizes.map(s => s * (s - 1) / 2).sum))
+      }
+    }
+    val h32 = Dedup.simhash(d).collect().map(_.getLong(1)).toSeq
+    val h60 = Dedup.simhashWide(d).collect().map(_.getLong(1)).toSeq
+    for ((b, st) <- brute(h32, 32)) assert(got((32, b)) === st)
+    for ((b, st) <- brute(h60, 60)) assert(got((60, b)) === st)
+    // the decision the harness exists to surface, as data
+    val c32 = (0 until 4).map(b => got((32, b))._3).sum
+    val c60 = (0 until 4).map(b => got((60, b))._3).sum
+    assert(c60 <= c32)
+  }
+
   test("containmentPairsCollapsed ≡ containmentPairs on the fixture, " +
     "on an excerpt corpus, and on dup-heavy replication") {
     import spark.implicits._

@@ -452,6 +452,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("n95: both screening joins broadcast the batch — the corpus-side " +
+    "index streams map-side, never shuffling into pair space") {
+    val p = plan("n95_incremental_simhash_dedup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "corpus-hit and within-batch joins must both broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // the silent scale-killer: an unkeyed join degenerating to all-pairs.
     // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin
