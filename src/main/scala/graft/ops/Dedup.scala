@@ -559,7 +559,21 @@ object Dedup {
     */
   def incrementalSimhashDedup(newDocs: DataFrame, corpus: DataFrame,
                               maxDist: Int = 3,
-                              nBlocks: Int = 4): DataFrame = {
+                              nBlocks: Int = 4): DataFrame =
+    incrementalSimhashDedupFromIndex(newDocs, simhashWide(corpus), maxDist,
+      nBlocks)
+
+  /** [[incrementalSimhashDedup]] against a PRE-HASHED (doc_id, simhash)
+    * index — the form the streaming ingest consumes: the persisted
+    * index stores 16-byte signature rows, never the text, so screening
+    * a batch costs one signature pass over the BATCH plus a map-side
+    * stream of the index, and the index table stays text-free no matter
+    * how the corpus grows.
+    */
+  def incrementalSimhashDedupFromIndex(newDocs: DataFrame,
+                                       index: DataFrame,
+                                       maxDist: Int = 3,
+                                       nBlocks: Int = 4): DataFrame = {
     val bits = SimhashWideBits
     require(bits % nBlocks == 0 && maxDist < nBlocks)
     val blockBits = bits / nBlocks
@@ -573,7 +587,8 @@ object Dedup {
         col("kb.blk").as("blk"), col("kb.bv").as("bv"))
     val batch = Checkpoints.cut(simhashWide(newDocs))
     val batchBlocks = withBlocks(batch)
-    val corpusHit = withBlocks(simhashWide(corpus)).as("i")
+    val corpusHit = withBlocks(index.select(col("doc_id"), col("simhash")))
+      .as("i")
       .join(broadcast(batchBlocks.as("n")),
         col("i.blk") === col("n.blk") && col("i.bv") === col("n.bv"))
       .filter(bit_count(col("i.simhash").bitwiseXOR(col("n.simhash")))
