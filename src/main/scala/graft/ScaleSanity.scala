@@ -274,6 +274,26 @@ object ScaleSanity {
           s"ingest_batch_$b (kept=$kept)")
       }
     }
+    // text-side streaming ingest: same 20-batch per-batch-wall
+    // measurement over SimhashIngest — the signature index grows every
+    // batch while per-batch wall must stay FLAT (O(batch) append +
+    // map-side index stream)
+    if (wanted("simhash_ingest_stream")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/shingest"), true)
+      val d = spark.read.parquet(s"$out/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nBatches = 20
+      for (b <- 0 until nBatches) {
+        val batch = d.filter(pmod(col("doc_id"), lit(nBatches)) === b)
+        val t0 = System.nanoTime()
+        val kept = streaming.SimhashIngest.ingestBatch(batch, b.toLong,
+          s"$out/shingest/index", s"$out/shingest/out")
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"shingest_batch_$b (kept=$kept)")
+      }
+    }
     // manifest-chain read amplification: append N tiny commits (no
     // compaction), time Versioned.read at checkpoint chain lengths, then
     // one compact + a post-compact read — the chart that pins the
