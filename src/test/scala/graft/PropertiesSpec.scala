@@ -594,6 +594,116 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("property: unimaxMix ≡ the naive iterative waterfill on random " +
+    "source profiles and budgets") {
+    val profileGen = for {
+      n <- Gen.choose(1, 6)
+      sizes <- Gen.listOfN(n, Gen.choose(1, 40))
+      budget <- Gen.choose(1L, 500L)
+    } yield (sizes.zipWithIndex.map { case (w, i) => (s"s$i", w) }, budget)
+    def naive(caps: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+      val sorted = caps.sortBy(c => (c._2, c._1))
+      var r = budget
+      var m = sorted.size
+      var share = -1L
+      var out = Map.empty[String, Long]
+      for ((s, cap) <- sorted) {
+        if (share < 0 && cap * m <= r) { out += s -> cap; r -= cap; m -= 1 }
+        else {
+          if (share < 0) share = r / m
+          out += s -> share
+        }
+      }
+      out
+    }
+    check(Prop.forAll(profileGen) { case (profile, budget) =>
+      val docs = profile.zipWithIndex.map { case ((src, w), i) =>
+        (i.toLong, (1 to w).map(j => s"t$j").mkString(" "), src)
+      }.toDF("doc_id", "text", "source")
+      val got = graft.ops.TextAnalysis.unimaxMix(docs, budget, 2.0)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val want = naive(profile.map { case (s, w) => (s, 2L * w) }, budget)
+      got == want
+    })
+  }
+
+  test("property: zipfFit slope/intercept match a naive Scala least " +
+    "squares on random corpora") {
+    val corpusGen = for {
+      n <- Gen.choose(2, 8)
+      freqs <- Gen.listOfN(n, Gen.choose(1, 12))
+    } yield freqs
+    check(Prop.forAll(corpusGen) { freqs =>
+      val text = freqs.zipWithIndex
+        .flatMap { case (f, i) => Seq.fill(f)(f"w$i%02d") }.mkString(" ")
+      val docs = Seq((1L, text, "src")).toDF("doc_id", "text", "source")
+      val row = graft.ops.TextAnalysis.zipfFit(docs, 100).collect().head
+      // naive: rank by (tf desc, word asc), plain-double least squares
+      val ranked = freqs.zipWithIndex.map { case (f, i) => (f"w$i%02d", f) }
+        .sortBy { case (w, f) => (-f, w) }.zipWithIndex
+        .map { case ((_, f), r) => (math.log(r + 1.0), math.log(f.toDouble)) }
+      val n = ranked.size.toDouble
+      val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+      val sxy = ranked.map(p => p._1 * p._2).sum
+      val sxx = ranked.map(p => p._1 * p._1).sum
+      val varx = n * sxx - sx * sx
+      if (ranked.size == 1 || varx == 0)
+        row.isNullAt(2)
+      else {
+        val slope = (n * sxy - sx * sy) / varx
+        val icept = (sy - slope * sx) / n
+        math.abs(row.getDouble(2) - slope) < 1e-5 &&
+          math.abs(row.getDouble(3) - icept) < 1e-5
+      }
+    })
+  }
+
+  test("property: temperatureMix realized counts match a naive Scala " +
+    "recomputation (integer keep test end to end)") {
+    val corpusGen = for {
+      n <- Gen.choose(1, 24)
+      rows <- Gen.listOfN(n, for {
+        w <- Gen.choose(1, 20)
+        s <- Gen.oneOf("a", "b", "c")
+      } yield (w, s))
+      budget <- Gen.choose(10L, 400L)
+    } yield (rows.zipWithIndex.map { case ((w, s), i) => (i.toLong, w, s) },
+      budget)
+    def b6Of(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tmix|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    check(Prop.forAll(corpusGen) { case (rows, budget) =>
+      val docs = rows.map { case (id, w, s) =>
+        (id, (1 to w).map(j => s"t$j").mkString(" "), s)
+      }.toDF("doc_id", "text", "source")
+      val got = graft.ops.TextAnalysis.temperatureMix(docs, 0.5, budget)
+        .collect().map(r => r.getString(0) -> (r.getLong(6), r.getLong(7)))
+        .toMap
+      // naive plan: same rounding path in plain Scala
+      val bySrc = rows.groupBy(_._3)
+      val w6 = bySrc.view.mapValues(rs =>
+        BigDecimal(math.pow(rs.map(_._2).sum.toDouble, 0.5))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+      val sw = w6.values.sum
+      val want = bySrc.map { case (src, rs) =>
+        // mirror the engine exactly: decimal→double FIRST, then a
+        // double division, then the 6-decimal round
+        val p = BigDecimal(w6(src).toDouble / sw.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val target = math.floor(budget.toDouble * p).toLong
+        val nTok = rs.map(_._2).sum.toLong
+        val thresh = math.min(1000000L,
+          math.floor(target.toDouble * 1000000d / nTok).toLong)
+        val kept = rs.filter(r => b6Of(r._1) < thresh)
+        src -> (kept.size.toLong, kept.map(_._2).sum.toLong)
+      }
+      got == want
+    })
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)
