@@ -1086,6 +1086,43 @@ object Queries {
         |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Split-leakage matrix: verified near-dup pairs per unordered
+    // (split, split) cell with eligible-universe denominators and the
+    // leak rate — the eval-hygiene dashboard. Splits are pure functions
+    // of the pair's ids (never a join back to the corpus).
+    ("n97_split_leakage_matrix",
+      (s: SparkSession, d: String) => Dedup.splitLeakageMatrix(docs(s, d)),
+      Some {
+        def sp(c: String) =
+          s"""CASE WHEN ('0x' || substring(md5($c::varchar), 1, 8))::bigint
+             | % 100 < 80 THEN 'train'
+             | WHEN ('0x' || substring(md5($c::varchar), 1, 8))::bigint
+             | % 100 < 90 THEN 'val' ELSE 'test' END""".stripMargin
+            .replace("\n", "")
+        s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+        |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+        |v AS (SELECT doc_a, doc_b
+        |  FROM pairs JOIN w wa ON doc_a = wa.doc_id JOIN w wb ON doc_b = wb.doc_id
+        |  WHERE round(len(list_intersect(wa.ws, wb.ws))::double
+        |    / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.3),
+        |lab AS (SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b
+        |  FROM (SELECT ${sp("doc_a")} AS sa, ${sp("doc_b")} AS sb FROM v)),
+        |m AS (SELECT split_a, split_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2),
+        |sz AS (SELECT ${sp("doc_id")} AS split, count(*) AS n FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3 GROUP BY 1)
+        |SELECT m.split_a AS split_a, m.split_b AS split_b,
+        |  m.n_pairs AS n_pairs,
+        |  CASE WHEN m.split_a = m.split_b THEN (a.n * (a.n - 1)) // 2
+        |    ELSE a.n * b.n END AS n_possible,
+        |  round(m.n_pairs::double / (CASE WHEN m.split_a = m.split_b
+        |    THEN (a.n * (a.n - 1)) // 2 ELSE a.n * b.n END), 9) AS leak_rate
+        |FROM m JOIN sz a ON m.split_a = a.split JOIN sz b ON m.split_b = b.split
+        |ORDER BY split_a, split_b""".stripMargin
+      }),
+
     // LSH tuning harness: precision/recall of the band-collision
     // candidate set vs exact shingle-Jaccard ground truth on a bounded
     // doc_id window — the number that validates a (bands × rows) config

@@ -229,6 +229,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Split-leakage MATRIX — the "did my split leak" dashboard: count
+    * verified near-dup pairs ([[minhashNearDupPairs]], same machinery)
+    * per unordered split pair (train/val/test), with the pair-universe
+    * denominator and the leak rate. The off-diagonal cells are the
+    * eval-hygiene number (a nonzero train×test rate means benchmark
+    * contamination BEFORE any model sees the data); the diagonal reads
+    * as within-split redundancy.
+    *
+    * The split label is a pure function of doc_id
+    * ([[TextAnalysis.splitOf]]), so labeling a pair is two expressions —
+    * never a join back to the corpus. Denominators count
+    * minhash-ELIGIBLE docs (≥3 words): exactly the universe the
+    * candidate front can see, so a rate of 1.0 is reachable and the
+    * matrix can't be diluted by unshingleable rows.
+    *
+    * Scale shape: inherits the near-dup path's (zero-shuffle
+    * signatures, bucket-bounded pairs); everything after is a
+    * ≤6-row matrix joined against a 3-row broadcast size frame.
+    */
+  def splitLeakageMatrix(docs: DataFrame,
+                         threshold: Double = 0.3): DataFrame = {
+    val sa = TextAnalysis.splitOf(col("doc_a"))
+    val sb = TextAnalysis.splitOf(col("doc_b"))
+    val m = minhashNearDupPairs(docs, threshold)
+      .select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val sizes = docs
+      .filter(graft.functions.MinHash.eligible(col("text")))
+      .groupBy(TextAnalysis.splitCol.as("split"))
+      .agg(count(lit(1)).as("n"))
+    m.join(broadcast(sizes.select(col("split").as("split_a"),
+        col("n").as("na"))), Seq("split_a"))
+      .join(broadcast(sizes.select(col("split").as("split_b"),
+        col("n").as("nb"))), Seq("split_b"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        when(col("split_a") === col("split_b"),
+          expr("(na * (na - 1)) div 2")).otherwise(col("na") * col("nb"))
+          .as("n_possible"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("n_possible"),
+        when(col("n_possible") === 0, lit(null))
+          .otherwise(round(col("n_pairs").cast("double") /
+            col("n_possible"), 9)).as("leak_rate"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Asymmetric near-dup CONTAINMENT pairs — the quote/subset signal
     * symmetric Jaccard misses: a short doc fully quoted inside a long
     * one scores |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but containment

@@ -158,9 +158,18 @@ object TextAnalysis {
     * corpus (that plans as a full self-join on doc_id: two pointless
     * exchanges per use at 100 TB).
     */
-  def splitCol: Column =
-    when(splitBucket < 80, "train").when(splitBucket < 90, "val")
-      .otherwise("test")
+  def splitCol: Column = splitOf(col("doc_id"))
+
+  /** [[splitCol]] over an arbitrary id column — the form pair-shaped
+    * consumers use (a near-dup pair carries doc_a/doc_b; the split is a
+    * pure function of the id, so labeling both sides is two expressions,
+    * never a join back to the corpus).
+    */
+  def splitOf(id: Column): Column = {
+    val bucket = pmod(conv(substring(md5(id.cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
 
   /** Deterministic train/val/test split as a standalone frame (reporting
     * surface; derived from [[splitCol]]).

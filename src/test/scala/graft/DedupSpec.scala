@@ -413,6 +413,36 @@ class DedupSpec extends SparkSpec {
     assert(co2.nonEmpty, "3× replication must produce contamination flags")
   }
 
+  test("splitLeakageMatrix: planted cross-split near-dups land in the " +
+    "right cells with exact eligible-universe denominators") {
+    import spark.implicits._
+    val ids = (1L to 60L)
+    val splits = graft.ops.TextAnalysis
+      .splitAssignment(ids.map((_, "x")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val trainIds = ids.filter(splits(_) == "train").take(2)
+    val testIds = ids.filter(splits(_) == "test").take(2)
+    assert(trainIds.size === 2 && testIds.size === 2)
+    val leaked = (trainIds ++ testIds).toSet
+    val X = "alpha beta gamma delta epsilon zeta"
+    val docs = ids.map(i =>
+      (i, if (leaked(i)) X else s"u$i a$i b$i")).toDF("doc_id", "text")
+    val got = Dedup.splitLeakageMatrix(docs, 0.3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val n = ids.groupBy(splits).view.mapValues(_.size.toLong).toMap
+    // 'test' < 'train' < 'val' lexicographically
+    assert(got(("test", "train")) ===
+      ((4L, n("test") * n("train"))))
+    assert(got(("train", "train")) ===
+      ((1L, n("train") * (n("train") - 1) / 2)))
+    assert(got(("test", "test")) ===
+      ((1L, n("test") * (n("test") - 1) / 2)))
+    assert(!got.contains(("train", "val")) && !got.contains(("test", "val")),
+      "no val doc was planted — those cells must be absent")
+  }
+
   test("simhashNearDupPairs: the pigeonhole index finds EXACTLY the " +
     "brute-force hamming ≤ 3 pairs over the full pair space") {
     val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
