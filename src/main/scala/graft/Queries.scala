@@ -158,10 +158,18 @@ object Queries {
   private val DecSum = "CAST(sum(value::decimal(18,2)) AS double)"
 
   // SimHash bit expressions, generated once for both engines.
-  private val simhashBitSumsSql = (0 until Dedup.SimhashBits).map(i =>
-    s"sum(CASE WHEN (h & ${1L << i}) != 0 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
-  private val simhashSigSql = (0 until Dedup.SimhashBits).map(i =>
+  /** The ONE pair of per-bit SQL generators every simhash CTE (32-bit,
+    * 60-bit wide, and the n96 both-widths harness) derives from — the
+    * bit rule can never drift between the oracle surfaces.
+    */
+  private def simhashBitSumsSqlW(bits: Int, h: String) = (0 until bits).map(i =>
+    s"sum(CASE WHEN ($h & ${1L << i}) != 0 THEN 1 ELSE -1 END) AS b$i")
+    .mkString(", ")
+  private def simhashSigSqlW(bits: Int) = (0 until bits).map(i =>
     s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+
+  private val simhashBitSumsSql = simhashBitSumsSqlW(Dedup.SimhashBits, "h")
+  private val simhashSigSql = simhashSigSqlW(Dedup.SimhashBits)
   private val SimhashCte =
     s"""wh AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 8))::bigint AS h
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
@@ -172,17 +180,11 @@ object Queries {
     * per-word h = first 15 md5 hex chars as BIGINT (60 bits — the
     * widest width a plain ::bigint parse holds), same bit rule.
     */
-  private val SimhashWideCte = {
-    val bitSums = (0 until Dedup.SimhashWideBits).map(i =>
-      s"sum(CASE WHEN (h & ${1L << i}) != 0 THEN 1 ELSE -1 END) AS b$i")
-      .mkString(", ")
-    val sig = (0 until Dedup.SimhashWideBits).map(i =>
-      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+  private val SimhashWideCte =
     s"""wh AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::bigint AS h
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
-       |bits AS (SELECT doc_id, $bitSums FROM wh GROUP BY doc_id),
-       |sim AS (SELECT doc_id, $sig AS simhash FROM bits)""".stripMargin
-  }
+       |bits AS (SELECT doc_id, ${simhashBitSumsSqlW(Dedup.SimhashWideBits, "h")} FROM wh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, ${simhashSigSqlW(Dedup.SimhashWideBits)} AS simhash FROM bits)""".stripMargin
 
   private val Stop = "('the','a','an','of','to','and','in','is')"
 
@@ -1265,19 +1267,14 @@ object Queries {
     ("n96_simhash_index_stats",
       (s: SparkSession, d: String) => Dedup.simhashIndexStats(docs(s, d)),
       Some {
-        def bitSums(bits: Int, h: String) = (0 until bits).map(i =>
-          s"sum(CASE WHEN ($h & ${1L << i}) != 0 THEN 1 ELSE -1 END) AS b$i")
-          .mkString(", ")
-        def sig(bits: Int) = (0 until bits).map(i =>
-          s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
         s"""WITH wh AS (SELECT doc_id,
         |    ('0x' || substring(md5(w), 1, 8))::bigint AS h32,
         |    ('0x' || substring(md5(w), 1, 15))::bigint AS h60
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
-        |b32 AS (SELECT doc_id, ${bitSums(32, "h32")} FROM wh GROUP BY doc_id),
-        |s32 AS (SELECT doc_id, ${sig(32)} AS simhash FROM b32),
-        |b60 AS (SELECT doc_id, ${bitSums(60, "h60")} FROM wh GROUP BY doc_id),
-        |s60 AS (SELECT doc_id, ${sig(60)} AS simhash FROM b60),
+        |b32 AS (SELECT doc_id, ${simhashBitSumsSqlW(32, "h32")} FROM wh GROUP BY doc_id),
+        |s32 AS (SELECT doc_id, ${simhashSigSqlW(32)} AS simhash FROM b32),
+        |b60 AS (SELECT doc_id, ${simhashBitSumsSqlW(60, "h60")} FROM wh GROUP BY doc_id),
+        |s60 AS (SELECT doc_id, ${simhashSigSqlW(60)} AS simhash FROM b60),
         |g AS (SELECT unnest([0, 1, 2, 3]) AS b),
         |bl AS (
         |  SELECT 32 AS bits, g.b AS blk, (simhash >> (g.b * 8)) & 255 AS bv

@@ -621,21 +621,11 @@ object Dedup {
                                        index: DataFrame,
                                        maxDist: Int = 3,
                                        nBlocks: Int = 4): DataFrame = {
-    val bits = SimhashWideBits
-    require(bits % nBlocks == 0 && maxDist < nBlocks)
-    val blockBits = bits / nBlocks
-    val mask = (1L << blockBits) - 1
-    def withBlocks(h: DataFrame) = h.select(col("doc_id"), col("simhash"),
-        explode(array((0 until nBlocks).map(b =>
-          struct(lit(b).as("blk"),
-            shiftright(col("simhash"), b * blockBits)
-              .bitwiseAND(lit(mask)).as("bv"))): _*)).as("kb"))
-      .select(col("doc_id"), col("simhash"),
-        col("kb.blk").as("blk"), col("kb.bv").as("bv"))
+    require(maxDist < nBlocks)
     val batch = Checkpoints.cut(simhashWide(newDocs))
-    val batchBlocks = withBlocks(batch)
-    val corpusHit = withBlocks(index.select(col("doc_id"), col("simhash")))
-      .as("i")
+    val batchBlocks = blockKeys(batch, SimhashWideBits, nBlocks)
+    val corpusHit = blockKeys(index.select(col("doc_id"), col("simhash")),
+        SimhashWideBits, nBlocks).as("i")
       .join(broadcast(batchBlocks.as("n")),
         col("i.blk") === col("n.blk") && col("i.bv") === col("n.bv"))
       .filter(bit_count(col("i.simhash").bitwiseXOR(col("n.simhash")))
@@ -671,13 +661,8 @@ object Dedup {
     */
   def simhashIndexStats(docs: DataFrame, nBlocks: Int = 4): DataFrame = {
     def statsFor(hashed: DataFrame, bits: Int) = {
-      val blockBits = bits / nBlocks
-      val mask = (1L << blockBits) - 1
-      hashed.select(explode(array((0 until nBlocks).map(b =>
-          struct(lit(b).as("blk"),
-            shiftright(col("simhash"), b * blockBits)
-              .bitwiseAND(lit(mask)).as("bv"))): _*)).as("kb"))
-        .select(col("kb.blk").as("blk"), col("kb.bv").as("bv"))
+      blockKeys(hashed, bits, nBlocks)
+        .select(col("blk"), col("bv"))
         .groupBy(col("blk"), col("bv")).agg(count(lit(1)).as("s"))
         .groupBy(col("blk"))
         .agg(count(lit(1)).as("n_buckets"), max(col("s")).as("max_bucket"),
@@ -690,34 +675,48 @@ object Dedup {
       .orderBy(col("bits"), col("blk"))
   }
 
-  /** Shared pigeonhole block-index machinery over any (doc_id, simhash)
-    * frame: explode nBlocks equal-width block keys, equi-join, verify
-    * with xor+popcount.
+  /** nBlocks (blk, bv) key rows per signature — the ONE block-key
+    * derivation every pigeonhole consumer (pair index, incremental
+    * screen, tuning harness) shares, so a change to block derivation
+    * (e.g. the Manku permuted-table refinement) lands everywhere at
+    * once.
     */
-  private def blockIndexedHammingPairs(hashed: DataFrame, bits: Int,
-                                       maxDist: Int,
-                                       nBlocks: Int): DataFrame = {
+  private def blockKeys(hashed: DataFrame, bits: Int,
+                        nBlocks: Int): DataFrame = {
     require(bits % nBlocks == 0, s"$nBlocks must divide $bits")
-    require(maxDist < nBlocks,
-      s"pigeonhole completeness needs maxDist ($maxDist) < nBlocks ($nBlocks)")
     val blockBits = bits / nBlocks
     val mask = (1L << blockBits) - 1
-    val blocks = hashed.select(col("doc_id"), col("simhash"),
+    hashed.select(col("doc_id"), col("simhash"),
         explode(array((0 until nBlocks).map(b =>
           struct(lit(b).as("blk"),
             shiftright(col("simhash"), b * blockBits)
               .bitwiseAND(lit(mask)).as("bv"))): _*)).as("kb"))
       .select(col("doc_id"), col("simhash"),
         col("kb.blk").as("blk"), col("kb.bv").as("bv"))
+  }
+
+  /** Shared pigeonhole block-index machinery over any (doc_id, simhash)
+    * frame: explode nBlocks equal-width block keys, equi-join, verify
+    * with xor+popcount. The hamming filter runs BEFORE the distinct:
+    * hamming is a pure per-pair function, so filtering map-side first
+    * is equivalent, and on a skewed block bucket (the documented
+    * all-zeros risk) it keeps the false-candidate volume — the bulk of
+    * every bucket — out of the dedup exchange entirely.
+    */
+  private def blockIndexedHammingPairs(hashed: DataFrame, bits: Int,
+                                       maxDist: Int,
+                                       nBlocks: Int): DataFrame = {
+    require(maxDist < nBlocks,
+      s"pigeonhole completeness needs maxDist ($maxDist) < nBlocks ($nBlocks)")
+    val blocks = blockKeys(hashed, bits, nBlocks)
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

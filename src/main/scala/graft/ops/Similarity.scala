@@ -369,8 +369,14 @@ object Similarity {
       col("embedding").cast("array<double>").as("emb"))
     val dimRow = e.agg(max(size(col("emb")))).head()
     if (dimRow.isNullAt(0))
+      // a null dims probe means EVERY embedding is NULL (an empty array
+      // would read size 0): per contract — and per the oracle, where
+      // list_dot_product(NULL, srow) is NULL — each row projects to k
+      // null components, not to a dropped row
       return e.select(col("vec_id"),
-        array().cast("array<double>").as("proj")).limit(0)
+        array((0 until k).map(_ => lit(null).cast("double")): _*)
+          .as("proj"))
+        .orderBy(col("vec_id"))
     val signs = jlSigns(dimRow.getInt(0), k)
     e.select(col("vec_id"),
         array(signs.map(r => round(dot(col("emb"), typedLit(r.toSeq)), 6))

@@ -93,8 +93,14 @@ object SimhashIngest {
         batch.join(index.filter(col("batch_id") === batchId)
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
       else {
-        val kept = Dedup.incrementalSimhashDedupFromIndex(batch,
-          index.select(col("doc_id"), col("simhash")), maxDist)
+        // cut: the screening joins stream the WHOLE signature index, and
+        // three actions consume `kept` (index append, sink write, count)
+        // — without materialization each would re-pay the O(index) scan
+        // and the per-batch wall the ScaleSanity sweep pins flat would
+        // silently triple
+        val kept = graft.ops.Checkpoints.cut(
+          Dedup.incrementalSimhashDedupFromIndex(batch,
+            index.select(col("doc_id"), col("simhash")), maxDist))
         val stamped = kept.withColumn("batch_id", lit(batchId))
         if (indexExists(spark, indexTable))
           Sinks.Versioned.append(stamped, indexTable,

@@ -753,6 +753,18 @@ class SimilaritySpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("randomProjection: an all-null embedding corpus projects every " +
+    "row to null components — never to dropped rows") {
+    val emb = Seq((1L, Option.empty[Seq[Double]]),
+      (2L, Option.empty[Seq[Double]])).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(emb, 3).collect()
+    assert(got.length === 2, "degraded rows must survive with null proj")
+    got.foreach { r =>
+      val p = r.getAs[scala.collection.Seq[Any]](1)
+      assert(p.size === 3 && p.forall(_ == null), p.toString)
+    }
+  }
+
   test("projectedTopK: an exhaustive shortlist is exactly brute force; " +
     "the 20-wide shortlist still finds most true neighbors") {
     val emb = graft.ops.Tables.embeddings(spark, dir)
