@@ -148,7 +148,7 @@ object ScaleSanity {
         "n89_projected_ann_topk", "n91_containment_pairs_collapsed",
         "n92_unimax_mix", "n94_simhash_neardup_pairs_wide",
         "n95_incremental_simhash_dedup", "n96_simhash_index_stats",
-        "n97_split_leakage_matrix",
+        "n97_split_leakage_matrix", "n98_source_leakage_matrix",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

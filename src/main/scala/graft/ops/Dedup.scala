@@ -276,6 +276,57 @@ object Dedup {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** Source-leakage MATRIX — the exact-count twin of
+    * [[sourceSimilarity]] (n28, a MinHash-sketch ESTIMATE of pairwise
+    * source overlap): verified near-dup pairs per unordered
+    * (source, source) cell with eligible-universe denominators and the
+    * duplication rate. Off-diagonal cells say which sources copy from
+    * each other (mirror sites, syndication) — the provenance signal a
+    * mixing decision ([[graft.ops.TextAnalysis.temperatureMix]],
+    * [[graft.ops.TextAnalysis.unimaxMix]]) should see before
+    * up-weighting an apparently-small source that is a duplicate of a
+    * big one.
+    *
+    * Unlike the split ([[splitLeakageMatrix]]), source is DATA, not a
+    * function of the id — so the pair labeling is two joins of the
+    * verified pairs against the (doc_id, source) projection. The pairs
+    * side is near-dup-bounded and broadcast here (the bench shape); on
+    * a corpus where verified pairs outgrow a broadcast, drop the hints
+    * and the same plan becomes a digest-sized shuffle join — the
+    * (doc_id, source) projection is 16 bytes a row either way, never
+    * the text.
+    */
+  def sourceLeakageMatrix(docs: DataFrame,
+                          threshold: Double = 0.3): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = minhashNearDupPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val withA = src.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .select(col("source").as("sa"), col("doc_b"))
+    val m = src.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(least(col("sa"), col("source")).as("source_a"),
+        greatest(col("sa"), col("source")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val sizes = docs
+      .filter(graft.functions.MinHash.eligible(col("text")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    m.join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        when(col("source_a") === col("source_b"),
+          expr("(na * (na - 1)) div 2")).otherwise(col("na") * col("nb"))
+          .as("n_possible"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_possible"),
+        when(col("n_possible") === 0, lit(null))
+          .otherwise(round(col("n_pairs").cast("double") /
+            col("n_possible"), 9)).as("dup_rate"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Asymmetric near-dup CONTAINMENT pairs — the quote/subset signal
     * symmetric Jaccard misses: a short doc fully quoted inside a long
     * one scores |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but containment

@@ -443,6 +443,24 @@ class DedupSpec extends SparkSpec {
       "no val doc was planted — those cells must be absent")
   }
 
+  test("sourceLeakageMatrix: a doc copied across sources lands in the " +
+    "cross cell; denominators count eligible docs") {
+    import spark.implicits._
+    val X = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, X, "mirror"), (2L, X, "origin"), // the cross-source copy
+      (3L, "one two three four five six", "origin"),
+      (4L, "seven eight nine ten eleven twelve", "mirror"),
+      (5L, "unrelated words appearing nowhere else entirely", "other")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceLeakageMatrix(docs, 0.3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set(("mirror", "origin")))
+    // 2 eligible docs per leaking source → universe 2×2 = 4
+    assert(got(("mirror", "origin")) === ((1L, 4L, 0.25)))
+  }
+
   test("simhashNearDupPairs: the pigeonhole index finds EXACTLY the " +
     "brute-force hamming ≤ 3 pairs over the full pair space") {
     val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
