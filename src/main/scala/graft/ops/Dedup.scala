@@ -610,7 +610,7 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 3,
                           nBlocks: Int = 4): DataFrame =
-    blockIndexedHammingPairs(simhash(docs), SimhashBits, maxDist, nBlocks)
+    blockIndexedHammingPairs(simhashRaw(docs), SimhashBits, maxDist, nBlocks)
 
   /** The 60-bit signature width for [[simhashNearDupPairsWide]]. */
   val SimhashWideBits = 60
@@ -619,10 +619,14 @@ object Dedup {
     * [[graft.functions.SimHash60]] for why 60 and why wide).
     */
   def simhashWide(docs: DataFrame): DataFrame =
+    simhashWideRaw(docs).orderBy(col("doc_id"))
+
+  /** [[simhashWide]] without the presentation sort (see [[simhashRaw]]
+    * for why consumers must not inherit it). */
+  def simhashWideRaw(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.SimHash.simhash60(col("text")).as("simhash"))
-      .orderBy(col("doc_id"))
 
   /** [[simhashNearDupPairs]] over the 60-bit signature — the
     * PRODUCTION twin: same pigeonhole completeness (maxDist < nBlocks),
@@ -635,7 +639,7 @@ object Dedup {
     */
   def simhashNearDupPairsWide(docs: DataFrame, maxDist: Int = 3,
                               nBlocks: Int = 4): DataFrame =
-    blockIndexedHammingPairs(simhashWide(docs), SimhashWideBits, maxDist,
+    blockIndexedHammingPairs(simhashWideRaw(docs), SimhashWideBits, maxDist,
       nBlocks)
 
   /** Incremental near-dup screening of a NEW BATCH against an existing
@@ -658,7 +662,7 @@ object Dedup {
   def incrementalSimhashDedup(newDocs: DataFrame, corpus: DataFrame,
                               maxDist: Int = 3,
                               nBlocks: Int = 4): DataFrame =
-    incrementalSimhashDedupFromIndex(newDocs, simhashWide(corpus), maxDist,
+    incrementalSimhashDedupFromIndex(newDocs, simhashWideRaw(corpus), maxDist,
       nBlocks)
 
   /** [[incrementalSimhashDedup]] against a PRE-HASHED (doc_id, simhash)
@@ -673,7 +677,7 @@ object Dedup {
                                        maxDist: Int = 3,
                                        nBlocks: Int = 4): DataFrame = {
     require(maxDist < nBlocks)
-    val batch = Checkpoints.cut(simhashWide(newDocs))
+    val batch = Checkpoints.cut(simhashWideRaw(newDocs))
     val batchBlocks = blockKeys(batch, SimhashWideBits, nBlocks)
     val corpusHit = blockKeys(index.select(col("doc_id"), col("simhash")),
         SimhashWideBits, nBlocks).as("i")
@@ -721,8 +725,8 @@ object Dedup {
         .select(lit(bits).as("bits"), col("blk"), col("n_buckets"),
           col("max_bucket"), col("est_candidate_pairs"))
     }
-    statsFor(simhash(docs), SimhashBits)
-      .unionAll(statsFor(simhashWide(docs), SimhashWideBits))
+    statsFor(simhashRaw(docs), SimhashBits)
+      .unionAll(statsFor(simhashWideRaw(docs), SimhashWideBits))
       .orderBy(col("bits"), col("blk"))
   }
 
@@ -890,16 +894,25 @@ object Dedup {
     * bit-equality against the compositional form).
     */
   def simhash(docs: DataFrame): DataFrame =
+    simhashRaw(docs).orderBy(col("doc_id"))
+
+  /** [[simhash]] without the presentation sort — the form every
+    * internal consumer (pair index, adjacent hamming, tuning harness)
+    * composes over: a mid-pipeline orderBy survives into consumers as a
+    * full shuffle-sort of the signature stream per use (observed in the
+    * n94 optimized plan before this split), bought for an ordering the
+    * downstream join immediately destroys.
+    */
+  def simhashRaw(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull) // explode form drops null texts;
       // filtering the INPUT keeps the pushed-down predicate from
       // re-evaluating the signature
       .select(col("doc_id"),
         graft.functions.SimHash.simhash32(col("text")).as("simhash"))
-      .orderBy(col("doc_id"))
 
   /** SimHash near-dup: Hamming distance over adjacent-id pairs. */
   def simhashAdjacentHamming(docs: DataFrame): DataFrame = {
-    val s = simhash(docs)
+    val s = simhashRaw(docs)
     s.as("a").join(s.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))

@@ -460,6 +460,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("n94: the hamming verify rides the join condition and no " +
+    "signature sort survives into the pipeline") {
+    val opt = Queries.queries("n94_simhash_neardup_pairs_wide")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.linesIterator.exists(l =>
+      l.contains("Join Inner") && l.contains("bit_count")),
+      "the hamming <= maxDist cut must be pushed into the block join " +
+        "(filter-before-distinct), not run above it:\n" + opt)
+    assert("(?m)^\\s*(\\+- )?Sort ".r.findAllIn(opt).size <= 1,
+      "only the final presentation sort may remain — a mid-pipeline " +
+        "signature orderBy costs a full shuffle-sort per consumer:\n" + opt)
+  }
+
   test("no query in the registry plans a CartesianProduct") {
     // the silent scale-killer: an unkeyed join degenerating to all-pairs.
     // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin
