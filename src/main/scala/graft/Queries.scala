@@ -76,11 +76,15 @@ object Queries {
        |  md5(string_agg(mh, '' ORDER BY seed)) AS band_key
        | FROM mh GROUP BY doc_id, seed // ${Dedup.BandSize})""".stripMargin
 
-  /** Shared by n72 (uncollapsed) and n78 (exact-dup pre-collapsed): the
-    * two are bit-equal by construction, so one oracle proves both.
+  /** CTE chain ending at `vp(test_doc, train_doc, jaccard)`: every LSH
+    * test×train band-bucket candidate with its exact word-set Jaccard
+    * (unthresholded). Shared by [[MinhashDecontOracle]] and the n99 build
+    * oracle, whose decontamination drop set must be THE SAME pairs the
+    * detector reports. CTE names avoid the [[CleanCorpusCtes]] chain's so
+    * the two compose in one WITH.
     */
-  private lazy val MinhashDecontOracle =
-    s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+  private lazy val DecontVerifiedCtes =
+    s"""sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
       |sp AS (
       |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
       |    ELSE 'test' END AS split
@@ -92,12 +96,66 @@ object Queries {
       |  JOIN bands tr ON t.band = tr.band AND t.band_key = tr.band_key
       |  JOIN sp sptr ON tr.doc_id = sptr.doc_id
       |  WHERE spt.split = 'test' AND sptr.split = 'train'),
-      |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
-      |SELECT test_doc, train_doc,
-      |  round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
-      |FROM pairs JOIN w wa ON test_doc = wa.doc_id JOIN w wb ON train_doc = wb.doc_id
-      |WHERE round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.5
+      |dw AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |vp AS (SELECT test_doc, train_doc,
+      |    round(len(list_intersect(wa.ws, wb.ws))::double / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
+      |  FROM pairs JOIN dw wa ON test_doc = wa.doc_id
+      |  JOIN dw wb ON train_doc = wb.doc_id)""".stripMargin
+
+  /** Shared by n72 (uncollapsed) and n78 (exact-dup pre-collapsed): the
+    * two are bit-equal by construction, so one oracle proves both.
+    */
+  private lazy val MinhashDecontOracle =
+    s"""WITH $DecontVerifiedCtes
+      |SELECT test_doc, train_doc, jaccard FROM vp WHERE jaccard >= 0.5
       |ORDER BY test_doc, train_doc""".stripMargin
+
+  /** CTE chain ending at `cc(doc_id, split, n_tokens, n_removed,
+    * text_clean)` — the cleaned-corpus survivor table (normalize →
+    * exact-dup keeper → boilerplate trim → quality gate). Shared by the
+    * n83 oracle and the n99 build oracle, whose first stage must be THE
+    * SAME survivor set n83 reports.
+    */
+  private lazy val CleanCorpusCtes =
+    s"""nrm AS (SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+      |      ' +', ' ', 'g')) AS text
+      |  FROM documents),
+      |kp AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text)),
+      |w AS (SELECT n.doc_id, string_split(n.text, ' ') AS ws
+      |  FROM nrm n JOIN kp USING (doc_id)),
+      |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+      |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
+      |      ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+      |  FROM w)),
+      |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+      |  FROM g GROUP BY g) WHERE df >= 2),
+      |covp AS (SELECT DISTINCT doc_id, p FROM (
+      |  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS p
+      |  FROM g JOIN hot USING (g))),
+      |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+      |  FROM w),
+      |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
+      |kept AS (SELECT t.doc_id,
+      |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS tc
+      |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
+      |  WHERE c.p IS NULL GROUP BY t.doc_id),
+      |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id),
+      |t AS (SELECT w.doc_id, coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+      |    coalesce(kept.tc, '') AS tc
+      |  FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)),
+      |s AS (SELECT doc_id, n_removed, tc,
+      |    len(string_split(tc, ' ')) AS nw,
+      |    round(len(list_filter(string_split(tc, ' '), x -> x IN $Stop))::double
+      |      / len(string_split(tc, ' ')), 6) AS sr,
+      |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+      |  FROM t),
+      |cc AS (SELECT doc_id,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    nw::bigint AS n_tokens, n_removed, tc AS text_clean
+      |  FROM s WHERE nw >= 30 AND sr <= 0.3)""".stripMargin
 
   // Zero-norm guard mirrors Similarity.cosOrNull EXACTLY — the same
   // sqrt(dot)·sqrt(dot) product is tested, NOT dot·dot, whose square
@@ -1891,45 +1949,135 @@ object Queries {
     ("n83_clean_corpus",
       (s: SparkSession, d: String) =>
         TextAnalysis.cleanCorpus(docs(s, d), 5, 2),
-      Some(s"""WITH nrm AS (SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
-        |      ' +', ' ', 'g')) AS text
-        |  FROM documents),
-        |kp AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text)),
-        |w AS (SELECT n.doc_id, string_split(n.text, ' ') AS ws
-        |  FROM nrm n JOIN kp USING (doc_id)),
-        |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
-        |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-        |      || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
-        |  FROM w)),
-        |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
-        |  FROM g GROUP BY g) WHERE df >= 2),
-        |covp AS (SELECT DISTINCT doc_id, p FROM (
-        |  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS p
-        |  FROM g JOIN hot USING (g))),
-        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-        |  FROM w),
-        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
-        |kept AS (SELECT t.doc_id,
-        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS tc
-        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
-        |  WHERE c.p IS NULL GROUP BY t.doc_id),
-        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id),
-        |t AS (SELECT w.doc_id, coalesce(nrem.n_removed, 0)::bigint AS n_removed,
-        |    coalesce(kept.tc, '') AS tc
-        |  FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)),
-        |s AS (SELECT doc_id, n_removed, tc,
-        |    len(string_split(tc, ' ')) AS nw,
-        |    round(len(list_filter(string_split(tc, ' '), x -> x IN $Stop))::double
-        |      / len(string_split(tc, ' ')), 6) AS sr,
-        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
-        |  FROM t)
-        |SELECT doc_id,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-        |  nw::bigint AS n_tokens, n_removed, tc AS text_clean
-        |FROM s WHERE nw >= 30 AND sr <= 0.3
+      Some(s"""WITH $CleanCorpusCtes
+        |SELECT doc_id, split, n_tokens, n_removed, text_clean FROM cc
         |ORDER BY doc_id""".stripMargin)),
+
+    // The one-call training-data BUILD: cleaned corpus (n83's chain
+    // verbatim) → near-dup decontamination drop of flagged train docs
+    // (n78's verified pairs verbatim) → temperature mix derived over the
+    // SURVIVING train corpus's cleaned token counts (n87's plan
+    // machinery) → shard assignment (n60's salted key) — one row per
+    // kept train doc, the frame Sinks.writeShards materializes. The
+    // oracle composes the SAME shared CTE chains the component oracles
+    // use, so the build provably agrees with every individual gate.
+    ("n99_training_data_build",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.trainingDataBuild(docs(s, d), 5, 2, 0.5, 0.5,
+          20000L, 8),
+      Some(s"""WITH $CleanCorpusCtes, $DecontVerifiedCtes,
+        |tr AS (SELECT cc.doc_id AS doc_id, d.source AS source,
+        |    cc.n_tokens AS n_tokens, cc.n_removed AS n_removed,
+        |    cc.text_clean AS text_clean
+        |  FROM cc JOIN documents d USING (doc_id)
+        |  WHERE cc.split = 'train'
+        |    AND cc.doc_id NOT IN (SELECT train_doc FROM vp WHERE jaccard >= 0.5)),
+        |mper AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM tr GROUP BY source),
+        |mw AS (SELECT source, src_tokens,
+        |    CAST(round(pow(src_tokens::double, 0.5), 6) AS decimal(18,6)) AS wgt
+        |  FROM mper),
+        |mtot AS (SELECT sum(wgt) AS sw FROM mw),
+        |mpl AS (SELECT source, least(1000000::BIGINT, CAST(floor(
+        |      CAST(floor(20000.0 * round(wgt::double / sw::double, 6)) AS BIGINT)::double
+        |        * 1000000.0 / src_tokens::double) AS BIGINT)) AS keep_thresh
+        |  FROM mw CROSS JOIN mtot),
+        |mk AS (SELECT tr.* FROM tr JOIN mpl USING (source)
+        |  WHERE ('0x' || substring(md5('tmix|' || tr.doc_id::varchar), 1, 8))::bigint
+        |    % 1000000 < mpl.keep_thresh),
+        |sa AS (SELECT *, md5('shard|' || doc_id::varchar) AS skey FROM mk)
+        |SELECT doc_id, source,
+        |  ('0x' || substring(skey, 1, 8))::bigint % 8 AS shard,
+        |  row_number() OVER (
+        |    PARTITION BY ('0x' || substring(skey, 1, 8))::bigint % 8
+        |    ORDER BY skey, doc_id) AS pos,
+        |  n_tokens, n_removed, text_clean
+        |FROM sa ORDER BY doc_id""".stripMargin)),
+
+    // Jaccard BACKGROUND distribution (τ calibration): 20-bucket
+    // histogram of exact word-set Jaccard over a deterministic 10%
+    // md5-sample's pair space — what UNRELATED pairs score, the context
+    // every near-dup threshold is set against. Sampled side broadcasts;
+    // absolute sample volume is the flat-cost knob at 100 TB.
+    ("n100_jaccard_background",
+      (s: SparkSession, d: String) => Dedup.jaccardBackground(docs(s, d), 10),
+      Some("""WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents
+        |  WHERE ('0x' || substring(md5('jbg|' || doc_id::varchar), 1, 8))::bigint
+        |    % 100 < 10),
+        |p AS (SELECT round(len(list_intersect(a.ws, b.ws))::double
+        |    / len(list_distinct(a.ws || b.ws)), 6) AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT least(CAST(floor(j * 20) AS BIGINT), 19) AS bucket,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cosine BACKGROUND distribution — n100's embedding twin: the null
+    // distribution semantic-dedup / semantic-decontamination τ (n46/
+    // n55/n61) is calibrated against. Zero-norm/null pairs land in a
+    // NULL bucket (explicitly ordered first on both engines).
+    ("n101_cosine_background",
+      (s: SparkSession, d: String) => Similarity.cosineBackground(emb(s, d), 20),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings
+        |  WHERE ('0x' || substring(md5('cbg|' || vec_id::varchar), 1, 8))::bigint
+        |    % 100 < 20),
+        |p AS (SELECT ${cosSql("a.emb", "b.emb")} AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT CASE WHEN c IS NULL THEN NULL
+        |    ELSE least(CAST(floor((c + 1.0) * 10) AS BIGINT), 19) END AS bucket,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
+    // Embedding-space drift per label: each label's round-6-decimal
+    // centroid (n66's construction verbatim) scored against the
+    // whole-corpus centroid — semantic drift the text-side KL (n45)
+    // can't see.
+    ("n102_label_centroid_drift",
+      (s: SparkSession, d: String) => Similarity.labelCentroidDrift(emb(s, d)),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |u0 AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos, emb FROM e),
+        |u AS (SELECT label, pos, round(emb[pos], 6) AS v FROM u0),
+        |c AS (SELECT label, pos,
+        |    round(CAST(sum(CAST(v AS decimal(18,6))) AS double) / count(*), 6) AS cv
+        |  FROM u GROUP BY label, pos),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS cemb FROM c GROUP BY label),
+        |gc AS (SELECT pos,
+        |    round(CAST(sum(CAST(v AS decimal(18,6))) AS double) / count(*), 6) AS cv
+        |  FROM u GROUP BY pos),
+        |gcent AS (SELECT list(cv ORDER BY pos) AS gemb FROM gc),
+        |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+        |SELECT cent.label AS label, n.n_vecs AS n_vecs,
+        |  ${cosSql("cent.cemb", "gcent.gemb")} AS cos_corpus
+        |FROM cent JOIN n USING (label) CROSS JOIN gcent
+        |ORDER BY label""".stripMargin)),
+
+    // PII scrub pass: emails / URLs / dotted-quad IPs → typed
+    // placeholders + per-doc match counts (patterns from the Java∩RE2
+    // subset so both engines compile the same automaton). The synthetic
+    // corpus contains no PII — this proves the no-match case end to
+    // end; TextAnalysisSpec drives planted matches.
+    ("n103_pii_redact",
+      (s: SparkSession, d: String) => TextAnalysis.piiRedact(docs(s, d)),
+      Some(s"""SELECT doc_id,
+        |  len(regexp_extract_all(text, '${TextAnalysis.UrlRe}')) AS n_urls,
+        |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS n_emails,
+        |  len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${TextAnalysis.UrlRe}', '<url>', 'g'),
+        |    '${TextAnalysis.EmailRe}', '<email>', 'g'),
+        |    '${TextAnalysis.Ipv4Re}', '<ip>', 'g')) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Approximate per-source distinct vocabulary (HLL++) — the 100 TB
+    // twin of exact count(DISTINCT word) by source; sketches merge
+    // map-side, fixed size per source. Rows-only: HLL estimates are
+    // engine-specific (the b12 pattern); TextAnalysisSpec bounds the
+    // error vs the exact count.
+    ("n104_vocab_by_source_approx",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.approxVocabBySource(docs(s, d)),
+      None),
 
     // Per-label embedding norm stats (exact-decimal average of rounded
     // norms — bit-identical across engines).

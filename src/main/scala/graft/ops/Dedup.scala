@@ -884,6 +884,41 @@ object Dedup {
     lshTuning(docs.filter(tuneSampleBucket < samplePct), window, threshold)
   }
 
+  /** Jaccard background distribution over a deterministic document
+    * sample — the τ-calibration step a near-dup run does FIRST: the
+    * dedup/decontamination thresholds (n6/n72's ≥ 0.5) are only
+    * meaningful relative to what UNRELATED pairs score, and this
+    * publishes that null distribution as a 20-bucket histogram of exact
+    * word-set Jaccard over an md5-sampled doc subset (own salt — never
+    * correlates with the split/shard/mix/tune buckets). Bucket b covers
+    * [b/20, (b+1)/20); Jaccard 1.0 folds into bucket 19. Pair near-dup
+    * thresholds well clear of the background mass are safe; a τ inside
+    * it guarantees false positives at corpus scale.
+    *
+    * Scale shape: the sampled side broadcasts, so the pair space is
+    * sample², never corpus² — and the sample is the knob: hold ABSOLUTE
+    * sample volume fixed as the corpus grows (pct ∝ 1/growth, the
+    * [[lshTuningSampled]] discipline) and calibration cost is FLAT in
+    * corpus size. Bucketing floors a round-6 Jaccard — integer output,
+    * no float compare surface.
+    */
+  def jaccardBackground(docs: DataFrame, pct: Int = 10): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be 1..100, got $pct")
+    val s = docs.filter(
+      pmod(conv(substring(md5(concat(lit("jbg|"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100)) < pct)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    s.as("a").join(broadcast(s.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(round(
+        size(array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
+          size(array_union(col("a.ws"), col("b.ws"))), 6).as("j"))
+      .select(least(floor(col("j") * 20d), lit(19d)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash per doc from word-occurrence md5s: bit i of the

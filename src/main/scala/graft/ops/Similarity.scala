@@ -554,18 +554,26 @@ object Similarity {
     * centroid — and therefore the cosine — is bit-identical across
     * engines (a raw double sum would be fold-order-dependent).
     */
+  /** Per-group round-6-decimal component-average centroids over an
+    * (grp, emb) frame — the fold-order-independent construction
+    * [[labelCentroidOutliers]] and [[labelCentroidDrift]] share (both
+    * engines build the SAME centroid bit-exactly). Output: (grp, cemb).
+    */
+  private def groupCentroids(e: DataFrame, grp: Column): DataFrame =
+    e.select(grp.as("grp"), posexplode(col("emb")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(round(sum(round(col("col"), 6).cast("decimal(18,6)"))
+        .cast("double") / count(lit(1)), 6).as("cv"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("cemb"))
+
   def labelCentroidOutliers(emb: DataFrame,
                             threshold: Double = 0.5): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("emb"))
-    val comps = e.select(col("label"), posexplode(col("emb")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(sum(round(col("col"), 6).cast("decimal(18,6)"))
-        .cast("double") / count(lit(1)), 6).as("cv"))
-    val centroids = comps
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("cemb"))
+    val centroids = groupCentroids(e, col("label"))
+      .select(col("grp").as("label"), col("cemb"))
     e.join(broadcast(centroids), Seq("label"), "left_outer")
       .withColumn("cos_centroid", cosOrNull(
         dot(col("emb"), col("cemb")),
@@ -575,6 +583,76 @@ object Similarity {
         when(col("cos_centroid").isNotNull,
           (col("cos_centroid") < threshold).cast("int")).as("is_outlier"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Embedding-space drift per label: each label's centroid scored
+    * against the WHOLE-CORPUS centroid — the subpopulation-shift signal
+    * ([[graft.ops.TextAnalysis.sourceDrift]]'s embedding twin: text KL
+    * catches vocabulary drift, this catches semantic drift a shared
+    * vocabulary hides). A label whose centroid points away from the
+    * corpus mean is a cluster the mix under- or over-represents, or a
+    * batch of off-distribution vectors. Output: (label, n_vecs,
+    * cos_corpus), null-guarded like every cosine here (a degenerate
+    * all-zero centroid scores NULL, never crashes).
+    *
+    * Scale shape: both centroids come from ONE posexplode aggregate
+    * shape with map-side partials (exchange carries ~labels × dims, the
+    * [[labelCentroidOutliers]] shape) — the corpus row reuses the label
+    * centroid construction keyed by a constant; the final score is a
+    * labels-sized broadcast nested-loop against one corpus row. Centroid
+    * components go through round-6 + decimal(18,6), so both engines
+    * score identical centroids.
+    */
+  def labelCentroidDrift(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val perLabel = groupCentroids(e, col("label"))
+      .select(col("grp").as("label"), col("cemb"))
+    val corpus = groupCentroids(e, lit("all"))
+      .select(col("cemb").as("gemb"))
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    perLabel.join(counts, Seq("label"))
+      .crossJoin(broadcast(corpus))
+      .select(col("label"), col("n_vecs"),
+        cosOrNull(dot(col("cemb"), col("gemb")),
+          sqrt(dot(col("cemb"), col("cemb"))),
+          sqrt(dot(col("gemb"), col("gemb")))).as("cos_corpus"))
+      .orderBy(col("label"))
+  }
+
+  /** Cosine background distribution over a deterministic vector sample —
+    * the τ-calibration step a semantic-dedup / decontamination run does
+    * FIRST: near-dup thresholds (n46/n55/n61's τ) are only meaningful
+    * relative to what unrelated pairs score, and this publishes that
+    * null distribution as a 20-bucket histogram of pairwise cosine over
+    * an md5-sampled vector subset (own salt — never correlates with
+    * split/shard/mix buckets). Bucket b covers [b/10 − 1, (b+1)/10 − 1);
+    * cosine 1.0 folds into bucket 19; zero-norm pairs count under a NULL
+    * bucket (they score no cosine but belong in the report).
+    *
+    * Scale shape: the sampled side broadcasts, so the pair space is
+    * sample², never corpus² — and the sample is the knob: hold ABSOLUTE
+    * sample volume fixed as the corpus grows (pct ∝ 1/growth, the n65
+    * sampled-tuning discipline) and calibration cost is FLAT in corpus
+    * size. Bucketing floors a round-6 cosine — integer output, no float
+    * compare surface.
+    */
+  def cosineBackground(emb: DataFrame, pct: Int = 20): DataFrame = {
+    val s = emb.filter(
+      conv(substring(md5(concat(lit("cbg|"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100 < pct)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    s.as("a").join(broadcast(s.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(cosOrNull(dot(col("a.emb"), col("b.emb")),
+        col("a.nrm"), col("b.nrm")).as("c"))
+      .select(when(col("c").isNotNull,
+        least(floor((col("c") + lit(1.0d)) * 10d), lit(19d)).cast("long"))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
   }
 
   /** Scalar (int8) quantization of the embedding column — the 4× memory

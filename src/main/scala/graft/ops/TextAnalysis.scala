@@ -679,7 +679,13 @@ object TextAnalysis {
     * map-side predicates; text moves twice (keeper shuffle, the trim's
     * doc_id join), and the output is corpus-sized by definition.
     */
-  def cleanCorpus(docs: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame = {
+  def cleanCorpus(docs: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame =
+    cleanCorpusRaw(docs, n, minDf).orderBy(col("doc_id"))
+
+  /** [[cleanCorpus]] without the presentation sort — the composable form
+    * ([[trainingDataBuild]] sorts once at its own tail).
+    */
+  def cleanCorpusRaw(docs: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame = {
     val normalized = docs.select(col("doc_id"),
       trim(regexp_replace(regexp_replace(lower(col("text")),
         "[0-9]+", "<num>"), " +", " ")).as("text"))
@@ -700,6 +706,65 @@ object TextAnalysis {
       .select(col("doc_id"), splitCol.as("split"),
         col("nw").cast("long").as("n_tokens"), col("n_removed"),
         col("trimmed_text").as("text_clean"))
+  }
+
+  /** The one-call training-data BUILD — the full published pipeline a
+    * 100 TB run executes, each stage a registry operator's machinery
+    * verbatim so the build can never disagree with the individual gates:
+    *
+    *   1. [[cleanCorpusRaw]] (n83): normalize → exact-dup keeper →
+    *      boilerplate trim → quality gate;
+    *   2. near-dup DECONTAMINATION drop
+    *      ([[graft.ops.Dedup.minhashDecontaminationCollapsed]], n78):
+    *      every train doc sharing an LSH bucket with a test doc at
+    *      exact word-set Jaccard ≥ `tau` leaves the train split — the
+    *      flagged pair list IS the drop set;
+    *   3. [[temperatureMixPlan]] (n87) derived over the SURVIVING train
+    *      corpus's CLEANED token counts (the corpus the mix actually
+    *      samples — a plan over raw pre-clean counts would over-sample
+    *      sources the trim shrank), executed with the same integer
+    *      md5-bucket keep test;
+    *   4. shard assignment ([[shardKey]]/[[shardOf]], n60) over the kept
+    *      docs — the frame [[graft.sources.Sinks.writeShards]]
+    *      materializes.
+    *
+    * Output: one row per kept TRAIN doc — (doc_id, source, shard, pos,
+    * n_tokens, n_removed, text_clean). Val/test survivors are cleaning
+    * output, not training data, so they exit here (the eval sets ship
+    * separately, unmixed and unsharded).
+    *
+    * Scale shape: inherits its stages' audited shapes (the n83 keeper
+    * shuffle + trim join, n78's collapsed banding, n87's one broadcast
+    * plan, n60's hash-shuffled per-shard windows); the additions are one
+    * left-anti join against the decontamination drop set (train-doc ids
+    * only — tiny next to the corpus) and one (doc_id, source) projection
+    * join, both doc_id-keyed.
+    */
+  def trainingDataBuild(docs: DataFrame, n: Int = 5, minDf: Int = 2,
+                        tau: Double = 0.5, alpha: Double = 0.5,
+                        budget: Long = 20000L,
+                        numShards: Int = 8): DataFrame = {
+    val cleaned = cleanCorpusRaw(docs, n, minDf)
+    val contaminated = graft.ops.Dedup
+      .minhashDecontaminationCollapsed(docs, tau)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val train = cleaned.filter(col("split") === "train")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("n_tok", col("n_tokens"))
+    val plan = temperatureMixPlan(train, alpha, budget)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    train.withColumn("b6", tmixBucket)
+      .join(broadcast(plan.select(col("source"), col("keep_thresh"))),
+        Seq("source"))
+      .filter(col("b6") < col("keep_thresh"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("n_removed"), col("text_clean"),
+        shardKey.as("skey"), shardOf(numShards).as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"),
+        col("n_tokens"), col("n_removed"), col("text_clean"))
       .orderBy(col("doc_id"))
   }
 
@@ -909,26 +974,8 @@ object TextAnalysis {
   def temperatureMix(docs: DataFrame, alpha: Double = 0.5,
                      budget: Long = 20000L): DataFrame = {
     val withTok = docs.select(col("doc_id"), col("source"),
-      size(words(col("text"))).as("n_tok"),
-      (conv(substring(md5(concat(lit("tmix|"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 1000000L).as("b6"))
-    val per = withTok.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      .withColumn("w",
-        round(pow(col("n_tokens").cast("double"), alpha), 6)
-          .cast("decimal(18,6)"))
-    val tot = per.agg(sum(col("w")).as("sw"))
-    val plan = per.crossJoin(broadcast(tot))
-      .withColumn("p_samp",
-        round(col("w").cast("double") / col("sw").cast("double"), 6))
-      .withColumn("target_tokens",
-        floor(lit(budget.toDouble) * col("p_samp")).cast("long"))
-      .withColumn("keep_thresh",
-        least(lit(1000000L), floor(col("target_tokens").cast("double") *
-          1000000d / col("n_tokens").cast("double")).cast("long")))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("p_samp"), col("target_tokens"), col("keep_thresh"))
+      size(words(col("text"))).as("n_tok"), tmixBucket.as("b6"))
+    val plan = temperatureMixPlan(withTok, alpha, budget)
     val kept = withTok
       .join(broadcast(plan.select(col("source"), col("keep_thresh"))),
         Seq("source"))
@@ -942,6 +989,46 @@ object TextAnalysis {
         coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
         coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
       .orderBy(col("source"))
+  }
+
+  /** The deterministic md5 sampling bucket [[temperatureMix]]'s keep test
+    * compares against its integer threshold — the SINGLE definition the
+    * mix report and [[trainingDataBuild]]'s executed sample share, so the
+    * published plan and the corpus a build keeps can never drift.
+    */
+  def tmixBucket: Column =
+    conv(substring(md5(concat(lit("tmix|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+
+  /** The plan half of [[temperatureMix]] over an arbitrary per-doc
+    * (source, n_tok) frame — factored out so the n99 build derives its
+    * mix from the SURVIVING corpus's token counts (the corpus it
+    * actually samples) with the registry machinery verbatim. Output one
+    * row per source: (source, n_docs, n_tokens, p_samp, target_tokens,
+    * keep_thresh); same integer-threshold determinism discipline.
+    *
+    * Scale shape: ONE map-side-combined (source, tokens) aggregate; the
+    * result is sources-sized, broadcast by every consumer.
+    */
+  def temperatureMixPlan(withTok: DataFrame, alpha: Double,
+                         budget: Long): DataFrame = {
+    val per = withTok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w",
+        round(pow(col("n_tokens").cast("double"), alpha), 6)
+          .cast("decimal(18,6)"))
+    val tot = per.agg(sum(col("w")).as("sw"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("p_samp",
+        round(col("w").cast("double") / col("sw").cast("double"), 6))
+      .withColumn("target_tokens",
+        floor(lit(budget.toDouble) * col("p_samp")).cast("long"))
+      .withColumn("keep_thresh",
+        least(lit(1000000L), floor(col("target_tokens").cast("double") *
+          1000000d / col("n_tokens").cast("double")).cast("long")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("p_samp"), col("target_tokens"), col("keep_thresh"))
   }
 
   /** UniMax source allocation (Chung et al. 2023): distribute a token
@@ -1754,6 +1841,71 @@ object TextAnalysis {
       length(collapsed).as("clean_len"),
       md5(collapsed).as("norm_md5"))
   }
+
+  /** Email pattern for [[piiRedact]] — chosen from the Java∩RE2 regex
+    * subset (no lookarounds, no backrefs) so the Spark executor and the
+    * DuckDB oracle compile the SAME automaton.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** URL pattern for [[piiRedact]] (scheme-anchored, runs to the next
+    * space — the corpus is space-tokenized).
+    */
+  val UrlRe = "https?://[^ ]+"
+
+  /** Dotted-quad pattern for [[piiRedact]] (syntactic IPv4; octet range
+    * checking is a value predicate, not a scrub pattern).
+    */
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrub pass — the redaction step every published training
+    * pipeline runs before text leaves the ingest boundary: emails, URLs
+    * and dotted-quad IPs replaced by typed placeholders, with per-doc
+    * match counts for the accounting dashboard. Counts are measured on
+    * the ORIGINAL text per pattern (so an IP inside a URL counts under
+    * both — the audit question is "how much of each pattern exists", the
+    * scrub question is handled by the replacement ORDER: url → email →
+    * ip, so a URL swallows its embedded credentials before the narrower
+    * patterns see them). Emits the scrubbed text as an md5 (the n36
+    * convention — output stays audit-sized at any corpus scale).
+    *
+    * The synthetic bench corpus contains no PII — both engines provably
+    * agree on the no-match case via the registry oracle, and
+    * TextAnalysisSpec drives the match cases on planted fixtures.
+    *
+    * Scale shape: pure per-row regex projection — zero shuffle beyond
+    * the presentation sort, streams unchanged (the [[normalizeRedactRaw]]
+    * contract).
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    piiRedactRaw(docs).orderBy(col("doc_id"))
+
+  /** [[piiRedact]] without the presentation sort (stream-legal). */
+  def piiRedactRaw(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      UrlRe, "<url>"), EmailRe, "<email>"), Ipv4Re, "<ip>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(UrlRe)).as("n_urls"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
+      md5(scrubbed).as("clean_md5"))
+  }
+
+  /** Approximate distinct vocabulary per source (HyperLogLog++) — the
+    * 100 TB twin of an exact per-source `count(DISTINCT word)`: the
+    * exact form shuffles every (source, word) pair to a distinct
+    * aggregate, a straggler when one source holds billions of distinct
+    * tokens; the sketch is fixed-size per source and merges map-side
+    * (the b12 approx-count pattern applied to the corpus surface).
+    * Rows-only by nature — HLL estimates are engine-specific;
+    * TextAnalysisSpec bounds the relative error against the exact count
+    * on the fixtures (rsd default 5%).
+    */
+  def approxVocabBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(words(col("text"))).as("word"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("word")).as("n_words_approx"))
+      .orderBy(col("source"))
 
   /** Fixed-size word chunking with overlap — the context-window prep
     * step of a training pipeline. Chunk starts step by `stride` (< size

@@ -641,4 +641,35 @@ class DedupSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(math.abs(jac((1L, 2L)) - 24.0 / 35) < 1e-6)
   }
+
+  test("jaccardBackground: hand corpus lands each pair in its floor " +
+    "bucket, identical docs fold 1.0 into bucket 19") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),          // vs 2: {a,b,c,d} ∩ {a,b,c,e} = 3/5 = 0.6
+      (2L, "a b c e"),          //   → bucket 12
+      (3L, "a b c d"),          // identical to 1 → j = 1.0 → bucket 19
+      (4L, "x y z w"))          // disjoint vs all → j = 0 → bucket 0
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardBackground(docs, 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pairs: (1,2)=.6, (1,3)=1, (1,4)=0, (2,3)=.6, (2,4)=0, (3,4)=0
+    assert(got === Map(0L -> 3L, 12L -> 2L, 19L -> 1L))
+  }
+
+  test("jaccardBackground: the md5 sample is deterministic and the " +
+    "histogram sums to the sample's pair count") {
+    val docs = ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val h1 = Dedup.jaccardBackground(docs, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Dedup.jaccardBackground(docs, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 === h2)
+    val s = docs.filter(
+      pmod(conv(substring(md5(concat(lit("jbg|"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100)) < 10).count()
+    assert(h1.values.sum === s * (s - 1) / 2)
+    assert(s > 0 && h1.values.sum > 0)
+  }
 }

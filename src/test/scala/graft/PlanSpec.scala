@@ -486,4 +486,42 @@ class PlanSpec extends SparkSpec {
         s"$name plans a CartesianProduct:\n$p")
     }
   }
+
+  test("n99: the mix plan and decon drop set arrive by broadcast — the " +
+    "corpus text never shuffles for either") {
+    val p = plan("n99_training_data_build")
+    // keep_thresh join + (doc_id, source) projection join + decon
+    // anti join: the sources-sized plan frame MUST broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      "the sources-sized keep_thresh frame must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), "cartesian in:\n" + p)
+  }
+
+  test("n100/n101: background-histogram pair spaces broadcast the " +
+    "sampled side (bounded BNLJ, never a cartesian)") {
+    for (q <- Seq("n100_jaccard_background", "n101_cosine_background")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the sampled side must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian in:\n$p")
+    }
+  }
+
+  test("n102: both centroids partial-aggregate map-side; the corpus " +
+    "row joins by broadcast") {
+    val p = plan("n102_label_centroid_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the one-row corpus centroid must broadcast:\n" + p)
+    assert("partial_count|partial".r.findAllIn(p).nonEmpty &&
+      p.contains("HashAggregate"),
+      "the (grp, pos) sums must partial-aggregate map-side:\n" + p)
+  }
+
+  test("n103: PII scrub is a pure per-row projection — no exchange " +
+    "before the presentation sort") {
+    val p = plan("n103_pii_redact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "piiRedact must not shuffle; found an exchange in:\n" + p)
+  }
 }

@@ -806,4 +806,45 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(again.toSeq === got.toSeq)
   }
+
+  test("cosineBackground: identical→19, orthogonal→10, opposite→0, " +
+    "zero-norm pairs count under the NULL bucket") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)),   // vs 2: cos 1 → bucket least(20,19)=19
+      (2L, Array(2f, 0f)),
+      (3L, Array(0f, 1f)),   // vs 1,2: cos 0 → bucket 10
+      (4L, Array(-1f, 0f)),  // vs 1,2: cos −1 → bucket 0; vs 3: cos 0 → 10
+      (5L, Array(0f, 0f)))   // zero norm: all 4 pairs → NULL bucket
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineBackground(emb, 100).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1))
+      .toMap
+    assert(got === Map(-1L -> 4L, 0L -> 2L, 10L -> 3L, 19L -> 1L))
+  }
+
+  test("labelCentroidDrift: symmetric labels score the same cosine to " +
+    "the corpus centroid; an all-null label drops out") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), "A"), (2L, Array(1f, 0f), "A"),
+      (3L, Array(0f, 1f), "B"), (4L, Array(0f, 1f), "B"),
+      (5L, null.asInstanceOf[Array[Float]], "C"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidDrift(emb).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // centroids: A=(1,0), B=(0,1), corpus=(0.5,0.5) over the 4 non-null
+    // vectors; cos = 0.5/(1·√0.5) = 0.707107 for both labels
+    assert(got.keySet === Set("A", "B"))
+    assert(got("A")._1 === 2L && got("B")._1 === 2L)
+    assert(got("A")._2 === 0.707107 && got("B")._2 === 0.707107)
+  }
+
+  test("labelCentroidDrift on the fixture: every label present, " +
+    "cosines in [-1, 1]") {
+    val emb = ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.labelCentroidDrift(emb).collect()
+    val labels = emb.select("label").distinct().count()
+    assert(got.length === labels)
+    assert(got.forall(r => r.isNullAt(2) ||
+      (r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)))
+  }
 }

@@ -909,4 +909,86 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(f.getDouble(3) - math.log(5.0)) < 1e-4)
     assert(f.isNullAt(4) || math.abs(f.getDouble(4)) < 1e-3)
   }
+
+  test("temperatureMixPlan ≡ temperatureMix's plan columns (the n99 " +
+    "factoring cannot drift from the n87 surface)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val withTok = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_tok"))
+    val fromHelper = TextAnalysis.temperatureMixPlan(withTok, 0.5, 20000L)
+      .orderBy("source").collect().map(_.toSeq)
+    val fromMix = TextAnalysis.temperatureMix(docs, 0.5, 20000L)
+      .select("source", "n_docs", "n_tokens", "p_samp", "target_tokens",
+        "keep_thresh")
+      .collect().map(_.toSeq)
+    assert(fromHelper.toSeq === fromMix.toSeq)
+  }
+
+  test("trainingDataBuild ≡ its registry stages composed step by step") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val got = TextAnalysis.trainingDataBuild(docs, 5, 2, 0.5, 0.5,
+      20000L, 8)
+    val cleaned = TextAnalysis.cleanCorpus(docs, 5, 2)
+      .filter($"split" === "train")
+    val dropped = ops.Dedup.minhashDecontaminationCollapsed(docs, 0.5)
+      .select($"train_doc".as("doc_id")).distinct()
+    val train = cleaned.join(dropped, Seq("doc_id"), "left_anti")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .withColumn("n_tok", $"n_tokens")
+    val plan = TextAnalysis.temperatureMixPlan(train, 0.5, 20000L)
+    val kept = train.withColumn("b6", TextAnalysis.tmixBucket)
+      .join(plan.select($"source", $"keep_thresh"), Seq("source"))
+      .filter($"b6" < $"keep_thresh")
+    val sa = TextAnalysis.shardAssignment(kept, 8)
+    val expected = kept.join(sa, Seq("doc_id"))
+      .select($"doc_id", $"source", $"shard", $"pos", $"n_tokens",
+        $"n_removed", $"text_clean")
+      .orderBy($"doc_id")
+    val gotRows = got.collect().map(_.toSeq).toSeq
+    assert(gotRows === expected.collect().map(_.toSeq).toSeq)
+    // the fixture must actually exercise every stage: survivors exist,
+    // and the mix dropped SOME docs (keep_thresh below 100%)
+    assert(gotRows.nonEmpty)
+    assert(gotRows.size < cleaned.count())
+  }
+
+  test("piiRedact: planted emails/URLs/IPs scrubbed in url→email→ip " +
+    "order, counts measured on the original text") {
+    def md5of(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.org or visit https://a.example.com/p?q=1 now"),
+      // the IP rides INSIDE the URL: the url scrub swallows it first, but
+      // the per-pattern count still sees it on the original text
+      (2L, "server https://10.0.0.1/admin and bare 192.168.1.250 up"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(got(0) === ((1L, 1, 1, 0,
+      md5of("contact <email> or visit <url> now"))))
+    assert(got(1) === ((2L, 1, 0, 2,
+      md5of("server <url> and bare <ip> up"))))
+    assert(got(2) === ((3L, 0, 0, 0, md5of("no pii here at all"))))
+  }
+
+  test("approxVocabBySource: HLL estimate within 5% of the exact " +
+    "per-source distinct count") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val approx = TextAnalysis.approxVocabBySource(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs
+      .select($"source", explode(split($"text", " ")).as("word"))
+      .groupBy($"source").agg(countDistinct($"word").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((src, ex) <- exact) {
+      val ap = approx(src).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05,
+        s"$src: approx $ap vs exact $ex")
+    }
+  }
 }
