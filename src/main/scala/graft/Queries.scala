@@ -2831,6 +2831,20 @@ object Queries {
         |  array_to_string(list_sort(list(id)), ',') AS members
         |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    // Duplication-depth profile: clusters per size off the collapsed CC
+    // labels (bit-equal to n21/n24's) — the dedup audit that sets the
+    // savings expectation (n_docs − n_clusters drop under keep-one) and
+    // exposes boilerplate as a tail of giant clusters. Same recursive-CTE
+    // oracle family, rolled to a histogram.
+    ("n105_cluster_size_histogram",
+      (s: SparkSession, d: String) =>
+        Dedup.clusterSizeHistogram(Dedup.dupLabelsCollapsed(docs(s, d))),
+      Some(s"""WITH RECURSIVE $CcClustersCte,
+        |cs AS (SELECT cluster, count(*) AS sz FROM lbl GROUP BY cluster)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY sz ORDER BY sz""".stripMargin)),
+
     // Bloom-filter decontamination: broadcast-bloom semi filter instead of
     // a fingerprint join — the 100 TB path for n26 (rows-only: Bloom bit
     // layout is engine-specific; the spec proves superset-of-exact).

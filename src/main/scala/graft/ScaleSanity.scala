@@ -149,6 +149,10 @@ object ScaleSanity {
         "n92_unimax_mix", "n94_simhash_neardup_pairs_wide",
         "n95_incremental_simhash_dedup", "n96_simhash_index_stats",
         "n97_split_leakage_matrix", "n98_source_leakage_matrix",
+        "n99_training_data_build", "n100_jaccard_background",
+        "n101_cosine_background", "n102_label_centroid_drift",
+        "n103_pii_redact", "n104_vocab_by_source_approx",
+        "n105_cluster_size_histogram",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
@@ -156,6 +160,29 @@ object ScaleSanity {
       // projections being measured (same fix as Bench)
       Queries.queries(name)(spark, out).queryExecution.toRdd.count()
       println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $name")
+    }
+    // the background-histogram FLAT knob: the registry entries pin pct
+    // (sample grows with the corpus → pair volume ∝ mult², honest and
+    // documented); production holds ABSOLUTE sample volume fixed by
+    // scaling pct ∝ 1/mult — these twins measure that path
+    {
+      lazy val docs = spark.read.parquet(s"$out/documents.parquet")
+      lazy val emb = spark.read.parquet(s"$out/embeddings.parquet")
+      for ((tag, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          // pct = 20/mult holds the ABSOLUTE sample fixed across the
+          // recorded 10×/20× pair (1000 docs / 400 vecs at both): pair
+          // cost flat, total bound by the linear sampling scan
+          "n100_fixed_sample" ->
+            (() => ops.Dedup.jaccardBackground(docs,
+              math.max(1, 20 / mult))),
+          "n101_fixed_sample" ->
+            (() => ops.Similarity.cosineBackground(emb,
+              math.max(1, 20 / mult))))
+          if wanted(tag)) {
+        val t0 = System.nanoTime()
+        mk().queryExecution.toRdd.count()
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $tag")
+      }
     }
     // per-source windows under pathological skew: one source holds 90% of
     // rows; the skew-aware two-stage running sum must not funnel them

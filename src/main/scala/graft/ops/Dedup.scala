@@ -1193,6 +1193,28 @@ object Dedup {
         sort_array(collect_list(col("id"))).as("members"))
       .orderBy(col("cluster"))
 
+  /** Duplication-depth profile — the dedup AUDIT companion to
+    * [[jaccardBackground]]: how many near-dup clusters exist at each
+    * size, from (cluster, id) label pairs ([[dupLabelsCollapsed]] in the
+    * registry). Sets the dedup-savings expectation before a 100 TB run
+    * (n_docs − n_clusters docs would drop under keep-one) and exposes
+    * pathological boilerplate as a long tail of giant clusters — the
+    * distribution-level view the per-cluster surfaces (n53) are too
+    * large to eyeball at scale. Output: (cluster_size, n_clusters,
+    * n_docs), audit-sized (≤ max cluster size rows) at any corpus size.
+    *
+    * Scale shape: two map-side-combinable count aggregates over the
+    * label pairs — nothing new shuffles beyond the upstream CC's own
+    * audited shape.
+    */
+  def clusterSizeHistogram(labels: DataFrame): DataFrame =
+    labels.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** Keeper selection straight off (cluster, id) label pairs — same
     * output as [[keepBestPerCluster]] without materializing the members
     * arrays first (one join + one aggregate; nothing is collected and

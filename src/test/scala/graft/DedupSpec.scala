@@ -657,6 +657,16 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(0L -> 3L, 12L -> 2L, 19L -> 1L))
   }
 
+  test("clusterSizeHistogram: hand labels roll up to (size, n_clusters, " +
+    "n_docs)") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (1L, 2L), (3L, 3L), (3L, 4L), (3L, 5L),
+      (9L, 8L), (9L, 9L)).toDF("cluster", "id")
+    val got = Dedup.clusterSizeHistogram(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((2L, 2L, 4L), (3L, 1L, 3L)))
+  }
+
   test("jaccardBackground: the md5 sample is deterministic and the " +
     "histogram sums to the sample's pair count") {
     val docs = ops.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -598,6 +598,40 @@ class SinksSpec extends SparkSpec {
     assert(phys === assign)
   }
 
+  test("writeShards over trainingDataBuild: the one-call build's logical " +
+    "(shard, pos) IS the physical training-shard layout") {
+    val dir = Files.createTempDirectory("graft_build").toString + "/t"
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val built = graft.ops.TextAnalysis
+      .trainingDataBuild(docs, 5, 2, 0.5, 0.5, 20000L, 8)
+    // the writer re-derives shard from doc_id (no join back) — drop the
+    // build's own columns and let the physical path recompute them
+    Sinks.writeShards(built.drop("shard", "pos"), 8, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === built.count() && built.count() > 0)
+    val logical = built
+      .select(col("doc_id"), col("shard"), col("pos")).as[(Long, Long, Int)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // physical shard dir must equal the logical shard for every doc
+    val phys = back.select(col("doc_id"), col("shard").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(phys === logical.map { case (id, (s, _)) => id -> s })
+    // and within each shard file, the on-disk row order IS the pos order
+    // (single sorted file per shard — trainers stream it sequentially)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    shardDirs.foreach { sd =>
+      val s = sd.getName.stripPrefix("shard=").toLong
+      val file = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(file.length === 1)
+      val onDisk = spark.read.parquet(file.head.getPath)
+        .select("doc_id").as[Long].collect()
+      val expected = logical.collect { case (id, (`s`, p)) => (p, id) }
+        .toSeq.sorted.map(_._2)
+      assert(onDisk.toSeq === expected)
+    }
+  }
+
   test("partitioned overwrite replaces only the re-run day (S5/S7)") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/p"
     val day1 = Seq(("2024-01-01 10:00:00", 1), ("2024-01-02 10:00:00", 2))
