@@ -168,20 +168,28 @@ object ScaleSanity {
     {
       lazy val docs = spark.read.parquet(s"$out/documents.parquet")
       lazy val emb = spark.read.parquet(s"$out/embeddings.parquet")
+      // pct = 20/mult holds the ABSOLUTE sample fixed across the recorded
+      // 10×/20× pair (1000 docs / 400 vecs at both): pair cost flat, total
+      // bound by the linear sampling scan. Integer pct can't represent the
+      // fixed sample past mult=20 (pct<1 would be needed) — SKIP rather
+      // than silently clamp to 1 and misreport linear sample growth as
+      // the flat knob.
+      val fixedPct = 20 / mult
       for ((tag, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
-          // pct = 20/mult holds the ABSOLUTE sample fixed across the
-          // recorded 10×/20× pair (1000 docs / 400 vecs at both): pair
-          // cost flat, total bound by the linear sampling scan
           "n100_fixed_sample" ->
-            (() => ops.Dedup.jaccardBackground(docs,
-              math.max(1, 20 / mult))),
+            (() => ops.Dedup.jaccardBackground(docs, fixedPct)),
           "n101_fixed_sample" ->
-            (() => ops.Similarity.cosineBackground(emb,
-              math.max(1, 20 / mult))))
+            (() => ops.Similarity.cosineBackground(emb, fixedPct)))
           if wanted(tag)) {
-        val t0 = System.nanoTime()
-        mk().queryExecution.toRdd.count()
-        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $tag")
+        if (fixedPct < 1) {
+          println(s"SKIP $tag: fixed-sample pct < 1 at mult=$mult (the " +
+            "percent bucket is too coarse; a finer modulus would be needed)")
+        } else {
+          val t0 = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          println(
+            f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $tag")
+        }
       }
     }
     // per-source windows under pathological skew: one source holds 90% of

@@ -860,8 +860,7 @@ object Dedup {
     * correlates with train/val/test buckets or shard boundaries.
     */
   def tuneSampleBucket: Column =
-    pmod(conv(substring(md5(concat(lit("tune|"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(100))
+    TextAnalysis.saltedBucket("tune|", col("doc_id"), 100)
 
   /** [[lshTuning]] over a deterministic `samplePct`% md5-bucket sample —
     * how a 100 TB corpus runs the harness. The full harness is LINEAR in
@@ -904,10 +903,8 @@ object Dedup {
     */
   def jaccardBackground(docs: DataFrame, pct: Int = 10): DataFrame = {
     require(pct >= 1 && pct <= 100, s"pct must be 1..100, got $pct")
-    val s = docs.filter(
-      pmod(conv(substring(md5(concat(lit("jbg|"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
-        lit(100)) < pct)
+    val s = docs
+      .filter(TextAnalysis.saltedBucket("jbg|", col("doc_id"), 100) < pct)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
     s.as("a").join(broadcast(s.as("b")),
         col("a.doc_id") < col("b.doc_id"))

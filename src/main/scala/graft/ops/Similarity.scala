@@ -638,10 +638,9 @@ object Similarity {
     * compare surface.
     */
   def cosineBackground(emb: DataFrame, pct: Int = 20): DataFrame = {
-    val s = emb.filter(
-      conv(substring(md5(concat(lit("cbg|"),
-        col("vec_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 100 < pct)
+    require(pct >= 1 && pct <= 100, s"pct must be 1..100, got $pct")
+    val s = emb
+      .filter(TextAnalysis.saltedBucket("cbg|", col("vec_id"), 100) < pct)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     s.as("a").join(broadcast(s.as("b")),

@@ -748,10 +748,15 @@ object TextAnalysis {
     val contaminated = graft.ops.Dedup
       .minhashDecontaminationCollapsed(docs, tau)
       .select(col("train_doc").as("doc_id")).distinct()
-    val train = cleaned.filter(col("split") === "train")
+    // Cut once: the surviving-train frame feeds BOTH the mix-plan
+    // aggregate and the keep pass — uncut, the whole clean+decon chain
+    // would be evaluated twice (AQE reuses only identical exchanges, not
+    // the map-side work between them); the minhashDecontaminationCollapsed
+    // groups-frame discipline, applied here.
+    val train = Checkpoints.cut(cleaned.filter(col("split") === "train")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .withColumn("n_tok", col("n_tokens"))
+      .withColumn("n_tok", col("n_tokens")))
     val plan = temperatureMixPlan(train, alpha, budget)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
@@ -996,10 +1001,19 @@ object TextAnalysis {
     * mix report and [[trainingDataBuild]]'s executed sample share, so the
     * published plan and the corpus a build keeps can never drift.
     */
-  def tmixBucket: Column =
-    conv(substring(md5(concat(lit("tmix|"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 1000000L
+  def tmixBucket: Column = saltedBucket("tmix|", col("doc_id"), 1000000L)
+
+  /** Deterministic salted md5 sampling bucket in [0, mod) — THE single
+    * definition every md5-bucket sampler derives from ([[tmixBucket]],
+    * [[graft.ops.Dedup.tuneSampleBucket]], the n100/n101 background
+    * samples): first 8 md5 hex chars of salt+id, mod `mod`. Distinct
+    * salts keep the samplers pairwise uncorrelated with each other and
+    * with the split/shard buckets; the conv result is nonnegative, so
+    * pmod ≡ the oracles' plain `%`.
+    */
+  def saltedBucket(salt: String, id: Column, mod: Long): Column =
+    pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(mod))
 
   /** The plan half of [[temperatureMix]] over an arbitrary per-doc
     * (source, n_tok) frame — factored out so the n99 build derives its

@@ -676,9 +676,8 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h1 === h2)
     val s = docs.filter(
-      pmod(conv(substring(md5(concat(lit("jbg|"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
-        lit(100)) < 10).count()
+      ops.TextAnalysis.saltedBucket("jbg|", col("doc_id"), 100) < 10)
+      .count()
     assert(h1.values.sum === s * (s - 1) / 2)
     assert(s > 0 && h1.values.sum > 0)
   }
