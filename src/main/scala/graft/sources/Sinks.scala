@@ -305,6 +305,34 @@ object Sinks {
         col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
 
+  /** Publish a [[graft.ops.TextAnalysis.trainingDataBuild]] result as a
+    * versioned DATASET RELEASE: the build rows become the next full
+    * version of `table` with the build parameters AND the realized
+    * doc/token counts stamped into the version manifest — a training
+    * run records the version number it read, `Versioned.readVersion`
+    * months later returns the SAME rows, and `metaOf` answers "which
+    * τ/α/budget produced this data and how much is there" without
+    * re-deriving anything. This is the operational close of the n99
+    * build: the pipeline emits a release, not a directory.
+    *
+    * The build frame is lineage-cut before publishing so the counts
+    * aggregate and the version write share ONE evaluation of the
+    * (expensive) build pipeline; the cut output is kept-docs-sized.
+    * Returns the published version's path (the version number is its
+    * last `v-<n>` segment).
+    */
+  def publishTrainingBuild(build: DataFrame, table: String,
+                           params: Map[String, String],
+                           keepVersions: Int = 2): String = {
+    val b = graft.ops.Checkpoints.cut(build)
+    val r = b.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("t")).head()
+    Versioned.publish(b, table, keepVersions,
+      meta = params ++ Map(
+        "n_docs" -> r.getLong(0).toString,
+        "n_tokens" -> r.getLong(1).toString))
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * `targetFiles` files (the operational fix for accumulating tiny
     * micro-batch outputs — at scale, run per partition with dynamic

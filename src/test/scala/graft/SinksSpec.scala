@@ -598,6 +598,35 @@ class SinksSpec extends SparkSpec {
     assert(phys === assign)
   }
 
+  test("publishTrainingBuild: a build becomes a versioned dataset " +
+    "release — pinned rows, params + realized counts in the manifest") {
+    val table = Files.createTempDirectory("graft_release").toString + "/ds"
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val build = graft.ops.TextAnalysis
+      .trainingDataBuild(docs, 5, 2, 0.5, 0.5, 20000L, 8)
+    val params = Map("tau" -> "0.5", "alpha" -> "0.5", "budget" -> "20000")
+    Sinks.publishTrainingBuild(build, table, params)            // v-1
+    val expected = build.select("doc_id").as[Long].collect().sorted
+    val expTok = build.agg(sum(col("n_tokens"))).head().getLong(0)
+    // a second release over a changed corpus moves the live table...
+    Sinks.publishTrainingBuild(
+      graft.ops.TextAnalysis.trainingDataBuild(
+        docs.filter(col("doc_id") < 250), 5, 2, 0.5, 0.5, 20000L, 8),
+      table, params)                                            // v-2
+    assert(Sinks.Versioned.versions(spark, table) === Seq(1L, 2L))
+    // ...but v-1 stays pinned bit-for-bit: the reproducibility contract
+    assert(Sinks.Versioned.readVersion(spark, table, 1L)
+      .select("doc_id").as[Long].collect().sorted === expected)
+    val meta = Sinks.Versioned.metaOf(spark, table, 1L)
+    assert(meta("tau") === "0.5" && meta("alpha") === "0.5" &&
+      meta("budget") === "20000")
+    assert(meta("n_docs") === expected.length.toString)
+    assert(meta("n_tokens") === expTok.toString)
+    // the live read is the newest release
+    assert(Sinks.Versioned.read(spark, table).count() ===
+      Sinks.Versioned.readVersion(spark, table, 2L).count())
+  }
+
   test("writeShards over trainingDataBuild: the one-call build's logical " +
     "(shard, pos) IS the physical training-shard layout") {
     val dir = Files.createTempDirectory("graft_build").toString + "/t"

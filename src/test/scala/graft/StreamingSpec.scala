@@ -268,4 +268,25 @@ class StreamingSpec extends SparkSpec {
         graft.ops.TextAnalysis.chunkDocsRaw(batchDocs, 4, 3).count())
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("piiRedactRaw runs UNCHANGED on a stream (the ingest-boundary " +
+    "scrub), stream ≡ batch on planted PII") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = graft.ops.TextAnalysis.piiRedactRaw(stream)
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      val docs = Seq(
+        (1L, "mail admin@site.example or https://site.example/x now"),
+        (2L, "host 10.1.2.3 plain"))
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val batchDocs = docs.toDF("doc_id", "text")
+      assert(spark.table("pii_stream")
+        .exceptAll(graft.ops.TextAnalysis.piiRedactRaw(batchDocs)).isEmpty)
+      assert(spark.table("pii_stream").count() === 2)
+    } finally { q.stop() }
+  }
 }
