@@ -524,4 +524,11 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
       "piiRedact must not shuffle; found an exchange in:\n" + p)
   }
+
+  test("n104: the HLL sketch partial-aggregates map-side — the exchange " +
+    "carries sketches, not (source, word) pairs") {
+    val p = plan("n104_vocab_by_source_approx")
+    assert(p.contains("partial_approx_count_distinct"),
+      "approx vocab must merge HLL sketches map-side:\n" + p)
+  }
 }
