@@ -1941,6 +1941,32 @@ object Queries {
         |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Duplicated-span INVENTORY: maximal contiguous runs of hot-gram
+    // covered positions (gaps-and-islands over n71/n82's shared covered-
+    // positions frame) — WHERE the boilerplate sits, not just how much;
+    // Σ span_len per doc ≡ n71's n_cov by construction. Span starts are
+    // 1-based on both engines (Spark's 0-based position base + 1).
+    ("n106_boilerplate_spans",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.boilerplateSpans(docs(s, d), 5, 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |      || ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM w)),
+        |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+        |  FROM g GROUP BY g) WHERE df >= 2),
+        |covp AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS p
+        |  FROM g JOIN hot USING (g))),
+        |i AS (SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM covp)
+        |SELECT doc_id, min(p) AS span_start, count(*) AS span_len
+        |FROM i GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
     // The cleaned training corpus ITSELF (the n63 funnel's execute
     // side): normalize → exact-dup keeper (FIRST, so dup copies can't
     // inflate gram df) → boilerplate-trim over keepers → quality gate,

@@ -635,9 +635,15 @@ object TextAnalysis {
   /** [[boilerplateTrim]] without the presentation sort — the composable
     * form ([[cleanCorpus]] sorts once at its own tail).
     */
-  def boilerplateTrimRaw(docs: DataFrame, n: Int = 5,
-                         minDf: Int = 2): DataFrame = {
-    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+  /** (doc_id, p) for every 0-based word position covered by a hot
+    * (df ≥ minDf) n-gram, WITH duplicates (overlapping hot grams emit a
+    * position once per covering gram) — the shared front of
+    * [[boilerplateTrimRaw]] (which dedups inside its collect_set) and
+    * [[boilerplateSpans]] (which distincts before the island scan).
+    * `base` is the (doc_id, ws) projection both callers already hold.
+    */
+  private def coveredPositionsRaw(base: DataFrame, n: Int,
+                                  minDf: Int): DataFrame = {
     val posGrams = base.select(col("doc_id"),
       posexplode(ngramsOf(col("ws"), n)).as(Seq("pos", "g")))
     val hot = base
@@ -645,9 +651,15 @@ object TextAnalysis {
         explode(array_distinct(ngramsOf(col("ws"), n))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select(col("g"))
-    val cov = posGrams.join(broadcast(hot), Seq("g"))
+    posGrams.join(broadcast(hot), Seq("g"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+  }
+
+  def boilerplateTrimRaw(docs: DataFrame, n: Int = 5,
+                         minDf: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val cov = coveredPositionsRaw(base, n, minDf)
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
     base.join(cov, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("ws"),
@@ -659,6 +671,35 @@ object TextAnalysis {
             |  named_struct('w', w, 'i', i)),
             |  x -> NOT array_contains(cov, x.i)), x -> x.w)"""
             .stripMargin)).as("trimmed_text"))
+  }
+
+  /** Duplicated-span INVENTORY — the maximal-span view of the n71/n82
+    * machinery (the substring-dedup reporting shape of Lee et al.'s
+    * exact-substring dedup, at gram granularity): contiguous runs of
+    * word positions covered by ≥1 corpus-repeated n-gram, one row per
+    * maximal run. n71 reports how MUCH of a doc is covered; this
+    * reports WHERE — span starts and lengths, the spans a surgical
+    * trimmer (or a span-level audit) consumes. Output: (doc_id,
+    * span_start 1-based, span_len), gaps-and-islands over the shared
+    * covered-positions frame, so Σ span_len per doc ≡ n71's n_cov by
+    * construction (spec-pinned).
+    *
+    * Scale shape: inherits n71's audited front (hot set broadcast, only
+    * covered positions shuffle); the island scan is one per-doc window
+    * over covered positions — bounded by doc length, never corpus-wide.
+    */
+  def boilerplateSpans(docs: DataFrame, n: Int = 5,
+                       minDf: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val cov = coveredPositionsRaw(base, n, minDf).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    cov.withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((min(col("p")) + 1).as("span_start"),
+        count(lit(1)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** The EXECUTE side of the [[pipelineFunnel]]: emit the cleaned

@@ -910,6 +910,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.isNullAt(4) || math.abs(f.getDouble(4)) < 1e-3)
   }
 
+  test("boilerplateSpans: maximal islands with 1-based starts; " +
+    "overlapping hot grams merge into one span") {
+    // docs 1,2 share 'a b c d e' (positions 1-5 in doc 1) and doc 1
+    // repeats it shifted by one word later ('x' then again) — the two
+    // covered runs in doc 1 merge where they touch
+    val docs = Seq(
+      (1L, "a b c d e x a b c d e"),   // grams at pos 1 and 7 → spans 1-5, 7-11
+      (2L, "z a b c d e y"),           // one span 2-6
+      (3L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateSpans(docs, 5, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1, 5L), (1L, 7, 5L), (2L, 2, 5L)))
+  }
+
+  test("boilerplateSpans: Σ span_len per doc ≡ boilerplateCoverage's " +
+    "n_cov (shared machinery cannot disagree)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val spans = TextAnalysis.boilerplateSpans(docs, 5, 2)
+      .groupBy("doc_id").agg(sum("span_len").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cov = TextAnalysis.boilerplateCoverage(docs, 5, 2)
+      .filter(col("n_cov") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(spans === cov)
+    assert(spans.nonEmpty)
+  }
+
   test("temperatureMixPlan ≡ temperatureMix's plan columns (the n99 " +
     "factoring cannot drift from the n87 surface)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
