@@ -2095,6 +2095,18 @@ object Queries {
         |    '${TextAnalysis.Ipv4Re}', '<ip>', 'g')) AS clean_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Per-source corpus content checksum: commutative exact-decimal sum
+    // of 15-hex md5 prefixes — order/partitioning/engine-invariant, any
+    // doc edit changes it; map-side-combinable where the reference's
+    // sort-and-hash digest (a6) needs bounded groups. The
+    // release-integrity stamp a dataset publish records.
+    ("n107_corpus_digest",
+      (s: SparkSession, d: String) => TextAnalysis.corpusDigest(docs(s, d)),
+      Some("""SELECT source, count(*) AS n_docs,
+        |  CAST(CAST(sum(CAST(('0x' || substring(md5(text), 1, 15))::bigint
+        |    AS decimal(38,0))) AS decimal(38,0)) AS varchar) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Approximate per-source distinct vocabulary (HLL++) — the 100 TB
     // twin of exact count(DISTINCT word) by source; sketches merge
     // map-side, fixed size per source. Rows-only: HLL estimates are

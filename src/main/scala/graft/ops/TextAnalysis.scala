@@ -1962,6 +1962,29 @@ object TextAnalysis {
       .agg(approx_count_distinct(col("word")).as("n_words_approx"))
       .orderBy(col("source"))
 
+  /** Per-source corpus CONTENT CHECKSUM — the release-integrity stamp a
+    * dataset publish records: identical corpora produce identical
+    * checksums regardless of row order, partitioning, or engine, and
+    * any added/removed/edited doc changes its source's value. The
+    * combine is a COMMUTATIVE exact-decimal sum of per-doc md5 prefixes
+    * (15 hex chars — the widest a bigint parse holds, the SimHash60
+    * trick), so it map-side-combines at any group size — the reference's
+    * sort-and-hash digest ([[graft.ops.Digest.hashListExpr]]) collects
+    * the whole group and only holds for BOUNDED groups; a source is
+    * corpus-sized. Weaker than a cryptographic digest against
+    * adversarial collision, exactly right for drift/corruption detection.
+    * Output: (source, n_docs, checksum-as-string — decimal(38,0) renders
+    * identically on both engines).
+    */
+  def corpusDigest(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("decimal(38,0)").as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h")).cast("decimal(38,0)").cast("string").as("checksum"))
+      .orderBy(col("source"))
+
   /** Fixed-size word chunking with overlap — the context-window prep
     * step of a training pipeline. Chunk starts step by `stride` (< size
     * ⇒ overlapping windows); the final chunk clamps at the end of the

@@ -1003,6 +1003,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((3L, 0, 0, 0, md5of("no pii here at all"))))
   }
 
+  test("corpusDigest: order- and partitioning-invariant; any doc edit " +
+    "moves its source's checksum") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = TextAnalysis.corpusDigest(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val shuffled = TextAnalysis.corpusDigest(
+      docs.repartition(17).sortWithinPartitions(col("n_chars"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(base.toSeq === shuffled.toSeq)
+    // flip one document's text: exactly that source's checksum moves
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val src7 = docs.filter(col("doc_id") === 7L)
+      .select("source").head().getString(0)
+    val after = TextAnalysis.corpusDigest(edited).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    val before = base.map(t => t._1 -> t._3).toMap
+    assert(after(src7) !== before(src7))
+    assert((before - src7) === (after - src7))
+  }
+
   test("approxVocabBySource: HLL estimate within 5% of the exact " +
     "per-source distinct count") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
