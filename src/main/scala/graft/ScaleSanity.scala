@@ -171,11 +171,11 @@ object ScaleSanity {
       lazy val emb = spark.read.parquet(s"$out/embeddings.parquet")
       // pct = 20/mult holds the ABSOLUTE sample fixed across the recorded
       // 10×/20× pair (1000 docs / 400 vecs at both): pair cost flat, total
-      // bound by the linear sampling scan. Integer pct can't represent the
-      // fixed sample past mult=20 (pct<1 would be needed) — SKIP rather
-      // than silently clamp to 1 and misreport linear sample growth as
-      // the flat knob.
-      val fixedPct = 20 / mult
+      // bound by the linear sampling scan. Integer pct represents that
+      // fixed sample ONLY when mult divides 20 — SKIP every other mult
+      // rather than silently time a smaller (non-divisor) or growing
+      // (mult > 20) sample under the fixed-sample tag.
+      val fixedPct = if (mult >= 1 && 20 % mult == 0) 20 / mult else 0
       for ((tag, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
           "n100_fixed_sample" ->
             (() => ops.Dedup.jaccardBackground(docs, fixedPct)),
@@ -183,8 +183,9 @@ object ScaleSanity {
             (() => ops.Similarity.cosineBackground(emb, fixedPct)))
           if wanted(tag)) {
         if (fixedPct < 1) {
-          println(s"SKIP $tag: fixed-sample pct < 1 at mult=$mult (the " +
-            "percent bucket is too coarse; a finer modulus would be needed)")
+          println(s"SKIP $tag: mult=$mult does not divide 20, so an " +
+            "integer pct cannot hold the absolute sample fixed (a finer " +
+            "bucket modulus would be needed)")
         } else {
           val t0 = System.nanoTime()
           mk().queryExecution.toRdd.count()
