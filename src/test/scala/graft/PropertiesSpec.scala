@@ -704,6 +704,63 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: boilerplateSpans ≡ naive Scala islands on random " +
+    "small-alphabet corpora (n106)") {
+    // 3-letter alphabet so repeated grams actually arise; n=2 keeps
+    // short random docs in play
+    val docGen = Gen.listOf(
+      Gen.choose(2, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+      .map(_.take(8))
+    check(Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis.boilerplateSpans(docs, 2, 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toList
+      // naive recompute: grams per doc, hot = df>=2 over DISTINCT docs,
+      // covered = union of [pos, pos+1], islands as contiguous runs
+      val ws = texts.map(_.split(" ").toList)
+      val grams = ws.map(w => w.indices.dropRight(1)
+        .map(i => (i, s"${w(i)} ${w(i + 1)}")))
+      val hot = grams.zipWithIndex
+        .flatMap { case (gs, d) => gs.map(_._2).distinct.map((_, d)) }
+        .groupBy(_._1).filter(_._2.size >= 2).keySet
+      val want = grams.zipWithIndex.flatMap { case (gs, d) =>
+        val cov = gs.filter(g => hot(g._2))
+          .flatMap(g => Seq(g._1, g._1 + 1)).distinct.sorted
+        val islands = cov.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.reverse
+        islands.map { case (s, e) => (d.toLong, s + 1, (e - s + 1).toLong) }
+      }.toList
+      got == want
+    })
+  }
+
+  test("property: corpusDigest ≡ naive Scala commutative md5 sum (n107)") {
+    val corpusGen = Gen.listOf(for {
+      t <- Gen.listOfN(3, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))
+      s <- Gen.oneOf("s0", "s1")
+    } yield (t, s)).map(_.take(10)).suchThat(_.nonEmpty)
+    check(Prop.forAll(corpusGen) { rows =>
+      val docs = rows.zipWithIndex
+        .map { case ((t, s), i) => (i.toLong, t, s) }
+        .toDF("doc_id", "text", "source")
+      val got = graft.ops.TextAnalysis.corpusDigest(docs).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+      def md5hex(s: String) = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = rows.groupBy(_._2).toList.sortBy(_._1).map { case (s, rs) =>
+        (s, rs.size.toLong,
+          rs.map(r => BigInt(md5hex(r._1).take(15), 16)).sum.toString)
+      }
+      got == want
+    })
+  }
+
   test("property: query normalization is idempotent (F18)") {
     val sqlGen = for {
       n <- Gen.choose(0, 999)
