@@ -333,6 +333,40 @@ object Sinks {
         "n_tokens" -> r.getLong(1).toString))
   }
 
+  /** Diff two RELEASES of a published training dataset (the n50
+    * snapshot-diff shape over [[Versioned.readVersion]]): per source,
+    * how many docs were added, removed, changed (same doc_id, different
+    * cleaned text), and unchanged between version `vA` and version `vB`
+    * — the release-notes number a data owner reads before pointing a
+    * training run at a new version, and the audit that a "small" corpus
+    * refresh didn't silently rewrite a source. Works on any frame pair
+    * with (doc_id, source, text_clean) — the [[publishTrainingBuild]]
+    * schema.
+    *
+    * Scale shape: each side reduces to (doc_id, source, md5) before the
+    * ONE full-outer doc_id join — the text never joins; the roll-up is a
+    * sources-sized aggregate.
+    */
+  def releaseDiff(spark: org.apache.spark.sql.SparkSession, table: String,
+                  vA: Long, vB: Long): DataFrame = {
+    def side(v: Long, tag: String) =
+      Versioned.readVersion(spark, table, v)
+        .select(col("doc_id"), col("source").as(s"src_$tag"),
+          md5(col("text_clean")).as(s"h_$tag"))
+    side(vA, "a").join(side(vB, "b"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("st"))
+      .groupBy(col("source"))
+      .agg(count(when(col("st") === "added", 1)).as("n_added"),
+        count(when(col("st") === "removed", 1)).as("n_removed"),
+        count(when(col("st") === "changed", 1)).as("n_changed"),
+        count(when(col("st") === "unchanged", 1)).as("n_unchanged"))
+      .orderBy(col("source"))
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * `targetFiles` files (the operational fix for accumulating tiny
     * micro-batch outputs — at scale, run per partition with dynamic

@@ -627,6 +627,26 @@ class SinksSpec extends SparkSpec {
       Sinks.Versioned.readVersion(spark, table, 2L).count())
   }
 
+  test("releaseDiff: per-source added/removed/changed/unchanged between " +
+    "two pinned releases") {
+    val table = Files.createTempDirectory("graft_reldiff").toString + "/ds"
+    def rel(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("doc_id", "source", "n_tokens", "text_clean")
+    Sinks.publishTrainingBuild(rel(Seq(
+      (1L, "s0", 3L, "a b c"), (2L, "s0", 2L, "d e"),
+      (3L, "s1", 1L, "f"))), table, Map("rel" -> "1"))       // v-1
+    Sinks.publishTrainingBuild(rel(Seq(
+      (2L, "s0", 2L, "d CHANGED"), (3L, "s1", 1L, "f"),
+      (4L, "s1", 4L, "new doc here now"))), table, Map("rel" -> "2")) // v-2
+    val got = Sinks.releaseDiff(spark, table, 1L, 2L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // s0: doc 1 removed, doc 2 changed; s1: doc 3 unchanged, doc 4 added
+    assert(got === Map(
+      "s0" -> ((0L, 1L, 1L, 0L)),
+      "s1" -> ((1L, 0L, 0L, 1L))))
+  }
+
   test("writeShards over trainingDataBuild: the one-call build's logical " +
     "(shard, pos) IS the physical training-shard layout") {
     val dir = Files.createTempDirectory("graft_build").toString + "/t"
