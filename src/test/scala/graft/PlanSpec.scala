@@ -531,4 +531,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_approx_count_distinct"),
       "approx vocab must merge HLL sketches map-side:\n" + p)
   }
+
+  test("n107: the checksum sum partial-aggregates map-side — the " +
+    "exchange carries one decimal per (partition, source)") {
+    val p = plan("n107_corpus_digest")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      "the commutative checksum must combine map-side:\n" + p)
+    assert(!p.toLowerCase.contains("join"), "one scan, no joins:\n" + p)
+  }
+
+  test("n105/n106: no joins beyond the audited upstream shapes — the " +
+    "histogram is two combinable aggregates, the island scan one " +
+    "per-doc window") {
+    val p5 = plan("n105_cluster_size_histogram")
+    assert(!p5.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p5).size >= 2,
+      "size histogram must be two aggregate stages:\n" + p5)
+    val p6 = plan("n106_boilerplate_spans")
+    assert(p6.contains("BroadcastHashJoin"),
+      "the hot-gram set must broadcast (n71's front):\n" + p6)
+    assert("Window".r.findAllIn(p6).nonEmpty,
+      "islands come from one per-doc window:\n" + p6)
+  }
 }
