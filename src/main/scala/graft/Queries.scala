@@ -110,6 +110,35 @@ object Queries {
       |SELECT test_doc, train_doc, jaccard FROM vp WHERE jaccard >= 0.5
       |ORDER BY test_doc, train_doc""".stripMargin
 
+  /** CTE chain ending at `dsw(doc_id, n_tokens, dsir_weight)` — the
+    * per-train-doc DSIR importance weights. Shared by the n73 oracle and
+    * the n108 selection oracle, whose Gumbel top-k must rank THE SAME
+    * weights the gate verifies.
+    */
+  private lazy val DsirWeightCtes =
+    """sp AS (
+      |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |    ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+      |    FROM documents)),
+      |tk AS (SELECT d.doc_id, s.split, unnest(string_split(text, ' ')) AS w
+      |  FROM documents d JOIN sp s USING (doc_id)),
+      |c AS (SELECT w,
+      |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      |  FROM tk GROUP BY w),
+      |k AS (SELECT count(*) AS vsize, CAST(sum(ct) AS BIGINT) AS nt,
+      |  CAST(sum(cr) AS BIGINT) AS nr FROM c),
+      |dsw AS (SELECT doc_id, count(*) AS n_tokens,
+      |  round(CAST(sum(CAST(
+      |      ln((c.ct + 1)::double / (k.nt + k.vsize))
+      |      - ln((c.cr + 1)::double / (k.nr + k.vsize))
+      |    AS decimal(18,9))) AS double) / count(*), 6) AS dsir_weight
+      |FROM tk JOIN c USING (w) CROSS JOIN k
+      |WHERE tk.split = 'train'
+      |GROUP BY doc_id)""".stripMargin
+
   /** CTE chain ending at `cc(doc_id, split, n_tokens, n_removed,
     * text_clean)` — the cleaned-corpus survivor table (normalize →
     * exact-dup keeper → boilerplate trim → quality gate). Shared by the
@@ -2333,28 +2362,27 @@ object Queries {
     // n44 discipline).
     ("n73_dsir_weights",
       (s: SparkSession, d: String) => TextAnalysis.dsirWeights(docs(s, d)),
-      Some("""WITH sp AS (
-        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-        |    ELSE 'test' END AS split
-        |  FROM (SELECT doc_id,
-        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
-        |    FROM documents)),
-        |tk AS (SELECT d.doc_id, s.split, unnest(string_split(text, ' ')) AS w
-        |  FROM documents d JOIN sp s USING (doc_id)),
-        |c AS (SELECT w,
-        |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS cr
-        |  FROM tk GROUP BY w),
-        |k AS (SELECT count(*) AS vsize, CAST(sum(ct) AS BIGINT) AS nt,
-        |  CAST(sum(cr) AS BIGINT) AS nr FROM c)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(CAST(sum(CAST(
-        |      ln((c.ct + 1)::double / (k.nt + k.vsize))
-        |      - ln((c.cr + 1)::double / (k.nr + k.vsize))
-        |    AS decimal(18,9))) AS double) / count(*), 6) AS dsir_weight
-        |FROM tk JOIN c USING (w) CROSS JOIN k
-        |WHERE tk.split = 'train'
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $DsirWeightCtes
+        |SELECT doc_id, n_tokens, dsir_weight FROM dsw
+        |ORDER BY doc_id""".stripMargin)),
+
+    // DSIR execute half (importance RESAMPLING, Xie et al. 2023):
+    // Gumbel top-k over the documents' TOTAL log importance (n73's
+    // per-token mean × token count) with a deterministic salted-md5
+    // uniform — the same corpus always selects the same docs. Shares
+    // n73's factored CTE chain so the selection provably ranks the
+    // weights the gate verified.
+    ("n108_dsir_select",
+      (s: SparkSession, d: String) => TextAnalysis.dsirSelect(docs(s, d), 50),
+      Some(s"""WITH $DsirWeightCtes,
+        |sel AS (SELECT doc_id, n_tokens, dsir_weight,
+        |    round(dsir_weight * n_tokens::double
+        |      + -ln(-ln((('0x' || substring(md5('dsir|' || doc_id::varchar), 1, 8))::bigint
+        |        % 1000000 + 0.5) / 1000000.0)), 6) AS sel_key
+        |  FROM dsw)
+        |SELECT row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rank,
+        |  doc_id, n_tokens, dsir_weight, sel_key
+        |FROM sel ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin)),
 
     // Quality-classifier distillation + calibration: NB unigram
     // log-odds fit to the n22 rule gate (the TEACHER, predicate

@@ -153,7 +153,7 @@ object ScaleSanity {
         "n101_cosine_background", "n102_label_centroid_drift",
         "n103_pii_redact", "n104_vocab_by_source_approx",
         "n105_cluster_size_histogram", "n106_boilerplate_spans",
-        "n107_corpus_digest",
+        "n107_corpus_digest", "n108_dsir_select",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

@@ -1416,6 +1416,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The EXECUTE half of DSIR (Xie et al. 2023 §2: importance
+    * RESAMPLING, not just weighting): select `k` train docs without
+    * replacement with probability ∝ their importance, via the Gumbel
+    * top-k identity — key = total log importance (the [[dsirWeights]]
+    * per-token mean × token count = the document's summed log ratio)
+    * plus a Gumbel draw, take the k largest. The Gumbel uniform comes
+    * from the deterministic salted md5 bucket ((b + 0.5)/10⁶ — never 0
+    * or 1), so the SAME corpus always selects the SAME docs: the
+    * selection is an auditable artifact, not a run-specific sample.
+    * Output: (rank, doc_id, n_tokens, dsir_weight, sel_key), rank 1 =
+    * strongest draw.
+    *
+    * Scale shape: inherits n73's weight pass; the selection adds one
+    * map-side key projection and a distributed TakeOrdered top-k —
+    * the rank window runs AFTER the limit, over k rows, never the
+    * corpus.
+    */
+  def dsirSelect(docs: DataFrame, k: Int): DataFrame = {
+    val u = (saltedBucket("dsir|", col("doc_id"), 1000000L) + lit(0.5)) /
+      lit(1000000.0)
+    val scored = dsirWeights(docs)
+      .withColumn("sel_key", round(
+        col("dsir_weight") * col("n_tokens").cast("double") +
+          -log(-log(u)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sel_key").desc, col("doc_id"))
+    scored.orderBy(col("sel_key").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("n_tokens"),
+        col("dsir_weight"), col("sel_key"))
+      .orderBy(col("rank"))
+  }
+
   /** Quality-classifier DISTILLATION + threshold calibration — the
     * production move behind every "quality classifier" corpus filter
     * (GPT-3 §2.2, LLaMA, RefinedWeb): the hand-written rule gate

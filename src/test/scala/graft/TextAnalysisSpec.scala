@@ -1003,6 +1003,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((3L, 0, 0, 0, md5of("no pii here at all"))))
   }
 
+  test("dsirSelect: deterministic Gumbel top-k over the n73 weights, " +
+    "descending keys, contiguous ranks") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sel = TextAnalysis.dsirSelect(docs, 20).collect()
+    assert(sel.length === 20)
+    assert(sel.map(_.getInt(0)).toSeq === (1 to 20))
+    val keys = sel.map(_.getDouble(4))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    // every selected doc carries exactly its n73 weight row
+    val w = TextAnalysis.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    sel.foreach { r =>
+      assert(w(r.getLong(1)) === ((r.getLong(2), r.getDouble(3)))) }
+    val again = TextAnalysis.dsirSelect(docs, 20).collect()
+      .map(_.toSeq)
+    assert(again.toSeq === sel.map(_.toSeq).toSeq)
+  }
+
   test("corpusDigest: order- and partitioning-invariant; any doc edit " +
     "moves its source's checksum") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
