@@ -134,7 +134,11 @@ object Queries {
       |  round(CAST(sum(CAST(
       |      ln((c.ct + 1)::double / (k.nt + k.vsize))
       |      - ln((c.cr + 1)::double / (k.nr + k.vsize))
-      |    AS decimal(18,9))) AS double) / count(*), 6) AS dsir_weight
+      |    AS decimal(18,9))) AS double) / count(*), 6) AS dsir_weight,
+      |  round(CAST(sum(CAST(
+      |      ln((c.ct + 1)::double / (k.nt + k.vsize))
+      |      - ln((c.cr + 1)::double / (k.nr + k.vsize))
+      |    AS decimal(18,9))) AS double), 6) AS total_lw
       |FROM tk JOIN c USING (w) CROSS JOIN k
       |WHERE tk.split = 'train'
       |GROUP BY doc_id)""".stripMargin
@@ -1065,9 +1069,11 @@ object Queries {
         |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' zz' ELSE text END) AS h
         |  FROM documents WHERE doc_id % 5 != 0)
         |SELECT coalesce(n.source, o.source) AS source,
-        |  CASE WHEN o.h IS NULL THEN 'added'
-        |    WHEN n.h IS NULL THEN 'removed'
-        |    WHEN o.h != n.h THEN 'changed' ELSE 'unchanged' END AS status,
+        |  CASE WHEN o.source IS NULL THEN 'added'
+        |    WHEN n.source IS NULL THEN 'removed'
+        |    WHEN o.h IS DISTINCT FROM n.h
+        |      OR o.source IS DISTINCT FROM n.source THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
         |  count(*) AS n_docs
         |FROM o FULL OUTER JOIN n USING (doc_id)
         |GROUP BY 1, 2 ORDER BY source, status""".stripMargin)),
@@ -2367,16 +2373,17 @@ object Queries {
         |ORDER BY doc_id""".stripMargin)),
 
     // DSIR execute half (importance RESAMPLING, Xie et al. 2023):
-    // Gumbel top-k over the documents' TOTAL log importance (n73's
-    // per-token mean × token count) with a deterministic salted-md5
-    // uniform — the same corpus always selects the same docs. Shares
-    // n73's factored CTE chain so the selection provably ranks the
-    // weights the gate verified.
+    // Gumbel top-k over the documents' TOTAL log importance (the summed
+    // decimal log ratio, carried exactly — never rebuilt from the
+    // rounded mean, whose error grows with doc length) with a
+    // deterministic salted-md5 uniform — the same corpus always selects
+    // the same docs. Shares n73's factored CTE chain so the selection
+    // provably ranks the weights the gate verified.
     ("n108_dsir_select",
       (s: SparkSession, d: String) => TextAnalysis.dsirSelect(docs(s, d), 50),
       Some(s"""WITH $DsirWeightCtes,
         |sel AS (SELECT doc_id, n_tokens, dsir_weight,
-        |    round(dsir_weight * n_tokens::double
+        |    round(total_lw
         |      + -ln(-ln((('0x' || substring(md5('dsir|' || doc_id::varchar), 1, 8))::bigint
         |        % 1000000 + 0.5) / 1000000.0)), 6) AS sel_key
         |  FROM dsw)

@@ -117,11 +117,18 @@ object Dedup {
       md5(col("text")).as("ohash"))
     val n = newDocs.select(col("doc_id"), col("source").as("nsource"),
       md5(col("text")).as("nhash"))
+    // Presence comes from the SOURCE column (non-null iff that side
+    // holds the row) — the hash is payload, and a legitimately-NULL text
+    // must not make a present row read as absent. A source MOVE counts
+    // as 'changed' (attributed to the NEW source, like every changed
+    // row): without it, re-attributing a whole source reads as
+    // all-unchanged — the silent rewrite this diff exists to surface.
     o.join(n, Seq("doc_id"), "full_outer")
       .select(coalesce(col("nsource"), col("osource")).as("source"),
-        when(col("ohash").isNull, "added")
-          .when(col("nhash").isNull, "removed")
-          .when(col("ohash") =!= col("nhash"), "changed")
+        when(col("osource").isNull, "added")
+          .when(col("nsource").isNull, "removed")
+          .when(!(col("ohash") <=> col("nhash")) ||
+            !(col("osource") <=> col("nsource")), "changed")
           .otherwise("unchanged").as("status"))
       .groupBy(col("source"), col("status"))
       .agg(count(lit(1)).as("n_docs"))

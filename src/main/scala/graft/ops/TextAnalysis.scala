@@ -1390,7 +1390,21 @@ object TextAnalysis {
     * [[bigramLmScore]] trade; a production run persists the tiny model
     * like [[trainBigramLm]] and scores with zero count subtrees.
     */
-  def dsirWeights(docs: DataFrame): DataFrame = {
+  def dsirWeights(docs: DataFrame): DataFrame =
+    dsirWeightsFull(docs)
+      .select(col("doc_id"), col("n_tokens"), col("dsir_weight"))
+      .orderBy(col("doc_id"))
+
+  /** [[dsirWeights]] without the presentation sort and WITH the summed
+    * (un-averaged) log importance `total_lw` — the composable form
+    * [[dsirSelect]] consumes: the selection needs the document's TOTAL
+    * log ratio, and rebuilding it as rounded-mean × n_tokens amplifies
+    * the 6-decimal rounding error proportionally to document length (up
+    * to 5e-7 × n_tokens on the Gumbel key — enough to flip a long doc
+    * at the k boundary); summing the decimal terms once yields both
+    * surfaces exactly.
+    */
+  private def dsirWeightsFull(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), splitCol.as("split"),
       explode(words(col("text"))).as("w"))
     // vocabulary-sized: one row per corpus word, target + raw counts
@@ -1412,16 +1426,17 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("term")).cast("double") / count(lit(1)), 6)
-          .as("dsir_weight"))
-      .orderBy(col("doc_id"))
+          .as("dsir_weight"),
+        round(sum(col("term")).cast("double"), 6).as("total_lw"))
   }
 
   /** The EXECUTE half of DSIR (Xie et al. 2023 §2: importance
     * RESAMPLING, not just weighting): select `k` train docs without
     * replacement with probability ∝ their importance, via the Gumbel
-    * top-k identity — key = total log importance (the [[dsirWeights]]
-    * per-token mean × token count = the document's summed log ratio)
-    * plus a Gumbel draw, take the k largest. The Gumbel uniform comes
+    * top-k identity — key = the document's TOTAL log importance (its
+    * summed per-token log ratio, carried exactly by
+    * [[dsirWeightsFull]] — never rebuilt from the rounded mean) plus a
+    * Gumbel draw, take the k largest. The Gumbel uniform comes
     * from the deterministic salted md5 bucket ((b + 0.5)/10⁶ — never 0
     * or 1), so the SAME corpus always selects the SAME docs: the
     * selection is an auditable artifact, not a run-specific sample.
@@ -1436,10 +1451,8 @@ object TextAnalysis {
   def dsirSelect(docs: DataFrame, k: Int): DataFrame = {
     val u = (saltedBucket("dsir|", col("doc_id"), 1000000L) + lit(0.5)) /
       lit(1000000.0)
-    val scored = dsirWeights(docs)
-      .withColumn("sel_key", round(
-        col("dsir_weight") * col("n_tokens").cast("double") +
-          -log(-log(u)), 6))
+    val scored = dsirWeightsFull(docs)
+      .withColumn("sel_key", round(col("total_lw") + -log(-log(u)), 6))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("sel_key").desc, col("doc_id"))
     scored.orderBy(col("sel_key").desc, col("doc_id")).limit(k)

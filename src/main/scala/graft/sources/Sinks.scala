@@ -341,7 +341,9 @@ object Sinks {
     * training run at a new version, and the audit that a "small" corpus
     * refresh didn't silently rewrite a source. Works on any frame pair
     * with (doc_id, source, text_clean) — the [[publishTrainingBuild]]
-    * schema.
+    * schema. A doc whose SOURCE moved between releases counts as
+    * changed at the new source; presence comes from the source column,
+    * so a null cleaned text never reads as an absent row.
     *
     * Scale shape: each side reduces to (doc_id, source, md5) before the
     * ONE full-outer doc_id join — the text never joins; the roll-up is a
@@ -349,21 +351,23 @@ object Sinks {
     */
   def releaseDiff(spark: org.apache.spark.sql.SparkSession, table: String,
                   vA: Long, vB: Long): DataFrame = {
-    def side(v: Long, tag: String) =
-      Versioned.readVersion(spark, table, v)
-        .select(col("doc_id"), col("source").as(s"src_$tag"),
-          md5(col("text_clean")).as(s"h_$tag"))
-    side(vA, "a").join(side(vB, "b"), Seq("doc_id"), "full_outer")
-      .select(coalesce(col("src_a"), col("src_b")).as("source"),
-        when(col("h_a").isNull, "added")
-          .when(col("h_b").isNull, "removed")
-          .when(col("h_a") =!= col("h_b"), "changed")
-          .otherwise("unchanged").as("st"))
+    // ONE definition of diff semantics: graft.ops.Dedup.snapshotDiff
+    // (n50's oracled operator) — presence from the source column, a
+    // source MOVE counts as changed at the NEW source, null-safe hash
+    // compare. This is just readVersion → snapshotDiff → a wide pivot.
+    def side(v: Long) = Versioned.readVersion(spark, table, v)
+      .select(col("doc_id"), col("source"), col("text_clean").as("text"))
+    graft.ops.Dedup.snapshotDiff(side(vA), side(vB))
       .groupBy(col("source"))
-      .agg(count(when(col("st") === "added", 1)).as("n_added"),
-        count(when(col("st") === "removed", 1)).as("n_removed"),
-        count(when(col("st") === "changed", 1)).as("n_changed"),
-        count(when(col("st") === "unchanged", 1)).as("n_unchanged"))
+      .agg(
+        coalesce(sum(when(col("status") === "added", col("n_docs"))),
+          lit(0L)).as("n_added"),
+        coalesce(sum(when(col("status") === "removed", col("n_docs"))),
+          lit(0L)).as("n_removed"),
+        coalesce(sum(when(col("status") === "changed", col("n_docs"))),
+          lit(0L)).as("n_changed"),
+        coalesce(sum(when(col("status") === "unchanged", col("n_docs"))),
+          lit(0L)).as("n_unchanged"))
       .orderBy(col("source"))
   }
 

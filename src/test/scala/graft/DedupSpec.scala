@@ -338,6 +338,22 @@ class DedupSpec extends SparkSpec {
       ("s2", "added", 1L), ("s2", "unchanged", 1L)))
   }
 
+  test("snapshotDiff: a source MOVE is 'changed' at the new source, and " +
+    "a NULL text never makes a present row read as absent") {
+    // doc 1 moves s1→s2 with identical text; doc 2 has NULL text in
+    // BOTH snapshots (present, unchanged); doc 3's text goes NULL
+    // (present, changed)
+    val old = Seq((1L, Some("a"), "s1"), (2L, None, "s1"),
+      (3L, Some("c"), "s2")).toDF("doc_id", "text", "source")
+    val neu = Seq((1L, Some("a"), "s2"), (2L, None, "s1"),
+      (3L, Option.empty[String], "s2")).toDF("doc_id", "text", "source")
+    val got = Dedup.snapshotDiff(old, neu).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("s1", "unchanged", 1L),
+      ("s2", "changed", 2L)))
+  }
+
   test("minhashDecontamination flags test→train copies, nothing else") {
     // the split is a pure function of doc_id: read it back, then plant
     // an exact copy across test→train (must be flagged), another across

@@ -634,17 +634,21 @@ class SinksSpec extends SparkSpec {
       rows.toDF("doc_id", "source", "n_tokens", "text_clean")
     Sinks.publishTrainingBuild(rel(Seq(
       (1L, "s0", 3L, "a b c"), (2L, "s0", 2L, "d e"),
-      (3L, "s1", 1L, "f"))), table, Map("rel" -> "1"))       // v-1
+      (3L, "s1", 1L, "f"), (5L, "s0", 2L, "m m"))), table,
+      Map("rel" -> "1"))                                     // v-1
     Sinks.publishTrainingBuild(rel(Seq(
       (2L, "s0", 2L, "d CHANGED"), (3L, "s1", 1L, "f"),
-      (4L, "s1", 4L, "new doc here now"))), table, Map("rel" -> "2")) // v-2
+      (4L, "s1", 4L, "new doc here now"),
+      (5L, "s1", 2L, "m m"))), table, Map("rel" -> "2"))     // v-2
     val got = Sinks.releaseDiff(spark, table, 1L, 2L).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    // s0: doc 1 removed, doc 2 changed; s1: doc 3 unchanged, doc 4 added
+    // s0: doc 1 removed, doc 2 changed; s1: doc 3 unchanged, doc 4
+    // added, doc 5 MOVED s0→s1 with identical text — changed at the
+    // NEW source (the silent-rewrite audit)
     assert(got === Map(
       "s0" -> ((0L, 1L, 1L, 0L)),
-      "s1" -> ((1L, 0L, 0L, 1L))))
+      "s1" -> ((1L, 0L, 1L, 1L))))
   }
 
   test("writeShards over trainingDataBuild: the one-call build's logical " +
