@@ -540,6 +540,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), "one scan, no joins:\n" + p)
   }
 
+  test("n108: the selection is a distributed TakeOrdered top-k — no " +
+    "corpus-wide single-partition sort or window") {
+    val p = plan("n108_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      "Gumbel top-k must plan as distributed TakeOrdered:\n" + p)
+  }
+
   test("n105/n106: no joins beyond the audited upstream shapes — the " +
     "histogram is two combinable aggregates, the island scan one " +
     "per-doc window") {
