@@ -2071,7 +2071,7 @@ object Queries {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT least(CAST(floor(j * 20) AS BIGINT), 19) AS bucket,
         |  count(*) AS n_pairs
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+        |FROM p GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
 
     // Cosine BACKGROUND distribution — n100's embedding twin: the null
     // distribution semantic-dedup / semantic-decontamination τ (n46/
@@ -2107,7 +2107,8 @@ object Queries {
         |    round(CAST(sum(CAST(v AS decimal(18,6))) AS double) / count(*), 6) AS cv
         |  FROM u GROUP BY pos),
         |gcent AS (SELECT list(cv ORDER BY pos) AS gemb FROM gc),
-        |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+        |n AS (SELECT label, count(*) AS n_vecs FROM e
+        |  WHERE emb IS NOT NULL GROUP BY label)
         |SELECT cent.label AS label, n.n_vecs AS n_vecs,
         |  ${cosSql("cent.cemb", "gcent.gemb")} AS cos_corpus
         |FROM cent JOIN n USING (label) CROSS JOIN gcent

@@ -593,7 +593,11 @@ object Similarity {
     * corpus mean is a cluster the mix under- or over-represents, or a
     * batch of off-distribution vectors. Output: (label, n_vecs,
     * cos_corpus), null-guarded like every cosine here (a degenerate
-    * all-zero centroid scores NULL, never crashes).
+    * all-zero centroid scores NULL, never crashes). `n_vecs` counts the
+    * centroid's SUPPORT — rows with a non-null embedding, exactly the
+    * rows the posexplode average saw — so a label mixing null and
+    * non-null embeddings can't overstate how many vectors back its
+    * centroid.
     *
     * Scale shape: both centroids come from ONE posexplode aggregate
     * shape with map-side partials (exchange carries ~labels × dims, the
@@ -610,7 +614,8 @@ object Similarity {
       .select(col("grp").as("label"), col("cemb"))
     val corpus = groupCentroids(e, lit("all"))
       .select(col("cemb").as("gemb"))
-    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val counts = e.filter(col("emb").isNotNull)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
     perLabel.join(counts, Seq("label"))
       .crossJoin(broadcast(corpus))
       .select(col("label"), col("n_vecs"),

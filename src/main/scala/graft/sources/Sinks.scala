@@ -345,19 +345,32 @@ object Sinks {
     * changed at the new source; presence comes from the source column,
     * so a null cleaned text never reads as an absent row.
     *
+    * Reconciliation contract (per source `s`):
+    *   rows_vB(s) = n_added + n_changed + n_unchanged
+    *   rows_vA(s) = n_removed + n_unchanged + (n_changed − n_moved_in)
+    *                + n_moved_away
+    * — `n_moved_in` counts the subset of `n_changed` that ARRIVED from
+    * another source, and `n_moved_away` counts docs this source LOST to
+    * a move (they appear nowhere else in its row — without this column
+    * a source quietly drained by re-attribution reads clean). A source
+    * whose every doc moved away still gets a row (all-zero except
+    * n_moved_away).
+    *
     * Scale shape: each side reduces to (doc_id, source, md5) before the
-    * ONE full-outer doc_id join — the text never joins; the roll-up is a
-    * sources-sized aggregate.
+    * ONE full-outer doc_id join — the text never joins; the move columns
+    * ride an inner join of the SAME two id+source projections; every
+    * roll-up is a sources-sized aggregate.
     */
   def releaseDiff(spark: org.apache.spark.sql.SparkSession, table: String,
                   vA: Long, vB: Long): DataFrame = {
     // ONE definition of diff semantics: graft.ops.Dedup.snapshotDiff
     // (n50's oracled operator) — presence from the source column, a
     // source MOVE counts as changed at the NEW source, null-safe hash
-    // compare. This is just readVersion → snapshotDiff → a wide pivot.
+    // compare. This is readVersion → snapshotDiff → a wide pivot, plus
+    // the two move columns derived from the same side frames.
     def side(v: Long) = Versioned.readVersion(spark, table, v)
       .select(col("doc_id"), col("source"), col("text_clean").as("text"))
-    graft.ops.Dedup.snapshotDiff(side(vA), side(vB))
+    val pivot = graft.ops.Dedup.snapshotDiff(side(vA), side(vB))
       .groupBy(col("source"))
       .agg(
         coalesce(sum(when(col("status") === "added", col("n_docs"))),
@@ -368,6 +381,22 @@ object Sinks {
           lit(0L)).as("n_changed"),
         coalesce(sum(when(col("status") === "unchanged", col("n_docs"))),
           lit(0L)).as("n_unchanged"))
+    val moved = side(vA).select(col("doc_id"), col("source").as("osource"))
+      .join(side(vB).select(col("doc_id"), col("source").as("nsource")),
+        Seq("doc_id"))
+      .filter(!(col("osource") <=> col("nsource")))
+    val movedIn = moved.groupBy(col("nsource").as("source"))
+      .agg(count(lit(1)).as("n_moved_in"))
+    val movedAway = moved.groupBy(col("osource").as("source"))
+      .agg(count(lit(1)).as("n_moved_away"))
+    // full outer on moved_away: a source that lost ALL its docs to moves
+    // has no pivot row at all — it must still surface here
+    pivot.join(movedIn, Seq("source"), "left_outer")
+      .join(movedAway, Seq("source"), "full_outer")
+      .select(col("source") +:
+        Seq("n_added", "n_removed", "n_changed", "n_unchanged",
+          "n_moved_in", "n_moved_away")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy(col("source"))
   }
 

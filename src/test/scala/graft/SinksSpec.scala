@@ -627,28 +627,45 @@ class SinksSpec extends SparkSpec {
       Sinks.Versioned.readVersion(spark, table, 2L).count())
   }
 
-  test("releaseDiff: per-source added/removed/changed/unchanged between " +
-    "two pinned releases") {
+  test("releaseDiff: per-source added/removed/changed/unchanged plus " +
+    "moved_in/moved_away between two pinned releases — per-source " +
+    "deltas reconcile") {
     val table = Files.createTempDirectory("graft_reldiff").toString + "/ds"
     def rel(rows: Seq[(Long, String, Long, String)]) =
       rows.toDF("doc_id", "source", "n_tokens", "text_clean")
-    Sinks.publishTrainingBuild(rel(Seq(
+    val v1 = Seq(
       (1L, "s0", 3L, "a b c"), (2L, "s0", 2L, "d e"),
-      (3L, "s1", 1L, "f"), (5L, "s0", 2L, "m m"))), table,
-      Map("rel" -> "1"))                                     // v-1
-    Sinks.publishTrainingBuild(rel(Seq(
+      (3L, "s1", 1L, "f"), (5L, "s0", 2L, "m m"),
+      (6L, "s2", 3L, "z z z"))
+    val v2 = Seq(
       (2L, "s0", 2L, "d CHANGED"), (3L, "s1", 1L, "f"),
       (4L, "s1", 4L, "new doc here now"),
-      (5L, "s1", 2L, "m m"))), table, Map("rel" -> "2"))     // v-2
+      (5L, "s1", 2L, "m m"), (6L, "s0", 3L, "z z z"))
+    Sinks.publishTrainingBuild(rel(v1), table, Map("rel" -> "1")) // v-1
+    Sinks.publishTrainingBuild(rel(v2), table, Map("rel" -> "2")) // v-2
     val got = Sinks.releaseDiff(spark, table, 1L, 2L).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    // s0: doc 1 removed, doc 2 changed; s1: doc 3 unchanged, doc 4
-    // added, doc 5 MOVED s0→s1 with identical text — changed at the
-    // NEW source (the silent-rewrite audit)
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // s0: doc 1 removed, doc 2 changed in place, doc 6 moved IN from
+    // s2 (changed at the new source), doc 5 moved AWAY to s1.
+    // s1: doc 3 unchanged, doc 4 added, doc 5 moved in (changed).
+    // s2 lost its ONLY doc to a move — it still gets a row, all-zero
+    // except n_moved_away (the silently-drained-source audit).
     assert(got === Map(
-      "s0" -> ((0L, 1L, 1L, 0L)),
-      "s1" -> ((1L, 0L, 1L, 1L))))
+      "s0" -> ((0L, 1L, 2L, 0L, 1L, 1L)),
+      "s1" -> ((1L, 0L, 1L, 1L, 1L, 0L)),
+      "s2" -> ((0L, 0L, 0L, 0L, 0L, 1L))))
+    // reconciliation contract from the Scaladoc, checked per source:
+    //   rows_vB = added + changed + unchanged
+    //   rows_vA = removed + unchanged + (changed − moved_in) + moved_away
+    val sources = (v1.map(_._2) ++ v2.map(_._2)).distinct
+    sources.foreach { s =>
+      val (na, nr, nc, nu, nmi, nma) = got(s)
+      assert(v2.count(_._2 == s).toLong === na + nc + nu, s"vB rows $s")
+      assert(v1.count(_._2 == s).toLong === nr + nu + (nc - nmi) + nma,
+        s"vA rows $s")
+    }
   }
 
   test("writeShards over trainingDataBuild: the one-call build's logical " +
