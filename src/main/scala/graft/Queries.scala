@@ -143,6 +143,42 @@ object Queries {
       |WHERE tk.split = 'train'
       |GROUP BY doc_id)""".stripMargin
 
+  /** [[DsirWeightCtes]] with the DSIR paper's HASHED feature map
+    * (token → md5 bucket mod 10⁴, salt `dsirh|`) — the production
+    * model whose frame is fixed-size at any corpus vocabulary. Shared
+    * by the n109 weights oracle and the n111 selection oracle.
+    */
+  private lazy val DsirHashedWeightCtes =
+    """sp AS (
+      |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |    ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+      |    FROM documents)),
+      |tk AS (SELECT d.doc_id, s.split, unnest(string_split(text, ' ')) AS w
+      |  FROM documents d JOIN sp s USING (doc_id)),
+      |th AS (SELECT doc_id, split,
+      |  ('0x' || substring(md5('dsirh|' || w), 1, 8))::bigint % 10000 AS h
+      |  FROM tk),
+      |c AS (SELECT h,
+      |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      |  FROM th GROUP BY h),
+      |k AS (SELECT count(*) AS vsize, CAST(sum(ct) AS BIGINT) AS nt,
+      |  CAST(sum(cr) AS BIGINT) AS nr FROM c),
+      |dsw AS (SELECT doc_id, count(*) AS n_tokens,
+      |  round(CAST(sum(CAST(
+      |      ln((c.ct + 1)::double / (k.nt + k.vsize))
+      |      - ln((c.cr + 1)::double / (k.nr + k.vsize))
+      |    AS decimal(18,9))) AS double) / count(*), 6) AS dsir_weight,
+      |  round(CAST(sum(CAST(
+      |      ln((c.ct + 1)::double / (k.nt + k.vsize))
+      |      - ln((c.cr + 1)::double / (k.nr + k.vsize))
+      |    AS decimal(18,9))) AS double), 6) AS total_lw
+      |FROM th JOIN c USING (h) CROSS JOIN k
+      |WHERE th.split = 'train'
+      |GROUP BY doc_id)""".stripMargin
+
   /** CTE chain ending at `cc(doc_id, split, n_tokens, n_removed,
     * text_clean)` — the cleaned-corpus survivor table (normalize →
     * exact-dup keeper → boilerplate trim → quality gate). Shared by the
@@ -2392,6 +2428,35 @@ object Queries {
         |  doc_id, n_tokens, dsir_weight, sel_key
         |FROM sel ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin)),
 
+    // PRODUCTION DSIR weights — the paper's hashed-feature model
+    // (tokens → 10⁴ md5 buckets): the model frame is FIXED-SIZE at any
+    // corpus vocabulary, so its broadcast can never outgrow an
+    // executor. n73 stays as the exact-vocabulary oracle anchor;
+    // TextAnalysisSpec pins rank agreement between the two.
+    ("n109_dsir_weights_hashed",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.dsirWeightsHashed(docs(s, d)),
+      Some(s"""WITH $DsirHashedWeightCtes
+        |SELECT doc_id, n_tokens, dsir_weight FROM dsw
+        |ORDER BY doc_id""".stripMargin)),
+
+    // n108's production twin: the same deterministic Gumbel top-k
+    // ranking the HASHED-model weights (n109) — the selection a
+    // 100 TB run executes; shares n109's CTE chain so it provably
+    // ranks the weights n109 verifies.
+    ("n111_dsir_select_hashed",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.dsirSelectHashed(docs(s, d), 50),
+      Some(s"""WITH $DsirHashedWeightCtes,
+        |sel AS (SELECT doc_id, n_tokens, dsir_weight,
+        |    round(total_lw
+        |      + -ln(-ln((('0x' || substring(md5('dsir|' || doc_id::varchar), 1, 8))::bigint
+        |        % 1000000 + 0.5) / 1000000.0)), 6) AS sel_key
+        |  FROM dsw)
+        |SELECT row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rank,
+        |  doc_id, n_tokens, dsir_weight, sel_key
+        |FROM sel ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin)),
+
     // Quality-classifier distillation + calibration: NB unigram
     // log-odds fit to the n22 rule gate (the TEACHER, predicate
     // verbatim) on train, swept over a fixed threshold grid on the
@@ -2429,6 +2494,67 @@ object Queries {
         |    AS decimal(18,9))) AS double) / count(*), 6) AS score
         |  FROM tk JOIN c USING (w) CROSS JOIN k
         |  WHERE tk.split = 'val' GROUP BY doc_id, label),
+        |g AS (SELECT t::DOUBLE AS threshold FROM (SELECT
+        |  unnest([-0.30, -0.25, -0.20, -0.15, -0.10, -0.05, 0.0,
+        |    0.05, 0.10, 0.15, 0.20, 0.25, 0.30]) AS t)),
+        |r AS (SELECT threshold, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pred_pos,
+        |  CAST(sum(CASE WHEN score >= threshold AND label = 1 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN score >= threshold AND label = 0 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN score < threshold AND label = 1 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS fn
+        |  FROM sc CROSS JOIN g GROUP BY threshold)
+        |SELECT threshold, n_docs, n_pred_pos, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |    ELSE round(tp::double / (tp + fp), 6) END AS prec,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |    ELSE round(tp::double / (tp + fn), 6) END AS rec,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |    ELSE round(2 * tp::double / (2 * tp + fp + fn), 6) END AS f1
+        |FROM r ORDER BY threshold""".stripMargin)),
+
+    // n84's PRODUCTION twin — the NB model over HASHED features
+    // (tokens → 10⁴ md5 buckets, the n109 move): fixed-size model,
+    // broadcast-safe at any corpus vocabulary; teacher predicate and
+    // everything after the feature map verbatim from n84's machinery.
+    ("n110_quality_classifier_hashed",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.qualityClassifierCalibrationHashed(docs(s, d)),
+      Some(s"""WITH sp AS (
+        |  SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |    FROM documents)),
+        |base AS (SELECT d.doc_id, s.split, string_split(d.text, ' ') AS ws
+        |  FROM documents d JOIN sp s USING (doc_id)),
+        |lab AS (SELECT doc_id, split, ws,
+        |  CASE WHEN len(ws) >= 30 AND
+        |    round(len(list_filter(ws, x -> x IN $Stop))::double / len(ws), 6)
+        |      <= 0.3 THEN 1 ELSE 0 END AS label
+        |  FROM base),
+        |tk AS (SELECT doc_id, split, label, unnest(ws) AS w FROM lab),
+        |th AS (SELECT doc_id, split, label,
+        |  ('0x' || substring(md5('dsirh|' || w), 1, 8))::bigint % 10000 AS h
+        |  FROM tk),
+        |c AS (SELECT h,
+        |  CAST(sum(CASE WHEN split = 'train' AND label = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cp,
+        |  CAST(sum(CASE WHEN split = 'train' AND label = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cn
+        |  FROM th GROUP BY h),
+        |k AS (SELECT count(*) AS vsize, CAST(sum(cp) AS BIGINT) AS np,
+        |  CAST(sum(cn) AS BIGINT) AS nn FROM c),
+        |sc AS (SELECT doc_id, label,
+        |  round(CAST(sum(CAST(
+        |      ln((c.cp + 1)::double / (k.np + k.vsize))
+        |      - ln((c.cn + 1)::double / (k.nn + k.vsize))
+        |    AS decimal(18,9))) AS double) / count(*), 6) AS score
+        |  FROM th JOIN c USING (h) CROSS JOIN k
+        |  WHERE th.split = 'val' GROUP BY doc_id, label),
         |g AS (SELECT t::DOUBLE AS threshold FROM (SELECT
         |  unnest([-0.30, -0.25, -0.20, -0.15, -0.10, -0.05, 0.0,
         |    0.05, 0.10, 0.15, 0.20, 0.25, 0.30]) AS t)),

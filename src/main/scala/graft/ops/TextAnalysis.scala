@@ -1404,20 +1404,83 @@ object TextAnalysis {
     * at the k boundary); summing the decimal terms once yields both
     * surfaces exactly.
     */
-  private def dsirWeightsFull(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), splitCol.as("split"),
-      explode(words(col("text"))).as("w"))
-    // vocabulary-sized: one row per corpus word, target + raw counts
-    val model = toks.groupBy(col("w")).agg(
+  private def dsirWeightsFull(docs: DataFrame): DataFrame =
+    dsirCore(docs.select(col("doc_id"), splitCol.as("split"),
+      explode(words(col("text"))).as("f")))
+
+  /** Number of hash buckets the PRODUCTION DSIR model lives in — the
+    * paper's own order (Xie et al. 2023 use 10⁴ hashed buckets). Fixed
+    * at build time, so the model frame is ≤ this many rows whatever the
+    * corpus vocabulary.
+    */
+  val DsirHashBuckets = 10000
+
+  /** PRODUCTION form of [[dsirWeights]] — the DSIR paper's own
+    * hashed-feature model (Xie et al. 2023 §3 hash n-gram features
+    * into a fixed 10⁴-bucket table): every token maps to
+    * `hash(token) mod buckets`, and BOTH unigram LMs are estimated over
+    * bucket counts. The model frame is **fixed-size by construction**
+    * (≤ `buckets` rows at ANY corpus scale), so the forced
+    * `broadcast()` in the scoring join is always safe — unlike the
+    * exact-vocabulary anchor [[dsirWeights]], whose model grows with
+    * the corpus vocabulary (10⁸–10⁹ rows on a web corpus) and exists as
+    * the oracle ANCHOR, not the 100 TB path (the n93/n94 anchor-vs-
+    * production pattern). Hash = the [[saltedBucket]] md5 bucket (own
+    * salt), so both engines and the oracle bucket identically.
+    *
+    * Collisions fold rare features together (the paper's trade); with
+    * 10⁴ buckets and fixture-sized vocabularies agreement with the
+    * exact anchor is near-total — TextAnalysisSpec pins rank agreement
+    * on the fixtures.
+    *
+    * Scale shape: identical join/aggregate skeleton to the anchor, but
+    * the broadcast payload is capped at `buckets` rows — the scoring
+    * pass is map-side at any corpus size; the one corpus-keyed shuffle
+    * is the per-doc decimal-partial aggregate.
+    */
+  def dsirWeightsHashed(docs: DataFrame,
+                        buckets: Int = DsirHashBuckets): DataFrame =
+    dsirWeightsHashedFull(docs, buckets)
+      .select(col("doc_id"), col("n_tokens"), col("dsir_weight"))
+      .orderBy(col("doc_id"))
+
+  /** [[dsirWeightsHashed]] with `total_lw` carried exactly — the
+    * composable form [[dsirSelectHashed]] consumes (same reason as
+    * [[dsirWeightsFull]]).
+    */
+  private def dsirWeightsHashedFull(docs: DataFrame,
+                                    buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    dsirCore(docs
+      .select(col("doc_id"), splitCol.as("split"),
+        explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), col("split"),
+        saltedBucket("dsirh|", col("w"), buckets.toLong).as("f")))
+  }
+
+  /** Shared DSIR estimator core over a (doc_id, split, f) token stream —
+    * `f` is the FEATURE (the raw word for the exact-vocabulary anchor,
+    * the hashed bucket for the production form); everything downstream
+    * of the feature map is ONE definition, so the two forms can never
+    * drift in smoothing, decimal discipline, or output surface.
+    *
+    * The model broadcast is safe for the hashed caller by construction
+    * (fixed bucket count); for the exact anchor it is the audited
+    * oracle-scale shape — at true corpus scale the hashed form IS the
+    * path ([[dsirWeightsHashed]] Scaladoc).
+    */
+  private def dsirCore(toks: DataFrame): DataFrame = {
+    // one row per distinct feature: target + raw counts
+    val model = toks.groupBy(col("f")).agg(
       sum(when(col("split") === "val", 1L).otherwise(0L)).as("ct"),
       sum(when(col("split") === "train", 1L).otherwise(0L)).as("cr"))
     // the smoothing constants as DATA (1-row broadcast, lazy end-to-end):
-    // vsize counts the FULL corpus vocabulary — including test-only words
-    // — so the two smoothed denominators share one support
+    // vsize counts the FULL feature support — including test-only
+    // features — so the two smoothed denominators share one support
     val consts = model.agg(count(lit(1)).as("vsize"),
       sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     toks.filter(col("split") === "train")
-      .join(broadcast(model), Seq("w"))
+      .join(broadcast(model), Seq("f"))
       .crossJoin(broadcast(consts))
       .select(col("doc_id"),
         (log((col("ct") + 1).cast("double") / (col("nt") + col("vsize"))) -
@@ -1448,14 +1511,32 @@ object TextAnalysis {
     * the rank window runs AFTER the limit, over k rows, never the
     * corpus.
     */
-  def dsirSelect(docs: DataFrame, k: Int): DataFrame = {
+  def dsirSelect(docs: DataFrame, k: Int): DataFrame =
+    gumbelTopK(dsirWeightsFull(docs), k)
+
+  /** [[dsirSelect]] over the PRODUCTION hashed-feature weights
+    * ([[dsirWeightsHashed]]) — the same deterministic Gumbel top-k
+    * machinery (ONE definition, [[gumbelTopK]]) ranking the
+    * broadcast-safe model's scores; the form a 100 TB selection
+    * actually runs.
+    */
+  def dsirSelectHashed(docs: DataFrame, k: Int,
+                       buckets: Int = DsirHashBuckets): DataFrame =
+    gumbelTopK(dsirWeightsHashedFull(docs, buckets), k)
+
+  /** The Gumbel top-k selection step shared by [[dsirSelect]] and
+    * [[dsirSelectHashed]]: key = total_lw + a deterministic salted-md5
+    * Gumbel draw, take the k largest — a distributed TakeOrdered, with
+    * the rank window running AFTER the limit over k rows only.
+    */
+  private def gumbelTopK(scored: DataFrame, k: Int): DataFrame = {
     val u = (saltedBucket("dsir|", col("doc_id"), 1000000L) + lit(0.5)) /
       lit(1000000.0)
-    val scored = dsirWeightsFull(docs)
+    val keyed = scored
       .withColumn("sel_key", round(col("total_lw") + -log(-log(u)), 6))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("sel_key").desc, col("doc_id"))
-    scored.orderBy(col("sel_key").desc, col("doc_id")).limit(k)
+    keyed.orderBy(col("sel_key").desc, col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("doc_id"), col("n_tokens"),
         col("dsir_weight"), col("sel_key"))
@@ -1492,21 +1573,52 @@ object TextAnalysis {
     * into a threshold-keyed tiny aggregate. Nothing here grows with the
     * corpus except the two map-side passes.
     */
-  def qualityClassifierCalibration(docs: DataFrame): DataFrame = {
+  def qualityClassifierCalibration(docs: DataFrame): DataFrame =
+    nbCalibrationCore(qcLabeledToks(docs).withColumnRenamed("w", "f"))
+
+  /** PRODUCTION form of [[qualityClassifierCalibration]] — the same
+    * hashed-feature move as [[dsirWeightsHashed]]: the NB model is
+    * estimated over `hash(token) mod buckets` counts, so the model
+    * frame is fixed-size (≤ `buckets` rows at ANY corpus vocabulary)
+    * and its forced broadcast is always safe. The exact-vocabulary
+    * form stays as the oracle anchor; everything after the feature map
+    * is [[nbCalibrationCore]] verbatim, so the two can't drift.
+    */
+  def qualityClassifierCalibrationHashed(
+      docs: DataFrame, buckets: Int = DsirHashBuckets): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    nbCalibrationCore(qcLabeledToks(docs)
+      .select(col("doc_id"), col("split"), col("label"),
+        saltedBucket("dsirh|", col("w"), buckets.toLong).as("f")))
+  }
+
+  /** The teacher-labeled token stream both calibration forms start
+    * from: the n22 rule gate (n_words/stop_ratio predicate, verbatim)
+    * labels each doc, then tokens explode with (doc_id, split, label).
+    */
+  private def qcLabeledToks(docs: DataFrame): DataFrame = {
     val stopRatio = round(
       size(filter(col("ws"), w => w.isin(Stopwords: _*))).cast("double") /
         size(col("ws")), 6)
-    val base = docs
+    docs
       .select(col("doc_id"), splitCol.as("split"), words(col("text")).as("ws"))
       .select(col("doc_id"), col("split"), col("ws"),
         size(col("ws")).as("n_words"), stopRatio.as("stop_ratio"))
       .withColumn("label",
         (col("n_words") >= 30 && col("stop_ratio") <= 0.3).cast("int"))
-    val toks = base.select(col("doc_id"), col("split"), col("label"),
-      explode(col("ws")).as("w"))
-    // vocabulary-sized: per-word occurrence counts in positive/negative
-    // TRAIN docs (val words still contribute vocabulary support rows)
-    val model = toks.groupBy(col("w")).agg(
+      .select(col("doc_id"), col("split"), col("label"),
+        explode(col("ws")).as("w"))
+  }
+
+  /** Shared NB fit + threshold sweep over a (doc_id, split, label, f)
+    * token stream — `f` is the feature (raw word for the anchor, hashed
+    * bucket for production); ONE definition of smoothing, decimal
+    * scoring, grid, and confusion counts for both forms.
+    */
+  private def nbCalibrationCore(toks: DataFrame): DataFrame = {
+    // per-feature occurrence counts in positive/negative TRAIN docs
+    // (val features still contribute support rows)
+    val model = toks.groupBy(col("f")).agg(
       sum(when(col("split") === "train" && col("label") === 1, 1L)
         .otherwise(0L)).as("cp"),
       sum(when(col("split") === "train" && col("label") === 0, 1L)
@@ -1514,7 +1626,7 @@ object TextAnalysis {
     val consts = model.agg(count(lit(1)).as("vsize"),
       sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
     val scored = toks.filter(col("split") === "val")
-      .join(broadcast(model), Seq("w"))
+      .join(broadcast(model), Seq("f"))
       .crossJoin(broadcast(consts))
       .select(col("doc_id"), col("label"),
         (log((col("cp") + 1).cast("double") / (col("np") + col("vsize"))) -
@@ -1523,7 +1635,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("label"))
       .agg(round(sum(col("term")).cast("double") / count(lit(1)), 6)
         .as("score"))
-    val spark = docs.sparkSession
+    val spark = toks.sparkSession
     import spark.implicits._
     val grid = (-6 to 6).map(i => (BigDecimal(i) * BigDecimal("0.05")).toDouble)
       .toDF("threshold")

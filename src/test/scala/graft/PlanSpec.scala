@@ -547,6 +547,31 @@ class PlanSpec extends SparkSpec {
       "Gumbel top-k must plan as distributed TakeOrdered:\n" + p)
   }
 
+  test("n109/n110: the HASHED models broadcast (safe by construction — " +
+    "bucket-bounded) and the token stream never sort-merge-joins") {
+    val p9 = plan("n109_dsir_weights_hashed")
+    assert(p9.contains("BroadcastHashJoin"),
+      "the fixed-size hashed model must broadcast:\n" + p9)
+    assert(p9.contains("BroadcastNestedLoopJoin"),
+      "(vsize, nt, nr) must arrive as a broadcast 1-row aggregate:\n" + p9)
+    assert(!p9.contains("SortMergeJoin"),
+      "nothing here justifies a sort-merge join:\n" + p9)
+    val p10 = plan("n110_quality_classifier_hashed")
+    assert(p10.contains("BroadcastHashJoin"),
+      "the fixed-size hashed NB model must broadcast:\n" + p10)
+    assert(!p10.contains("SortMergeJoin"),
+      "nothing here justifies a sort-merge join:\n" + p10)
+  }
+
+  test("n111: the hashed selection keeps n108's distributed TakeOrdered " +
+    "top-k shape") {
+    val p = plan("n111_dsir_select_hashed")
+    assert(p.contains("TakeOrderedAndProject"),
+      "Gumbel top-k must plan as distributed TakeOrdered:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the hashed model must broadcast beneath the top-k:\n" + p)
+  }
+
   test("n105/n106: no joins beyond the audited upstream shapes — the " +
     "histogram is two combinable aggregates, the island scan one " +
     "per-doc window") {

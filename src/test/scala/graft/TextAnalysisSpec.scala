@@ -791,6 +791,63 @@ class TextAnalysisSpec extends SparkSpec {
       s"q-docs must outscore z-docs: q=${qW.toSet} z=${zW.toSet}")
   }
 
+  test("dsirWeightsHashed: rank agreement with the exact-vocabulary " +
+    "anchor on the fixtures — the model frame is bucket-bounded") {
+    // fixture vocabularies are tiny vs 10⁴ buckets, so hash collisions
+    // are absent-or-rare and the hashed model must reproduce the
+    // anchor's RANKING of train docs (the selection surface that
+    // matters); exact weight values may differ only via collisions
+    val docs = (1L to 120L)
+      .map(i => (i, s"w${i % 11} w${(i + 3) % 13} w${i % 7} common text"))
+      .toDF("doc_id", "text")
+    val exact = TextAnalysis.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+    val hashed = TextAnalysis.dsirWeightsHashed(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+    assert(exact.map(_._1).toSeq === hashed.map(_._1).toSeq,
+      "both forms must score the same train docs")
+    // Spearman rank agreement ≥ 0.99 (ties broken by doc_id on both)
+    def ranks(xs: Array[(Long, Double)]): Map[Long, Int] =
+      xs.sortBy { case (id, w) => (-w, id) }.zipWithIndex
+        .map { case ((id, _), r) => id -> r }.toMap
+    val re = ranks(exact); val rh = ranks(hashed)
+    val n = re.size.toDouble
+    val d2 = re.map { case (id, r) => math.pow(r - rh(id), 2) }.sum
+    val spearman = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    assert(spearman >= 0.99,
+      s"hashed model must preserve the anchor's ranking: rho=$spearman")
+    // the production contract: the model is bucket-bounded whatever the
+    // corpus — a 3-bucket model still runs (collisions fold features)
+    val tiny = TextAnalysis.dsirWeightsHashed(docs, buckets = 3).collect()
+    assert(tiny.length === exact.length)
+    // and the selection twin ranks the hashed weights deterministically
+    val sel1 = TextAnalysis.dsirSelectHashed(docs, 10).collect().toSeq
+    val sel2 = TextAnalysis.dsirSelectHashed(docs, 10).collect().toSeq
+    assert(sel1 === sel2 && sel1.size === 10)
+  }
+
+  test("qualityClassifierCalibrationHashed: same calibration curve as " +
+    "the anchor on a collision-free fixture") {
+    // with disjoint tiny vocabularies and 10⁴ buckets the hashed model
+    // is the anchor's model under a renamed feature axis — the sweep
+    // output must be IDENTICAL row for row
+    val ids = (1L to 120L)
+    val splits = TextAnalysis
+      .splitAssignment(ids.map((_, "x")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val docs = ids.map { i =>
+      val good = "alpha beta gamma delta " * 10 // 40 words, no stopwords→label drivers
+      val bad = "the of and " * 4               // 12 words, short + stoppy
+      (i, if (i % 2 == 0) good.trim else bad.trim)
+    }.toDF("doc_id", "text")
+    assert(ids.exists(i => splits(i) == "val"), "fixture must land val docs")
+    val anchor = TextAnalysis.qualityClassifierCalibration(docs).collect()
+    val hashed = TextAnalysis.qualityClassifierCalibrationHashed(docs)
+      .collect()
+    assert(anchor.map(_.toSeq).toSeq === hashed.map(_.toSeq).toSeq)
+  }
+
   test("qualityClassifierCalibration: disjoint-vocab classes separate " +
     "perfectly at threshold 0; counts and monotonicity hold") {
     // the split is a pure function of doc_id — read it back first, then
