@@ -143,6 +143,38 @@ object Queries {
       |WHERE tk.split = 'train'
       |GROUP BY doc_id)""".stripMargin
 
+  /** The source-leakage-matrix oracle, shared VERBATIM by n98 (pair
+    * side broadcast) and n112 (pair side shuffled) — the two forms are
+    * one [[graft.ops.Dedup]] core under different exchange strategies,
+    * so one oracle proves both.
+    */
+  private lazy val SourceLeakageOracle =
+    s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+      |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+      |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |v AS (SELECT doc_a, doc_b
+      |  FROM pairs JOIN w wa ON doc_a = wa.doc_id JOIN w wb ON doc_b = wb.doc_id
+      |  WHERE round(len(list_intersect(wa.ws, wb.ws))::double
+      |    / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.3),
+      |lab AS (SELECT least(da.source, db.source) AS source_a,
+      |    greatest(da.source, db.source) AS source_b
+      |  FROM v JOIN documents da ON v.doc_a = da.doc_id
+      |    JOIN documents db ON v.doc_b = db.doc_id),
+      |m AS (SELECT source_a, source_b, count(*) AS n_pairs
+      |  FROM lab GROUP BY 1, 2),
+      |sz AS (SELECT source, count(*) AS n FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3 GROUP BY 1)
+      |SELECT m.source_a AS source_a, m.source_b AS source_b,
+      |  m.n_pairs AS n_pairs,
+      |  CASE WHEN m.source_a = m.source_b THEN (a.n * (a.n - 1)) // 2
+      |    ELSE a.n * b.n END AS n_possible,
+      |  round(m.n_pairs::double / (CASE WHEN m.source_a = m.source_b
+      |    THEN (a.n * (a.n - 1)) // 2 ELSE a.n * b.n END), 9) AS dup_rate
+      |FROM m JOIN sz a ON m.source_a = a.source JOIN sz b ON m.source_b = b.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** [[DsirWeightCtes]] with the DSIR paper's HASHED feature map
     * (token → md5 bucket mod 10⁴, salt `dsirh|`) — the production
     * model whose frame is fixed-size at any corpus vocabulary. Shared
@@ -1259,31 +1291,17 @@ object Queries {
     // (source, source) cell with denominators and duplication rates.
     ("n98_source_leakage_matrix",
       (s: SparkSession, d: String) => Dedup.sourceLeakageMatrix(docs(s, d)),
-      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
-        |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
-        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
-        |v AS (SELECT doc_a, doc_b
-        |  FROM pairs JOIN w wa ON doc_a = wa.doc_id JOIN w wb ON doc_b = wb.doc_id
-        |  WHERE round(len(list_intersect(wa.ws, wb.ws))::double
-        |    / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.3),
-        |lab AS (SELECT least(da.source, db.source) AS source_a,
-        |    greatest(da.source, db.source) AS source_b
-        |  FROM v JOIN documents da ON v.doc_a = da.doc_id
-        |    JOIN documents db ON v.doc_b = db.doc_id),
-        |m AS (SELECT source_a, source_b, count(*) AS n_pairs
-        |  FROM lab GROUP BY 1, 2),
-        |sz AS (SELECT source, count(*) AS n FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3 GROUP BY 1)
-        |SELECT m.source_a AS source_a, m.source_b AS source_b,
-        |  m.n_pairs AS n_pairs,
-        |  CASE WHEN m.source_a = m.source_b THEN (a.n * (a.n - 1)) // 2
-        |    ELSE a.n * b.n END AS n_possible,
-        |  round(m.n_pairs::double / (CASE WHEN m.source_a = m.source_b
-        |    THEN (a.n * (a.n - 1)) // 2 ELSE a.n * b.n END), 9) AS dup_rate
-        |FROM m JOIN sz a ON m.source_a = a.source JOIN sz b ON m.source_b = b.source
-        |ORDER BY source_a, source_b""".stripMargin)),
+      Some(SourceLeakageOracle)),
+
+    // n98's broadcast-outgrow fallback, proven against n98's oracle
+    // VERBATIM (the n91-vs-n90 move): the pair-labeling joins run
+    // hint-free — the path a corpus whose verified pair set outgrows
+    // an executor broadcast must take; sourceLeakageMatrixAuto picks
+    // between the two from the measured pair count.
+    ("n112_source_leakage_shuffle",
+      (s: SparkSession, d: String) =>
+        Dedup.sourceLeakageMatrixShuffle(docs(s, d)),
+      Some(SourceLeakageOracle)),
 
     // LSH tuning harness: precision/recall of the band-collision
     // candidate set vs exact shingle-Jaccard ground truth on a bounded

@@ -297,20 +297,73 @@ object Dedup {
     * Unlike the split ([[splitLeakageMatrix]]), source is DATA, not a
     * function of the id — so the pair labeling is two joins of the
     * verified pairs against the (doc_id, source) projection. The pairs
-    * side is near-dup-bounded and broadcast here (the bench shape); on
-    * a corpus where verified pairs outgrow a broadcast, drop the hints
-    * and the same plan becomes a digest-sized shuffle join — the
-    * (doc_id, source) projection is 16 bytes a row either way, never
+    * side is near-dup-bounded and broadcast here (the bench/oracle
+    * shape); [[sourceLeakageMatrixShuffle]] is the hint-free twin for a
+    * corpus where verified pairs outgrow a broadcast, and
+    * [[sourceLeakageMatrixAuto]] picks between them from the MEASURED
+    * pair count (the n80 measure-then-choose discipline) — the
+    * (doc_id, source) projection is 16 bytes a row on every path, never
     * the text.
     */
   def sourceLeakageMatrix(docs: DataFrame,
-                          threshold: Double = 0.3): DataFrame = {
+                          threshold: Double = 0.3): DataFrame =
+    sourceLeakageCore(docs,
+      minhashNearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b")),
+      broadcast)
+
+  /** [[sourceLeakageMatrix]] with the pair-side broadcast hints DROPPED
+    * — the labeling becomes a pair-count-sized shuffle join on doc_id.
+    * The form a corpus whose verified near-dup pair set outgrows an
+    * executor broadcast must run; bit-equal to the broadcast form by
+    * construction (one [[sourceLeakageCore]] definition, DedupSpec pins
+    * it and the plan shape of both branches).
+    */
+  def sourceLeakageMatrixShuffle(docs: DataFrame,
+                                 threshold: Double = 0.3): DataFrame =
+    sourceLeakageCore(docs,
+      minhashNearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b")),
+      identity)
+
+  /** Default ceiling for [[sourceLeakageMatrixAuto]]'s broadcast branch:
+    * 4M verified pairs ≈ 64 MB of (doc_a, doc_b) longs hashed — inside
+    * a default executor broadcast budget with headroom.
+    */
+  val MaxBroadcastPairs = 4000000L
+
+  /** The MEASURED switch between [[sourceLeakageMatrix]] (broadcast
+    * pairs) and [[sourceLeakageMatrixShuffle]] (shuffle pairs) — the
+    * n80 measure-then-choose discipline made real for the leakage
+    * matrix: the verified pair set is materialized ONCE
+    * ([[Checkpoints.cut]] — the expensive minhash subtree never runs
+    * twice), its EXACT count read from the cut, and the labeling joins
+    * take the broadcast path only when the count fits
+    * `maxBroadcastPairs`. Both branches consume the same cut frame and
+    * one [[sourceLeakageCore]], so the choice can never change the
+    * answer — only the exchange strategy.
+    */
+  def sourceLeakageMatrixAuto(
+      docs: DataFrame, threshold: Double = 0.3,
+      maxBroadcastPairs: Long = MaxBroadcastPairs): DataFrame = {
+    val pairs = Checkpoints.cut(
+      minhashNearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b")))
+    val hint: DataFrame => DataFrame =
+      if (pairs.count() <= maxBroadcastPairs) broadcast else identity
+    sourceLeakageCore(docs, pairs, hint)
+  }
+
+  /** ONE definition of the source-leakage matrix over an arbitrary
+    * verified (doc_a, doc_b) pair frame — `hint` is the exchange
+    * strategy for the pair-sized side of the two labeling joins
+    * (`broadcast` when the pair set fits, `identity` to let it shuffle).
+    * Everything else (canonicalization, denominators, rates) is shared
+    * verbatim across the three public forms.
+    */
+  private def sourceLeakageCore(docs: DataFrame, pairs: DataFrame,
+                                hint: DataFrame => DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val pairs = minhashNearDupPairs(docs, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val withA = src.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+    val withA = src.join(hint(pairs), col("doc_id") === col("doc_a"))
       .select(col("source").as("sa"), col("doc_b"))
-    val m = src.join(broadcast(withA), col("doc_id") === col("doc_b"))
+    val m = src.join(hint(withA), col("doc_id") === col("doc_b"))
       .select(least(col("sa"), col("source")).as("source_a"),
         greatest(col("sa"), col("source")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))

@@ -477,6 +477,45 @@ class DedupSpec extends SparkSpec {
     assert(got(("mirror", "origin")) === ((1L, 4L, 0.25)))
   }
 
+  test("sourceLeakageMatrix: the shuffle twin and both auto branches " +
+    "are bit-equal to the broadcast form; the two exchange strategies " +
+    "actually plan differently") {
+    import spark.implicits._
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val want = Dedup.sourceLeakageMatrix(d, 0.3).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "fixture corpus must produce leakage cells")
+    // hint-free twin: same answer
+    assert(Dedup.sourceLeakageMatrixShuffle(d, 0.3).collect()
+      .map(_.toSeq).toSeq === want)
+    // auto, broadcast branch (count fits the ceiling): same answer
+    assert(Dedup.sourceLeakageMatrixAuto(d, 0.3).collect()
+      .map(_.toSeq).toSeq === want)
+    // auto, FORCED shuffle branch (ceiling 0 — no pair set fits):
+    // same answer through the other exchange strategy
+    assert(Dedup.sourceLeakageMatrixAuto(d, 0.3, maxBroadcastPairs = 0L)
+      .collect().map(_.toSeq).toSeq === want)
+    // plan assertions: the broadcast form broadcasts the pair side;
+    // the hint-free form shuffles it once Spark can't auto-broadcast
+    val pBroadcast = Dedup.sourceLeakageMatrix(d, 0.3)
+      .queryExecution.executedPlan.toString
+    assert(pBroadcast.contains("BroadcastHashJoin"),
+      "pair labeling must broadcast in the hinted form:\n" + pBroadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pShuffle = Dedup.sourceLeakageMatrixShuffle(d, 0.3)
+        .queryExecution.executedPlan.toString
+      assert(pShuffle.contains("SortMergeJoin") ||
+        pShuffle.contains("ShuffledHashJoin"),
+        "the hint-free twin must shuffle the pair labeling when a " +
+          "broadcast is off the table:\n" + pShuffle)
+      assert(Dedup.sourceLeakageMatrixShuffle(d, 0.3).collect()
+        .map(_.toSeq).toSeq === want,
+        "and still return the identical matrix")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhashNearDupPairs: the pigeonhole index finds EXACTLY the " +
     "brute-force hamming ≤ 3 pairs over the full pair space") {
     val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
