@@ -345,6 +345,24 @@ object Queries {
        |bits AS (SELECT doc_id, ${simhashBitSumsSqlW(Dedup.SimhashWideBits, "h")} FROM wh GROUP BY doc_id),
        |sim AS (SELECT doc_id, ${simhashSigSqlW(Dedup.SimhashWideBits)} AS simhash FROM bits)""".stripMargin
 
+  /** The 60-bit hamming ≤ 3 pair oracle, shared VERBATIM by n94 (plain
+    * 4-block pigeonhole) and n113 (Manku permuted tables): both fronts
+    * have EXACT recall at this distance, so they must produce the
+    * identical pair set — one oracle proves both.
+    */
+  private lazy val SimhashWidePairsOracle =
+    s"""WITH $SimhashWideCte,
+      |bl AS (SELECT doc_id, simhash, b.b AS blk,
+      |    (simhash >> (b.b * 15)) & 32767 AS bv
+      |  FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.simhash AS ha, b.simhash AS hb
+      |  FROM bl a JOIN bl b
+      |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val Stop = "('the','a','an','of','to','and','in','is')"
 
   /** Shared lang-ID scoring (n14 + the n33 confusion roll-up): stopword-hit
@@ -1397,17 +1415,43 @@ object Queries {
     ("n94_simhash_neardup_pairs_wide",
       (s: SparkSession, d: String) =>
         Dedup.simhashNearDupPairsWide(docs(s, d)),
-      Some(s"""WITH $SimhashWideCte,
-        |bl AS (SELECT doc_id, simhash, b.b AS blk,
-        |    (simhash >> (b.b * 15)) & 32767 AS bv
-        |  FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.simhash AS ha, b.simhash AS hb
-        |  FROM bl a JOIN bl b
-        |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(SimhashWidePairsOracle)),
+
+    // Manku WWW'07 permuted-table index (60 bits, 6 blocks, keep 3 →
+    // 20 tables of 30-bit keys) — the hot-block fix for n94: a block
+    // value shared corpus-wide can no longer bucket anything by
+    // itself. Recall stays exact (pigeonhole, one level up), so n94's
+    // oracle proves it VERBATIM; DedupSpec's skew sweep shows the
+    // bounded max-bucket the refinement buys.
+    ("n113_simhash_neardup_permuted",
+      (s: SparkSession, d: String) =>
+        Dedup.simhashNearDupPairsPermuted(docs(s, d)),
+      Some(SimhashWidePairsOracle)),
+
+    // The permuted index's tuning harness (n96's discipline): per
+    // combination table, bucket count, max bucket, exact candidate
+    // volume — all integers, oracle-exact; the row an operator reads
+    // to see the hot-block pathology bounded before a 100 TB join.
+    ("n114_simhash_permuted_stats",
+      (s: SparkSession, d: String) =>
+        Dedup.permutedIndexStats(Dedup.simhashWideRaw(docs(s, d))),
+      Some {
+        val combos = (0 until 6).combinations(3).toSeq
+        val keyed = combos.zipWithIndex.map { case (c, t) =>
+          val kv = c.zipWithIndex.map { case (b, j) =>
+            s"(((simhash >> ${b * 10}) & 1023) * ${1L << (j * 10)})"
+          }.mkString(" + ")
+          s"SELECT doc_id, $t AS tbl, $kv AS kv FROM sim"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $SimhashWideCte,
+        |bl AS (
+        |  $keyed),
+        |bk AS (SELECT tbl, kv, count(*) AS s FROM bl GROUP BY 1, 2)
+        |SELECT tbl, count(*) AS n_buckets,
+        |  CAST(max(s) AS BIGINT) AS max_bucket,
+        |  CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS est_candidate_pairs
+        |FROM bk GROUP BY tbl ORDER BY tbl""".stripMargin
+      }),
 
     // Incremental simhash screening: batch (doc_id % 5 = 0) vs the rest
     // as the persisted index; survivors after corpus-hit + greedy

@@ -835,6 +835,105 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Manku PERMUTED-TABLE refinement of the pigeonhole index (Manku,
+    * Jain & Das Sarma, WWW'07 §3) — the fix for the documented
+    * hot-block risk of [[simhashNearDupPairsWide]]: a block value
+    * shared corpus-wide (the all-zeros block of templated/short docs)
+    * turns one 15-bit bucket into an s² candidate bomb. Instead of
+    * keying on ONE block, key on every `nKeep`-combination of the
+    * `nBlocks` blocks (C(nBlocks, nKeep) tables): hamming ≤ maxDist
+    * flips at most maxDist blocks, so some combination of
+    * `nKeep ≤ nBlocks − maxDist` UNTOUCHED blocks matches — recall
+    * stays EXACT (the pigeonhole argument, one level up) while the
+    * bucket key widens from bits/nBlocks to nKeep·bits/nBlocks bits.
+    * Default 60 bits / 6 blocks / keep 3 = 20 tables of 30-bit keys —
+    * a hot 10-bit block value no longer buckets anything by itself;
+    * collision now needs 30 agreeing bits across three blocks
+    * (DedupSpec drives a one-dominant-block skew fixture: the plain
+    * index's max bucket grows with the corpus, this one's stays flat).
+    *
+    * Trade, stated: 20 index rows per doc instead of 4 (5× index
+    * volume, all map-side) bought per-bucket candidate volume bounded
+    * by 30-bit agreement — Manku's exact table-count-vs-key-width
+    * dial. Output ≡ [[simhashNearDupPairsWide]] (both are exact
+    * hamming ≤ maxDist); the registry proves it against n94's oracle
+    * verbatim.
+    */
+  def simhashNearDupPairsPermuted(docs: DataFrame, maxDist: Int = 3,
+                                  nBlocks: Int = 6,
+                                  nKeep: Int = 3): DataFrame = {
+    val blocks = permutedBlockKeys(simhashWideRaw(docs), SimhashWideBits,
+      maxDist, nBlocks, nKeep)
+    blocks.as("a").join(blocks.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.kv") === col("b.kv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** C(nBlocks, nKeep) permuted-table key rows per signature: table t's
+    * key packs that combination's block values into one long (block j
+    * of the combination at bit offset j·blockBits). The [[blockKeys]]
+    * contract widened — one derivation, every permuted consumer.
+    */
+  private def permutedBlockKeys(hashed: DataFrame, bits: Int, maxDist: Int,
+                                nBlocks: Int, nKeep: Int): DataFrame = {
+    require(bits % nBlocks == 0, s"$nBlocks must divide $bits")
+    require(nKeep >= 1 && nKeep <= nBlocks - maxDist,
+      s"exact recall needs nKeep ($nKeep) <= nBlocks ($nBlocks) - " +
+        s"maxDist ($maxDist)")
+    val blockBits = bits / nBlocks
+    val mask = (1L << blockBits) - 1
+    val combos = (0 until nBlocks).combinations(nKeep).toSeq
+    hashed.select(col("doc_id"), col("simhash"),
+        explode(array(combos.zipWithIndex.map { case (combo, t) =>
+          val key = combo.zipWithIndex.map { case (b, j) =>
+            shiftleft(shiftright(col("simhash"), b * blockBits)
+              .bitwiseAND(lit(mask)), j * blockBits)
+          }.reduce(_.bitwiseOR(_))
+          struct(lit(t).as("tbl"), key.as("kv"))
+        }: _*)).as("kb"))
+      .select(col("doc_id"), col("simhash"),
+        col("kb.tbl").as("tbl"), col("kb.kv").as("kv"))
+  }
+
+  /** Per-table bucket statistics of the PERMUTED index over a
+    * pre-hashed (doc_id, simhash) frame — [[simhashIndexStats]]'s twin
+    * for [[simhashNearDupPairsPermuted]]: (tbl, n_buckets, max_bucket,
+    * est_candidate_pairs) per combination table, the number that shows
+    * the hot-block pathology bounded BEFORE a corpus-scale join runs.
+    * Takes the index frame (not docs) so a skew sweep can drive it
+    * with synthetic signatures.
+    */
+  def permutedIndexStats(index: DataFrame, bits: Int = SimhashWideBits,
+                         maxDist: Int = 3, nBlocks: Int = 6,
+                         nKeep: Int = 3): DataFrame =
+    permutedBlockKeys(index.select(col("doc_id"), col("simhash")), bits,
+        maxDist, nBlocks, nKeep)
+      .groupBy(col("tbl"), col("kv")).agg(count(lit(1)).as("s"))
+      .groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("s")).as("max_bucket"),
+        sum(expr("(s * (s - 1)) div 2")).as("est_candidate_pairs"))
+      .orderBy(col("tbl"))
+
+  /** [[simhashIndexStats]]'s per-block half over a pre-hashed index
+    * frame at one width — the plain-index comparator the permuted skew
+    * sweep reads against [[permutedIndexStats]].
+    */
+  def pigeonholeIndexStats(index: DataFrame, bits: Int = SimhashWideBits,
+                           nBlocks: Int = 4): DataFrame =
+    blockKeys(index.select(col("doc_id"), col("simhash")), bits, nBlocks)
+      .select(col("blk"), col("bv"))
+      .groupBy(col("blk"), col("bv")).agg(count(lit(1)).as("s"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("s")).as("max_bucket"),
+        sum(expr("(s * (s - 1)) div 2")).as("est_candidate_pairs"))
+      .orderBy(col("blk"))
+
   /** Exact n-gram (word-set) Jaccard over adjacent-id pairs — a
     * deterministic linear-size sample of the pair space used as the
     * oracle-checkable twin of the LSH candidate path.

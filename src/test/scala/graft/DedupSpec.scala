@@ -534,6 +534,56 @@ class DedupSpec extends SparkSpec {
     assert(fx.contains((0L, 4L, 0)))
   }
 
+  test("simhashNearDupPairsPermuted: exact recall — the identical pair " +
+    "set to the wide pigeonhole index on real data and the fixture") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val wide = Dedup.simhashNearDupPairsWide(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val perm = Dedup.simhashNearDupPairsPermuted(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(perm === wide,
+      "both fronts are exact at hamming<=3 — sets must be identical")
+    assert(wide.nonEmpty, "fixture corpus must contain near-dups")
+    // the completeness precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairsPermuted(d, maxDist = 3, nBlocks = 6,
+        nKeep = 4).collect()
+    }
+  }
+
+  test("permuted index bounds the hot-block bucket the plain pigeonhole " +
+    "index cannot (one dominant block value)") {
+    import spark.implicits._
+    // skewed signatures: low 15 bits ZERO for every doc (the all-zeros
+    // templated-doc pathology), upper 45 bits a deterministic mix —
+    // the plain 4x15-bit index gets one corpus-sized bucket at block 0
+    val n = 2000L
+    val idx = (1L to n).map { i =>
+      val mix = (i * 0x9E3779B97F4A7C15L) >>> 19
+      (i, (mix & ((1L << 45) - 1)) << 15)
+    }.toDF("doc_id", "simhash")
+    val plain = Dedup.pigeonholeIndexStats(idx, 60, 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(plain(0)._1 === n,
+      s"plain block 0 must be one corpus-sized hot bucket: ${plain(0)}")
+    assert(plain(0)._2 === n * (n - 1) / 2,
+      "and its candidate volume quadratic")
+    // the permuted index (20 tables of 30-bit keys): the dominant
+    // block can no longer bucket anything by itself — every table's
+    // max bucket is bounded by 30-bit agreement
+    val perm = Dedup.permutedIndexStats(idx).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(perm.size === 20)
+    val maxBucket = perm.map(_._2).max
+    val totalPairs = perm.map(_._3).sum
+    assert(maxBucket <= 16L,
+      s"permuted max bucket must stay bounded on the skew fixture, " +
+        s"got $maxBucket")
+    assert(totalPairs <= 4L * n,
+      s"permuted candidate volume must stay near-linear, got " +
+        s"$totalPairs vs plain ${n * (n - 1) / 2}")
+  }
+
   test("SimHash60 expression equals the compositional explode→groupBy " +
     "form (incl. empty tokens)") {
     val tricky = docs.union(Seq(
