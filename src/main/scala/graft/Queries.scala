@@ -1267,6 +1267,41 @@ object Queries {
         |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Containment-aware prefix index (PPJoin-family set-similarity
+    // join): EXACT recall on shingle containment — the 30-word-quote-
+    // in-a-3000-word-doc pair the n90 MinHash front provably dilutes.
+    // Prefix = each doc's rarest (df asc, shingle asc) shingles of
+    // length n − ceil(τ·n) + 1; candidates = prefix × full inverted-
+    // index join; verify exact on distinct shingle sets.
+    ("n115_containment_prefix",
+      (s: SparkSession, d: String) =>
+        Dedup.containmentPairsPrefix(docs(s, d), 0.5),
+      Some(s"""WITH sh AS ($ShinglesCte),
+        |ds AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |dfr AS (SELECT sh, count(*) AS df FROM ds GROUP BY sh),
+        |sz AS (SELECT doc_id, count(*) AS nsh FROM ds GROUP BY doc_id),
+        |rk AS (SELECT ds.doc_id, ds.sh,
+        |    row_number() OVER (PARTITION BY ds.doc_id
+        |      ORDER BY dfr.df ASC, ds.sh ASC) AS rn
+        |  FROM ds JOIN dfr USING (sh)),
+        |pf AS (SELECT rk.doc_id, rk.sh FROM rk JOIN sz USING (doc_id)
+        |  WHERE rn <= nsh - CAST(ceil(0.5 * nsh) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT least(p.doc_id, d.doc_id) AS doc_a,
+        |    greatest(p.doc_id, d.doc_id) AS doc_b
+        |  FROM pf p JOIN ds d ON p.sh = d.sh AND p.doc_id != d.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(list(sh)) AS sg
+        |  FROM sh GROUP BY doc_id),
+        |sc AS (SELECT doc_a, doc_b,
+        |    round(len(list_intersect(wa.sg, wb.sg))::double / len(wa.sg), 6)
+        |      AS cont_a_in_b,
+        |    round(len(list_intersect(wa.sg, wb.sg))::double / len(wb.sg), 6)
+        |      AS cont_b_in_a
+        |  FROM cand JOIN sets wa ON doc_a = wa.doc_id
+        |    JOIN sets wb ON doc_b = wb.doc_id)
+        |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM sc
+        |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Split-leakage matrix: verified near-dup pairs per unordered
     // (split, split) cell with eligible-universe denominators and the
     // leak rate — the eval-hygiene dashboard. Splits are pure functions

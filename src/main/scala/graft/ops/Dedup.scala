@@ -399,10 +399,10 @@ object Dedup {
     * gen). Honest caveat, documented not hidden: MinHash collision
     * probability tracks the SYMMETRIC Jaccard, so extreme-ratio
     * containment (a 10-word quote in a 10k-word doc) rarely shares a
-    * band and won't be proposed — catching those at 100 TB takes a
-    * containment-aware index (prefix filtering on the shorter side's
-    * rarest shingles), the standard set-similarity-join extension; the
-    * verify math here is already exact for whatever front proposes.
+    * band and won't be proposed — those pairs are
+    * [[containmentPairsPrefix]]'s job (the prefix-filtered inverted
+    * index, exact recall on shingle containment); the verify math here
+    * is already exact for whatever front proposes.
     *
     * Scale shape: identical to [[minhashNearDupPairs]] — zero-shuffle
     * signatures, bucket-bounded pair generation, exact verification on
@@ -832,6 +832,75 @@ object Dedup {
           .as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** CONTAINMENT-AWARE candidate index — the prefix-filtering
+    * set-similarity join (Chaudhuri et al. ICDE'06; the PPJoin family)
+    * that catches the extreme-ratio pairs [[containmentPairs]]'s
+    * MinHash front provably dilutes: a 30-word quote inside a
+    * 3,000-word doc has symmetric Jaccard ≈ 0.01 (no band collision)
+    * but shingle containment 1.0. Semantics: SHINGLE containment over
+    * distinct 3-gram sets — the verbatim-quote signal (contiguity IS
+    * what shingles encode; scattered shared words are not a quote).
+    *
+    * Exact-recall argument: sort each doc's distinct shingles by
+    * global rarity (df asc, shingle asc — deterministic on both
+    * engines) and take the prefix of length
+    * p = n − ⌈τ·n⌉ + 1 (n = the doc's distinct-shingle count). If
+    * another doc contains NONE of the prefix shingles, it holds at
+    * most n − p = ⌈τ·n⌉ − 1 < τ·n of the doc's shingles — containment
+    * < τ. So every pair with either-direction containment ≥ τ shares
+    * (prefix of the contained side) × (full set of the container), and
+    * the candidate join prefix×full on the shingle key proposes it:
+    * the OUTPUT is exactly ALL pairs with max-direction shingle
+    * containment ≥ τ (DedupSpec pins it against a brute-force
+    * recompute; the registry oracles the full front in DuckDB).
+    *
+    * Scale shape: one (shingle, df) map-side-combined count, one
+    * per-doc window for the prefix rank (docs×shingles keyed by
+    * doc_id), then the inverted-index join prefix×full on the shingle
+    * key. Rarity-ascending prefixes mean common shingles almost never
+    * sit in a prefix — a hot shingle contributes (its few prefix
+    * occurrences) × df pairs, not df². The standard residual knob at
+    * extreme scale (not needed here, stated): cap df on the FULL side
+    * and route the dropped ultra-common shingles through positional
+    * filtering (PPJoin+'s suffix filter).
+    */
+  def containmentPairsPrefix(docs: DataFrame,
+                             threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = docs
+      .filter(graft.functions.MinHash.eligible(col("text")))
+      .select(col("doc_id"), array_distinct(shingles).as("sg"))
+    val ds = sets.select(col("doc_id"), explode(col("sg")).as("sh"))
+    val dfr = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
+    val pf = ds.join(dfr, Seq("sh"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nsh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") <=
+        col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = pf.as("p")
+      .join(ds.as("d"), col("p.sh") === col("d.sh") &&
+        col("p.doc_id") =!= col("d.doc_id"))
+      .select(least(col("p.doc_id"), col("d.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("d.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(sets.as("wb"), col("doc_b") === col("wb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("wa.sg"), col("wb.sg"))).as("inter"),
+        size(col("wa.sg")).as("na"), size(col("wb.sg")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("na"), 6).as("cont_a_in_b"),
+        round(col("inter").cast("double") / col("nb"), 6).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -534,6 +534,55 @@ class DedupSpec extends SparkSpec {
     assert(fx.contains((0L, 4L, 0)))
   }
 
+  test("containmentPairsPrefix: catches the 30-word quote inside a " +
+    "3,000-word doc that the MinHash front provably misses; output " +
+    "equals brute-force shingle containment") {
+    import spark.implicits._
+    // doc 1 = the quote (30 words); doc 2 = 3,000 words of unique
+    // filler with the quote embedded contiguously in the middle —
+    // symmetric Jaccard ~0.01, shingle containment of 1 in 2 = 1.0
+    val quote = (1 to 30).map(i => s"q$i").mkString(" ")
+    val big = ((1 to 1500).map(i => s"f$i") ++ quote.split(" ") ++
+      (1501 to 2970).map(i => s"f$i")).mkString(" ")
+    val others = (3L to 40L).map(i =>
+      (i, (1 to 20).map(j => s"o${i}x$j").mkString(" ")))
+    val docs = (Seq((1L, quote), (2L, big)) ++ others)
+      .toDF("doc_id", "text")
+    // n90's LSH front does NOT propose the pair (the documented miss)
+    val lshPairs = Dedup.containmentPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lshPairs.contains((1L, 2L)),
+      "fixture must sit in the MinHash front's blind spot — if this " +
+        "starts passing, the fixture no longer proves the gap")
+    // the prefix index catches it at full containment
+    val got = Dedup.containmentPairsPrefix(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1.0),
+      s"quote-in-doc must surface with cont_a_in_b = 1.0: " +
+        s"${got.mkString(", ")}")
+    // exact-recall pin: output == brute-force max-direction shingle
+    // containment >= tau over ALL eligible pairs
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.split(" ")
+      (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val all = (Seq((1L, quote), (2L, big)) ++ others)
+    val brute = (for {
+      (ia, ta) <- all; (ib, tb) <- all
+      if ia < ib && ta.split(" ").length >= 3 && tb.split(" ").length >= 3
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      inter = (sa & sb).size
+      ca = BigDecimal(inter.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      cb = BigDecimal(inter.toDouble / sb.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if math.max(ca, cb) >= 0.5
+    } yield (ia, ib, ca, cb)).toSet
+    assert(got.toSet === brute,
+      "prefix front must have EXACT recall on shingle containment")
+  }
+
   test("simhashNearDupPairsPermuted: exact recall — the identical pair " +
     "set to the wide pigeonhole index on real data and the fixture") {
     val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
