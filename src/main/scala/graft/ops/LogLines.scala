@@ -112,9 +112,10 @@ object LogLines {
     * `wholetext` read shape — and each file is stitched in a single
     * forward pass, in parallel across files. The reference's unit of work
     * is the hourly file (bounded size) so per-file memory is bounded; at
-    * 100 TB the same pass runs per file-split with a boundary fix-up
-    * (first partial record of each split joined to the previous split's
-    * tail), which this per-file form is the degenerate case of.
+    * 100 TB the same pass runs per file-SPLIT with a boundary exchange —
+    * [[stitchSegments]] over [[readSplitLines]], which this per-file form
+    * is the degenerate (one split per file) case of; StitchSpec pins the
+    * two bit-equal across pathological split placements.
     */
   def stitchLines(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
@@ -136,6 +137,139 @@ object LogLines {
         out
       }
       .toDF("file_name", "record_idx", "line")
+  }
+
+  /** Per-line read with BYTE OFFSETS — the 100 TB ingestion shape
+    * [[stitchSegments]] consumes: `TextInputFormat` splits each file
+    * into byte-range input splits (a 100 GB log never lands on one
+    * task, unlike the `wholetext` read), every line arrives keyed by
+    * its byte offset (the in-file total order), and each partition is
+    * a contiguous in-order line run of ONE file — the contract the
+    * segment stitch is built on. `maxSplitBytes` forces small splits
+    * (tests use it to drive real multi-split reads of small files).
+    */
+  def readSplitLines(spark: SparkSession, logDir: String,
+                     maxSplitBytes: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    if (maxSplitBytes > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize",
+        maxSplitBytes)
+    spark.sparkContext.newAPIHadoopFile(logDir,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text], conf)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
+        org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val name = split
+          .asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
+          .getPath.getName
+        // Writables are REUSED by the record reader — copy immediately
+        it.map { case (off, txt) => (name, off.get, txt.toString) }
+      }
+      .toDF("file_name", "off", "raw")
+  }
+
+  /** Split-boundary stitching — [[stitchLines]]'s distributed form
+    * (the per-split boundary fix-up that Scaladoc promised): input is
+    * (file_name, off, raw) lines whose PARTITIONS are contiguous
+    * in-order runs of one file (the [[readSplitLines]] contract), and
+    * no file ever needs to fit one partition.
+    *
+    * Two passes, no per-file window:
+    *   1. partition-local stitch (mapPartitions — genuinely per-
+    *      partition imperative logic): lines fold into SEGMENTS — a
+    *      header line plus its same-partition continuations, or a
+    *      HEADLESS run of continuations at a partition's start (the
+    *      "first partial" of the boundary exchange). At most one
+    *      headless segment exists per partition, so the headless side
+    *      is ≤ #partitions rows — broadcast-sized by construction at
+    *      any corpus size.
+    *   2. the exchange: each headless segment attaches to the greatest
+    *      header offset below it in its file — a broadcast join of the
+    *      header segments against the tiny headless frame + a
+    *      per-headless max (a record spanning k partitions just
+    *      contributes k−1 headless pieces to the same header); the
+    *      record re-assembles with one (file, header-offset)-keyed
+    *      aggregate whose collect_list holds the ≤k pieces of one
+    *      record, never a corpus-sized list.
+    *
+    * Leading junk before a file's first header has no header below it
+    * — the inner attach join drops it, matching [[stitchLines]]. Output
+    * (file_name, rec_off, line): rec_off is the record's header byte
+    * offset — the stable distributed record id (xxhash64(file,
+    * rec_off) for an event id); [[stitchLinesFromSplits]] layers the
+    * wholetext form's sequential record_idx on top for parity checks.
+    */
+  def stitchSegments(lines: DataFrame): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val segs = lines.select(col("file_name"), col("off"), col("raw"))
+      .as[(String, Long, String)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Boolean, String)]
+        var file: String = null
+        var segOff = -1L
+        var isHead = false
+        var sb: StringBuilder = null
+        def flush(): Unit =
+          if (sb != null) { out += ((file, segOff, isHead, sb.toString)) }
+        it.foreach { case (f, off, raw) =>
+          if (f != file) { flush(); file = f; sb = null }
+          if (RecordStart.pattern.matcher(raw).matches()) {
+            flush(); segOff = off; isHead = true; sb = new StringBuilder(raw)
+          } else if (raw.nonEmpty) {
+            if (sb == null) { segOff = off; isHead = false
+              sb = new StringBuilder(raw)
+            } else sb.append('\n').append(raw)
+          } // empty continuation lines are dropped (the stitchLines rule)
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("file_name", "seg_off", "is_header", "text")
+    val headers = segs.filter(col("is_header"))
+      .select(col("file_name"), col("seg_off").as("hoff"), col("text"))
+    val headless = segs.filter(!col("is_header"))
+      .select(col("file_name"), col("seg_off").as("coff"), col("text"))
+    // the boundary exchange: greatest header offset below each headless
+    // piece, per file — headless is ≤ #partitions rows, so it broadcasts
+    val attach = headers.select(col("file_name"), col("hoff"))
+      .join(broadcast(headless.select(col("file_name"), col("coff"))),
+        Seq("file_name"))
+      .filter(col("hoff") < col("coff"))
+      .groupBy(col("file_name"), col("coff"))
+      .agg(max(col("hoff")).as("hoff"))
+    val attached = headless
+      .join(broadcast(attach), Seq("file_name", "coff"))
+      .select(col("file_name"), col("hoff"), col("coff").as("off"),
+        col("text"))
+    headers
+      .select(col("file_name"), col("hoff"), col("hoff").as("off"),
+        col("text"))
+      .union(attached)
+      .groupBy(col("file_name"), col("hoff"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("off"), col("text")))),
+          x => x.getField("text"))).as("line"))
+      .select(col("file_name"), col("hoff").as("rec_off"), col("line"))
+  }
+
+  /** [[stitchSegments]] plus the wholetext form's sequential per-file
+    * record_idx — the parity surface StitchSpec compares bit-for-bit
+    * against [[stitchLines]]. The idx needs a per-file window over the
+    * RECORDS (not the lines); it exists for parity and presentation —
+    * distributed consumers key on rec_off (stable without any window).
+    */
+  def stitchLinesFromSplits(lines: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file_name")).orderBy(col("rec_off"))
+    stitchSegments(lines)
+      .withColumn("record_idx", row_number().over(w).cast("long"))
+      .select(col("file_name"), col("record_idx"), col("line"))
   }
 
   /** wholetext read → stitch → parse: the full multi-line ingestion path.
