@@ -2223,6 +2223,44 @@ object Queries {
         |  count(*) AS n_pairs
         |FROM p GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
 
+    // n100's PRODUCTION twin: the τ-calibration background over a
+    // deterministic ABSOLUTE-size sample (lowest 200 salted-md5 ranks,
+    // distributed TakeOrdered) — pair space fixed at sample² whatever
+    // the corpus size, the measured-FLAT knob as an entry point.
+    ("n116_jaccard_background_abs",
+      (s: SparkSession, d: String) =>
+        Dedup.jaccardBackgroundSample(docs(s, d), 200),
+      Some("""WITH r AS (SELECT doc_id, text,
+        |    ('0x' || substring(md5('jbgs|' || doc_id::varchar), 1, 8))::bigint
+        |      % 1000000000 AS bk
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM (SELECT * FROM r ORDER BY bk, doc_id LIMIT 200)),
+        |p AS (SELECT round(len(list_intersect(a.ws, b.ws))::double
+        |    / len(list_distinct(a.ws || b.ws)), 6) AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT least(CAST(floor(j * 20) AS BIGINT), 19) AS bucket,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
+    // n101's PRODUCTION twin — same absolute-sample move on the
+    // embedding side (lowest 100 salted ranks).
+    ("n117_cosine_background_abs",
+      (s: SparkSession, d: String) =>
+        Similarity.cosineBackgroundSample(emb(s, d), 100),
+      Some(s"""WITH r AS (SELECT vec_id, embedding,
+        |    ('0x' || substring(md5('cbgs|' || vec_id::varchar), 1, 8))::bigint
+        |      % 1000000000 AS bk
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM (SELECT * FROM r ORDER BY bk, vec_id LIMIT 100)),
+        |p AS (SELECT ${cosSql("a.emb", "b.emb")} AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT CASE WHEN c IS NULL THEN NULL
+        |    ELSE least(CAST(floor((c + 1.0) * 10) AS BIGINT), 19) END AS bucket,
+        |  count(*) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
     // Embedding-space drift per label: each label's round-6-decimal
     // centroid (n66's construction verbatim) scored against the
     // whole-corpus centroid — semantic drift the text-side KL (n45)

@@ -176,6 +176,21 @@ object ScaleSanity {
       // rather than silently time a smaller (non-divisor) or growing
       // (mult > 20) sample under the fixed-sample tag.
       val fixedPct = if (mult >= 1 && 20 % mult == 0) 20 / mult else 0
+      // the n116/n117 ABSOLUTE-sample entry points: same fixed sample
+      // volumes the pct-divisor twins above measured (1000 docs / 400
+      // vecs), but runnable at ANY mult — no divisor constraint, which
+      // is exactly what the entry point exists for
+      for ((tag, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          "n116_abs_sample" ->
+            (() => ops.Dedup.jaccardBackgroundSample(docs, 1000)),
+          "n117_abs_sample" ->
+            (() => ops.Similarity.cosineBackgroundSample(emb, 400)))
+          if wanted(tag)) {
+        val t0 = System.nanoTime()
+        mk().queryExecution.toRdd.count()
+        println(
+          f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  $tag")
+      }
       for ((tag, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
           "n100_fixed_sample" ->
             (() => ops.Dedup.jaccardBackground(docs, fixedPct)),

@@ -1144,6 +1144,37 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
+  /** PRODUCTION form of [[jaccardBackground]] — the ABSOLUTE-sample
+    * knob as an entry point, not a pct the operator must re-derive per
+    * corpus size: the sample is the `sampleSize` docs with the lowest
+    * (salted md5 rank, doc_id) — a deterministic uniform subset of
+    * FIXED size at any corpus scale, taken by a distributed
+    * TakeOrdered top-k (one scan, no window). Pair space = sample² by
+    * construction, so calibration cost is FLAT as the corpus grows —
+    * the measured-FLAT path ScaleSanity's fixed-sample sweeps record,
+    * now runnable without the pct-divisor gymnastics. Histogram math
+    * identical to the pct form (one definition of the buckets); own
+    * salt (`jbgs|`) keeps it pairwise-uncorrelated with every other
+    * sampler.
+    */
+  def jaccardBackgroundSample(docs: DataFrame, sampleSize: Int): DataFrame = {
+    require(sampleSize >= 2, s"sampleSize must be >= 2, got $sampleSize")
+    val s = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.saltedBucket("jbgs|", col("doc_id"), 1000000000L)
+          .as("bk"))
+      .orderBy(col("bk"), col("doc_id")).limit(sampleSize)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    s.as("a").join(broadcast(s.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(round(
+        size(array_intersect(col("a.ws"), col("b.ws"))).cast("double") /
+          size(array_union(col("a.ws"), col("b.ws"))), 6).as("j"))
+      .select(least(floor(col("j") * 20d), lit(19d)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash per doc from word-occurrence md5s: bit i of the

@@ -659,6 +659,42 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  /** PRODUCTION form of [[cosineBackground]] — the ABSOLUTE-sample knob
+    * as an entry point (the [[graft.ops.Dedup.jaccardBackgroundSample]]
+    * move on the embedding side): the sample is the `sampleSize`
+    * vectors with the lowest (salted md5 rank, vec_id), a deterministic
+    * fixed-size subset at any corpus scale via distributed TakeOrdered;
+    * pair space = sample² by construction → calibration cost FLAT as
+    * the corpus grows. Bucket math identical to the pct form; own salt
+    * (`cbgs|`).
+    */
+  def cosineBackgroundSample(emb: DataFrame, sampleSize: Int): DataFrame = {
+    require(sampleSize >= 2, s"sampleSize must be >= 2, got $sampleSize")
+    // emb and nrm are ONE projection (the cast repeated inline rather
+    // than aliased through a second Project): a two-Project stack here
+    // breaks the planner's Limit(Project(Sort)) pattern — CollapseProject
+    // won't merge a self-referencing sqrt(dot) — and the top-k degrades
+    // to a corpus-wide range sort + single-partition exchange. PlanSpec
+    // pins the TakeOrderedAndProject shape.
+    val embD = col("embedding").cast("array<double>")
+    val s = emb
+      .select(col("vec_id"), col("embedding"),
+        TextAnalysis.saltedBucket("cbgs|", col("vec_id"), 1000000000L)
+          .as("bk"))
+      .orderBy(col("bk"), col("vec_id")).limit(sampleSize)
+      .select(col("vec_id"), embD.as("emb"),
+        sqrt(dot(embD, embD)).as("nrm"))
+    s.as("a").join(broadcast(s.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(cosOrNull(dot(col("a.emb"), col("b.emb")),
+        col("a.nrm"), col("b.nrm")).as("c"))
+      .select(when(col("c").isNotNull,
+        least(floor((col("c") + lit(1.0d)) * 10d), lit(19d)).cast("long"))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
   /** Scalar (int8) quantization of the embedding column — the 4× memory
     * cut that makes a 100 TB ANN index fit executor memory. Two passes:
     *

@@ -563,6 +563,20 @@ class PlanSpec extends SparkSpec {
       "nothing here justifies a sort-merge join:\n" + p10)
   }
 
+  test("n116/n117: the absolute-size calibration sample is a distributed " +
+    "TakeOrdered top-k, and the sample side broadcasts into the pair " +
+    "join — never a corpus-wide sort") {
+    for (q <- Seq("n116_jaccard_background_abs",
+        "n117_cosine_background_abs")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: the fixed-size sample must plan as TakeOrdered:\n" + p)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$q: the sampled side must broadcast into the pair space:\n" + p)
+    }
+  }
+
   test("n111: the hashed selection keeps n108's distributed TakeOrdered " +
     "top-k shape") {
     val p = plan("n111_dsir_select_hashed")
