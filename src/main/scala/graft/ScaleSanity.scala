@@ -347,6 +347,39 @@ object ScaleSanity {
           s"shingest_batch_$b (kept=$kept)")
       }
     }
+    // incremental one-call build: the 20-batch per-batch-wall
+    // measurement over IncrementalBuild (ingest = SimhashIngest
+    // verbatim, so per-batch FLAT must carry over), then ONE timed
+    // release — the per-release cost an operator pays at release
+    // cadence, vs the one-shot n99 wall on the same survivors
+    if (wanted("incremental_build_stream")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/incbuild"), true)
+      val d = spark.read.parquet(s"$out/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val nBatches = 20
+      for (b <- 0 until nBatches) {
+        val batch = d.filter(pmod(col("doc_id"), lit(nBatches)) === b)
+        val t0 = System.nanoTime()
+        val kept = streaming.IncrementalBuild.ingestBatch(batch, b.toLong,
+          s"$out/incbuild/state")
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"incbuild_batch_$b (kept=$kept)")
+      }
+      val t1 = System.nanoTime()
+      val rel = streaming.IncrementalBuild.publishRelease(spark,
+        s"$out/incbuild/state", s"$out/incbuild/release")
+      println(f"SCALE$mult%d ${(System.nanoTime() - t1) / 1e9}%8.2f  " +
+        s"incbuild_release (rows=${rel.count()})")
+      val surv = streaming.IncrementalBuild.survivors(spark,
+        s"$out/incbuild/state")
+      val t2 = System.nanoTime()
+      ops.TextAnalysis.trainingDataBuild(surv)
+        .queryExecution.toRdd.count()
+      println(f"SCALE$mult%d ${(System.nanoTime() - t2) / 1e9}%8.2f  " +
+        "incbuild_oneshot_reference")
+    }
     // manifest-chain read amplification: append N tiny commits (no
     // compaction), time Versioned.read at checkpoint chain lengths, then
     // one compact + a post-compact read — the chart that pins the
