@@ -345,6 +345,38 @@ object Queries {
        |bits AS (SELECT doc_id, ${simhashBitSumsSqlW(Dedup.SimhashWideBits, "h")} FROM wh GROUP BY doc_id),
        |sim AS (SELECT doc_id, ${simhashSigSqlW(Dedup.SimhashWideBits)} AS simhash FROM bits)""".stripMargin
 
+  /** The containment-prefix oracle, shared VERBATIM by n115
+    * (uncollapsed) and n118 (exact-dup pre-collapsed): both fronts
+    * have EXACT recall on shingle containment ≥ τ, so one oracle
+    * proves both.
+    */
+  private lazy val ContainmentPrefixOracle =
+    s"""WITH sh AS ($ShinglesCte),
+      |ds AS (SELECT DISTINCT doc_id, sh FROM sh),
+      |dfr AS (SELECT sh, count(*) AS df FROM ds GROUP BY sh),
+      |sz AS (SELECT doc_id, count(*) AS nsh FROM ds GROUP BY doc_id),
+      |rk AS (SELECT ds.doc_id, ds.sh,
+      |    row_number() OVER (PARTITION BY ds.doc_id
+      |      ORDER BY dfr.df ASC, ds.sh ASC) AS rn
+      |  FROM ds JOIN dfr USING (sh)),
+      |pf AS (SELECT rk.doc_id, rk.sh FROM rk JOIN sz USING (doc_id)
+      |  WHERE rn <= nsh - CAST(ceil(0.5 * nsh) AS BIGINT) + 1),
+      |cand AS (SELECT DISTINCT least(p.doc_id, d.doc_id) AS doc_a,
+      |    greatest(p.doc_id, d.doc_id) AS doc_b
+      |  FROM pf p JOIN ds d ON p.sh = d.sh AND p.doc_id != d.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(list(sh)) AS sg
+      |  FROM sh GROUP BY doc_id),
+      |sc AS (SELECT doc_a, doc_b,
+      |    round(len(list_intersect(wa.sg, wb.sg))::double / len(wa.sg), 6)
+      |      AS cont_a_in_b,
+      |    round(len(list_intersect(wa.sg, wb.sg))::double / len(wb.sg), 6)
+      |      AS cont_b_in_a
+      |  FROM cand JOIN sets wa ON doc_a = wa.doc_id
+      |    JOIN sets wb ON doc_b = wb.doc_id)
+      |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM sc
+      |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The 60-bit hamming ≤ 3 pair oracle, shared VERBATIM by n94 (plain
     * 4-block pigeonhole) and n113 (Manku permuted tables): both fronts
     * have EXACT recall at this distance, so they must produce the
@@ -1276,31 +1308,17 @@ object Queries {
     ("n115_containment_prefix",
       (s: SparkSession, d: String) =>
         Dedup.containmentPairsPrefix(docs(s, d), 0.5),
-      Some(s"""WITH sh AS ($ShinglesCte),
-        |ds AS (SELECT DISTINCT doc_id, sh FROM sh),
-        |dfr AS (SELECT sh, count(*) AS df FROM ds GROUP BY sh),
-        |sz AS (SELECT doc_id, count(*) AS nsh FROM ds GROUP BY doc_id),
-        |rk AS (SELECT ds.doc_id, ds.sh,
-        |    row_number() OVER (PARTITION BY ds.doc_id
-        |      ORDER BY dfr.df ASC, ds.sh ASC) AS rn
-        |  FROM ds JOIN dfr USING (sh)),
-        |pf AS (SELECT rk.doc_id, rk.sh FROM rk JOIN sz USING (doc_id)
-        |  WHERE rn <= nsh - CAST(ceil(0.5 * nsh) AS BIGINT) + 1),
-        |cand AS (SELECT DISTINCT least(p.doc_id, d.doc_id) AS doc_a,
-        |    greatest(p.doc_id, d.doc_id) AS doc_b
-        |  FROM pf p JOIN ds d ON p.sh = d.sh AND p.doc_id != d.doc_id),
-        |sets AS (SELECT doc_id, list_distinct(list(sh)) AS sg
-        |  FROM sh GROUP BY doc_id),
-        |sc AS (SELECT doc_a, doc_b,
-        |    round(len(list_intersect(wa.sg, wb.sg))::double / len(wa.sg), 6)
-        |      AS cont_a_in_b,
-        |    round(len(list_intersect(wa.sg, wb.sg))::double / len(wb.sg), 6)
-        |      AS cont_b_in_a
-        |  FROM cand JOIN sets wa ON doc_a = wa.doc_id
-        |    JOIN sets wb ON doc_b = wb.doc_id)
-        |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM sc
-        |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(ContainmentPrefixOracle)),
+
+    // n115 with the exact-dup pre-collapse in front of the prefix
+    // index (the n91 move on the PPJoin front) — proven against n115's
+    // oracle VERBATIM: prefix-filter recall is order-agnostic, so
+    // rep-level banding plus member-list expansion is exact; the
+    // production default where dup groups multiply candidate volume.
+    ("n118_containment_prefix_collapsed",
+      (s: SparkSession, d: String) =>
+        Dedup.containmentPairsPrefixCollapsed(docs(s, d), 0.5),
+      Some(ContainmentPrefixOracle)),
 
     // Split-leakage matrix: verified near-dup pairs per unordered
     // (split, split) cell with eligible-universe denominators and the

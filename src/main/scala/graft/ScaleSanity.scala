@@ -154,6 +154,11 @@ object ScaleSanity {
         "n103_pii_redact", "n104_vocab_by_source_approx",
         "n105_cluster_size_histogram", "n106_boilerplate_spans",
         "n107_corpus_digest", "n108_dsir_select",
+        "n109_dsir_weights_hashed", "n110_quality_classifier_hashed",
+        "n111_dsir_select_hashed", "n112_source_leakage_shuffle",
+        "n113_simhash_neardup_permuted", "n114_simhash_permuted_stats",
+        "n115_containment_prefix", "n116_jaccard_background_abs",
+        "n117_cosine_background_abs",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

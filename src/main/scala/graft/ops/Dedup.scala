@@ -868,12 +868,28 @@ object Dedup {
     * filtering (PPJoin+'s suffix filter).
     */
   def containmentPairsPrefix(docs: DataFrame,
-                             threshold: Double): DataFrame = {
+                             threshold: Double): DataFrame =
+    containmentPairsPrefixRaw(docs, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[containmentPairsPrefix]] without the presentation sort — the
+    * composable form the collapsed twin expands (the raw/sorted
+    * convention).
+    */
+  private def containmentPairsPrefixRaw(docs: DataFrame,
+                                        threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sets = docs
+    // ngramsOf over a PROJECTED word array (the inlined-split ngrams()
+    // form re-splits the text per element access — O(words²) per row),
+    // and ONE materialization: the shingle-set frame feeds the df
+    // count, the prefix rank, the inverted index, and both verify
+    // sides — uncut, the shingle build would run four times
+    val sets = Checkpoints.cut(docs
       .filter(graft.functions.MinHash.eligible(col("text")))
-      .select(col("doc_id"), array_distinct(shingles).as("sg"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.ngramsOf(col("ws"), 3)).as("sg")))
     val ds = sets.select(col("doc_id"), explode(col("sg")).as("sh"))
     val dfr = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -901,6 +917,65 @@ object Dedup {
         round(col("inter").cast("double") / col("na"), 6).as("cont_a_in_b"),
         round(col("inter").cast("double") / col("nb"), 6).as("cont_b_in_a"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
+  /** [[containmentPairsPrefix]] with the exact-dup pre-collapse in
+    * front of the prefix index — the [[containmentPairsCollapsed]]
+    * move applied to the PPJoin front, the production default on
+    * dup-heavy corpora: identical texts share every shingle, df
+    * contribution, prefix, and candidate bucket, so a size-g dup group
+    * multiplies the candidate volume ~g² for values its one rep
+    * already determines. Banding one rep per distinct text, verifying
+    * rep pairs, and expanding through the member lists is EXACT:
+    * prefix-filter recall is order-agnostic (the length argument holds
+    * for ANY deterministic prefix order, so rep-level df reordering
+    * candidates cannot lose a pair), cross-group member pairs inherit
+    * their reps' containment with directions swapped when id order
+    * flips, and within-group pairs are identical texts (containment
+    * 1.0 both ways — always ≥ a valid τ). DedupSpec pins bit-equality
+    * with the uncollapsed form; the registry proves n118 against
+    * n115's oracle verbatim. Measured on the salted dup-heavy sweep:
+    * the candidate front collapses with the distinct-text count.
+    */
+  def containmentPairsPrefixCollapsed(docs: DataFrame,
+                                      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val eligible = docs
+      .filter(graft.functions.MinHash.eligible(col("text")))
+      .select(col("doc_id"), col("text"))
+    val groups = Checkpoints.cut(
+      eligible.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"),
+          sort_array(collect_list(col("doc_id"))).as("ids")))
+    val rp = containmentPairsPrefixRaw(
+      groups.select(col("rep").as("doc_id"), col("text")), threshold)
+    val gids = groups.select(col("rep"), col("ids"))
+    val cross = rp
+      .join(gids.as("ga"), col("doc_a") === col("ga.rep"))
+      .join(gids.as("gb"), col("doc_b") === col("gb.rep"))
+      .select(col("cont_a_in_b").as("ca"), col("cont_b_in_a").as("cb"),
+        col("ga.ids").as("ids_a"), col("gb.ids").as("ids_b"))
+      .select(col("ca"), col("cb"),
+        explode(flatten(transform(col("ids_a"), a =>
+          transform(col("ids_b"), b =>
+            struct(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"),
+              (a < b).as("aFirst")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        when(col("p.aFirst"), col("ca")).otherwise(col("cb"))
+          .as("cont_a_in_b"),
+        when(col("p.aFirst"), col("cb")).otherwise(col("ca"))
+          .as("cont_b_in_a"))
+    val within = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> named_struct('doc_a', x, 'doc_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        lit(1.0).as("cont_a_in_b"), lit(1.0).as("cont_b_in_a"))
+    cross.unionAll(within)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -583,6 +583,24 @@ class DedupSpec extends SparkSpec {
       "prefix front must have EXACT recall on shingle containment")
   }
 
+  test("containmentPairsPrefixCollapsed: bit-equal to the uncollapsed " +
+    "prefix form on real data and on a replicated dup-heavy variant") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val want = rows(Dedup.containmentPairsPrefix(d, 0.5))
+    assert(want.nonEmpty)
+    assert(rows(Dedup.containmentPairsPrefixCollapsed(d, 0.5)) === want)
+    // dup-heavy: every text appears three times (ids offset) — the
+    // exact-dup groups the collapse exists for; both forms must still
+    // agree bit for bit (incl. the within-group 1.0/1.0 pairs)
+    val tri = d.select(col("doc_id"), col("text"))
+      .union(d.select(col("doc_id") + 1000000L, col("text")))
+      .union(d.select(col("doc_id") + 2000000L, col("text")))
+    assert(rows(Dedup.containmentPairsPrefixCollapsed(tri, 0.5)) ===
+      rows(Dedup.containmentPairsPrefix(tri, 0.5)))
+  }
+
   test("simhashNearDupPairsPermuted: exact recall — the identical pair " +
     "set to the wide pigeonhole index on real data and the fixture") {
     val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
