@@ -157,8 +157,8 @@ object ScaleSanity {
         "n109_dsir_weights_hashed", "n110_quality_classifier_hashed",
         "n111_dsir_select_hashed", "n112_source_leakage_shuffle",
         "n113_simhash_neardup_permuted", "n114_simhash_permuted_stats",
-        "n115_containment_prefix", "n116_jaccard_background_abs",
-        "n117_cosine_background_abs",
+        "n115_containment_prefix", "n118_containment_prefix_collapsed",
+        "n116_jaccard_background_abs", "n117_cosine_background_abs",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

@@ -775,20 +775,29 @@ object Dedup {
     * it sizes.
     */
   def simhashIndexStats(docs: DataFrame, nBlocks: Int = 4): DataFrame = {
-    def statsFor(hashed: DataFrame, bits: Int) = {
-      blockKeys(hashed, bits, nBlocks)
-        .select(col("blk"), col("bv"))
-        .groupBy(col("blk"), col("bv")).agg(count(lit(1)).as("s"))
-        .groupBy(col("blk"))
-        .agg(count(lit(1)).as("n_buckets"), max(col("s")).as("max_bucket"),
-          sum(expr("(s * (s - 1)) div 2")).as("est_candidate_pairs"))
+    def statsFor(hashed: DataFrame, bits: Int) =
+      bucketStats(blockKeys(hashed, bits, nBlocks), "blk", "bv")
         .select(lit(bits).as("bits"), col("blk"), col("n_buckets"),
           col("max_bucket"), col("est_candidate_pairs"))
-    }
     statsFor(simhashRaw(docs), SimhashBits)
       .unionAll(statsFor(simhashWideRaw(docs), SimhashWideBits))
       .orderBy(col("bits"), col("blk"))
   }
+
+  /** ONE definition of the per-group bucket statistics every index
+    * tuning harness reports ([[simhashIndexStats]],
+    * [[pigeonholeIndexStats]], [[permutedIndexStats]]): per `grp`, the
+    * bucket count, largest bucket, and EXACT candidate volume
+    * Σ s·(s−1)/2 over the (grp, key) bucket sizes — a change to the
+    * estimate lands in all three harnesses at once.
+    */
+  private def bucketStats(rows: DataFrame, grp: String,
+                          key: String): DataFrame =
+    rows.select(col(grp), col(key))
+      .groupBy(col(grp), col(key)).agg(count(lit(1)).as("s"))
+      .groupBy(col(grp))
+      .agg(count(lit(1)).as("n_buckets"), max(col("s")).as("max_bucket"),
+        sum(expr("(s * (s - 1)) div 2")).as("est_candidate_pairs"))
 
   /** nBlocks (blk, bv) key rows per signature — the ONE block-key
     * derivation every pigeonhole consumer (pair index, incremental
@@ -1056,12 +1065,8 @@ object Dedup {
   def permutedIndexStats(index: DataFrame, bits: Int = SimhashWideBits,
                          maxDist: Int = 3, nBlocks: Int = 6,
                          nKeep: Int = 3): DataFrame =
-    permutedBlockKeys(index.select(col("doc_id"), col("simhash")), bits,
-        maxDist, nBlocks, nKeep)
-      .groupBy(col("tbl"), col("kv")).agg(count(lit(1)).as("s"))
-      .groupBy(col("tbl"))
-      .agg(count(lit(1)).as("n_buckets"), max(col("s")).as("max_bucket"),
-        sum(expr("(s * (s - 1)) div 2")).as("est_candidate_pairs"))
+    bucketStats(permutedBlockKeys(index.select(col("doc_id"),
+        col("simhash")), bits, maxDist, nBlocks, nKeep), "tbl", "kv")
       .orderBy(col("tbl"))
 
   /** [[simhashIndexStats]]'s per-block half over a pre-hashed index
@@ -1070,12 +1075,8 @@ object Dedup {
     */
   def pigeonholeIndexStats(index: DataFrame, bits: Int = SimhashWideBits,
                            nBlocks: Int = 4): DataFrame =
-    blockKeys(index.select(col("doc_id"), col("simhash")), bits, nBlocks)
-      .select(col("blk"), col("bv"))
-      .groupBy(col("blk"), col("bv")).agg(count(lit(1)).as("s"))
-      .groupBy(col("blk"))
-      .agg(count(lit(1)).as("n_buckets"), max(col("s")).as("max_bucket"),
-        sum(expr("(s * (s - 1)) div 2")).as("est_candidate_pairs"))
+    bucketStats(blockKeys(index.select(col("doc_id"), col("simhash")),
+        bits, nBlocks), "blk", "bv")
       .orderBy(col("blk"))
 
   /** Exact n-gram (word-set) Jaccard over adjacent-id pairs — a
@@ -1234,12 +1235,12 @@ object Dedup {
     */
   def jaccardBackgroundSample(docs: DataFrame, sampleSize: Int): DataFrame = {
     require(sampleSize >= 2, s"sampleSize must be >= 2, got $sampleSize")
-    val s = docs
-      .select(col("doc_id"), col("text"),
-        TextAnalysis.saltedBucket("jbgs|", col("doc_id"), 1000000000L)
-          .as("bk"))
-      .orderBy(col("bk"), col("doc_id")).limit(sampleSize)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    // cut: the self-join would otherwise plan TWO independent corpus
+    // top-k subtrees (ReuseExchange can't merge them) — materializing
+    // the N-row sample once keeps the corpus scan single; PlanSpec pins
+    // the TakeOrdered shape on [[backgroundDocSample]] directly, since
+    // the cut hides it from the final query's plan
+    val s = Checkpoints.cut(backgroundDocSample(docs, sampleSize))
     s.as("a").join(broadcast(s.as("b")),
         col("a.doc_id") < col("b.doc_id"))
       .select(round(
@@ -1249,6 +1250,19 @@ object Dedup {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("bucket"))
   }
+
+  /** The deterministic lowest-N doc sample [[jaccardBackgroundSample]]
+    * rides — factored out so the distributed-TakeOrdered plan shape is
+    * pinnable on its own (the public form cuts it, which hides the
+    * top-k from the downstream plan).
+    */
+  def backgroundDocSample(docs: DataFrame, sampleSize: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.saltedBucket("jbgs|", col("doc_id"), 1000000000L)
+          .as("bk"))
+      .orderBy(col("bk"), col("doc_id")).limit(sampleSize)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
 
   val SimhashBits = 32
 

@@ -125,7 +125,11 @@ object LogLines {
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
         var cur: StringBuilder = null
         var idx = 0L
-        text.split("\n", -1).foreach { raw =>
+        // stripSuffix("\r"): CRLF logs must stitch identically to the
+        // split-read path (whose TextInputFormat strips \r) — without
+        // it a trailing \r defeats RecordStart's '.*' (dot excludes
+        // line terminators) and every CRLF line reads as junk
+        text.split("\n", -1).map(_.stripSuffix("\r")).foreach { raw =>
           if (RecordStart.pattern.matcher(raw).matches()) {
             if (cur != null) out += ((file, idx, cur.toString)); idx += 1
             cur = new StringBuilder(raw)
@@ -217,7 +221,10 @@ object LogLines {
         var sb: StringBuilder = null
         def flush(): Unit =
           if (sb != null) { out += ((file, segOff, isHead, sb.toString)) }
-        it.foreach { case (f, off, raw) =>
+        it.foreach { case (f, off, raw0) =>
+          // hadoop's TextInputFormat already strips \r; synthetic line
+          // frames may not — normalize so both entries stitch alike
+          val raw = raw0.stripSuffix("\r")
           if (f != file) { flush(); file = f; sb = null }
           if (RecordStart.pattern.matcher(raw).matches()) {
             flush(); segOff = off; isHead = true; sb = new StringBuilder(raw)

@@ -670,20 +670,11 @@ object Similarity {
     */
   def cosineBackgroundSample(emb: DataFrame, sampleSize: Int): DataFrame = {
     require(sampleSize >= 2, s"sampleSize must be >= 2, got $sampleSize")
-    // emb and nrm are ONE projection (the cast repeated inline rather
-    // than aliased through a second Project): a two-Project stack here
-    // breaks the planner's Limit(Project(Sort)) pattern — CollapseProject
-    // won't merge a self-referencing sqrt(dot) — and the top-k degrades
-    // to a corpus-wide range sort + single-partition exchange. PlanSpec
-    // pins the TakeOrderedAndProject shape.
-    val embD = col("embedding").cast("array<double>")
-    val s = emb
-      .select(col("vec_id"), col("embedding"),
-        TextAnalysis.saltedBucket("cbgs|", col("vec_id"), 1000000000L)
-          .as("bk"))
-      .orderBy(col("bk"), col("vec_id")).limit(sampleSize)
-      .select(col("vec_id"), embD.as("emb"),
-        sqrt(dot(embD, embD)).as("nrm"))
+    // cut: one materialized N-row sample instead of two independent
+    // corpus top-k subtrees under the self-join (the
+    // jaccardBackgroundSample reasoning; TakeOrdered pinned on
+    // [[backgroundVecSample]] directly)
+    val s = Checkpoints.cut(backgroundVecSample(emb, sampleSize))
     s.as("a").join(broadcast(s.as("b")),
         col("a.vec_id") < col("b.vec_id"))
       .select(cosOrNull(dot(col("a.emb"), col("b.emb")),
@@ -693,6 +684,26 @@ object Similarity {
         .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("bucket"))
+  }
+
+  /** The deterministic lowest-N vector sample
+    * [[cosineBackgroundSample]] rides, factored for its plan pin.
+    * emb and nrm are ONE projection (the cast repeated inline rather
+    * than aliased through a second Project): a two-Project stack here
+    * breaks the planner's Limit(Project(Sort)) pattern — CollapseProject
+    * won't merge a self-referencing sqrt(dot) — and the top-k degrades
+    * to a corpus-wide range sort + single-partition exchange. PlanSpec
+    * pins the TakeOrderedAndProject shape.
+    */
+  def backgroundVecSample(emb: DataFrame, sampleSize: Int): DataFrame = {
+    val embD = col("embedding").cast("array<double>")
+    emb
+      .select(col("vec_id"), col("embedding"),
+        TextAnalysis.saltedBucket("cbgs|", col("vec_id"), 1000000000L)
+          .as("bk"))
+      .orderBy(col("bk"), col("vec_id")).limit(sampleSize)
+      .select(col("vec_id"), embD.as("emb"),
+        sqrt(dot(embD, embD)).as("nrm"))
   }
 
   /** Scalar (int8) quantization of the embedding column — the 4× memory

@@ -367,10 +367,19 @@ object Sinks {
     // (n50's oracled operator) — presence from the source column, a
     // source MOVE counts as changed at the NEW source, null-safe hash
     // compare. This is readVersion → snapshotDiff → a wide pivot, plus
-    // the two move columns derived from the same side frames.
-    def side(v: Long) = Versioned.readVersion(spark, table, v)
-      .select(col("doc_id"), col("source"), col("text_clean").as("text"))
-    val pivot = graft.ops.Dedup.snapshotDiff(side(vA), side(vB))
+    // the two move columns derived from the same side frames. Each side
+    // reduces to (doc_id, source, md5) and is materialized ONCE
+    // (Checkpoints.cut) — the pivot and the move columns would
+    // otherwise each re-read the versioned release; snapshotDiff
+    // re-hashing the 32-char digest is equality-preserving (md5 is
+    // deterministic: md5(da) = md5(db) iff da = db here).
+    def side(v: Long) = graft.ops.Checkpoints.cut(
+      Versioned.readVersion(spark, table, v)
+        .select(col("doc_id"), col("source"),
+          md5(col("text_clean")).as("text")))
+    val sideA = side(vA)
+    val sideB = side(vB)
+    val pivot = graft.ops.Dedup.snapshotDiff(sideA, sideB)
       .groupBy(col("source"))
       .agg(
         coalesce(sum(when(col("status") === "added", col("n_docs"))),
@@ -381,10 +390,15 @@ object Sinks {
           lit(0L)).as("n_changed"),
         coalesce(sum(when(col("status") === "unchanged", col("n_docs"))),
           lit(0L)).as("n_unchanged"))
-    val moved = side(vA).select(col("doc_id"), col("source").as("osource"))
-      .join(side(vB).select(col("doc_id"), col("source").as("nsource")),
+    // a NULL source means ABSENT on that side (the snapshotDiff
+    // presence rule) — such rows are added/removed, never moves; the
+    // non-null filters keep the two accountings consistent so the
+    // reconciliation identity can't over-count
+    val moved = sideA.select(col("doc_id"), col("source").as("osource"))
+      .join(sideB.select(col("doc_id"), col("source").as("nsource")),
         Seq("doc_id"))
-      .filter(!(col("osource") <=> col("nsource")))
+      .filter(col("osource").isNotNull && col("nsource").isNotNull &&
+        col("osource") =!= col("nsource"))
     val movedIn = moved.groupBy(col("nsource").as("source"))
       .agg(count(lit(1)).as("n_moved_in"))
     val movedAway = moved.groupBy(col("osource").as("source"))

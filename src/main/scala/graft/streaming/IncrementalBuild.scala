@@ -79,12 +79,18 @@ object IncrementalBuild {
     * verbatim) over the accumulated survivors and publish the result
     * as a pinned version of `table` via
     * [[Sinks.publishTrainingBuild]]. Returns the published build.
+    *
+    * `keepVersions` is the retention knob: releases past it are pruned
+    * and [[Sinks.releaseDiff]] can only read retained versions — size
+    * it to the diff horizon the release cadence needs (the default 2
+    * covers adjacent-release diffs only).
     */
   def publishRelease(spark: SparkSession, base: String, table: String,
                      n: Int = 5, minDf: Int = 2, tau: Double = 0.5,
                      alpha: Double = 0.5, budget: Long = 20000L,
                      numShards: Int = 8,
-                     params: Map[String, String] = Map.empty): DataFrame = {
+                     params: Map[String, String] = Map.empty,
+                     keepVersions: Int = 2): DataFrame = {
     val build = TextAnalysis.trainingDataBuild(
       survivors(spark, base).select(col("doc_id"), col("text"),
         col("source")),
@@ -92,7 +98,8 @@ object IncrementalBuild {
     Sinks.publishTrainingBuild(build, table,
       params ++ Map("n" -> n.toString, "minDf" -> minDf.toString,
         "tau" -> tau.toString, "alpha" -> alpha.toString,
-        "budget" -> budget.toString, "numShards" -> numShards.toString))
+        "budget" -> budget.toString, "numShards" -> numShards.toString),
+      keepVersions)
     build
   }
 }

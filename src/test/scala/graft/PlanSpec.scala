@@ -564,16 +564,31 @@ class PlanSpec extends SparkSpec {
   }
 
   test("n116/n117: the absolute-size calibration sample is a distributed " +
-    "TakeOrdered top-k, and the sample side broadcasts into the pair " +
-    "join — never a corpus-wide sort") {
+    "TakeOrdered top-k (pinned on the factored sample half — the public " +
+    "form cuts it), and the sample side broadcasts into the pair join") {
+    // the sample halves: never a corpus-wide range sort + single
+    // partition — the shape a stacked projection silently degrades to
+    val pd = graft.ops.Dedup.backgroundDocSample(
+      graft.ops.Tables.documents(spark, "/root/testdata/sf0.01"), 200)
+      .queryExecution.executedPlan.toString
+    assert(pd.contains("TakeOrderedAndProject"),
+      "doc sample must plan as TakeOrdered:\n" + pd)
+    val pv = graft.ops.Similarity.backgroundVecSample(
+      graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.01"), 100)
+      .queryExecution.executedPlan.toString
+    assert(pv.contains("TakeOrderedAndProject"),
+      "vector sample must plan as TakeOrdered:\n" + pv)
+    // the public forms: the cut N-row sample broadcasts into the pair
+    // space (two TakeOrdered subtrees would mean the cut regressed)
     for (q <- Seq("n116_jaccard_background_abs",
         "n117_cosine_background_abs")) {
       val p = plan(q)
-      assert(p.contains("TakeOrderedAndProject"),
-        s"$q: the fixed-size sample must plan as TakeOrdered:\n" + p)
       assert(p.contains("BroadcastNestedLoopJoin") ||
         p.contains("BroadcastHashJoin"),
         s"$q: the sampled side must broadcast into the pair space:\n" + p)
+      assert(!p.contains("TakeOrderedAndProject"),
+        s"$q: the corpus top-k must run ONCE inside the cut, not per " +
+          s"self-join side:\n" + p)
     }
   }
 

@@ -86,6 +86,24 @@ class StitchSpec extends SparkSpec {
     }
   }
 
+  test("CRLF logs stitch identically on both paths (and actually " +
+    "produce records)") {
+    val crlf = fileA.replace("\n", "\r\n")
+    // wholetext form: \r must not defeat the record-start match
+    val whole = wholetextForm(Seq(("a.log", crlf)))
+    assert(whole.size === 3, "CRLF must yield the same record count")
+    assert(whole === wholetextForm(Seq(("a.log", fileA))),
+      "CRLF and LF input must stitch to identical records")
+    // split form over a REAL hadoop read of the CRLF file
+    val dir = java.nio.file.Files.createTempDirectory("graft_crlf").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.log"),
+      crlf.getBytes("UTF-8"))
+    val got = LogLines.stitchLinesFromSplits(
+      LogLines.readSplitLines(spark, dir, maxSplitBytes = 64))
+      .as[(String, Long, String)].collect().toSet
+    assert(got === whole)
+  }
+
   test("readSplitLines + stitchSegments: a REAL multi-split hadoop read " +
     "of one file reassembles records across split boundaries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_split").toString
