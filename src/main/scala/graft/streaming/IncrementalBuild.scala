@@ -102,4 +102,39 @@ object IncrementalBuild {
       keepVersions)
     build
   }
+
+  /** Checkpointed STREAMING form — [[ingestBatch]] in foreachBatch over
+    * a parquet directory of document files (the [[SimhashIngest]]
+    * wiring), cutting a release every `releaseEvery` batches
+    * (0 = never; the caller releases manually). Ingest inherits the
+    * underlying exactly-once replay contract verbatim. Releases are
+    * pinned snapshots whose CONTENT is a pure function of the survivor
+    * store, so a replayed trigger can at worst publish an extra version
+    * with identical rows (never a divergent one); `keepVersions` bounds
+    * the version chain either way.
+    */
+  def startFromParquet(spark: SparkSession, dir: String, checkpoint: String,
+                       base: String, table: String, maxDist: Int = 3,
+                       glob: String = "*.parquet",
+                       maxFilesPerTrigger: Option[Int] = None,
+                       schema: Option[org.apache.spark.sql.types.StructType] =
+                         None,
+                       releaseEvery: Int = 0,
+                       keepVersions: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    Sinks.Versioned.breakLease(spark, sigIndexTable(base))
+    FileStreams.readParquetStream(spark, dir, glob, maxFilesPerTrigger,
+        schema)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatch(batch, id, base, maxDist)
+        if (releaseEvery > 0 && (id + 1) % releaseEvery == 0)
+          publishRelease(spark, base, table, keepVersions = keepVersions)
+        ()
+      }
+      .start()
+  }
 }

@@ -81,6 +81,36 @@ class IncrementalBuildSpec extends SparkSpec {
         docs.filter(col("doc_id") =!= 200L))))
   }
 
+  test("startFromParquet end-to-end: AvailableNow stream over batch " +
+    "files ingests everything, releases at cadence, and the final " +
+    "release equals batch-mode n99") {
+    val tmp = Files.createTempDirectory("graft_incbuild_st").toString
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    // four batch files, id-ordered across files; exact-dup screening
+    // only (the equivalence regime)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/in"))
+    ids.grouped(math.max(1, ids.length / 4 + 1)).zipWithIndex
+      .foreach { case (chunk, i) =>
+        stageParquetFile(docs.filter(col("doc_id").isin(chunk: _*)),
+          s"$tmp/stage_b$i", s"$tmp/in", s"b$i", (i + 1) * 1000000L)
+      }
+    val q = graft.streaming.IncrementalBuild.startFromParquet(spark,
+      s"$tmp/in", s"$tmp/ckpt", s"$tmp/state", s"$tmp/release",
+      maxDist = 0, maxFilesPerTrigger = Some(1), releaseEvery = 2)
+    q.awaitTermination(300000)
+    assert(q.exception.isEmpty, s"build stream failed: ${q.exception}")
+    // releases were cut at cadence and the LAST one is the one-shot
+    // build of everything ingested
+    val versions = Sinks.Versioned.versions(spark, s"$tmp/release")
+    assert(versions.size === 2, s"4 batches at releaseEvery=2: $versions")
+    val last = Sinks.Versioned.readVersion(spark, s"$tmp/release",
+      versions.max)
+    assert(asRows(last) === asRows(TextAnalysis.trainingDataBuild(docs)))
+  }
+
   test("replayed ingest batch leaves the store and the next release " +
     "unchanged (exactly-once carries through to the dataset)") {
     val tmp = Files.createTempDirectory("graft_incbuild_rp").toString
