@@ -1564,6 +1564,20 @@ object Queries {
         |FROM bk GROUP BY bits, blk ORDER BY bits, blk""".stripMargin
       }),
 
+    // MinHash-LSH band-index tuning harness (n96's discipline on the
+    // band index): per band, bucket count, max bucket, exact candidate
+    // volume — the hot-bucket risk of the per-bucket pair generation
+    // surfaced as data before a corpus-scale run commits to it.
+    ("n119_lsh_index_stats",
+      (s: SparkSession, d: String) => Dedup.lshIndexStats(docs(s, d)),
+      Some(s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+        |bk AS (SELECT band, band_key, count(*) AS s
+        |  FROM bands GROUP BY 1, 2)
+        |SELECT band, count(*) AS n_buckets,
+        |  CAST(max(s) AS BIGINT) AS max_bucket,
+        |  CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS est_candidate_pairs
+        |FROM bk GROUP BY band ORDER BY band""".stripMargin)),
+
     ("n9_cosine_topk",
       (s: SparkSession, d: String) => Similarity.bruteForceTopK(emb(s, d), 10, 5),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -219,6 +219,21 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
 
+  /** MinHash-LSH index tuning harness — [[simhashIndexStats]]'s
+    * discipline on the BAND index ([[bucketStats]], one definition):
+    * per band, the bucket count, largest bucket, and EXACT candidate
+    * volume Σ s·(s−1)/2 the banding would generate — the documented
+    * hot-bucket risk of [[lshCandidatePairs]]'s per-bucket
+    * collect_list surfaced as data BEFORE a corpus-scale run commits
+    * (a pathological max_bucket here says collapse first — n53/n78 —
+    * or re-tune bands×rows via [[lshTuning]]). All-integer,
+    * oracle-exact; two map-side signature passes plus one combinable
+    * (band, band_key) count, never the join it sizes.
+    */
+  def lshIndexStats(docs: DataFrame): DataFrame =
+    bucketStats(lshBandKeys(docs), "band", "band_key")
+      .orderBy(col("band"))
+
   /** Candidate pairs from any shared bucket, verified with exact Jaccard
     * over distinct word sets.
     */

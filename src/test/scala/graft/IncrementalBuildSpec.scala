@@ -111,6 +111,45 @@ class IncrementalBuildSpec extends SparkSpec {
     assert(asRows(last) === asRows(TextAnalysis.trainingDataBuild(docs)))
   }
 
+  test("stream resume on the same checkpoint: a no-file re-run changes " +
+    "nothing; late-arriving files ingest as NEW batches and the next " +
+    "cadence release reflects them") {
+    val tmp = Files.createTempDirectory("graft_incbuild_rs").toString
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val (firstIds, lateIds) = ids.splitAt(ids.length / 2)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/in"))
+    def run() = {
+      val q = graft.streaming.IncrementalBuild.startFromParquet(spark,
+        s"$tmp/in", s"$tmp/ckpt", s"$tmp/state", s"$tmp/release",
+        maxDist = 0, maxFilesPerTrigger = Some(1), releaseEvery = 1)
+      q.awaitTermination(300000)
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    }
+    stageParquetFile(docs.filter(col("doc_id").isin(firstIds: _*)),
+      s"$tmp/stage_b0", s"$tmp/in", "b0", 1000000L)
+    run()
+    val v1 = Sinks.Versioned.versions(spark, s"$tmp/release")
+    val store1 = asRows(IncrementalBuild.survivors(spark, s"$tmp/state"))
+    // resume with no new files: nothing moves
+    run()
+    assert(Sinks.Versioned.versions(spark, s"$tmp/release") === v1)
+    assert(asRows(IncrementalBuild.survivors(spark, s"$tmp/state"))
+      === store1)
+    // late files arrive; resume ingests ONLY them and the new cadence
+    // release is the one-shot build of everything
+    stageParquetFile(docs.filter(col("doc_id").isin(lateIds: _*)),
+      s"$tmp/stage_b1", s"$tmp/in", "b1", 2000000L)
+    run()
+    val v2 = Sinks.Versioned.versions(spark, s"$tmp/release")
+    assert(v2.size === v1.size + 1)
+    assert(asRows(Sinks.Versioned.readVersion(spark, s"$tmp/release",
+        v2.max))
+      === asRows(TextAnalysis.trainingDataBuild(docs)))
+  }
+
   test("replayed ingest batch leaves the store and the next release " +
     "unchanged (exactly-once carries through to the dataset)") {
     val tmp = Files.createTempDirectory("graft_incbuild_rp").toString
