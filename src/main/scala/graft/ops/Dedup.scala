@@ -227,7 +227,7 @@ object Dedup {
     * collect_list surfaced as data BEFORE a corpus-scale run commits
     * (a pathological max_bucket here says collapse first — n53/n78 —
     * or re-tune bands×rows via [[lshTuning]]). All-integer,
-    * oracle-exact; two map-side signature passes plus one combinable
+    * oracle-exact; ONE map-side signature pass plus one combinable
     * (band, band_key) count, never the join it sizes.
     */
   def lshIndexStats(docs: DataFrame): DataFrame =
@@ -801,10 +801,11 @@ object Dedup {
 
   /** ONE definition of the per-group bucket statistics every index
     * tuning harness reports ([[simhashIndexStats]],
-    * [[pigeonholeIndexStats]], [[permutedIndexStats]]): per `grp`, the
-    * bucket count, largest bucket, and EXACT candidate volume
-    * Σ s·(s−1)/2 over the (grp, key) bucket sizes — a change to the
-    * estimate lands in all three harnesses at once.
+    * [[pigeonholeIndexStats]], [[permutedIndexStats]],
+    * [[lshIndexStats]]): per `grp`, the bucket count, largest bucket,
+    * and EXACT candidate volume Σ s·(s−1)/2 over the (grp, key) bucket
+    * sizes — a change to the estimate lands in all four harnesses at
+    * once.
     */
   private def bucketStats(rows: DataFrame, grp: String,
                           key: String): DataFrame =

@@ -111,7 +111,15 @@ object IncrementalBuild {
     * pinned snapshots whose CONTENT is a pure function of the survivor
     * store, so a replayed trigger can at worst publish an extra version
     * with identical rows (never a divergent one); `keepVersions` bounds
-    * the version chain either way.
+    * the version chain either way. `compactEvery` caps the signature
+    * index's commit-chain length on the [[SimhashIngest]] cadence
+    * (≈50, measured) — a long-lived build otherwise accrues one
+    * manifest directory per batch.
+    *
+    * Cadence releases fire on batch-count multiples, so a run whose
+    * batch count is NOT a multiple of `releaseEvery` ends with TAIL
+    * batches ingested but unreleased — use [[runAvailableNow]], which
+    * awaits termination and flushes exactly when a tail exists.
     */
   def startFromParquet(spark: SparkSession, dir: String, checkpoint: String,
                        base: String, table: String, maxDist: Int = 3,
@@ -120,9 +128,16 @@ object IncrementalBuild {
                        schema: Option[org.apache.spark.sql.types.StructType] =
                          None,
                        releaseEvery: Int = 0,
-                       keepVersions: Int = 2)
+                       keepVersions: Int = 2,
+                       compactEvery: Int = 0,
+                       compactTargetFiles: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // owner-side startup lease breaks for BOTH Versioned tables this
+    // single-writer stream owns: a crash inside a cadence release
+    // leaves the RELEASE table's lock held too, and clearing only the
+    // index lease would fail the first post-restart release
     Sinks.Versioned.breakLease(spark, sigIndexTable(base))
+    Sinks.Versioned.breakLease(spark, table)
     FileStreams.readParquetStream(spark, dir, glob, maxFilesPerTrigger,
         schema)
       .writeStream
@@ -133,8 +148,42 @@ object IncrementalBuild {
         ingestBatch(batch, id, base, maxDist)
         if (releaseEvery > 0 && (id + 1) % releaseEvery == 0)
           publishRelease(spark, base, table, keepVersions = keepVersions)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          Sinks.Versioned.compact(spark, sigIndexTable(base),
+            compactTargetFiles)
         ()
       }
       .start()
+  }
+
+  /** [[startFromParquet]], awaited, with the TAIL flush: when the run's
+    * final batch id is not on the release cadence, everything after the
+    * last cadence release is ingested but absent from the newest
+    * version — this cuts one more release exactly in that case, so "the
+    * latest release of a completed run" always covers every ingested
+    * batch. Returns the final release when one was cut here.
+    */
+  def runAvailableNow(spark: SparkSession, dir: String, checkpoint: String,
+                      base: String, table: String, maxDist: Int = 3,
+                      glob: String = "*.parquet",
+                      maxFilesPerTrigger: Option[Int] = None,
+                      schema: Option[org.apache.spark.sql.types.StructType] =
+                        None,
+                      releaseEvery: Int = 0,
+                      keepVersions: Int = 2,
+                      compactEvery: Int = 0,
+                      compactTargetFiles: Int = 8,
+                      timeoutMs: Long = 600000L): Option[DataFrame] = {
+    val q = startFromParquet(spark, dir, checkpoint, base, table, maxDist,
+      glob, maxFilesPerTrigger, schema, releaseEvery, keepVersions,
+      compactEvery, compactTargetFiles)
+    q.awaitTermination(timeoutMs)
+    q.exception.foreach(throw _)
+    val lastBatch = SimhashIngest.maxPublished(spark, sigIndexTable(base))
+    val tail = releaseEvery > 0 && lastBatch >= 0 &&
+      (lastBatch + 1) % releaseEvery != 0
+    if (tail)
+      Some(publishRelease(spark, base, table, keepVersions = keepVersions))
+    else None
   }
 }

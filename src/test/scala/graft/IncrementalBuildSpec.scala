@@ -81,34 +81,39 @@ class IncrementalBuildSpec extends SparkSpec {
         docs.filter(col("doc_id") =!= 200L))))
   }
 
-  test("startFromParquet end-to-end: AvailableNow stream over batch " +
-    "files ingests everything, releases at cadence, and the final " +
-    "release equals batch-mode n99") {
+  test("runAvailableNow end-to-end: stream over batch files ingests " +
+    "everything, releases at cadence, flushes the TAIL batch, and the " +
+    "final release equals batch-mode n99") {
     val tmp = Files.createTempDirectory("graft_incbuild_st").toString
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"), col("source"))
-    // four batch files, id-ordered across files; exact-dup screening
-    // only (the equivalence regime)
+    // FIVE batch files at releaseEvery=2: cadence releases fire after
+    // batches 1 and 3, batch 4 is the tail the flush must cover —
+    // without it the newest release would silently exclude it
     val ids = docs.select("doc_id").as[Long].collect().sorted
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$tmp/in"))
-    ids.grouped(math.max(1, ids.length / 4 + 1)).zipWithIndex
+    ids.grouped(math.max(1, ids.length / 5 + 1)).zipWithIndex
       .foreach { case (chunk, i) =>
         stageParquetFile(docs.filter(col("doc_id").isin(chunk: _*)),
           s"$tmp/stage_b$i", s"$tmp/in", s"b$i", (i + 1) * 1000000L)
       }
-    val q = graft.streaming.IncrementalBuild.startFromParquet(spark,
+    val flushed = graft.streaming.IncrementalBuild.runAvailableNow(spark,
       s"$tmp/in", s"$tmp/ckpt", s"$tmp/state", s"$tmp/release",
-      maxDist = 0, maxFilesPerTrigger = Some(1), releaseEvery = 2)
-    q.awaitTermination(300000)
-    assert(q.exception.isEmpty, s"build stream failed: ${q.exception}")
-    // releases were cut at cadence and the LAST one is the one-shot
-    // build of everything ingested
+      maxDist = 0, maxFilesPerTrigger = Some(1), releaseEvery = 2,
+      keepVersions = 4)
+    assert(flushed.isDefined, "5 batches at cadence 2 must leave a tail")
     val versions = Sinks.Versioned.versions(spark, s"$tmp/release")
-    assert(versions.size === 2, s"4 batches at releaseEvery=2: $versions")
+    assert(versions.size === 3,
+      s"two cadence releases + the tail flush: $versions")
     val last = Sinks.Versioned.readVersion(spark, s"$tmp/release",
       versions.max)
     assert(asRows(last) === asRows(TextAnalysis.trainingDataBuild(docs)))
+    // the pre-flush cadence release must NOT already cover the tail —
+    // the flush is load-bearing, not a duplicate version
+    assert(asRows(Sinks.Versioned.readVersion(spark, s"$tmp/release",
+        versions.sorted.apply(1)))
+      !== asRows(last))
   }
 
   test("stream resume on the same checkpoint: a no-file re-run changes " +
