@@ -1374,6 +1374,16 @@ object Queries {
         Dedup.sourceLeakageMatrixShuffle(docs(s, d)),
       Some(SourceLeakageOracle)),
 
+    // The MEASURED auto switch itself, driver-verified end to end: the
+    // output is branch-independent by construction (one core, two
+    // exchange strategies), so the same oracle proves whichever branch
+    // the pair count picks — at gate scale that is the broadcast
+    // branch; DedupSpec pins the forced-shuffle branch bit-equal.
+    ("n120_source_leakage_auto",
+      (s: SparkSession, d: String) =>
+        Dedup.sourceLeakageMatrixAuto(docs(s, d)),
+      Some(SourceLeakageOracle)),
+
     // LSH tuning harness: precision/recall of the band-collision
     // candidate set vs exact shingle-Jaccard ground truth on a bounded
     // doc_id window — the number that validates a (bands × rows) config

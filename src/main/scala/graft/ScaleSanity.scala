@@ -159,7 +159,7 @@ object ScaleSanity {
         "n113_simhash_neardup_permuted", "n114_simhash_permuted_stats",
         "n115_containment_prefix", "n118_containment_prefix_collapsed",
         "n116_jaccard_background_abs", "n117_cosine_background_abs",
-        "n119_lsh_index_stats",
+        "n119_lsh_index_stats", "n120_source_leakage_auto",
         "m1_multimodal_features"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

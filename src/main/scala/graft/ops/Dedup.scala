@@ -1030,8 +1030,24 @@ object Dedup {
     */
   def simhashNearDupPairsPermuted(docs: DataFrame, maxDist: Int = 3,
                                   nBlocks: Int = 6,
-                                  nKeep: Int = 3): DataFrame = {
-    val blocks = permutedBlockKeys(simhashWideRaw(docs), SimhashWideBits,
+                                  nKeep: Int = 3): DataFrame =
+    simhashNearDupPairsPermutedFromIndex(simhashWideRaw(docs),
+      SimhashWideBits, maxDist, nBlocks, nKeep)
+
+  /** [[simhashNearDupPairsPermuted]] over a PRE-HASHED (doc_id,
+    * simhash) frame — the production entry point when the signature
+    * index is already persisted ([[incrementalSimhashDedupFromIndex]]'s
+    * convention): pairing a 100 TB corpus's index never re-reads or
+    * re-hashes the text. PropertiesSpec drives it with random synthetic
+    * signatures against a brute-force hamming recompute.
+    */
+  def simhashNearDupPairsPermutedFromIndex(index: DataFrame,
+                                           bits: Int = SimhashWideBits,
+                                           maxDist: Int = 3,
+                                           nBlocks: Int = 6,
+                                           nKeep: Int = 3): DataFrame = {
+    val blocks = permutedBlockKeys(
+      index.select(col("doc_id"), col("simhash")), bits,
       maxDist, nBlocks, nKeep)
     blocks.as("a").join(blocks.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.kv") === col("b.kv") &&

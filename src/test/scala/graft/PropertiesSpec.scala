@@ -166,6 +166,35 @@ class PropertiesSpec extends SparkSpec {
     }, n = 6)
   }
 
+  test("property: permuted-table pair index ≡ brute-force hamming over " +
+    "random 60-bit signatures, incl. near-dup-planted sets (n113)") {
+    // random signatures rarely sit within hamming 3, so half the cases
+    // plant explicit near-dups (flip ≤ 3 random bits of a base) to
+    // exercise the hit path, not just the empty result
+    val sigGen: Gen[List[Long]] = for {
+      n <- Gen.choose(4, 12)
+      base <- Gen.listOfN(n, Gen.choose(0L, (1L << 60) - 1))
+      planted <- Gen.choose(0, 3).flatMap(k => Gen.listOfN(k, for {
+        src <- Gen.choose(0, n - 1)
+        flips <- Gen.choose(0, 3)
+        bits <- Gen.listOfN(flips, Gen.choose(0, 59))
+      } yield bits.foldLeft(base(src))((s, b) => s ^ (1L << b))))
+    } yield base ++ planted
+    check(Prop.forAll(sigGen) { sigs =>
+      val idx = sigs.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "simhash")
+      val got = graft.ops.Dedup
+        .simhashNearDupPairsPermutedFromIndex(idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val arr = sigs.zipWithIndex
+      val brute = (for {
+        (sa, ia) <- arr; (sb, ib) <- arr if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+      } yield (ia.toLong, ib.toLong, d)).toSet
+      got == brute
+    }, n = 10)
+  }
+
   test("property: collapsed semantic dedup ≡ uncollapsed on random " +
     "vectors with copies, zero vectors, and null embeddings (n54)") {
     // coordinates from a tiny set so exact copies are common; the zero
