@@ -473,17 +473,42 @@ class PlanSpec extends SparkSpec {
         "signature orderBy costs a full shuffle-sort per consumer:\n" + opt)
   }
 
-  test("no query in the registry plans a CartesianProduct") {
-    // the silent scale-killer: an unkeyed join degenerating to all-pairs.
-    // Deliberate tiny-side cross joins plan as BroadcastNestedLoopJoin
-    // (allowed); an actual CartesianProduct anywhere is a bug. Runs at
-    // sf0.001 because building some plans executes driver-side training
-    // loops (IVF, connected components).
+  test("no query in the registry plans a CartesianProduct; SortMergeJoins " +
+    "appear only in the audited legitimately-shuffling families") {
+    // CartesianProduct is the silent scale-killer: an unkeyed join
+    // degenerating to all-pairs. Deliberate tiny-side cross joins plan
+    // as BroadcastNestedLoopJoin (allowed); an actual CartesianProduct
+    // anywhere is a bug. Runs at sf0.001 because building some plans
+    // executes driver-side training loops (IVF, connected components).
+    //
+    // The SMJ allowlist is a REGRESSION GUARD for the broadcast-designed
+    // paths: most operators here are built so their small side
+    // broadcasts (model frames, pair sets, probe sets, mix plans) — a
+    // new SMJ outside this list means a designed broadcast silently
+    // regressed to a shuffle. Every listed member shuffles LEGITIMATELY:
+    // full-outer diffs (n50/r13 — no broadcast strategy exists),
+    // corpus-vs-corpus pair joins in the semantic-dedup family
+    // (n46/n54/n55/n57 — neither side is small at scale), the
+    // exact-truth tuning/recall harnesses (n59/n65, n62/n64/n68/n75 —
+    // aggregate-fed sides Catalyst can't size; AQE localizes at
+    // runtime), and the n74 report composing those components. n112's
+    // SMJ is its PURPOSE (the hint-free twin).
+    val smjAllowed = Set(
+      "n46_semantic_dedup", "n50_snapshot_diff",
+      "n54_semantic_dedup_collapsed", "n55_incremental_semantic_dedup",
+      "n57_semantic_dup_clusters_collapsed", "n59_lsh_tuning",
+      "n62_ann_recall", "n64_ann_recall_curve", "n65_lsh_tuning_sampled",
+      "n68_ann_recall_curve_mp", "n74_contamination_report",
+      "n75_ivf_recall", "r13_full_outer_churn",
+      "n112_source_leakage_shuffle", "n120_source_leakage_auto")
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
+      assert(!p.contains("SortMergeJoin") || smjAllowed.contains(name),
+        s"$name plans a SortMergeJoin outside the audited allowlist — " +
+          s"a designed broadcast likely regressed:\n$p")
     }
   }
 
