@@ -116,6 +116,34 @@ class IncrementalBuildSpec extends SparkSpec {
       !== asRows(last))
   }
 
+  test("a stale publish lease on the RELEASE table (a crash inside a " +
+    "cadence release) does not stall the restarted stream") {
+    val tmp = Files.createTempDirectory("graft_incbuild_lk").toString
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") < 100)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/in"))
+    stageParquetFile(docs, s"$tmp/stage_b0", s"$tmp/in", "b0", 1000000L)
+    // simulate the crash: a dead publisher's lock left on the RELEASE
+    // table (young enough that the lease-timeout path would stall a
+    // writer that doesn't owner-break it)
+    val table = s"$tmp/release"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_publish.lock"),
+      "dead-owner".getBytes("UTF-8"))
+    val flushed = graft.streaming.IncrementalBuild.runAvailableNow(spark,
+      s"$tmp/in", s"$tmp/ckpt", s"$tmp/state", table,
+      maxDist = 0, maxFilesPerTrigger = Some(1), releaseEvery = 1)
+    // one batch at cadence 1: the cadence release fired THROUGH the
+    // broken lease, no tail remains
+    assert(flushed.isEmpty)
+    assert(Sinks.Versioned.versions(spark, table) === Seq(1L))
+    assert(Sinks.Versioned.readVersion(spark, table, 1L).count() ===
+      TextAnalysis.trainingDataBuild(docs).count())
+  }
+
   test("stream resume on the same checkpoint: a no-file re-run changes " +
     "nothing; late-arriving files ingest as NEW batches and the next " +
     "cadence release reflects them") {
