@@ -3313,6 +3313,15 @@ object Queries {
       (s: SparkSession, d: String) =>
         graft.sources.Multimodal.featureStats(s, d),
       None),
+
+    // The multimodal PREPROCESSING pass (resize + frame-sample) rolled
+    // up per kind — rows-only like m1 (PNG encoder byte counts are
+    // codec-bound); MultimodalSpec pins the exact nearest-neighbor
+    // pixel mapping and the frame-index formula.
+    ("m2_multimodal_transform",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.transformStats(s, d),
+      None),
   )
 
   def queries: Map[String, Q] =

@@ -160,7 +160,7 @@ object ScaleSanity {
         "n115_containment_prefix", "n118_containment_prefix_collapsed",
         "n116_jaccard_background_abs", "n117_cosine_background_abs",
         "n119_lsh_index_stats", "n120_source_leakage_auto",
-        "m1_multimodal_features"))
+        "m1_multimodal_features", "m2_multimodal_transform"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very

@@ -368,6 +368,138 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic nearest-neighbor image resize: output pixel (x, y)
+    * copies input pixel (⌊x·W/outW⌋, ⌊y·H/outH⌋) — EXACT integer
+    * sampling, so a spec can verify every output pixel against the
+    * synthetic pixel formula (a Graphics2D bilinear scale is
+    * JDK-rendering-dependent and would put float blending under a
+    * determinism contract it can't honor; production swaps the kernel,
+    * the plumbing is the point). Re-encoded as PNG (lossless — the
+    * sampled values survive the round trip bit-exact).
+    */
+  def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] =
+    failAsBadPayload("image") {
+      require(outW >= 1 && outH >= 1, s"bad resize target ${outW}x$outH")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new java.awt.image.BufferedImage(outW, outH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        val sy = y.toLong * h / outH
+        var x = 0
+        while (x < outW) {
+          out.setRGB(x, y, img.getRGB((x.toLong * w / outW).toInt, sy.toInt))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Evenly-spaced GFV1 frame sampling: `k` frames at indices
+    * ⌊i·(n−1)/(k−1)⌋ (endpoints inclusive; k = 1 takes frame 0; k ≥ n
+    * takes every frame once) — the standard video-pretraining move
+    * (decode k frames, not the clip). Returns the sampled frames as
+    * PNG payloads in index order.
+    */
+  def sampleVideoFrames(payload: Array[Byte], k: Int): Seq[Array[Byte]] =
+    failAsBadPayload("video") {
+      require(k >= 1, s"k must be >= 1, got $k")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      val magic = new Array[Byte](4)
+      require(payload.length >= 8, "GFV1 container shorter than header")
+      bb.get(magic)
+      require(java.util.Arrays.equals(magic, GfvMagic),
+        "bad GFV1 container magic")
+      val n = bb.getInt
+      require(n >= 1, s"GFV1 container declares $n frames")
+      val frames = (0 until n).map { i =>
+        require(bb.remaining >= 4, s"GFV1 frame $i: truncated length header")
+        val len = bb.getInt
+        require(len >= 0 && len <= bb.remaining,
+          s"GFV1 frame $i: declared $len bytes, ${bb.remaining} remain")
+        val f = new Array[Byte](len)
+        bb.get(f)
+        f
+      }
+      val idx =
+        if (k == 1) Seq(0)
+        else if (k >= n) 0 until n
+        else (0 until k).map(i => (i.toLong * (n - 1) / (k - 1)).toInt)
+      idx.map(frames)
+    }
+
+  /** The PREPROCESSING pass a vision/video training pipeline runs over
+    * the media table — the other half of the brief's multimodal
+    * surface next to [[extractFeatures]]: images resize to
+    * `outW`×`outH` (nearest-neighbor, exact); videos re-pack as a GFV1
+    * of `frameK` evenly-sampled frames, each resized; audio passes
+    * through untouched (PCM resampling is a DSP kernel, not Spark
+    * plumbing — stated, not hidden). Same batched map-side shape and
+    * failure policy as the decode pass: payloads never shuffle, a
+    * corrupt object yields a null-payload row with `transform_err` set
+    * and never kills the task. Output: (media_id, kind, payload,
+    * n_bytes_in, n_bytes_out, transform_err).
+    */
+  def transformMedia(media: DataFrame, outW: Int, outH: Int,
+                     frameK: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("n_bytes_in", IntegerType, nullable = false),
+      StructField("n_bytes_out", IntegerType, nullable = true),
+      StructField("transform_err", StringType, nullable = true)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val kind = r.getString(1)
+          val out: (Array[Byte], String) =
+            if (payload == null) (null, null)
+            else try {
+              kind match {
+                case "image" => (resizeImage(payload, outW, outH), null)
+                case "video" =>
+                  val frames = sampleVideoFrames(payload, frameK)
+                    .map(resizeImage(_, outW, outH))
+                  val bb = java.nio.ByteBuffer.allocate(
+                    8 + frames.map(_.length + 4).sum)
+                  bb.put(GfvMagic).putInt(frames.length)
+                  frames.foreach(f => bb.putInt(f.length).put(f))
+                  (bb.array(), null)
+                case _ => (payload, null) // audio: pass-through
+              }
+            } catch {
+              case e: IllegalArgumentException => (null, e.getMessage)
+            }
+          Row(r.getLong(0), kind, out._1,
+            if (payload == null) 0 else payload.length,
+            if (out._1 == null) null else Int.box(out._1.length),
+            out._2)
+        }
+      }(enc)
+  }
+
+  /** Roll-up of [[transformMedia]] per kind — the rows-only registry
+    * surface (PNG encoder byte counts are codec-bound, the m1
+    * exemption): row/byte accounting plus the transform error count.
+    */
+  def transformStats(spark: SparkSession, dir: String): DataFrame =
+    transformMedia(mediaFromEvents(spark, dir), 8, 6, 2)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes_in")).as("bytes_in"),
+        sum(col("n_bytes_out")).as("bytes_out"),
+        count(col("transform_err")).as("n_err"))
+      .orderBy(col("kind"))
+
   /** Feature roll-up per kind — the downstream consumer a training
     * pipeline would run (rows-only check: float feature means are not
     * SQL-oracle material).

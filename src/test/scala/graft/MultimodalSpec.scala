@@ -29,6 +29,113 @@ class MultimodalSpec extends SparkSpec {
     assert(rows("video").take(4).toSeq === Multimodal.GfvMagic.toSeq)
   }
 
+  test("resizeImage: every output pixel equals the exact nearest-" +
+    "neighbor source pixel from the synthetic formula") {
+    val id = 6L
+    val (w, h) = Multimodal.imgDims(id)
+    val (ow, oh) = (5, 3)
+    val resized = Multimodal.resizeImage(Multimodal.pngBytes(id), ow, oh)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth === ow && img.getHeight === oh)
+    for (y <- 0 until oh; x <- 0 until ow) {
+      val (r, g, b) = Multimodal.pixelRgb(id,
+        (x.toLong * w / ow).toInt, (y.toLong * h / oh).toInt)
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) === ((r, g, b)),
+        s"pixel ($x,$y)")
+    }
+    // upscale works through the same exact mapping
+    val up = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(Multimodal.pngBytes(id), w * 2, h * 2)))
+    val (r0, g0, b0) = Multimodal.pixelRgb(id, 0, 0)
+    val q = up.getRGB(1, 1) // maps back to source (0, 0)
+    assert((((q >> 16) & 0xff), ((q >> 8) & 0xff), (q & 0xff)) ===
+      ((r0, g0, b0)))
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImage(Multimodal.pngBytes(id), 0, 3)
+    }
+  }
+
+  test("sampleVideoFrames: evenly-spaced indices incl. endpoints; " +
+    "k=1, k>=n, and the k<n formula") {
+    val id = 5L
+    val gfv = Multimodal.gfvBytes(id)
+    val nFrames = Multimodal.GfvFrames
+    // k = 1 → frame 0 only
+    val one = Multimodal.sampleVideoFrames(gfv, 1)
+    assert(one.size === 1 &&
+      one.head.toSeq === Multimodal.pngBytes(id * 8).toSeq)
+    // k >= n → every frame once, in order
+    val all = Multimodal.sampleVideoFrames(gfv, nFrames + 3)
+    assert(all.size === nFrames)
+    assert(all.zipWithIndex.forall { case (f, i) =>
+      f.toSeq == Multimodal.pngBytes(id * 8 + i).toSeq })
+    // k < n → floor(i * (n-1) / (k-1)), endpoints inclusive
+    val k = 2
+    val two = Multimodal.sampleVideoFrames(gfv, k)
+    assert(two.size === 2)
+    assert(two.head.toSeq === Multimodal.pngBytes(id * 8).toSeq)
+    assert(two.last.toSeq ===
+      Multimodal.pngBytes(id * 8 + nFrames - 1).toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleVideoFrames("junk".getBytes, 2)
+    }
+  }
+
+  test("transformMedia: resized/re-packed payloads decode to the target " +
+    "shape; audio passes through; a corrupt payload yields a null-" +
+    "payload row with transform_err and never kills the task") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromEvents(spark, dir)
+      .union(Seq((999999L, "image",
+        "not a png".getBytes("UTF-8"),
+        null.asInstanceOf[(Integer, Integer, Integer, Integer)]))
+        .toDF("media_id", "kind", "payload", "m")
+        .select(col("media_id"), col("kind"), col("payload"),
+          lit(null).cast(Multimodal.mediaSchema("meta").dataType)
+            .as("meta")))
+    val out = Multimodal.transformMedia(media, 8, 6, 2).cache()
+    // every healthy image decodes at exactly 8x6
+    val img = out.filter(col("kind") === "image" &&
+      col("transform_err").isNull && col("payload").isNotNull)
+      .select("payload").collect()
+    assert(img.nonEmpty)
+    img.foreach { r =>
+      val i = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        r.getAs[Array[Byte]](0)))
+      assert(i.getWidth === 8 && i.getHeight === 6)
+    }
+    // every healthy video re-packs as a 2-frame GFV1 of 8x6 PNGs
+    val vid = out.filter(col("kind") === "video" &&
+      col("transform_err").isNull).select("payload").collect()
+    assert(vid.nonEmpty)
+    vid.foreach { r =>
+      val frames = Multimodal.sampleVideoFrames(
+        r.getAs[Array[Byte]](0), Int.MaxValue)
+      assert(frames.size === 2)
+      frames.foreach { f =>
+        val i = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f))
+        assert(i.getWidth === 8 && i.getHeight === 6)
+      }
+    }
+    // audio pass-through: bytes unchanged
+    val aud = out.filter(col("kind") === "audio" &&
+      col("transform_err").isNull)
+      .select("media_id", "payload").collect()
+    assert(aud.nonEmpty)
+    aud.foreach { r =>
+      assert(r.getAs[Array[Byte]](1).toSeq ===
+        Multimodal.wavBytes(r.getLong(0)).toSeq)
+    }
+    // the planted corrupt image: err set, payload null, task alive
+    val bad = out.filter(col("media_id") === 999999L).collect()
+    assert(bad.length === 1 && bad.head.isNullAt(2) &&
+      bad.head.getString(5) != null &&
+      bad.head.getString(5).contains("image"))
+  }
+
   test("PNG decode reproduces the hand-computed pixel statistics") {
     val id = 6L // event 6 → image kind
     val (w, h) = Multimodal.imgDims(id)
