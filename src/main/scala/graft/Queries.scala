@@ -217,6 +217,30 @@ object Queries {
     * n83 oracle and the n99 build oracle, whose first stage must be THE
     * SAME survivor set n83 reports.
     */
+  /** CTE chain ending at `covp(doc_id, p)` — the DISTINCT 1-based word
+    * positions covered by a NON-FIRST occurrence of a corpus-duplicated
+    * 5-word window (keep-first exact-substring dedup). Shared by the
+    * n121 span inventory, the n122 dedup execute, and n123's collapsed
+    * twin, whose outputs must agree with the same covered-position set.
+    * The oracle's row_number window is fine at oracle scale; the Spark
+    * side uses the map-side-combinable min(struct) form.
+    */
+  private lazy val DupSubCtes =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+      |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
+      |      ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+      |  FROM w)),
+      |dup AS (SELECT doc_id, pos FROM (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS c
+      |  FROM g) WHERE c > 1 AND rn > 1),
+      |covp AS (SELECT DISTINCT doc_id, p FROM (
+      |  SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM dup))"""
+      .stripMargin
+
   private lazy val CleanCorpusCtes =
     s"""nrm AS (SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
@@ -2176,6 +2200,72 @@ object Queries {
         |SELECT doc_id, min(p) AS span_start, count(*) AS span_len
         |FROM i GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Keep-FIRST duplicated-substring span inventory (Lee et al. 2022's
+    // exact-substring dedup at 5-word-window granularity): maximal runs
+    // of positions covered by a NON-first occurrence of a duplicated
+    // window — where a dedup pass would cut, never reporting the
+    // surviving first copy. n106 is the symmetric (remove-every-copy)
+    // boilerplate view; this one is asymmetric, and within-doc repeats
+    // count as occurrences. Σ span_len per doc ≡ n122's n_removed
+    // (spec-pinned).
+    ("n121_dupsub_spans",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.dupSubstringSpans(docs(s, d), 5),
+      Some(s"""WITH $DupSubCtes,
+        |i AS (SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM covp)
+        |SELECT doc_id, min(p) AS span_start, count(*) AS span_len
+        |FROM i GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The EXECUTE side of n121: remove every position covered by a
+    // non-first duplicated 5-window, emit the deduplicated text +
+    // accounting. A verbatim quote keeps its one original; a later
+    // identical copy of a whole doc is removed whole (every window
+    // non-first) — the substring generalization of n2's keeper.
+    ("n122_dupsub_dedup",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.dupSubstringDedup(docs(s, d), 5),
+      Some(s"""WITH $DupSubCtes,
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        |  FROM w),
+        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
+        |kept AS (SELECT t.doc_id,
+        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
+        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
+        |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+        |  coalesce(kept.td, '') AS text_dedup
+        |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // n122's PRODUCTION twin: exact-dup pre-collapse in front of the
+    // window machinery (the n118/n53 move) — one rep per distinct text
+    // through the gram front, members expanded in closed form (≥ k
+    // words ⇒ removed whole; shorter ⇒ untouched). Proven against
+    // n122's oracle VERBATIM; DedupSpec pins bit-equality on dup-heavy
+    // fixtures.
+    ("n123_dupsub_dedup_collapsed",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.dupSubstringDedupCollapsed(docs(s, d), 5),
+      Some(s"""WITH $DupSubCtes,
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        |  FROM w),
+        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
+        |kept AS (SELECT t.doc_id,
+        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
+        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
+        |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+        |  coalesce(kept.td, '') AS text_dedup
+        |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
 
     // The cleaned training corpus ITSELF (the n63 funnel's execute
     // side): normalize → exact-dup keeper (FIRST, so dup copies can't

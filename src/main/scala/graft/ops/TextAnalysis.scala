@@ -702,6 +702,143 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Keep-FIRST duplicated-window positions — the shared front of
+    * [[dupSubstringSpans]] and [[dupSubstringDedup]] (the exact-substring
+    * dedup of Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better", at word-window granularity): every k-word window
+    * whose exact text occurs ANYWHERE earlier in global (doc_id, pos)
+    * order marks its k positions for removal. The globally-first
+    * occurrence of each window text is never marked, so exactly ONE copy
+    * of every duplicated substring survives — DEDUP semantics, where
+    * [[boilerplateTrimRaw]] (df ≥ minDf) is boilerplate REMOVAL that
+    * deletes ALL copies including the first. Within-doc repetition is
+    * in scope: the occurrence count is per occurrence, not per document.
+    *
+    * Scale shape: the positional gram stream shuffles once on the gram
+    * key for the first-occurrence aggregate — min(struct(doc_id, pos))
+    * and count(*) are both map-side combinable partial aggregates (a
+    * row_number window over the gram partition would buffer a corpus-hot
+    * gram's entire occurrence list in one reducer; the min-struct form
+    * never does). Grams with a single occurrence can mark nothing and
+    * are dropped BEFORE the join back, so the second gram-key shuffle's
+    * build side carries only duplicated grams. Output rows (doc_id, p)
+    * repeat where overlapping duplicated windows cover the same
+    * position; callers distinct() or collect_set.
+    */
+  private def dupWindowPositions(base: DataFrame, k: Int): DataFrame = {
+    val posGrams = base.select(col("doc_id"),
+      posexplode(ngramsOf(col("ws"), k)).as(Seq("pos", "g")))
+    val firsts = posGrams
+      .groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("g"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    posGrams.join(firsts, Seq("g"))
+      .filter(col("doc_id") =!= col("fdoc") || col("pos") =!= col("fpos"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+  }
+
+  /** Duplicated-substring span INVENTORY under keep-first semantics:
+    * maximal contiguous runs of word positions covered by a NON-FIRST
+    * occurrence of a corpus-duplicated k-window — WHERE a substring
+    * dedup pass would cut, one row per maximal run (doc_id, span_start
+    * 1-based, span_len). [[boilerplateSpans]] is the symmetric (remove
+    * every copy) view; this is the asymmetric one that never reports the
+    * surviving first copy. Σ span_len per doc ≡ [[dupSubstringDedup]]'s
+    * n_removed by construction (spec-pinned).
+    *
+    * Scale shape: inherits [[dupWindowPositions]]'s combinable front;
+    * the island scan is one per-doc window over covered positions,
+    * bounded by doc length, never corpus-wide.
+    */
+  def dupSubstringSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val cov = dupWindowPositions(base, k).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    cov.withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((min(col("p")) + 1).as("span_start"),
+        count(lit(1)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Exact-substring DEDUP, keep-first (the EXECUTE side of
+    * [[dupSubstringSpans]]): remove every word position covered by a
+    * non-first occurrence of a duplicated k-window and emit the
+    * deduplicated text plus accounting — (doc_id, n_tokens, n_removed,
+    * text_dedup). A verbatim quote keeps its one original; exact-dup
+    * documents keep exactly the min-doc_id copy (every window of a later
+    * identical copy is non-first, so the whole copy is removed) — the
+    * substring generalization of n2's keeper policy.
+    *
+    * Scale shape: [[dupWindowPositions]]'s front, then covered positions
+    * shuffle once into per-doc sets (doc-length-bounded) and the corpus
+    * joins those sets ONCE on doc_id — the only stage where text moves,
+    * and the output is text-sized anyway. Rebuild is an index-filter
+    * fold over the words array (split once, never re-split).
+    */
+  def dupSubstringDedup(docs: DataFrame, k: Int = 5): DataFrame =
+    dupSubstringDedupRaw(docs, k).orderBy(col("doc_id"))
+
+  /** [[dupSubstringDedup]] without the presentation sort — the
+    * composable form the collapsed twin expands.
+    */
+  private def dupSubstringDedupRaw(docs: DataFrame, k: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val cov = dupWindowPositions(base, k)
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    base.join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        concat_ws(" ", expr(
+          """transform(filter(transform(ws, (w, i) ->
+            |  named_struct('w', w, 'i', i)),
+            |  x -> NOT array_contains(cov, x.i)), x -> x.w)"""
+            .stripMargin)).as("text_dedup"))
+  }
+
+  /** [[dupSubstringDedup]] with the exact-dup pre-collapse — the
+    * production default on dup-heavy corpora (the n118/n53 move applied
+    * to keep-first substring dedup): run the window machinery over ONE
+    * rep (min doc_id) per distinct text, then expand. Exactness: (a) a
+    * window text's global first occurrence is always achieved BY a rep —
+    * any non-rep occurrence has an identical rep with a smaller doc_id
+    * holding the same window at the same pos; (b) the duplicated test
+    * (count ≥ 2) restricted to reps misses only grams whose extra
+    * occurrences are all inside later identical copies, and those grams'
+    * rep occurrences are the global firsts — unmarked either way; (c) a
+    * non-rep member's every window is non-first (its rep precedes it),
+    * so members with ≥ k words are removed WHOLE and shorter members
+    * have no windows and pass through untouched. DedupSpec pins
+    * bit-equality with the uncollapsed form on a dup-heavy fixture; the
+    * registry proves n123 against n122's oracle verbatim.
+    */
+  def dupSubstringDedupCollapsed(docs: DataFrame, k: Int = 5): DataFrame = {
+    val groups = graft.ops.Checkpoints.cut(
+      docs.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"),
+          sort_array(collect_list(col("doc_id"))).as("ids")))
+    val repRes = dupSubstringDedupRaw(
+      groups.select(col("rep").as("doc_id"), col("text")), k)
+    val members = groups
+      .select(col("rep"), col("text"), explode(col("ids")).as("doc_id"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"), col("text"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") >= k, col("n_tokens")).otherwise(0L)
+          .as("n_removed"),
+        when(col("n_tokens") >= k, lit("")).otherwise(col("text"))
+          .as("text_dedup"))
+    repRes.unionByName(members).orderBy(col("doc_id"))
+  }
+
   /** The EXECUTE side of the [[pipelineFunnel]]: emit the cleaned
     * training corpus ITSELF — normalize (n36's transform) → exact-dup
     * keeper on the normalized text (n2's min-id policy) →

@@ -500,7 +500,13 @@ class PlanSpec extends SparkSpec {
       "n62_ann_recall", "n64_ann_recall_curve", "n65_lsh_tuning_sampled",
       "n68_ann_recall_curve_mp", "n74_contamination_report",
       "n75_ivf_recall", "r13_full_outer_churn",
-      "n112_source_leakage_shuffle", "n120_source_leakage_auto")
+      "n112_source_leakage_shuffle", "n120_source_leakage_auto",
+      // keep-first substring dedup: the duplicated-gram first-occurrence
+      // frame is one row per DUPLICATED gram — corpus-vocabulary-shaped,
+      // deliberately NOT broadcast (the n73→n109 lesson); both gram-key
+      // sides shuffle legitimately, as does the doc-keyed rebuild join
+      "n121_dupsub_spans", "n122_dupsub_dedup",
+      "n123_dupsub_dedup_collapsed")
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString
@@ -638,5 +644,23 @@ class PlanSpec extends SparkSpec {
       "the hot-gram set must broadcast (n71's front):\n" + p6)
     assert("Window".r.findAllIn(p6).nonEmpty,
       "islands come from one per-doc window:\n" + p6)
+  }
+
+  test("n121/n122: the keep-first front is the map-side-combinable " +
+    "min(struct) aggregate — never a row_number window over the gram " +
+    "key (a corpus-hot gram would buffer its whole occurrence list in " +
+    "one reducer)") {
+    val p = plan("n122_dupsub_dedup")
+    assert(p.contains("partial_min"),
+      "first-occurrence aggregate lost its map-side combine:\n" + p)
+    assert(!p.contains("Window"),
+      "the dedup execute must not plan any window — the keep-first " +
+        "test is an aggregate join, the rebuild an array fold:\n" + p)
+    val ps = plan("n121_dupsub_spans")
+    assert(ps.contains("partial_min"),
+      "span inventory shares the combinable front:\n" + ps)
+    // exactly one Window: the per-doc island scan (doc-length-bounded)
+    assert(ps.contains("Window"),
+      "islands come from one per-doc window:\n" + ps)
   }
 }

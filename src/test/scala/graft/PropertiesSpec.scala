@@ -768,6 +768,42 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: dupSubstringDedup ≡ naive Scala keep-first on random " +
+    "small-alphabet corpora (n121/n122)") {
+    // 2-letter alphabet, k=2 — duplicated windows arise constantly,
+    // within-doc and cross-doc, exercising first-occurrence ties on pos
+    val docGen = Gen.listOf(
+      Gen.choose(1, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b")).map(_.mkString(" "))))
+      .map(_.take(8))
+    check(Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis.dupSubstringDedup(docs, 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toList
+      // naive: all (doc, pos, gram) occurrences; first per gram by
+      // (doc, pos); every non-first marks [pos, pos+1]; rebuild
+      val ws = texts.map(_.split(" ").toList)
+      val occ = ws.zipWithIndex.flatMap { case (w, d) =>
+        w.indices.dropRight(1).map(i => (d, i, s"${w(i)} ${w(i + 1)}"))
+      }
+      val firsts = occ.groupBy(_._3)
+        .map { case (g, os) => g -> os.map(o => (o._1, o._2)).min }
+      val dupPos = occ
+        .filter(o => occ.count(_._3 == o._3) > 1 &&
+          (o._1, o._2) != firsts(o._3))
+        .flatMap(o => Seq((o._1, o._2), (o._1, o._2 + 1))).toSet
+      val want = ws.zipWithIndex.map { case (w, d) =>
+        val kept = w.indices.filterNot(i => dupPos((d, i))).map(w)
+        (d.toLong, w.size.toLong,
+          w.indices.count(i => dupPos((d, i))).toLong, kept.mkString(" "))
+      }.toList
+      got == want
+    })
+  }
+
   test("property: corpusDigest ≡ naive Scala commutative md5 sum (n107)") {
     val corpusGen = Gen.listOf(for {
       t <- Gen.listOfN(3, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))

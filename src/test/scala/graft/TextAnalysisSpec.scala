@@ -150,6 +150,91 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dupSubstringDedup: keep-first — the globally-first occurrence " +
+    "survives, later copies (cross-doc AND within-doc) are removed") {
+    val docs = Seq(
+      // first occurrence of "a b c d e" (doc 1, pos 0) — kept verbatim
+      (1L, "a b c d e x1 y1 z1"),
+      // later occurrence at pos 1 → positions 1..5 removed
+      (2L, "p2 a b c d e q2"),
+      // no duplicated windows → untouched
+      (3L, "u v w x y z"),
+      // IS the duplicated window alone → removed whole
+      (4L, "a b c d e"),
+      // two later occurrences (pos 2 and 7) → 2..11 removed
+      (5L, "r s a b c d e a b c d e"),
+      // WITHIN-doc repetition with a globally-unique window: pos 0 is
+      // the global first (kept), pos 5 removed
+      (6L, "m n o p q m n o p q")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSubstringDedup(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 8L, 0L, "a b c d e x1 y1 z1"),
+      (2L, 7L, 5L, "p2 q2"),
+      (3L, 6L, 0L, "u v w x y z"),
+      (4L, 5L, 5L, ""),
+      (5L, 12L, 10L, "r s"),
+      (6L, 10L, 5L, "m n o p q")))
+    // the span inventory agrees with the execute side's accounting and
+    // reports WHERE: 1-based starts, maximal runs
+    val spans = TextAnalysis.dupSubstringSpans(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(spans.toSeq === Seq(
+      (2L, 2, 5L), (4L, 1, 5L), (5L, 3, 10L), (6L, 6, 5L)))
+  }
+
+  test("dupSubstringSpans: Σ span_len per doc ≡ dupSubstringDedup's " +
+    "n_removed on real data (the inventory can't disagree with the cut)") {
+    val fix = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val spans = TextAnalysis.dupSubstringSpans(fix, 5)
+      .groupBy("doc_id").agg(
+        org.apache.spark.sql.functions.sum("span_len").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ded = TextAnalysis.dupSubstringDedup(fix, 5).collect()
+    assert(ded.nonEmpty)
+    assert(ded.exists(_.getLong(2) > 0L),
+      "fixture should contain duplicated windows")
+    ded.foreach { r =>
+      assert(spans.getOrElse(r.getLong(0), 0L) === r.getLong(2),
+        s"doc ${r.getLong(0)}")
+      val keptWords =
+        if (r.getString(3).isEmpty) 0
+        else r.getString(3).split(" ", -1).length
+      assert(keptWords === (r.getLong(1) - r.getLong(2)).toInt,
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("dupSubstringDedupCollapsed ≡ dupSubstringDedup bit-equal on a " +
+    "dup-heavy fixture (exact-dup copies removed whole; short dups pass)") {
+    // groups: {1, 7, 9} identical long texts; {2, 8} identical SHORT
+    // (< k words → untouched even as dups); distinct docs incl. a quote
+    // of group-1's window and an interleaved-id distinct doc 5
+    val docs = Seq(
+      (1L, "a b c d e x1 y1 z1"),
+      (2L, "s t u"),
+      (5L, "k l m n o p"),
+      (7L, "a b c d e x1 y1 z1"),
+      (8L, "s t u"),
+      (9L, "a b c d e x1 y1 z1"),
+      (10L, "q2 a b c d e r2")
+    ).toDF("doc_id", "text")
+    val plain = TextAnalysis.dupSubstringDedup(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val coll = TextAnalysis.dupSubstringDedupCollapsed(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(plain.toSeq === coll.toSeq)
+    // and the policy itself: rep 1 kept whole, copies 7/9 removed whole,
+    // short dups 2/8 untouched, the quote in 10 cut
+    val byId = plain.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 === "a b c d e x1 y1 z1")
+    assert(byId(7L)._4 === "" && byId(7L)._3 === 8L)
+    assert(byId(9L)._4 === "")
+    assert(byId(2L)._4 === "s t u" && byId(8L)._4 === "s t u")
+    assert(byId(10L)._4 === "q2 r2")
+  }
+
   test("cleanCorpus: each stage fires on its planted doc — dup dropped " +
     "BEFORE df (copies can't self-boilerplate), trim executed, quality " +
     "gated, normalization applied") {
