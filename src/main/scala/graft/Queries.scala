@@ -2267,6 +2267,61 @@ object Queries {
         |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // INCREMENTAL keep-first substring dedup: the newer half of the
+    // corpus (doc_id ≥ max÷2) deduped against the older half's gram
+    // INDEX plus its own internal firsts — when batches arrive in
+    // doc_id order this equals batch-mode n122 restricted to the batch
+    // (spec-pinned fold equivalence). The index is 1 column of distinct
+    // grams, never re-read text; it joins on the gram key (never
+    // broadcast — gram-vocabulary-shaped).
+    ("n124_dupsub_incremental",
+      (s: SparkSession, d: String) => {
+        val all = docs(s, d)
+        val half = all.agg(expr("max(doc_id) div 2").as("h"))
+        val older = all.join(broadcast(half), col("doc_id") < col("h"))
+          .select(col("doc_id"), col("text"))
+        val batch = all.join(broadcast(half), col("doc_id") >= col("h"))
+          .select(col("doc_id"), col("text"))
+        TextAnalysis.dupSubstringDedupFromIndex(
+          TextAnalysis.dupSubstringIndex(older, 5), batch, 5)
+      },
+      Some("""WITH h AS (SELECT max(doc_id) // 2 AS h FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents, h WHERE doc_id >= h.h),
+        |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
+        |      ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
+        |  FROM w)),
+        |ow AS (SELECT string_split(text, ' ') AS ws
+        |  FROM documents, h WHERE doc_id < h.h),
+        |og AS (SELECT DISTINCT u AS g FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 4),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
+        |      ' ' || ws[i+3] || ' ' || ws[i+4])) AS u
+        |  FROM ow)),
+        |dup AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos, g,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS c
+        |  FROM g) t
+        |  WHERE (c > 1 AND rn > 1) OR g IN (SELECT g FROM og)),
+        |covp AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM dup)),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        |  FROM w),
+        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
+        |kept AS (SELECT t.doc_id,
+        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
+        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
+        |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+        |  coalesce(kept.td, '') AS text_dedup
+        |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // The cleaned training corpus ITSELF (the n63 funnel's execute
     // side): normalize → exact-dup keeper (FIRST, so dup copies can't
     // inflate gram df) → boilerplate-trim over keepers → quality gate,

@@ -161,7 +161,7 @@ object ScaleSanity {
         "n116_jaccard_background_abs", "n117_cosine_background_abs",
         "n119_lsh_index_stats", "n120_source_leakage_auto",
         "n121_dupsub_spans", "n122_dupsub_dedup",
-        "n123_dupsub_dedup_collapsed",
+        "n123_dupsub_dedup_collapsed", "n124_dupsub_incremental",
         "m1_multimodal_features", "m2_multimodal_transform"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

@@ -839,6 +839,79 @@ object TextAnalysis {
     repRes.unionByName(members).orderBy(col("doc_id"))
   }
 
+  /** The gram INDEX for incremental keep-first substring dedup: the
+    * distinct k-window texts of an already-processed corpus. Presence
+    * is the whole signal — an occurrence in a LATER batch is non-first
+    * the moment its window text exists in any earlier batch, whatever
+    * the position — so the index stores one row per distinct gram,
+    * never positions or texts. Grow it with [[dupSubstringIndexDelta]]
+    * (anti-join append: O(new grams) per batch, the SimhashIngest
+    * append discipline), not by rebuilding.
+    */
+  def dupSubstringIndex(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(words(col("text")).as("ws"))
+      .select(explode(ngramsOf(col("ws"), k)).as("g"))
+      .distinct()
+
+  /** The grams a new batch adds to an existing [[dupSubstringIndex]] —
+    * the O(batch) append payload (write these rows, inherit the rest by
+    * reference). Anti join on the gram key: the index side streams
+    * map-side past the batch's gram set at any index size.
+    */
+  def dupSubstringIndexDelta(index: DataFrame, batch: DataFrame,
+                             k: Int = 5): DataFrame =
+    dupSubstringIndex(batch, k).join(index, Seq("g"), "left_anti")
+
+  /** INCREMENTAL keep-first substring dedup (the n49/n95 move on
+    * [[dupSubstringDedup]]): dedup a new batch against the accumulated
+    * gram index of every earlier batch PLUS the batch's own internal
+    * firsts. When batches partition the corpus in doc_id order, folding
+    * them through this + [[dupSubstringIndexDelta]] is EXACTLY the
+    * batch-mode [[dupSubstringDedup]] restricted to each batch's rows
+    * (spec-pinned): an occurrence is globally non-first iff an earlier
+    * occurrence exists, and "earlier" is either a prior batch (gram ∈
+    * index — any position) or the same batch (the min(struct) test).
+    *
+    * Scale shape: the batch's gram stream shuffles on the gram key for
+    * its internal firsts and joins the index on the same key — the
+    * index never broadcasts (gram-vocabulary-shaped; the n73→n109
+    * lesson) and never rescans earlier TEXT, only the 1-column gram
+    * set. Everything downstream is the batch-sized rebuild.
+    */
+  def dupSubstringDedupFromIndex(index: DataFrame, batch: DataFrame,
+                                 k: Int = 5): DataFrame = {
+    val base = batch.select(col("doc_id"), words(col("text")).as("ws"))
+    val posGrams = base.select(col("doc_id"),
+      posexplode(ngramsOf(col("ws"), k)).as(Seq("pos", "g")))
+    val firsts = posGrams
+      .groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("cnt"))
+      .select(col("g"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"),
+        col("cnt"))
+    val cov = posGrams
+      .join(firsts, Seq("g"))
+      .join(index.select(col("g"), lit(1).as("hit")).distinct(),
+        Seq("g"), "left_outer")
+      .filter(col("hit").isNotNull ||
+        (col("cnt") > 1 &&
+          (col("doc_id") =!= col("fdoc") || col("pos") =!= col("fpos"))))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    base.join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        concat_ws(" ", expr(
+          """transform(filter(transform(ws, (w, i) ->
+            |  named_struct('w', w, 'i', i)),
+            |  x -> NOT array_contains(cov, x.i)), x -> x.w)"""
+            .stripMargin)).as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The EXECUTE side of the [[pipelineFunnel]]: emit the cleaned
     * training corpus ITSELF — normalize (n36's transform) → exact-dup
     * keeper on the normalized text (n2's min-id policy) →

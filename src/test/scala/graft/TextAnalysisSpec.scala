@@ -235,6 +235,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(10L)._4 === "q2 r2")
   }
 
+  test("dupSubstringDedupFromIndex: folding doc_id-ordered batches " +
+    "through the index delta ≡ batch-mode dupSubstringDedup per batch; " +
+    "cross-batch suppression actually fires") {
+    import org.apache.spark.sql.functions.col
+    val fix = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val whole = TextAnalysis.dupSubstringDedup(fix, 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val cuts = Seq(
+      (col("doc_id") < 150, "b1"),
+      (col("doc_id") >= 150 && col("doc_id") < 320, "b2"),
+      (col("doc_id") >= 320, "b3"))
+    var index = Seq.empty[String].toDF("g")
+    var crossBatchRemovals = 0L
+    cuts.foreach { case (pred, tag) =>
+      val batch = fix.filter(pred)
+      val got = TextAnalysis
+        .dupSubstringDedupFromIndex(index, batch, 5).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got === whole.view.filterKeys(got.keySet).toMap, tag)
+      // removals the batch could not have produced alone = index hits
+      val alone = TextAnalysis.dupSubstringDedup(batch, 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      crossBatchRemovals +=
+        got.map { case (id, (_, rem, _)) => rem - alone(id) }.sum
+      index = index.unionByName(
+        TextAnalysis.dupSubstringIndexDelta(index, batch, 5))
+    }
+    assert(crossBatchRemovals > 0L,
+      "fixture should exercise the index-hit path across batches")
+  }
+
   test("cleanCorpus: each stage fires on its planted doc — dup dropped " +
     "BEFORE df (copies can't self-boilerplate), trim executed, quality " +
     "gated, normalization applied") {
