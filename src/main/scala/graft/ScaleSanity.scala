@@ -355,6 +355,28 @@ object ScaleSanity {
           s"shingest_batch_$b (kept=$kept)")
       }
     }
+    // substring-dedup streaming ingest: the same 20-batch per-batch-wall
+    // measurement over SubstringIngest — the gram index grows every
+    // batch while per-batch wall must stay near-flat (O(batch) anti-join
+    // delta append + ONE map-side index stream past the broadcast batch
+    // gram set; the slow component is the linear index scan, whose cost
+    // the per-batch numbers chart directly)
+    if (wanted("substring_ingest_stream")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/ssingest"), true)
+      val d = spark.read.parquet(s"$out/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nBatches = 20
+      for (b <- 0 until nBatches) {
+        val batch = d.filter(pmod(col("doc_id"), lit(nBatches)) === b)
+        val t0 = System.nanoTime()
+        val rows = streaming.SubstringIngest.ingestBatch(batch, b.toLong,
+          s"$out/ssingest/index", s"$out/ssingest/out")
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"ssingest_batch_$b (rows=$rows)")
+      }
+    }
     // incremental one-call build: the 20-batch per-batch-wall
     // measurement over IncrementalBuild (ingest = SimhashIngest
     // verbatim, so per-batch FLAT must carry over), then ONE timed
