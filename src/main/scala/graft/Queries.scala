@@ -225,9 +225,9 @@ object Queries {
     * The oracle's row_number window is fine at oracle scale; the Spark
     * side uses the map-side-combinable min(struct) form.
     */
-  private lazy val DupSubCtes =
+  private def dupSubCtesKeyed(key: String => String): String =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+      |g AS (SELECT doc_id, u.pos AS pos, ${key("u.g")} AS g FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
       |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
       |      ' ' || ws[i+3] || ' ' || ws[i+4]})) AS u
@@ -240,6 +240,15 @@ object Queries {
       |covp AS (SELECT DISTINCT doc_id, p FROM (
       |  SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM dup))"""
       .stripMargin
+
+  private lazy val DupSubCtes = dupSubCtesKeyed(identity)
+
+  /** The 60-bit md5-prefix gram key — the hashed production twin's
+    * oracle computes the identical key, so n125 is proven bit-for-bit,
+    * not by rank agreement.
+    */
+  private lazy val DupSubCtesHashed = dupSubCtesKeyed(g =>
+    s"('0x' || substring(md5($g), 1, 15))::bigint")
 
   private lazy val CleanCorpusCtes =
     s"""nrm AS (SELECT doc_id,
@@ -2253,6 +2262,29 @@ object Queries {
       (s: SparkSession, d: String) =>
         TextAnalysis.dupSubstringDedupCollapsed(docs(s, d), 5),
       Some(s"""WITH $DupSubCtes,
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        |  FROM w),
+        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
+        |kept AS (SELECT t.doc_id,
+        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
+        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)
+        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
+        |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+        |  coalesce(kept.td, '') AS text_dedup
+        |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // n122 over 60-bit HASHED gram keys — the production shuffle/index
+    // payload (8 B per window vs a 5-word string). Both engines compute
+    // the identical md5-prefix key, so this is oracled bit-for-bit (the
+    // n109 hashed-model discipline), not by rank agreement; a collision
+    // can only over-mark (conservative for dedup), ≈ V²/2⁶¹ pairs.
+    ("n125_dupsub_dedup_hashed",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.dupSubstringDedupHashed(docs(s, d), 5),
+      Some(s"""WITH $DupSubCtesHashed,
         |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
         |  FROM w),
         |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),

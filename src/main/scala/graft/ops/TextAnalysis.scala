@@ -725,9 +725,26 @@ object TextAnalysis {
     * repeat where overlapping duplicated windows cover the same
     * position; callers distinct() or collect_set.
     */
-  private def dupWindowPositions(base: DataFrame, k: Int): DataFrame = {
-    val posGrams = base.select(col("doc_id"),
+  private def dupWindowPositions(base: DataFrame, k: Int,
+                                 hashed: Boolean = false): DataFrame = {
+    val raw = base.select(col("doc_id"),
       posexplode(ngramsOf(col("ws"), k)).as(Seq("pos", "g")))
+    // hashed: 60-bit md5-prefix key instead of the ~k-word string — the
+    // production index/shuffle payload (8 B vs tens of bytes per gram).
+    // A collision can only OVER-mark (a false "duplicated" window) —
+    // the conservative direction for dedup — at ≈ V²/2⁶¹ expected
+    // colliding pairs (V = distinct grams; ~43 pairs at V = 10¹⁰).
+    // cut when hashed: the occurrence frame feeds the firsts aggregate
+    // AND the join back — uncut, every occurrence pays the md5+conv
+    // twice (measured: the recompute is most of the hashed form's local
+    // overhead); the materialized frame is the compact 20 B/occurrence
+    // shape the hashing exists to produce
+    val posGrams =
+      if (hashed) graft.ops.Checkpoints.cut(
+        raw.select(col("doc_id"), col("pos"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+            .as("g")))
+      else raw
     val firsts = posGrams
       .groupBy(col("g"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
@@ -787,9 +804,10 @@ object TextAnalysis {
   /** [[dupSubstringDedup]] without the presentation sort — the
     * composable form the collapsed twin expands.
     */
-  private def dupSubstringDedupRaw(docs: DataFrame, k: Int): DataFrame = {
+  private def dupSubstringDedupRaw(docs: DataFrame, k: Int,
+                                   hashed: Boolean = false): DataFrame = {
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    val cov = dupWindowPositions(base, k)
+    val cov = dupWindowPositions(base, k, hashed)
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
     base.join(cov, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("ws"),
@@ -802,6 +820,28 @@ object TextAnalysis {
             |  x -> NOT array_contains(cov, x.i)), x -> x.w)"""
             .stripMargin)).as("text_dedup"))
   }
+
+  /** [[dupSubstringDedup]] over 60-bit HASHED gram keys — the
+    * NETWORK-optimized twin: 8 bytes per window instead of a k-word
+    * string (measured 26.5 B average gram at sf0.1 → 3.3× smaller
+    * payload on both gram-key exchanges and on any persisted index).
+    * The trade is measured and direction-dependent: on the CPU-bound
+    * local harness the per-occurrence md5+conv makes this ~1.3-1.7×
+    * SLOWER wall than the string-keyed form (10.6 vs 6.3 s at salted
+    * 10×, even with the occurrence frame cut so the hash is paid once)
+    * — the string form stays the default; pick this one where the gram
+    * shuffle is network-bound or the index is persisted (the ingest
+    * path). Exact up to md5-prefix collisions, which can only
+    * OVER-mark (a false "duplicated" window removes real text — the
+    * conservative failure for dedup, never a missed duplicate), at
+    * ≈ V²/2⁶¹ expected colliding pairs. ORACLED EXACTLY all the same:
+    * both engines compute the identical 60-bit key, so the registry
+    * proves the hashed path bit-for-bit (the n109 hashed-model
+    * discipline); the spec additionally pins equality with the
+    * string-keyed n122 on the fixtures, where collisions are absent.
+    */
+  def dupSubstringDedupHashed(docs: DataFrame, k: Int = 5): DataFrame =
+    dupSubstringDedupRaw(docs, k, hashed = true).orderBy(col("doc_id"))
 
   /** [[dupSubstringDedup]] with the exact-dup pre-collapse — the
     * production default on dup-heavy corpora (the n118/n53 move applied

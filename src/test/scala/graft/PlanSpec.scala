@@ -506,7 +506,8 @@ class PlanSpec extends SparkSpec {
       // deliberately NOT broadcast (the n73→n109 lesson); both gram-key
       // sides shuffle legitimately, as does the doc-keyed rebuild join
       "n121_dupsub_spans", "n122_dupsub_dedup",
-      "n123_dupsub_dedup_collapsed", "n124_dupsub_incremental")
+      "n123_dupsub_dedup_collapsed", "n124_dupsub_incremental",
+      "n125_dupsub_dedup_hashed")
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString

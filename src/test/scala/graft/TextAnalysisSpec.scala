@@ -235,6 +235,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(10L)._4 === "q2 r2")
   }
 
+  test("dupSubstringDedupHashed ≡ dupSubstringDedup on fixture and real " +
+    "data (60-bit keys collide nowhere at fixture scale)") {
+    val planted = Seq(
+      (1L, "a b c d e x1 y1 z1"), (2L, "p2 a b c d e q2"),
+      (3L, "u v w x y z"), (4L, "a b c d e"),
+      (5L, "r s a b c d e a b c d e"), (6L, "m n o p q m n o p q")
+    ).toDF("doc_id", "text")
+    val real = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    Seq(planted, real).foreach { docs =>
+      val want = TextAnalysis.dupSubstringDedup(docs, 5).collect()
+        .map(_.toString).toSeq
+      val got = TextAnalysis.dupSubstringDedupHashed(docs, 5).collect()
+        .map(_.toString).toSeq
+      assert(got === want)
+    }
+  }
+
   test("dupSubstringDedupFromIndex: folding doc_id-ordered batches " +
     "through the index delta ≡ batch-mode dupSubstringDedup per batch; " +
     "cross-batch suppression actually fires") {
