@@ -225,8 +225,11 @@ object Queries {
     * The oracle's row_number window is fine at oracle scale; the Spark
     * side uses the map-side-combinable min(struct) form.
     */
-  private def dupSubCtesKeyed(key: String => String): String =
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def dupSubCtesKeyed(key: String => String,
+      wSelect: String =
+        "SELECT doc_id, string_split(text, ' ') AS ws FROM documents")
+      : String =
+    s"""w AS ($wSelect),
       |g AS (SELECT doc_id, u.pos AS pos, ${key("u.g")} AS g FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
       |    i -> {'pos': i, 'g': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
@@ -2297,6 +2300,48 @@ object Queries {
         |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
         |  coalesce(kept.td, '') AS text_dedup
         |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // The n83 pipeline with the keep-first SUBSTRING stage in place of
+    // the boilerplate trim (quotes/mirrors corpora: one copy of every
+    // duplicated window survives, where n83 deletes all copies):
+    // normalize → exact-dup keeper → n122 over keepers → the same
+    // quality gate — output shape identical to n83 so mix/shard/build
+    // consumers take either cleaner unchanged. The oracle composes the
+    // nrm/kp CTEs with the DupSub chain re-rooted on the keeper corpus.
+    ("n126_clean_corpus_subdedup",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.cleanCorpusSubstring(docs(s, d), 5),
+      Some(s"""WITH nrm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |      ' +', ' ', 'g')) AS text
+        |  FROM documents),
+        |kp AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text)),
+        |${dupSubCtesKeyed(identity,
+            "SELECT n.doc_id, string_split(n.text, ' ') AS ws " +
+            "FROM nrm n JOIN kp USING (doc_id)")},
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        |  FROM w),
+        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
+        |kept AS (SELECT t.doc_id,
+        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
+        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
+        |  WHERE c.p IS NULL GROUP BY t.doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id),
+        |t AS (SELECT w.doc_id, coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+        |    coalesce(kept.td, '') AS td
+        |  FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)),
+        |s AS (SELECT doc_id, n_removed, td,
+        |    len(string_split(td, ' ')) AS nw,
+        |    round(len(list_filter(string_split(td, ' '), x -> x IN $Stop))::double
+        |      / len(string_split(td, ' ')), 6) AS sr,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  nw::bigint AS n_tokens, n_removed, td AS text_clean
+        |FROM s WHERE nw >= 30 AND sr <= 0.3
         |ORDER BY doc_id""".stripMargin)),
 
     // INCREMENTAL keep-first substring dedup: the newer half of the

@@ -162,7 +162,7 @@ object ScaleSanity {
         "n119_lsh_index_stats", "n120_source_leakage_auto",
         "n121_dupsub_spans", "n122_dupsub_dedup",
         "n123_dupsub_dedup_collapsed", "n124_dupsub_incremental",
-        "n125_dupsub_dedup_hashed",
+        "n125_dupsub_dedup_hashed", "n126_clean_corpus_subdedup",
         "m1_multimodal_features", "m2_multimodal_transform"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

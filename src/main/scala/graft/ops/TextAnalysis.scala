@@ -999,6 +999,46 @@ object TextAnalysis {
         col("trimmed_text").as("text_clean"))
   }
 
+  /** [[cleanCorpus]] with the KEEP-FIRST SUBSTRING stage in place of the
+    * boilerplate trim — the pipeline variant for corpora whose repeated
+    * content is quotes/mirrors rather than templates: normalize (n36) →
+    * exact-dup keeper (n2's min-id policy, FIRST for the same reason as
+    * n83 — identical copies must not feed the gram stage) →
+    * [[dupSubstringDedup]] over the keepers (n122: one copy of every
+    * duplicated k-window survives, where n83's trim deletes ALL copies)
+    * → the same quality gate. Output shape identical to n83
+    * ((doc_id, split, n_tokens, n_removed, text_clean); n_tokens counts
+    * the CLEANED text, n83's convention), so downstream consumers
+    * (mix/shard/build) take either cleaner unchanged.
+    *
+    * Scale shape: one md5 keeper shuffle + [[dupSubstringDedup]]'s
+    * audited combinable front; text moves twice (keeper window, rebuild
+    * join), same as n83.
+    */
+  def cleanCorpusSubstring(docs: DataFrame, k: Int = 5): DataFrame = {
+    val normalized = docs.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[0-9]+", "<num>"), " +", " ")).as("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val keepers = normalized
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .filter(col("keep")).select(col("doc_id"), col("text"))
+    val stopRatio = round(
+      size(filter(col("ws"), x => x.isin(Stopwords: _*))).cast("double") /
+        size(col("ws")), 6)
+    dupSubstringDedupRaw(keepers, k)
+      .select(col("doc_id"), col("n_removed"), col("text_dedup"),
+        words(col("text_dedup")).as("ws"))
+      .select(col("doc_id"), col("n_removed"), col("text_dedup"),
+        size(col("ws")).as("nw"), stopRatio.as("sr"))
+      .filter(col("nw") >= 30 && col("sr") <= 0.3)
+      .select(col("doc_id"), splitCol.as("split"),
+        col("nw").cast("long").as("n_tokens"), col("n_removed"),
+        col("text_dedup").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The one-call training-data BUILD — the full published pipeline a
     * 100 TB run executes, each stage a registry operator's machinery
     * verbatim so the build can never disagree with the individual gates:

@@ -285,6 +285,32 @@ class TextAnalysisSpec extends SparkSpec {
       "fixture should exercise the index-hit path across batches")
   }
 
+  test("cleanCorpusSubstring: keeper drops exact copies BEFORE the gram " +
+    "stage, a quote is cut keep-first, short docs gate out; output " +
+    "shape = n83's") {
+    def uniq(p: String, n: Int) = (0 until n)
+      .map(i => s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val w = uniq("w", 40)
+    val v = uniq("v", 35).toArray
+    val d3words = v.take(5) ++ w.take(5) ++ v.drop(10)
+    val docs = Seq(
+      (1L, w.mkString(" ")),                 // 40 uniques — untouched
+      (2L, w.mkString(" ")),                 // exact copy — keeper drops
+      (3L, d3words.mkString(" ")),           // 5-word quote of d1 — cut
+      (4L, uniq("z", 10).mkString(" "))      // too short after gate
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cleanCorpusSubstring(docs, 5)
+    assert(got.columns.toSeq ===
+      Seq("doc_id", "split", "n_tokens", "n_removed", "text_clean"))
+    val rows = got.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(rows.keySet === Set(1L, 3L))
+    assert(rows(1L) === ((40L, 0L, w.mkString(" "))))
+    assert(rows(3L) ===
+      ((30L, 5L, (v.take(5) ++ v.drop(10)).mkString(" "))))
+  }
+
   test("cleanCorpus: each stage fires on its planted doc — dup dropped " +
     "BEFORE df (copies can't self-boilerplate), trim executed, quality " +
     "gated, normalization applied") {
