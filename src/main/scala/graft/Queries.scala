@@ -3544,6 +3544,15 @@ object Queries {
       (s: SparkSession, d: String) =>
         graft.sources.Multimodal.transformStats(s, d),
       None),
+
+    // FRAME-level audio features rolled up per clip — rows-only like
+    // m1/m2 (WAV payloads are built engine-side; float rms means are
+    // not oracle material); MultimodalSpec recomputes every frame from
+    // the synthetic sample formula exactly.
+    ("m3_audio_frames",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.audioFrameStats(s, d, 8),
+      None),
   )
 
   def queries: Map[String, Q] =

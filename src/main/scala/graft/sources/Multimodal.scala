@@ -229,11 +229,12 @@ object Multimodal {
         (img.getWidth * img.getHeight).toFloat)
     }
 
-  /** WAV → [nSamples, rate, meanAbs, rms, min, max, zeroCrossings,
-    * durationMs] via AudioSystem (header parse + PCM frames).
+  /** Validated WAV → (16-bit samples, sample rate): the ONE PCM read
+    * path — [[decodeAudio]] aggregates over it, [[audioFrameFeatures]]
+    * frames it. Throws IllegalArgumentException on a fuzzed header
+    * (callers wrap in [[failAsBadPayload]]).
     */
-  def decodeAudio(payload: Array[Byte]): Array[Float] =
-    failAsBadPayload("audio") {
+  private def pcmShorts(payload: Array[Byte]): (Array[Short], Float) = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -264,6 +265,20 @@ object Multimodal {
         if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)
       val n = bytes.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(i * 2); i += 1 }
+      (out, fmt.getSampleRate)
+    } finally in.close()
+  }
+
+  /** WAV → [nSamples, rate, meanAbs, rms, min, max, zeroCrossings,
+    * durationMs] via AudioSystem (header parse + PCM frames).
+    */
+  def decodeAudio(payload: Array[Byte]): Array[Float] =
+    failAsBadPayload("audio") {
+      val (samples, rate) = pcmShorts(payload)
+      val n = samples.length
       var i = 0
       var sumAbs = 0.0
       var sumSq = 0.0
@@ -272,7 +287,7 @@ object Multimodal {
       var zc = 0
       var prev = 0
       while (i < n) {
-        val s = bb.getShort(i * 2).toInt
+        val s = samples(i).toInt
         sumAbs += math.abs(s)
         sumSq += s.toDouble * s
         if (s < mn) mn = s
@@ -281,12 +296,10 @@ object Multimodal {
         prev = s
         i += 1
       }
-      val rate = fmt.getSampleRate
       Array(n.toFloat, rate, (sumAbs / math.max(1, n)).toFloat,
         math.sqrt(sumSq / math.max(1, n)).toFloat, mn.toFloat, mx.toFloat,
         zc.toFloat, (n * 1000.0 / rate).toFloat)
-    } finally in.close()
-  }
+    }
 
   /** GFV1 → decode first and last PNG frame →
     * [nFrames, w, h, meanGrayFirst, meanGrayLast, |delta|, 0, nBytes].
@@ -512,4 +525,85 @@ object Multimodal {
         round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"),
         count(col("decode_err")).as("n_err"))
       .orderBy(col("kind"))
+
+  /** FRAME-level audio features — the per-window shape audio models
+    * actually consume (m1's whole-clip aggregates are the audit view):
+    * fixed `frameSamples`-sample windows, hop = frame (the final frame
+    * keeps its partial tail), one row per frame with integer-exact
+    * n_samples/zcr and the same double-accumulated rms as
+    * [[decodeAudio]] — all spec-recomputable from the synthetic sample
+    * formula. Same batched map-side shape and failure policy as m1/m2:
+    * payloads never shuffle; a corrupt clip yields ONE null-frame row
+    * with `decode_err` set and never kills the task; a null payload is
+    * one zero-frame row (the m1 convention). Frame size is in SAMPLES,
+    * not ms — the knob that stays meaningful whatever the clip's rate.
+    */
+  def audioFrameFeatures(media: DataFrame,
+                         frameSamples: Int = 400): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be > 0, got $frameSamples")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("n_samples", IntegerType, nullable = true),
+      StructField("rms", FloatType, nullable = true),
+      StructField("zcr", IntegerType, nullable = true),
+      StructField("decode_err", StringType, nullable = true)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null)
+            Seq(Row(id, Int.box(0), Int.box(0), null, null, null))
+          else try {
+            // failAsBadPayload: a non-IAE codec error (unsupported file,
+            // buffer underflow) must surface as the contextual IAE the
+            // catch below turns into a decode_err row, never kill a task
+            val (samples, _) = failAsBadPayload("audio")(pcmShorts(payload))
+            val nFrames = math.max(1,
+              (samples.length + frameSamples - 1) / frameSamples)
+            (0 until nFrames).map { f =>
+              val start = f * frameSamples
+              val end = math.min(samples.length, start + frameSamples)
+              var i = start
+              var sumSq = 0.0
+              var zc = 0
+              var prev = 0
+              while (i < end) {
+                val s = samples(i).toInt
+                sumSq += s.toDouble * s
+                if (i > start && ((s >= 0) != (prev >= 0))) zc += 1
+                prev = s
+                i += 1
+              }
+              val n = end - start
+              Row(id, Int.box(f), Int.box(n),
+                Float.box(math.sqrt(sumSq / math.max(1, n)).toFloat),
+                Int.box(zc), null)
+            }
+          } catch {
+            case e: IllegalArgumentException =>
+              Seq(Row(id, null, null, null, null,
+                s"audio payload failed to decode: ${e.getMessage}"))
+          }
+        }
+      }(enc)
+  }
+
+  /** Roll-up of [[audioFrameFeatures]] — the rows-only registry surface
+    * (float rms means are not SQL-oracle material): frame/error
+    * accounting plus integer-exact zcr totals.
+    */
+  def audioFrameStats(spark: SparkSession, dir: String,
+                      frameSamples: Int = 8): DataFrame =
+    audioFrameFeatures(mediaFromEvents(spark, dir), frameSamples)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("n_samples")).cast("long").as("n_samples"),
+        sum(col("zcr")).cast("long").as("zcr_total"),
+        round(avg(col("rms")), 4).as("avg_rms"),
+        count(col("decode_err")).as("n_err"))
+      .orderBy(col("media_id"))
 }

@@ -269,6 +269,79 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(4L).getString(4).contains("GFV1"))
   }
 
+  test("audioFrameFeatures: every frame recomputes exactly from the " +
+    "synthetic sample formula; tail partial kept; corrupt clip yields " +
+    "one err row, null payload one zero-frame row, healthy rows live") {
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        org.apache.spark.sql.types.StructType(
+          Multimodal.mediaSchema.fields.take(3))))
+    val rows = Seq(
+      Row(7L, "audio", Multimodal.wavBytes(7L)),   // 23 samples → 3 frames@8
+      Row(8L, "audio", "RIFF garbage".getBytes("US-ASCII")),
+      Row(9L, "audio", null),
+      Row(1L, "image", Multimodal.pngBytes(1L)))   // non-audio filtered out
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), enc.schema)
+    val got = Multimodal.audioFrameFeatures(media, 8)
+      .orderBy("media_id", "frame_idx").collect()
+    val byId = got.groupBy(_.getLong(0))
+    assert(!byId.contains(1L), "non-audio rows must be filtered")
+    // healthy clip: frames recomputed from the sample formula, in the
+    // same accumulation order as the engine
+    val n = 16 + (7L % 32).toInt
+    val samples = (0 until n).map(Multimodal.wavSample(7L, _))
+    val frames = byId(7L)
+    assert(frames.length === (n + 7) / 8)
+    frames.zipWithIndex.foreach { case (r, f) =>
+      val seg = samples.slice(f * 8, math.min(n, f * 8 + 8))
+      assert(r.getInt(2) === seg.length)
+      val rms = math.sqrt(seg.map(s => s.toDouble * s).sum / seg.length)
+      assert(r.getFloat(3) === rms.toFloat, s"frame $f rms")
+      val zc = seg.sliding(2).count(p =>
+        p.length == 2 && (p(0) >= 0) != (p(1) >= 0))
+      assert(r.getInt(4) === zc, s"frame $f zcr")
+      assert(r.getString(5) == null)
+    }
+    // tail partial: last frame shorter unless 8 divides n
+    assert(frames.last.getInt(2) === (if (n % 8 == 0) 8 else n % 8))
+    // corrupt: exactly one row, null frame fields, contextual message
+    val bad = byId(8L)
+    assert(bad.length === 1 && bad.head.isNullAt(1) &&
+      bad.head.getString(5) != null &&
+      bad.head.getString(5).contains("audio"))
+    // null payload: one zero-frame row, no error (the m1 convention)
+    val nul = byId(9L)
+    assert(nul.length === 1 && nul.head.getInt(1) === 0 &&
+      nul.head.getInt(2) === 0 && nul.head.isNullAt(3) &&
+      nul.head.getString(5) == null)
+  }
+
+  test("audioFrameStats: per-clip roll-up reconciles with the whole-clip " +
+    "m1 aggregates (Σ n_samples ≡ decodeAudio's count, Σ zcr ≡ " +
+    "whole-clip zcr minus the frame-boundary crossings)") {
+    val media = Multimodal.mediaFromEvents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("kind") === "audio")
+    val stats = Multimodal.audioFrameStats(spark, dir, 8).collect()
+    assert(stats.nonEmpty)
+    val whole = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("feature")).toMap
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val f = whole(id)
+      assert(r.getLong(2) === f(0).toLong, s"clip $id n_samples")
+      // frame-local zcr misses exactly the crossings that straddle a
+      // frame boundary — recompute those from the formula and reconcile
+      val n = f(0).toInt
+      val samples = (0 until n).map(Multimodal.wavSample(id, _))
+      val boundary = (1 until n).count(i =>
+        i % 8 == 0 && (samples(i) >= 0) != (samples(i - 1) >= 0))
+      assert(r.getLong(3) === f(6).toLong - boundary, s"clip $id zcr")
+    }
+  }
+
   test("feature extraction is deterministic and batched per partition") {
     val f1 = Multimodal.extractFeatures(Multimodal.mediaFromEvents(spark, dir))
     val f2 = Multimodal.extractFeatures(
