@@ -1176,6 +1176,31 @@ object Queries {
         |  ON a.ck = b.ck
         |ORDER BY o_custkey""".stripMargin)),
 
+    // TPC-H Q11's group-share pattern: nations above 5% of GLOBAL
+    // revenue. The global total is a 1-row broadcast aggregate (never a
+    // window over the unpartitioned frame); revenue stays exact decimal
+    // through both aggregates, share/threshold compared on the
+    // exactly-converted doubles on both engines.
+    ("r14_nation_revenue_share",
+      (s: SparkSession, d: String) => Relational.nationRevenueShare(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d)),
+      Some("""WITH per AS (SELECT n_name,
+        |    sum(l_extendedprice::decimal(18,2)
+        |      * (1::decimal(18,2) - l_discount::decimal(18,2))) AS rdec,
+        |    count(*) AS n_items
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |tot AS (SELECT sum(rdec) AS tdec FROM per)
+        |SELECT n_name, CAST(rdec AS double) AS revenue, n_items,
+        |  round(CAST(rdec AS double) / CAST(tdec AS double), 6) AS share
+        |FROM per CROSS JOIN tot
+        |WHERE CAST(rdec AS double) > CAST(tdec AS double) * 0.05
+        |ORDER BY n_name""".stripMargin)),
+
     // ===== North star: dedup / similarity / text analysis =====
 
     ("n1_exact_dup_groups",
@@ -2301,6 +2326,24 @@ object Queries {
         |  coalesce(kept.td, '') AS text_dedup
         |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Per-source duplicated-substring profile — the dataset-card view
+    // deciding whether a corpus needs the keep-first stage at all;
+    // rides n122's accounting verbatim (shared covp CTE).
+    ("n127_dupsub_by_source",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.dupSubstringBySource(docs(s, d), 5),
+      Some(s"""WITH $DupSubCtes,
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id),
+        |per AS (SELECT d.source AS source, len(w.ws)::bigint AS n_tokens,
+        |    coalesce(nrem.n_removed, 0)::bigint AS n_removed
+        |  FROM w JOIN documents d USING (doc_id)
+        |  LEFT JOIN nrem USING (doc_id))
+        |SELECT source, count(*)::bigint AS n_docs,
+        |  sum(n_tokens)::bigint AS total_tokens,
+        |  sum(n_removed)::bigint AS dup_tokens,
+        |  round(sum(n_removed)::double / sum(n_tokens), 6) AS dup_frac
+        |FROM per GROUP BY source ORDER BY source""".stripMargin)),
 
     // The n83 pipeline with the keep-first SUBSTRING stage in place of
     // the boilerplate trim (quotes/mirrors corpora: one copy of every

@@ -54,6 +54,36 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** TPC-H Q11's GROUP-SHARE pattern: nations whose revenue exceeds
+    * `minShare` of the GLOBAL total, with the share. The global total
+    * is a 1-row aggregate arriving by broadcast nested-loop — never a
+    * window over the unpartitioned frame, which would single-reduce the
+    * per-group rows; the per-nation aggregate is [[revenueByNation]]'s
+    * machinery. Revenue stays EXACT decimal through both aggregates;
+    * the share/threshold compare happens on the exactly-converted
+    * doubles, identically on both engines.
+    */
+  def nationRevenueShare(li: DataFrame, orders: DataFrame,
+                         customer: DataFrame, nation: DataFrame,
+                         minShare: Double = 0.05): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    val per = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).as("rdec"), count(lit(1)).as("n_items"))
+    val total = per.agg(sum(col("rdec")).as("tdec"))
+    per.crossJoin(broadcast(total))
+      .filter(col("rdec").cast("double") >
+        col("tdec").cast("double") * lit(minShare))
+      .select(col("n_name"), col("rdec").cast("double").as("revenue"),
+        col("n_items"),
+        round(col("rdec").cast("double") / col("tdec").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n_name"))
+  }
+
   /** LEFT SEMI — customers having at least one finished high-value order
     * (the EXISTS shape; broadcast of the *probe-filtered* build side).
     */

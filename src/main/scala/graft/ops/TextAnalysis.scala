@@ -999,6 +999,27 @@ object TextAnalysis {
         col("trimmed_text").as("text_clean"))
   }
 
+  /** Per-SOURCE duplicated-substring profile — the dataset-card view of
+    * the keep-first machinery (which sources are quote/mirror-heavy,
+    * the number that decides whether a corpus needs the substring stage
+    * at all): per source, docs, total tokens, tokens a keep-first pass
+    * would cut, and the cut fraction. Rides [[dupSubstringDedup]]'s
+    * accounting verbatim, so the profile cannot disagree with the
+    * execute side.
+    */
+  def dupSubstringBySource(docs: DataFrame, k: Int = 5): DataFrame =
+    dupSubstringDedupRaw(docs, k)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_removed")).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6)
+          .as("dup_frac"))
+      .orderBy(col("source"))
+
   /** [[cleanCorpus]] with the KEEP-FIRST SUBSTRING stage in place of the
     * boilerplate trim — the pipeline variant for corpora whose repeated
     * content is quotes/mirrors rather than templates: normalize (n36) →

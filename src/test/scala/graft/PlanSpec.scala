@@ -507,7 +507,8 @@ class PlanSpec extends SparkSpec {
       // sides shuffle legitimately, as does the doc-keyed rebuild join
       "n121_dupsub_spans", "n122_dupsub_dedup",
       "n123_dupsub_dedup_collapsed", "n124_dupsub_incremental",
-      "n125_dupsub_dedup_hashed", "n126_clean_corpus_subdedup")
+      "n125_dupsub_dedup_hashed", "n126_clean_corpus_subdedup",
+      "n127_dupsub_by_source")
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString

@@ -252,6 +252,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dupSubstringBySource: the per-source profile reconciles with " +
+    "the per-doc dedup accounting row-for-row") {
+    val fix = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val perDoc = TextAnalysis.dupSubstringDedup(fix, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val srcOf = fix.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.dupSubstringBySource(fix, 5).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val docs = srcOf.collect { case (id, s) if s == r.getString(0) => id }
+      assert(r.getLong(1) === docs.size.toLong)
+      assert(r.getLong(2) === docs.map(perDoc(_)._1).sum)
+      assert(r.getLong(3) === docs.map(perDoc(_)._2).sum)
+    }
+  }
+
   test("dupSubstringDedupFromIndex: folding doc_id-ordered batches " +
     "through the index delta ≡ batch-mode dupSubstringDedup per batch; " +
     "cross-batch suppression actually fires") {
