@@ -3202,6 +3202,25 @@ object Queries {
         |    ORDER BY key, doc_id) AS pos
         |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // Shard BALANCE audit: per-shard doc/token accounting + share and
+    // skew-vs-ideal from the SAME shardKey the writer uses — the
+    // pre-commit check that no training shard straggles. 1-row
+    // broadcast total, numShards-sized output.
+    ("n128_shard_balance",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.shardBalance(docs(s, d), 8),
+      Some("""WITH per AS (SELECT
+        |    ('0x' || substring(md5('shard|' || doc_id::varchar), 1, 8))::bigint
+        |      % 8 AS shard,
+        |    count(*) AS n_docs,
+        |    sum(len(string_split(text, ' ')))::bigint AS tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(tokens) AS total FROM per)
+        |SELECT shard, n_docs, tokens,
+        |  round(tokens::double / total, 6) AS share,
+        |  round(tokens::double * 8 / total, 6) AS skew
+        |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin)),
+
     ("n20_vocabulary",
       (s: SparkSession, d: String) => TextAnalysis.vocabulary(docs(s, d), 100),
       Some("""SELECT word, count(*) AS tf FROM (

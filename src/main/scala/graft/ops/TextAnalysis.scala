@@ -220,6 +220,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Shard BALANCE audit — the skew report a 100 TB writer checks
+    * before committing a layout (one hot shard = one straggling
+    * training-data file): per shard, docs, tokens, and each shard's
+    * token share vs the ideal 1/numShards, from [[shardKey]]'s
+    * assignment VERBATIM so the audit can never disagree with the
+    * layout [[graft.sources.Sinks.writeShards]] produces. One
+    * (shard)-keyed combinable aggregate + a 1-row broadcast total —
+    * numShards-sized output.
+    */
+  def shardBalance(docs: DataFrame, numShards: Int): DataFrame = {
+    val per = docs
+      .select(shardOf(numShards).as("shard"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val total = per.agg(sum(col("tokens")).as("total"))
+    per.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("total"), 6).as("share"),
+        round(col("tokens").cast("double") * numShards / col("total"), 6)
+          .as("skew"))
+      .orderBy(col("shard"))
+  }
+
   /** Corpus vocabulary: top-K words by document frequency (ties → word
     * asc). Shuffles (word, partial counts) only; at 100 TB this is the
     * canonical word-count with a TakeOrdered tail.

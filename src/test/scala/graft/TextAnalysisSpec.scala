@@ -252,6 +252,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("shardBalance: reconciles with shardAssignment (n_docs per shard " +
+    "= max pos) and shares sum to 1") {
+    val fix = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val byShard = TextAnalysis.shardAssignment(fix, 8).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getInt(2)).max).toMap
+    val got = TextAnalysis.shardBalance(fix, 8).collect()
+    assert(got.length === byShard.size)
+    got.foreach { r =>
+      assert(r.getLong(1) === byShard(r.getLong(0)).toLong,
+        s"shard ${r.getLong(0)}")
+      assert(r.getDouble(4) > 0.5 && r.getDouble(4) < 2.0,
+        s"md5 sharding should be roughly balanced, shard ${r.getLong(0)} " +
+          s"skew ${r.getDouble(4)}")
+    }
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
   test("dupSubstringBySource: the per-source profile reconciles with " +
     "the per-doc dedup accounting row-for-row") {
     val fix = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
