@@ -246,6 +246,35 @@ object Queries {
 
   private lazy val DupSubCtes = dupSubCtesKeyed(identity)
 
+  /** Rebuild tail over the DupSub CTEs — tok/tok2/kept/nrem — shared by
+    * every consumer of `covp` (n122/n123/n124/n125 plus n126's gated
+    * tail), so an oracle fix to the rebuild convention lands ONCE and
+    * the 'proven against n122's oracle verbatim' guarantees stay true
+    * by construction (review-caught: the first drafts pasted it five
+    * times).
+    */
+  private lazy val DupSubRebuildCtes =
+    s"""tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+      |  FROM w),
+      |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
+      |kept AS (SELECT t.doc_id,
+      |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
+      |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
+      |  WHERE c.p IS NULL GROUP BY t.doc_id),
+      |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)"""
+      .stripMargin
+
+  /** The final (doc_id, n_tokens, n_removed, text_dedup) select over
+    * [[DupSubRebuildCtes]] — the whole tail for the four plain-dedup
+    * oracles.
+    */
+  private lazy val DupSubRebuildSelect =
+    s"""SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
+      |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+      |  coalesce(kept.td, '') AS text_dedup
+      |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** The 60-bit md5-prefix gram key — the hashed production twin's
     * oracle computes the identical key, so n125 is proven bit-for-bit,
     * not by rank agreement.
@@ -2266,19 +2295,8 @@ object Queries {
       (s: SparkSession, d: String) =>
         TextAnalysis.dupSubstringDedup(docs(s, d), 5),
       Some(s"""WITH $DupSubCtes,
-        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-        |  FROM w),
-        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
-        |kept AS (SELECT t.doc_id,
-        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
-        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
-        |  WHERE c.p IS NULL GROUP BY t.doc_id),
-        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)
-        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
-        |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
-        |  coalesce(kept.td, '') AS text_dedup
-        |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)),
+        |$DupSubRebuildCtes
+        |$DupSubRebuildSelect""".stripMargin)),
 
     // n122's PRODUCTION twin: exact-dup pre-collapse in front of the
     // window machinery (the n118/n53 move) — one rep per distinct text
@@ -2290,19 +2308,8 @@ object Queries {
       (s: SparkSession, d: String) =>
         TextAnalysis.dupSubstringDedupCollapsed(docs(s, d), 5),
       Some(s"""WITH $DupSubCtes,
-        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-        |  FROM w),
-        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
-        |kept AS (SELECT t.doc_id,
-        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
-        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
-        |  WHERE c.p IS NULL GROUP BY t.doc_id),
-        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)
-        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
-        |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
-        |  coalesce(kept.td, '') AS text_dedup
-        |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)),
+        |$DupSubRebuildCtes
+        |$DupSubRebuildSelect""".stripMargin)),
 
     // n122 over 60-bit HASHED gram keys — the production shuffle/index
     // payload (8 B per window vs a 5-word string). Both engines compute
@@ -2313,19 +2320,8 @@ object Queries {
       (s: SparkSession, d: String) =>
         TextAnalysis.dupSubstringDedupHashed(docs(s, d), 5),
       Some(s"""WITH $DupSubCtesHashed,
-        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-        |  FROM w),
-        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
-        |kept AS (SELECT t.doc_id,
-        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
-        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
-        |  WHERE c.p IS NULL GROUP BY t.doc_id),
-        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)
-        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
-        |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
-        |  coalesce(kept.td, '') AS text_dedup
-        |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)),
+        |$DupSubRebuildCtes
+        |$DupSubRebuildSelect""".stripMargin)),
 
     // Per-source duplicated-substring profile — the dataset-card view
     // deciding whether a corpus needs the keep-first stage at all;
@@ -2363,14 +2359,7 @@ object Queries {
         |${dupSubCtesKeyed(identity,
             "SELECT n.doc_id, string_split(n.text, ' ') AS ws " +
             "FROM nrm n JOIN kp USING (doc_id)")},
-        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-        |  FROM w),
-        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
-        |kept AS (SELECT t.doc_id,
-        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
-        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
-        |  WHERE c.p IS NULL GROUP BY t.doc_id),
-        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id),
+        |$DupSubRebuildCtes,
         |t AS (SELECT w.doc_id, coalesce(nrem.n_removed, 0)::bigint AS n_removed,
         |    coalesce(kept.td, '') AS td
         |  FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)),
@@ -2405,7 +2394,7 @@ object Queries {
         TextAnalysis.dupSubstringDedupFromIndex(
           TextAnalysis.dupSubstringIndex(older, 5), batch, 5)
       },
-      Some("""WITH h AS (SELECT max(doc_id) // 2 AS h FROM documents),
+      Some(s"""WITH h AS (SELECT max(doc_id) // 2 AS h FROM documents),
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents, h WHERE doc_id >= h.h),
         |g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
@@ -2428,19 +2417,8 @@ object Queries {
         |  WHERE (c > 1 AND rn > 1) OR g IN (SELECT g FROM og)),
         |covp AS (SELECT DISTINCT doc_id, p FROM (
         |  SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM dup)),
-        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
-        |  FROM w),
-        |tok2 AS (SELECT doc_id, i, ws[i] AS wd FROM tok),
-        |kept AS (SELECT t.doc_id,
-        |    coalesce(string_agg(t.wd, ' ' ORDER BY t.i), '') AS td
-        |  FROM tok2 t LEFT JOIN covp c ON t.doc_id = c.doc_id AND t.i = c.p
-        |  WHERE c.p IS NULL GROUP BY t.doc_id),
-        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM covp GROUP BY doc_id)
-        |SELECT w.doc_id, len(w.ws)::bigint AS n_tokens,
-        |  coalesce(nrem.n_removed, 0)::bigint AS n_removed,
-        |  coalesce(kept.td, '') AS text_dedup
-        |FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)),
+        |$DupSubRebuildCtes
+        |$DupSubRebuildSelect""".stripMargin)),
 
     // The cleaned training corpus ITSELF (the n63 funnel's execute
     // side): normalize → exact-dup keeper (FIRST, so dup copies can't

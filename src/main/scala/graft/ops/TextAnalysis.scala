@@ -1000,7 +1000,23 @@ object TextAnalysis {
   /** [[cleanCorpus]] without the presentation sort — the composable form
     * ([[trainingDataBuild]] sorts once at its own tail).
     */
-  def cleanCorpusRaw(docs: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame = {
+  def cleanCorpusRaw(docs: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame =
+    cleanCorpusWith(docs, keepers =>
+      boilerplateTrimRaw(keepers, n, minDf)
+        .select(col("doc_id"), col("n_removed"),
+          col("trimmed_text").as("cleaned")))
+
+  /** The ONE normalize → exact-dup keeper → <cleaning stage> → quality
+    * gate chain (n36/n2/n22 machinery) both cleaners instantiate —
+    * `stage` maps the keeper corpus to (doc_id, n_removed, cleaned);
+    * everything else (the normalize regexes, the md5 keeper window, the
+    * stop-ratio expression, the nw/sr gate, the output shape) is
+    * defined HERE once, so the n83 and n126 cleaners can never drift
+    * apart on anything but their cleaning stage (review-caught: the
+    * first n126 draft hand-copied this chain).
+    */
+  private def cleanCorpusWith(docs: DataFrame,
+                              stage: DataFrame => DataFrame): DataFrame = {
     val normalized = docs.select(col("doc_id"),
       trim(regexp_replace(regexp_replace(lower(col("text")),
         "[0-9]+", "<num>"), " +", " ")).as("text"))
@@ -1012,15 +1028,15 @@ object TextAnalysis {
     val stopRatio = round(
       size(filter(col("ws"), x => x.isin(Stopwords: _*))).cast("double") /
         size(col("ws")), 6)
-    boilerplateTrimRaw(keepers, n, minDf)
-      .select(col("doc_id"), col("n_removed"), col("trimmed_text"),
-        words(col("trimmed_text")).as("ws"))
-      .select(col("doc_id"), col("n_removed"), col("trimmed_text"),
+    stage(keepers)
+      .select(col("doc_id"), col("n_removed"), col("cleaned"),
+        words(col("cleaned")).as("ws"))
+      .select(col("doc_id"), col("n_removed"), col("cleaned"),
         size(col("ws")).as("nw"), stopRatio.as("sr"))
       .filter(col("nw") >= 30 && col("sr") <= 0.3)
       .select(col("doc_id"), splitCol.as("split"),
         col("nw").cast("long").as("n_tokens"), col("n_removed"),
-        col("trimmed_text").as("text_clean"))
+        col("cleaned").as("text_clean"))
   }
 
   /** Per-SOURCE duplicated-substring profile — the dataset-card view of
@@ -1060,29 +1076,12 @@ object TextAnalysis {
     * audited combinable front; text moves twice (keeper window, rebuild
     * join), same as n83.
     */
-  def cleanCorpusSubstring(docs: DataFrame, k: Int = 5): DataFrame = {
-    val normalized = docs.select(col("doc_id"),
-      trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[0-9]+", "<num>"), " +", " ")).as("text"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val keepers = normalized
-      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
-      .filter(col("keep")).select(col("doc_id"), col("text"))
-    val stopRatio = round(
-      size(filter(col("ws"), x => x.isin(Stopwords: _*))).cast("double") /
-        size(col("ws")), 6)
-    dupSubstringDedupRaw(keepers, k)
-      .select(col("doc_id"), col("n_removed"), col("text_dedup"),
-        words(col("text_dedup")).as("ws"))
-      .select(col("doc_id"), col("n_removed"), col("text_dedup"),
-        size(col("ws")).as("nw"), stopRatio.as("sr"))
-      .filter(col("nw") >= 30 && col("sr") <= 0.3)
-      .select(col("doc_id"), splitCol.as("split"),
-        col("nw").cast("long").as("n_tokens"), col("n_removed"),
-        col("text_dedup").as("text_clean"))
+  def cleanCorpusSubstring(docs: DataFrame, k: Int = 5): DataFrame =
+    cleanCorpusWith(docs, keepers =>
+      dupSubstringDedupRaw(keepers, k)
+        .select(col("doc_id"), col("n_removed"),
+          col("text_dedup").as("cleaned")))
       .orderBy(col("doc_id"))
-  }
 
   /** The one-call training-data BUILD — the full published pipeline a
     * 100 TB run executes, each stage a registry operator's machinery

@@ -597,7 +597,7 @@ object Multimodal {
     * accounting plus integer-exact zcr totals.
     */
   def audioFrameStats(spark: SparkSession, dir: String,
-                      frameSamples: Int = 8): DataFrame =
+                      frameSamples: Int = 400): DataFrame =
     audioFrameFeatures(mediaFromEvents(spark, dir), frameSamples)
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),

@@ -103,8 +103,12 @@ object SubstringIngest {
     val hitGrams = graft.ops.Checkpoints.cut(
       pre.select(col("g")).join(broadcast(batchGrams), Seq("g"),
         "left_semi"))
-    val result = TextAnalysis
-      .dupSubstringDedupFromIndex(hitGrams, batch, k)
+    // cut: the sink write AND the returned count both consume the
+    // result — uncut, the whole dedup (gram explode, firsts shuffle,
+    // rebuild) would run twice per batch (the SimhashIngest `kept`
+    // lesson; review-caught here)
+    val result = graft.ops.Checkpoints.cut(TextAnalysis
+      .dupSubstringDedupFromIndex(hitGrams, batch, k))
     if (batchId > maxPublished(spark, indexTable)) {
       val delta = batchGrams.join(hitGrams, Seq("g"), "left_anti")
         .withColumn("batch_id", lit(batchId))
