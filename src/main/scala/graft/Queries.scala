@@ -3199,6 +3199,16 @@ object Queries {
         |  round(tokens::double * 8 / total, 6) AS skew
         |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin)),
 
+    // Compression-ratio quality signal (deflate/|text|) — the
+    // repetitiveness filter alongside n30's token heuristics; rows-only
+    // (no SQL-side zlib, the m1 exemption), spec recomputes rows
+    // exactly against a direct Deflater call and pins the
+    // repetitive-vs-prose separation.
+    ("n129_compression_quality",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.compressionQuality(docs(s, d)),
+      None),
+
     ("n20_vocabulary",
       (s: SparkSession, d: String) => TextAnalysis.vocabulary(docs(s, d), 100),
       Some("""SELECT word, count(*) AS tf FROM (

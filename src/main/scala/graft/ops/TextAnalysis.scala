@@ -244,6 +244,51 @@ object TextAnalysis {
       .orderBy(col("shard"))
   }
 
+  /** Compression-ratio quality signal — deflate(text)/|text|, the
+    * repetitiveness filter production pipelines run alongside the
+    * n30-style token heuristics (templated/looping junk compresses far
+    * below prose; the signal catches repetition structures n-gram
+    * ratios miss, e.g. long-period loops). DEFLATE level 6 with the
+    * nowrap=false default — deterministic for a fixed JDK (java.util
+    * .zip wraps the same zlib), so the spec recomputes rows exactly and
+    * pins determinism across runs; no SQL-side zlib exists → rows-only
+    * registry entry (the m1 exemption). Map-side batched
+    * (mapPartitions, one Deflater per partition reused via reset — the
+    * native allocation is the per-row cost to avoid); empty text scores
+    * NULL ratio, never a division error.
+    */
+  def compressionQuality(docs: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_bytes",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_deflated",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("ratio",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema))
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](8192)
+      rows.map { r =>
+        val bytes = r.getString(1).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(bytes)
+        deflater.finish()
+        var out = 0
+        while (!deflater.finished()) out += deflater.deflate(buf)
+        org.apache.spark.sql.Row(r.getLong(0), bytes.length, out,
+          if (bytes.length == 0) null
+          else Double.box(BigDecimal(out.toDouble / bytes.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary: top-K words by document frequency (ties → word
     * asc). Shuffles (word, partial counts) only; at 100 TB this is the
     * canonical word-count with a TakeOrdered tail.

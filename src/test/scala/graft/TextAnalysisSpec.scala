@@ -252,6 +252,44 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("compressionQuality: rows recompute exactly against a direct " +
+    "Deflater call; repetitive text separates from unique-word prose; " +
+    "deterministic across runs; empty text scores NULL") {
+    val rep = Seq.fill(200)("ab").mkString(" ")
+    val prose = (0 until 400)
+      .map(i => s"w${('a' + i % 26).toChar}${('a' + (i / 26) % 26).toChar}$i")
+      .mkString(" ")
+    val docs = Seq((1L, rep), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    def direct(s: String): (Int, Int) = {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0
+      while (!d.finished()) out += d.deflate(buf)
+      d.end()
+      (bytes.length, out)
+    }
+    val got = TextAnalysis.compressionQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, s) <- Seq(1L -> rep, 2L -> prose)) {
+      val (nb, nd) = direct(s)
+      assert(got(id).getInt(1) === nb && got(id).getInt(2) === nd, s"doc $id")
+      assert(got(id).getDouble(3) ===
+        BigDecimal(nd.toDouble / nb).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got(1L).getDouble(3) < 0.1, "looped text must compress hard")
+    assert(got(2L).getDouble(3) > 2 * got(1L).getDouble(3),
+      "unique-word prose must sit well above the looped text")
+    assert(got(3L).getInt(1) === 0 && got(3L).isNullAt(3))
+    // determinism across plans/runs
+    val again = TextAnalysis.compressionQuality(docs).collect()
+      .map(_.toString).sorted.toSeq
+    assert(again ===
+      got.values.map(_.toString).toSeq.sorted)
+  }
+
   test("shardBalance: reconciles with shardAssignment (n_docs per shard " +
     "= max pos) and shares sum to 1") {
     val fix = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
