@@ -3453,6 +3453,46 @@ object Queries {
         |  array_to_string(list_sort(list(id)), ',') AS members
         |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    // CLUSTER CHAINING audit: per verified-pair cluster, size, edge
+    // count, density vs complete graph, WEAKEST edge, decimal-exact
+    // mean edge — the transitive-merge failure (A~B~C with A,C
+    // dissimilar) surfaced as data before a keeper policy commits.
+    ("n130_cluster_chaining",
+      (s: SparkSession, d: String) =>
+        Dedup.clusterChainingAudit(docs(s, d), 0.3),
+      Some(s"""WITH RECURSIVE sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+        |cpairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+        |w2 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents),
+        |vp AS (SELECT doc_a, doc_b,
+        |    round(len(list_intersect(wa.ws, wb.ws))::double
+        |      / len(list_distinct(wa.ws || wb.ws)), 6) AS j
+        |  FROM cpairs JOIN w2 wa ON doc_a = wa.doc_id
+        |  JOIN w2 wb ON doc_b = wb.doc_id
+        |  WHERE round(len(list_intersect(wa.ws, wb.ws))::double
+        |      / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.3),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+        |  UNION SELECT doc_b, doc_a FROM vp),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |cs AS (SELECT cluster, count(*) AS n_docs FROM lbl GROUP BY cluster),
+        |es AS (SELECT l.cluster AS cluster, count(*) AS n_edges,
+        |    min(vp.j) AS min_jaccard,
+        |    round(CAST(sum(CAST(vp.j AS decimal(18,6))) AS double)
+        |      / count(*), 6) AS avg_jaccard
+        |  FROM vp JOIN lbl l ON vp.doc_a = l.id GROUP BY l.cluster)
+        |SELECT cs.cluster AS cluster, cs.n_docs AS n_docs,
+        |  es.n_edges AS n_edges,
+        |  round(es.n_edges * 2.0 / (cs.n_docs * (cs.n_docs - 1)), 6)
+        |    AS density,
+        |  es.min_jaccard AS min_jaccard, es.avg_jaccard AS avg_jaccard
+        |FROM cs JOIN es USING (cluster) ORDER BY cluster""".stripMargin)),
+
     // Same clusters via O(log n)-round large-star/small-star (the 100 TB
     // path); identical oracle — both variants must agree exactly.
     ("n24_dup_clusters_logn",

@@ -1339,6 +1339,48 @@ object Dedup {
     * O(log(diameter)) rounds — the standard large-scale approach (the
     * driver loop holds only a convergence flag, never data).
     */
+  /** CLUSTER CHAINING audit — the documented failure mode of CC-based
+    * near-dup clustering: A~B and B~C merge A and C transitively even
+    * when Jaccard(A, C) ≈ 0, so a min-id keeper can drop members that
+    * share almost nothing with the representative. Per multi-member
+    * cluster of the VERIFIED pair graph ([[minhashNearDupPairs]] at
+    * `threshold`): size, verified edge count, edge density vs the
+    * complete graph, the WEAKEST verified edge, and the decimal-exact
+    * mean edge Jaccard — a large low-density cluster with a weak min
+    * edge IS a chain, the signal to raise τ or cap cluster diameter
+    * before committing a keeper policy. Every number is deterministic
+    * (min/count exact; mean via the n102 decimal-sum-then-divide
+    * pattern), so the audit is fully oracled.
+    *
+    * Scale shape: inherits the near-dup path's bucket-bounded front and
+    * [[dupClusters]]' O(iters) label propagation; the per-cluster stats
+    * are one combinable aggregate over the VERIFIED edges joined to the
+    * exploded label frame (edges ≪ candidate pairs at any real τ).
+    */
+  def clusterChainingAudit(docs: DataFrame,
+                           threshold: Double = 0.3): DataFrame = {
+    val pairs = Checkpoints.cut(minhashNearDupPairs(docs, threshold))
+    val labels = dupClusters(pairs)
+      .select(col("cluster"), col("n_docs"),
+        explode(col("members")).as("id"))
+    val edgeStats = pairs
+      .join(labels.select(col("cluster"), col("id")),
+        col("doc_a") === col("id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jaccard")).as("min_jaccard"),
+        sum(col("jaccard").cast("decimal(18,6)")).as("sj"))
+    labels.select(col("cluster"), col("n_docs")).distinct()
+      .join(edgeStats, Seq("cluster"))
+      .select(col("cluster"), col("n_docs"), col("n_edges"),
+        round(col("n_edges") * lit(2.0) /
+          (col("n_docs") * (col("n_docs") - 1)), 6).as("density"),
+        col("min_jaccard"),
+        round(col("sj").cast("double") / col("n_edges"), 6)
+          .as("avg_jaccard"))
+      .orderBy(col("cluster"))
+  }
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // materialize the PAIR list once, THEN mirror it — a union of two
     // branches over the uncut plan executes the upstream pair pipeline

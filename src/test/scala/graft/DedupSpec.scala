@@ -8,6 +8,68 @@ import graft.ops.Dedup
   * simhash edge cases hold.
   */
 class DedupSpec extends SparkSpec {
+
+  test("clusterChainingAudit ≡ naive union-find + edge stats over the " +
+    "verified pair graph (real data + a planted chain with a weak " +
+    "min edge)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // planted chain: A~B (J=0.6) and B~C (J=0.333...) verify at τ=0.3;
+    // A~C (J≈0.143) cannot — if the candidate front proposes the chain,
+    // one cluster {A,B,C} exists whose min edge is B~C's 0.333333
+    val planted = Seq(
+      (100001L, "a b c d e f g h"),
+      (100002L, "c d e f g h i j"),
+      (100003L, "g h i j k l m n")).toDF("doc_id", "text")
+    val real = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val docs = real.unionByName(planted)
+    val verified = graft.ops.Dedup.minhashNearDupPairs(docs, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(verified.nonEmpty)
+    // naive union-find over the verified edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    verified.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toSeq.groupBy(find)
+    val byCluster = verified.groupBy { case (a, _, _) => find(a) }
+    val want = members.map { case (root, ms) =>
+      val es = byCluster(root)
+      val n = ms.size.toLong
+      val sj = es.map(e =>
+        BigDecimal(e._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      (ms.min, n, es.length.toLong,
+        BigDecimal(es.length * 2.0 / (n * (n - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        es.map(_._3).min,
+        BigDecimal(sj.toDouble / es.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = graft.ops.Dedup.clusterChainingAudit(docs, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === want)
+    // the planted chain materializes iff the candidate front proposes
+    // BOTH edges (shingle-level banding may skip the weaker B~C link —
+    // expectations derive from the actual verified set, not from hope)
+    val abEdge = verified.exists(e => e._1 == 100001L && e._2 == 100002L)
+    val bcEdge = verified.exists(e => e._1 == 100002L && e._2 == 100003L)
+    assert(abEdge, "the strong A~B edge (J=0.6) must verify")
+    got.find(_._1 == 100001L).foreach { row =>
+      if (bcEdge) {
+        assert(row._2 === 3L && row._3 === 2L && row._4 === 0.666667)
+        assert(row._5 === 0.333333, "min edge must be the weak B~C link")
+      } else {
+        assert(row._2 === 2L && row._5 === 0.6)
+      }
+    }
+  }
   import spark.implicits._
 
   private val docs = Seq(

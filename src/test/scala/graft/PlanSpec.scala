@@ -508,7 +508,10 @@ class PlanSpec extends SparkSpec {
       "n121_dupsub_spans", "n122_dupsub_dedup",
       "n123_dupsub_dedup_collapsed", "n124_dupsub_incremental",
       "n125_dupsub_dedup_hashed", "n126_clean_corpus_subdedup",
-      "n127_dupsub_by_source")
+      "n127_dupsub_by_source",
+      // chaining audit: verified pairs join the exploded label frame on
+      // doc id — both sides aggregate-fed, legitimate shuffle
+      "n130_cluster_chaining")
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString
