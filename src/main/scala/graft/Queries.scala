@@ -486,6 +486,26 @@ object Queries {
     * Candidate pairs at threshold 0.0 need no jaccard filter (always ≥ 0).
     * Must be prefixed with WITH RECURSIVE by the caller.
     */
+  /** CTE chain ending at `vp(doc_a, doc_b, j)` — the VERIFIED near-dup
+    * pair graph at τ = 0.3 (candidate front + exact word-set Jaccard,
+    * the n6 machinery). Shared by the n130 chaining audit and the n131
+    * star clusters, which must audit/re-cluster the SAME graph.
+    */
+  private lazy val VerifiedPairsCtes =
+    s"""sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+       |cpairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       |w2 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents),
+       |vp AS (SELECT doc_a, doc_b,
+       |    round(len(list_intersect(wa.ws, wb.ws))::double
+       |      / len(list_distinct(wa.ws || wb.ws)), 6) AS j
+       |  FROM cpairs JOIN w2 wa ON doc_a = wa.doc_id
+       |  JOIN w2 wb ON doc_b = wb.doc_id
+       |  WHERE round(len(list_intersect(wa.ws, wb.ws))::double
+       |      / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.3)""".stripMargin
+
   private val CcClustersCte =
     s"""sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
        |cpairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -3460,19 +3480,7 @@ object Queries {
     ("n130_cluster_chaining",
       (s: SparkSession, d: String) =>
         Dedup.clusterChainingAudit(docs(s, d), 0.3),
-      Some(s"""WITH RECURSIVE sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
-        |cpairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
-        |w2 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-        |  FROM documents),
-        |vp AS (SELECT doc_a, doc_b,
-        |    round(len(list_intersect(wa.ws, wb.ws))::double
-        |      / len(list_distinct(wa.ws || wb.ws)), 6) AS j
-        |  FROM cpairs JOIN w2 wa ON doc_a = wa.doc_id
-        |  JOIN w2 wb ON doc_b = wb.doc_id
-        |  WHERE round(len(list_intersect(wa.ws, wb.ws))::double
-        |      / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.3),
+      Some(s"""WITH RECURSIVE $VerifiedPairsCtes,
         |edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
         |  UNION SELECT doc_b, doc_a FROM vp),
         |reach(id, r) AS (
@@ -3492,6 +3500,30 @@ object Queries {
         |    AS density,
         |  es.min_jaccard AS min_jaccard, es.avg_jaccard AS avg_jaccard
         |FROM cs JOIN es USING (cluster) ORDER BY cluster""".stripMargin)),
+
+    // Bounded-diameter STAR clusters — the n130-motivated policy fix:
+    // local-min hubs, 1-hop attach to the minimum adjacent hub,
+    // unattached docs become their own centers; diameter ≤ 2 by
+    // construction (chains split, complete dup groups stay whole).
+    // Non-recursive SQL — no reach CTE needed.
+    ("n131_star_clusters",
+      (s: SparkSession, d: String) =>
+        Dedup.starClusters(docs(s, d), 0.3)
+          .withColumn("members",
+            array_join(transform(col("members"), _.cast("string")), ",")),
+      Some(s"""WITH $VerifiedPairsCtes,
+        |nb AS (SELECT doc_a AS id, doc_b AS nbr FROM vp
+        |  UNION ALL SELECT doc_b, doc_a FROM vp),
+        |mn AS (SELECT id, min(nbr) AS mn FROM nb GROUP BY id),
+        |hubs AS (SELECT id AS hub FROM mn WHERE mn > id),
+        |att AS (SELECT nb.id AS id, min(nb.nbr) AS cluster
+        |  FROM nb JOIN mn USING (id) JOIN hubs ON nb.nbr = hubs.hub
+        |  WHERE mn.mn < nb.id GROUP BY nb.id),
+        |lbl AS (SELECT mn.id AS id, coalesce(att.cluster, mn.id) AS cluster
+        |  FROM mn LEFT JOIN att USING (id))
+        |SELECT cluster, count(*) AS n_docs,
+        |  array_to_string(list_sort(list(id)), ',') AS members
+        |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     // Same clusters via O(log n)-round large-star/small-star (the 100 TB
     // path); identical oracle — both variants must agree exactly.

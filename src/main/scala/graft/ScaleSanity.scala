@@ -165,7 +165,7 @@ object ScaleSanity {
         "n125_dupsub_dedup_hashed", "n126_clean_corpus_subdedup",
         "n127_dupsub_by_source", "r14_nation_revenue_share",
         "n128_shard_balance", "n129_compression_quality",
-        "n130_cluster_chaining",
+        "n130_cluster_chaining", "n131_star_clusters",
         "m1_multimodal_features", "m2_multimodal_transform"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

@@ -1381,6 +1381,44 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** Bounded-diameter STAR clustering — the policy fix the
+    * [[clusterChainingAudit]] motivates (the star/canopy family, with
+    * min-id determinism instead of degree ordering): HUBS are the
+    * local-min docs of the verified pair graph (no smaller-id verified
+    * neighbor); every other doc attaches to its MINIMUM adjacent hub,
+    * or becomes its own secondary center when no hub is adjacent. Every
+    * member of a cluster is a VERIFIED neighbor of its hub, so cluster
+    * diameter ≤ 2 BY CONSTRUCTION — a transitive chain a-b-c-d splits
+    * into {a,b}, {c}, {d} where CC ([[dupClusters]]) merges all four;
+    * exact-dup groups (complete subgraphs) still cluster whole. Both
+    * passes are plain joins + min aggregates — no iteration, no
+    * recursion — so the whole operator is oracled in non-recursive SQL
+    * and costs two gram-free shuffles over the verified EDGE list
+    * (edges ≪ candidates at any real τ).
+    */
+  def starClusters(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val pairs = Checkpoints.cut(minhashNearDupPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b")))
+    val nbrs = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("id", "nbr")
+    val minNbr = Checkpoints.cut(
+      nbrs.groupBy(col("id")).agg(min(col("nbr")).as("mn")))
+    val hubs = minNbr.filter(col("mn") > col("id"))
+      .select(col("id").as("hub"))
+    val attach = nbrs
+      .join(minNbr.filter(col("mn") < col("id")), Seq("id"))
+      .join(hubs, col("nbr") === col("hub"))
+      .groupBy(col("id")).agg(min(col("nbr")).as("cluster"))
+    minNbr.select(col("id"))
+      .join(attach, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .orderBy(col("cluster"))
+  }
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // materialize the PAIR list once, THEN mirror it — a union of two
     // branches over the uncut plan executes the upstream pair pipeline

@@ -9,6 +9,56 @@ import graft.ops.Dedup
   */
 class DedupSpec extends SparkSpec {
 
+  test("starClusters: diameter ≤ 2 (every member verified-adjacent to " +
+    "its hub), refines the CC partition, covers the same docs, and a " +
+    "planted chain splits where CC merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chain: a~b and b~c verify at τ=0.3 (J=1/3 each), a~c shares
+    // nothing — CC would merge all three, star must keep diameter ≤ 2
+    def ws(p: String, r: Range) = r.map(i => s"$p$i").mkString(" ")
+    val planted = Seq(
+      (200001L, ws("u", 1 to 10) + " " + ws("a", 1 to 10)),
+      (200002L, ws("u", 1 to 20)),
+      (200003L, ws("u", 11 to 20) + " " + ws("c", 1 to 10))
+    ).toDF("doc_id", "text")
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    val edges = graft.ops.Dedup.minhashNearDupPairs(docs, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def adjacent(x: Long, y: Long) =
+      edges((math.min(x, y), math.max(x, y)))
+    val star = graft.ops.Dedup.starClusters(docs, 0.3).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("members").toSeq)
+    star.foreach { case (hub, ms) =>
+      assert(ms.contains(hub), s"cluster $hub must contain its center")
+      ms.filterNot(_ == hub).foreach(m =>
+        assert(adjacent(hub, m),
+          s"member $m must be a VERIFIED neighbor of hub $hub — " +
+            "diameter ≤ 2 is the operator's contract"))
+    }
+    // same coverage as CC, and every star cluster sits inside one CC
+    // cluster (star refines the transitive partition)
+    val cc = graft.ops.Dedup.dupClusters(
+      graft.ops.Dedup.minhashNearDupPairs(docs, 0.3)).collect()
+      .flatMap(r => r.getAs[scala.collection.Seq[Long]]("members")
+        .map(_ -> r.getLong(0))).toMap
+    assert(star.flatMap(_._2).toSet === cc.keySet)
+    star.foreach { case (hub, ms) =>
+      assert(ms.map(cc).distinct.size === 1, s"cluster $hub crosses CC")
+    }
+    // the planted chain: when both edges verified, CC merges the three
+    // into one cluster; star splits them with diameter ≤ 2
+    if (adjacent(200001L, 200002L) && adjacent(200002L, 200003L) &&
+        !edges((200001L, 200003L))) {
+      assert(cc(200001L) === cc(200003L), "CC merges the chain ends")
+      val starOf = star.flatMap { case (h, ms) => ms.map(_ -> h) }.toMap
+      assert(starOf(200001L) !== starOf(200003L),
+        "star clustering must not merge chain ends")
+    }
+  }
+
   test("clusterChainingAudit ≡ naive union-find + edge stats over the " +
     "verified pair graph (real data + a planted chain with a weak " +
     "min edge)") {
