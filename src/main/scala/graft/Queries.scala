@@ -481,21 +481,25 @@ object Queries {
       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code ASC) AS rn
       |  FROM lng)""".stripMargin
 
-  /** Connected components over the LSH candidate pairs, computed exactly in
-    * DuckDB via a recursive reachability CTE (cluster = min reachable id).
-    * Candidate pairs at threshold 0.0 need no jaccard filter (always ≥ 0).
-    * Must be prefixed with WITH RECURSIVE by the caller.
+  /** CTE chain ending at `cpairs(doc_a, doc_b)` — the LSH candidate
+    * pair front (shingles → minhash → bands → banded self-join), shared
+    * by [[VerifiedPairsCtes]] and [[CcClustersCte]] so a banding change
+    * lands once (review-caught: it was pasted per consumer).
     */
+  private lazy val CandidatePairsCtes =
+    s"""sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
+       |cpairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)"""
+      .stripMargin
+
   /** CTE chain ending at `vp(doc_a, doc_b, j)` — the VERIFIED near-dup
     * pair graph at τ = 0.3 (candidate front + exact word-set Jaccard,
     * the n6 machinery). Shared by the n130 chaining audit and the n131
     * star clusters, which must audit/re-cluster the SAME graph.
     */
   private lazy val VerifiedPairsCtes =
-    s"""sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
-       |cpairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+    s"""$CandidatePairsCtes,
        |w2 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
        |  FROM documents),
        |vp AS (SELECT doc_a, doc_b,
@@ -506,11 +510,13 @@ object Queries {
        |  WHERE round(len(list_intersect(wa.ws, wb.ws))::double
        |      / len(list_distinct(wa.ws || wb.ws)), 6) >= 0.3)""".stripMargin
 
-  private val CcClustersCte =
-    s"""sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
-       |cpairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+  /** Connected components over the LSH candidate pairs, computed exactly in
+    * DuckDB via a recursive reachability CTE (cluster = min reachable id).
+    * Candidate pairs at threshold 0.0 need no jaccard filter (always ≥ 0).
+    * Must be prefixed with WITH RECURSIVE by the caller.
+    */
+  private lazy val CcClustersCte =
+    s"""$CandidatePairsCtes,
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
        |  UNION SELECT doc_b, doc_a FROM cpairs),
        |reach(id, r) AS (

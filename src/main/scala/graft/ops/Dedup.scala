@@ -1360,17 +1360,22 @@ object Dedup {
   def clusterChainingAudit(docs: DataFrame,
                            threshold: Double = 0.3): DataFrame = {
     val pairs = Checkpoints.cut(minhashNearDupPairs(docs, threshold))
-    val labels = dupClusters(pairs)
-      .select(col("cluster"), col("n_docs"),
-        explode(col("members")).as("id"))
+    // one (cluster, n_docs) row per cluster already — bind it so the
+    // final join reuses it instead of distinct()-ing the exploded
+    // member frame back together and re-running the rollup
+    // (review-caught)
+    val clusters = Checkpoints.cut(
+      dupClusters(pairs).select(col("cluster"), col("n_docs"),
+        col("members")))
+    val labels = clusters
+      .select(col("cluster"), explode(col("members")).as("id"))
     val edgeStats = pairs
-      .join(labels.select(col("cluster"), col("id")),
-        col("doc_a") === col("id"))
+      .join(labels, col("doc_a") === col("id"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_edges"),
         min(col("jaccard")).as("min_jaccard"),
         sum(col("jaccard").cast("decimal(18,6)")).as("sj"))
-    labels.select(col("cluster"), col("n_docs")).distinct()
+    clusters.select(col("cluster"), col("n_docs"))
       .join(edgeStats, Seq("cluster"))
       .select(col("cluster"), col("n_docs"), col("n_edges"),
         round(col("n_edges") * lit(2.0) /

@@ -272,6 +272,11 @@ object TextAnalysis {
         .encoderFor(schema))
     docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(6)
+      // native zlib buffers are freed at task end, not whenever GC gets
+      // to the Cleaner — also covers a consumer abandoning the iterator
+      // early (limit/take) (review-caught)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](8192)
       rows.map { r =>
         val bytes = r.getString(1).getBytes(
