@@ -1087,6 +1087,21 @@ object Queries {
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY purchase_id, click_id""".stripMargin)),
 
+    // Funnel DROP-OFF: clicks with NO purchase by the same user inside
+    // the forward window — b25's anti form (the NOT-EXISTS shape);
+    // purchase side filtered before the LEFT ANTI on the user key.
+    ("b27_unattributed_clicks",
+      (s: SparkSession, d: String) =>
+        Reports.unattributedClicks(ev(s, d), 30),
+      Some("""SELECT c.user_id, c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_str
+        |FROM events c
+        |WHERE c.event_type = 'click' AND NOT EXISTS (
+        |  SELECT 1 FROM events p WHERE p.user_id = c.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        |ORDER BY click_id""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),
@@ -3506,6 +3521,26 @@ object Queries {
         |    AS density,
         |  es.min_jaccard AS min_jaccard, es.avg_jaccard AS avg_jaccard
         |FROM cs JOIN es USING (cluster) ORDER BY cluster""".stripMargin)),
+
+    // Candidate-front PRECISION: of everything the banding proposes,
+    // the fraction verifying at τ — the tuning number read with n119's
+    // volume and n59's recall; one combinable aggregate row over the
+    // n6 machinery verbatim.
+    ("n132_lsh_precision",
+      (s: SparkSession, d: String) => Dedup.lshPrecision(docs(s, d), 0.3),
+      Some(s"""WITH $CandidatePairsCtes,
+        |w2 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents),
+        |cj AS (SELECT round(len(list_intersect(wa.ws, wb.ws))::double
+        |    / len(list_distinct(wa.ws || wb.ws)), 6) AS j
+        |  FROM cpairs JOIN w2 wa ON doc_a = wa.doc_id
+        |  JOIN w2 wb ON doc_b = wb.doc_id)
+        |SELECT count(*) AS n_candidates,
+        |  sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END)::bigint AS n_verified,
+        |  CASE WHEN count(*) > 0 THEN
+        |    round(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END)::double
+        |      / count(*), 6) END AS precision
+        |FROM cj""".stripMargin)),
 
     // Bounded-diameter STAR clusters — the n130-motivated policy fix:
     // local-min hubs, 1-hop attach to the minimum adjacent hub,

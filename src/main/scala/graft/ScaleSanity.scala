@@ -166,6 +166,7 @@ object ScaleSanity {
         "n127_dupsub_by_source", "r14_nation_revenue_share",
         "n128_shard_balance", "n129_compression_quality",
         "n130_cluster_chaining", "n131_star_clusters",
+        "n132_lsh_precision", "b27_unattributed_clicks",
         "m1_multimodal_features", "m2_multimodal_transform"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

@@ -1386,6 +1386,26 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** Candidate-front PRECISION — the tuning number [[lshTuning]]'s
+    * recall curve doesn't show: of everything the banding proposes,
+    * what fraction verifies at τ. Composes [[minhashNearDupPairs]] at
+    * threshold 0 (the n6 machinery VERBATIM — every candidate with its
+    * exact Jaccard) into one combinable aggregate row: (n_candidates,
+    * n_verified, precision). Low precision = the bands are too loose
+    * and the verify stage is paying for the front's noise — the knob to
+    * rebalance bands/rows before a corpus-scale run, read together with
+    * n119's per-band volume and n59/n65's recall.
+    */
+  def lshPrecision(docs: DataFrame, threshold: Double = 0.3): DataFrame =
+    minhashNearDupPairs(docs, 0.0)
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L))
+          .as("n_verified"))
+      .select(col("n_candidates"), col("n_verified"),
+        when(col("n_candidates") > 0,
+          round(col("n_verified").cast("double") / col("n_candidates"), 6))
+          .as("precision"))
+
   /** Bounded-diameter STAR clustering — the policy fix the
     * [[clusterChainingAudit]] motivates (the star/canopy family, with
     * min-id determinism instead of degree ordering): HUBS are the

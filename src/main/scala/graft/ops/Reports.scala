@@ -199,6 +199,31 @@ object Reports {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Funnel DROP-OFF — [[clickAttribution]]'s anti form (the TPC-H
+    * Q21/Q22 NOT-EXISTS shape on the event stream): clicks with NO
+    * purchase by the same user inside the forward attribution window.
+    * A LEFT ANTI on the user key with the range residual in the join
+    * condition; the purchase side is filtered before the join, so at
+    * any scale it is the small side (broadcastable by stats) and the
+    * click stream never shuffles twice.
+    */
+  def unattributedClicks(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"interval $windowMinutes minutes"),
+      "left_anti")
+      .select(col("user_id"), col("click_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("click_ts_str"))
+      .orderBy(col("click_id"))
+  }
+
   /** Banded (range) join: event values bucketed into a tiny tier table
     * on [lo, hi) intervals. A non-equi join is a nested loop in Spark —
     * correct ONLY because the tier side is broadcast and ~constant-sized;

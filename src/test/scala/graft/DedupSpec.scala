@@ -9,6 +9,21 @@ import graft.ops.Dedup
   */
 class DedupSpec extends SparkSpec {
 
+  test("lshPrecision: reconciles with the n6 pair list — candidates, " +
+    "verified-at-τ count, and the ratio") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val all = graft.ops.Dedup.minhashNearDupPairs(docs, 0.0).collect()
+      .map(_.getDouble(2))
+    val got = graft.ops.Dedup.lshPrecision(docs, 0.3).collect()(0)
+    assert(got.getLong(0) === all.length.toLong)
+    assert(got.getLong(1) === all.count(_ >= 0.3).toLong)
+    assert(got.getDouble(2) ===
+      BigDecimal(all.count(_ >= 0.3).toDouble / all.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("starClusters: diameter ≤ 2 (every member verified-adjacent to " +
     "its hub), refines the CC partition, covers the same docs, and a " +
     "planted chain splits where CC merges") {

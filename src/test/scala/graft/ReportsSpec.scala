@@ -122,6 +122,28 @@ class ReportsSpec extends SparkSpec {
     assert(got === Map("t0_low" -> 1L, "z_unbucketed" -> 1L))
   }
 
+  test("unattributedClicks: a purchase inside the forward window " +
+    "suppresses the click; outside-window and other-user purchases " +
+    "do not") {
+    val funnel = Seq(
+      // user 1: click at 10:00, purchase 10:20 (inside 30m) — suppressed
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "purchase", 9.0),
+      // user 2: click at 10:00, purchase 10:45 (outside 30m) — kept
+      (3L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
+      (4L, ts("2024-01-01 10:45:00"), 2L, "purchase", 9.0),
+      // user 3: click; user 4's purchase 1 min later must not attribute
+      (5L, ts("2024-01-01 10:00:00"), 3L, "click", 1.0),
+      (6L, ts("2024-01-01 10:01:00"), 4L, "purchase", 9.0),
+      // user 5: purchase BEFORE the click — forward window only, kept
+      (7L, ts("2024-01-01 09:50:00"), 5L, "purchase", 9.0),
+      (8L, ts("2024-01-01 10:00:00"), 5L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Reports.unattributedClicks(funnel, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((2L, 3L), (3L, 5L), (5L, 8L)))
+  }
+
   test("topSlowestPerClass: rank and tiebreak by event_id") {
     val got = Reports.topSlowestPerClass(ev, 2).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
