@@ -3522,6 +3522,46 @@ object Queries {
         |  es.min_jaccard AS min_jaccard, es.avg_jaccard AS avg_jaccard
         |FROM cs JOIN es USING (cluster) ORDER BY cluster""".stripMargin)),
 
+    // Dedup SAVINGS comparison — one row per keeper policy over the
+    // SAME verified graph ('cc' transitive min-id vs 'star' hub):
+    // clusters, docs, docs dropped, tokens dropped — pricing the
+    // chained-yield trade n130 exposes.
+    ("n133_dedup_savings",
+      (s: SparkSession, d: String) => Dedup.dedupSavings(docs(s, d), 0.3),
+      Some(s"""WITH RECURSIVE $VerifiedPairsCtes,
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+        |  UNION SELECT doc_b, doc_a FROM vp),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |lblcc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |nb AS (SELECT doc_a AS id, doc_b AS nbr FROM vp
+        |  UNION ALL SELECT doc_b, doc_a FROM vp),
+        |mn AS (SELECT id, min(nbr) AS mn FROM nb GROUP BY id),
+        |hubs AS (SELECT id AS hub FROM mn WHERE mn > id),
+        |att AS (SELECT nb.id AS id, min(nb.nbr) AS cluster
+        |  FROM nb JOIN mn USING (id) JOIN hubs ON nb.nbr = hubs.hub
+        |  WHERE mn.mn < nb.id GROUP BY nb.id),
+        |lblstar AS (SELECT mn.id AS id, coalesce(att.cluster, mn.id) AS cluster
+        |  FROM mn LEFT JOIN att USING (id)),
+        |tk AS (SELECT doc_id, len(string_split(text, ' '))::bigint AS t
+        |  FROM documents),
+        |s1 AS (SELECT 'cc' AS policy,
+        |    count(DISTINCT cluster)::bigint AS n_clusters,
+        |    count(*) AS n_docs,
+        |    sum(CASE WHEN id != cluster THEN 1 ELSE 0 END)::bigint AS n_dropped,
+        |    sum(CASE WHEN id != cluster THEN t ELSE 0 END)::bigint AS tokens_dropped
+        |  FROM lblcc JOIN tk ON id = doc_id),
+        |s2 AS (SELECT 'star' AS policy,
+        |    count(DISTINCT cluster)::bigint AS n_clusters,
+        |    count(*) AS n_docs,
+        |    sum(CASE WHEN id != cluster THEN 1 ELSE 0 END)::bigint AS n_dropped,
+        |    sum(CASE WHEN id != cluster THEN t ELSE 0 END)::bigint AS tokens_dropped
+        |  FROM lblstar JOIN tk ON id = doc_id)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY policy""".stripMargin)),
+
     // Candidate-front PRECISION: of everything the banding proposes,
     // the fraction verifying at τ — the tuning number read with n119's
     // volume and n59's recall; one combinable aggregate row over the

@@ -167,6 +167,7 @@ object ScaleSanity {
         "n128_shard_balance", "n129_compression_quality",
         "n130_cluster_chaining", "n131_star_clusters",
         "n132_lsh_precision", "b27_unattributed_clicks",
+        "n133_dedup_savings",
         "m1_multimodal_features", "m2_multimodal_transform"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

@@ -1406,6 +1406,40 @@ object Dedup {
           round(col("n_verified").cast("double") / col("n_candidates"), 6))
           .as("precision"))
 
+  /** Dedup SAVINGS comparison — the yield number a keeper-policy
+    * decision needs: for the SAME verified pair graph, what each policy
+    * actually drops. One row per policy ('cc' = transitive min-id
+    * keeper over [[dupClusters]]; 'star' = hub keeper over
+    * [[starClusters]]): clusters, docs touched, docs dropped, tokens
+    * dropped. CC always drops ≥ star (it merges more), but n130 shows
+    * WHERE that extra yield comes from — chained members the
+    * representative may not resemble; this query prices the trade.
+    * Both labelings and the pair graph are the registry machinery
+    * verbatim, so the comparison cannot disagree with the operators it
+    * compares.
+    */
+  def dedupSavings(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val pairs = Checkpoints.cut(minhashNearDupPairs(docs, threshold))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("t"))
+    def stats(policy: String, lbl: DataFrame): DataFrame =
+      lbl.join(toks, col("id") === col("doc_id"))
+        .agg(countDistinct(col("cluster")).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("id") =!= col("cluster"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("id") =!= col("cluster"), col("t")).otherwise(0L))
+            .as("tokens_dropped"))
+        .select(lit(policy).as("policy"), col("n_clusters"),
+          col("n_docs"), col("n_dropped"), col("tokens_dropped"))
+    val cc = dupClusters(pairs)
+      .select(col("cluster"), explode(col("members")).as("id"))
+    val star = starClustersFromPairs(pairs.select(col("doc_a"), col("doc_b")))
+      .select(col("cluster"), explode(col("members")).as("id"))
+    stats("cc", cc).unionByName(stats("star", star))
+      .orderBy(col("policy"))
+  }
+
   /** Bounded-diameter STAR clustering — the policy fix the
     * [[clusterChainingAudit]] motivates (the star/canopy family, with
     * min-id determinism instead of degree ordering): HUBS are the
@@ -1421,9 +1455,16 @@ object Dedup {
     * and costs two gram-free shuffles over the verified EDGE list
     * (edges ≪ candidates at any real τ).
     */
-  def starClusters(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val pairs = Checkpoints.cut(minhashNearDupPairs(docs, threshold)
-      .select(col("doc_a"), col("doc_b")))
+  def starClusters(docs: DataFrame, threshold: Double = 0.3): DataFrame =
+    starClustersFromPairs(Checkpoints.cut(
+      minhashNearDupPairs(docs, threshold)
+        .select(col("doc_a"), col("doc_b"))))
+
+  /** [[starClusters]] over an ALREADY-VERIFIED (and cut) pair frame —
+    * the composable form [[dedupSavings]] uses so the candidate+verify
+    * front is computed once per comparison, not once per policy.
+    */
+  private def starClustersFromPairs(pairs: DataFrame): DataFrame = {
     val nbrs = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("id", "nbr")

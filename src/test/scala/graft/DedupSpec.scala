@@ -9,6 +9,35 @@ import graft.ops.Dedup
   */
 class DedupSpec extends SparkSpec {
 
+  test("dedupSavings: reconciles with the cluster operators — CC drops " +
+    ">= star on the same graph, both with exact token accounting") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val toks = docs.selectExpr("doc_id", "size(split(text, ' ')) t")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    def want(cl: Array[(Long, Seq[Long])]) = {
+      val dropped = cl.flatMap { case (hub, ms) => ms.filterNot(_ == hub) }
+      (cl.length.toLong, cl.map(_._2.size).sum.toLong,
+        dropped.length.toLong, dropped.map(toks).sum)
+    }
+    val cc = graft.ops.Dedup.dupClusters(
+      graft.ops.Dedup.minhashNearDupPairs(docs, 0.3)).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("members").toSeq)
+    val star = graft.ops.Dedup.starClusters(docs, 0.3).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("members").toSeq)
+    val got = graft.ops.Dedup.dedupSavings(docs, 0.3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("cc") === want(cc))
+    assert(got("star") === want(star))
+    assert(got("cc")._3 >= got("star")._3,
+      "the transitive keeper must drop at least as many docs")
+    assert(got("cc")._2 === got("star")._2, "same doc coverage")
+  }
+
   test("lshPrecision: reconciles with the n6 pair list — candidates, " +
     "verified-at-τ count, and the ratio") {
     import org.apache.spark.sql.functions.col

@@ -511,7 +511,8 @@ class PlanSpec extends SparkSpec {
       "n127_dupsub_by_source",
       // chaining audit: verified pairs join the exploded label frame on
       // doc id — both sides aggregate-fed, legitimate shuffle
-      "n130_cluster_chaining", "n131_star_clusters")
+      "n130_cluster_chaining", "n131_star_clusters",
+      "n133_dedup_savings")
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString
