@@ -343,11 +343,23 @@ object Queries {
     */
   private val EmbDims = 64
 
-  /** Shared by n44 (train + score in one query) and n52 (score against
-    * the persisted model): the model derives deterministically from the
-    * same corpus, so both paths produce identical rows.
+  /** The train/val/test CASE expression over an id (or id-valued
+    * expression) — the DuckDB twin of [[TextAnalysis.splitOf]], hoisted
+    * so every split-labeling oracle (n97, n134, n135) derives from one
+    * definition.
     */
-  private val BigramLmSql = """WITH ws AS (
+  private def splitCaseSql(c: String) =
+    s"""CASE WHEN ('0x' || substring(md5($c::varchar), 1, 8))::bigint
+       | % 100 < 80 THEN 'train'
+       | WHEN ('0x' || substring(md5($c::varchar), 1, 8))::bigint
+       | % 100 < 90 THEN 'val' ELSE 'test' END""".stripMargin
+      .replace("\n", "")
+
+  /** CTE chain ending at `lm(doc_id, n_bigrams, avg_lnp)` — the per-doc
+    * bigram-LM score. Shared by n44/n52 and the n136 CCNet buckets,
+    * whose terciles must rank THE SAME scores the gate verifies.
+    */
+  private val BigramLmCtes = """ws AS (
     |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     |bp AS (
     |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
@@ -362,10 +374,18 @@ object Queries {
     |  SELECT b.doc_id,
     |    CAST(ln((bc.cbi + 1)::double / (cc.cctx + v.vsize))
     |      AS decimal(18,9)) AS lnp
-    |  FROM bi b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
-    |SELECT doc_id, count(*) AS n_bigrams,
+    |  FROM bi b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v),
+    |lm AS (SELECT doc_id, count(*) AS n_bigrams,
     |  round(CAST(sum(lnp) AS double) / count(*), 6) AS avg_lnp
-    |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** Shared by n44 (train + score in one query) and n52 (score against
+    * the persisted model): the model derives deterministically from the
+    * same corpus, so both paths produce identical rows.
+    */
+  private val BigramLmSql =
+    s"""WITH $BigramLmCtes
+    |SELECT doc_id, n_bigrams, avg_lnp FROM lm ORDER BY doc_id""".stripMargin
 
   /** Random-projection sign-bucket SQL, generated from the SAME pinned
     * `Similarity.rpPlanes` ±1 matrices the Spark expression uses — the
@@ -1102,6 +1122,23 @@ object Queries {
         |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
         |ORDER BY click_id""".stripMargin)),
 
+    // Retention cohort matrix: users by first-seen week × active-week
+    // offset — first-seen via a window min (ONE exchange on the user
+    // key, no self-join). Weeks truncate to Monday identically in both
+    // engines; the offset is exact integer day-diff // 7.
+    ("b28_retention_cohorts",
+      (s: SparkSession, d: String) => Reports.retentionCohorts(ev(s, d)),
+      Some("""WITH f AS (SELECT user_id,
+        |    date_trunc('week', min(ts) OVER (PARTITION BY user_id))::date
+        |      AS cohort_week,
+        |    date_trunc('week', ts)::date AS wk
+        |  FROM events)
+        |SELECT cohort_week,
+        |  date_diff('day', cohort_week, wk) // 7 AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM f GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin)),
+
     ("b12_approx_distinct",
       (s: SparkSession, d: String) => Reports.approxDistinctEntities(ev(s, d)),
       None),
@@ -1270,6 +1307,28 @@ object Queries {
         |FROM per CROSS JOIN tot
         |WHERE CAST(rdec AS double) > CAST(tdec AS double) * 0.05
         |ORDER BY n_name""".stripMargin)),
+
+    // TPC-H Q15's argmax-over-view: per-supplier quarter revenue, the
+    // supplier(s) at the global max — ties surface, the tie test on
+    // exact decimals. The per-supplier view is cut once (feeds both the
+    // max and the filter); the max is a 1-row broadcast.
+    ("r15_top_supplier",
+      (s: SparkSession, d: String) => Relational.topSupplier(
+        Tables.lineitem(s, d), Tables.supplier(s, d)),
+      Some("""WITH per AS (SELECT l_suppkey,
+        |    sum(l_extendedprice::decimal(18,2)
+        |      * (1::decimal(18,2) - l_discount::decimal(18,2))) AS rdec,
+        |    count(*) AS n_items
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(rdec) AS mdec FROM per)
+        |SELECT s_suppkey, s_name, CAST(rdec AS double) AS total_revenue,
+        |  n_items
+        |FROM per CROSS JOIN mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rdec = mdec
+        |ORDER BY s_suppkey""".stripMargin)),
 
     // ===== North star: dedup / similarity / text analysis =====
 
@@ -1458,12 +1517,7 @@ object Queries {
     ("n97_split_leakage_matrix",
       (s: SparkSession, d: String) => Dedup.splitLeakageMatrix(docs(s, d)),
       Some {
-        def sp(c: String) =
-          s"""CASE WHEN ('0x' || substring(md5($c::varchar), 1, 8))::bigint
-             | % 100 < 80 THEN 'train'
-             | WHEN ('0x' || substring(md5($c::varchar), 1, 8))::bigint
-             | % 100 < 90 THEN 'val' ELSE 'test' END""".stripMargin
-            .replace("\n", "")
+        def sp(c: String) = splitCaseSql(c)
         s"""WITH sh AS ($ShinglesCte), $MinhashCte, $BandsCte,
         |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         |  FROM bands l JOIN bands r
@@ -1514,6 +1568,65 @@ object Queries {
       (s: SparkSession, d: String) =>
         Dedup.sourceLeakageMatrixAuto(docs(s, d)),
       Some(SourceLeakageOracle)),
+
+    // Leakage-safe split ASSIGNMENT: the split key is the verified
+    // near-dup component's min id (singleton docs keep their own), so a
+    // near-dup pair can never straddle train/test — n97 measures the
+    // leak, this eliminates it. Oracled over the shared verified-pair
+    // graph + the shared split CASE, so assignment, proof (n135), and
+    // measurement (n97) derive from the same definitions.
+    ("n134_leakage_safe_splits",
+      (s: SparkSession, d: String) => Dedup.leakageSafeSplits(docs(s, d)),
+      Some(s"""WITH RECURSIVE $VerifiedPairsCtes,
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+        |  UNION SELECT doc_b, doc_a FROM vp),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.id),
+        |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |k AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS split_key
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+        |SELECT doc_id, split_key, ${splitCaseSql("split_key")} AS split
+        |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // The PROOF for n134: the n97 leakage matrix recomputed over the
+    // cluster-aware assignment, full cell universe — the off-diagonal
+    // rows are zero BY CONSTRUCTION and visible as data.
+    ("n135_leakage_safe_matrix",
+      (s: SparkSession, d: String) => Dedup.leakageSafeMatrix(docs(s, d)),
+      Some(s"""WITH RECURSIVE $VerifiedPairsCtes,
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+        |  UNION SELECT doc_b, doc_a FROM vp),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.id),
+        |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |asg AS (SELECT d.doc_id,
+        |    ${splitCaseSql("coalesce(l.cluster, d.doc_id)")} AS split
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+        |m AS (SELECT least(a.split, b.split) AS split_a,
+        |    greatest(a.split, b.split) AS split_b, count(*) AS n_pairs
+        |  FROM vp JOIN asg a ON vp.doc_a = a.doc_id
+        |  JOIN asg b ON vp.doc_b = b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT asg.split AS split, count(*) AS n
+        |  FROM asg JOIN documents d USING (doc_id)
+        |  WHERE len(string_split(d.text, ' ')) >= 3 GROUP BY 1),
+        |cells AS (SELECT a.split AS split_a, a.n AS na,
+        |    b.split AS split_b, b.n AS nb
+        |  FROM sz a JOIN sz b ON a.split <= b.split)
+        |SELECT split_a, split_b, coalesce(m.n_pairs, 0) AS n_pairs,
+        |  CASE WHEN split_a = split_b THEN (na * (na - 1)) // 2
+        |    ELSE na * nb END AS n_possible,
+        |  CASE WHEN (CASE WHEN split_a = split_b THEN (na * (na - 1)) // 2
+        |      ELSE na * nb END) = 0 THEN NULL
+        |    ELSE round(coalesce(m.n_pairs, 0)::double /
+        |      (CASE WHEN split_a = split_b THEN (na * (na - 1)) // 2
+        |        ELSE na * nb END), 9) END AS leak_rate
+        |FROM cells LEFT JOIN m USING (split_a, split_b)
+        |ORDER BY split_a, split_b""".stripMargin)),
 
     // LSH tuning harness: precision/recall of the band-collision
     // candidate set vs exact shingle-Jaccard ground truth on a bounded
@@ -2825,6 +2938,33 @@ object Queries {
     ("n44_bigram_lm_score",
       (s: SparkSession, d: String) => TextAnalysis.bigramLmScore(docs(s, d)),
       Some(BigramLmSql)),
+
+    // CCNet-style perplexity terciles (Wenzek et al. 2020): per-source
+    // head/middle/tail partition of the n44 LM score — the
+    // relative-threshold quality gate that adapts to each source's own
+    // distribution. Shares n44's CTE chain verbatim, so the buckets
+    // provably rank the scores the n44 gate verifies; percent_rank over
+    // a TOTAL order (score desc, doc_id) is tie-deterministic on both
+    // engines.
+    ("n136_ccnet_buckets",
+      (s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(docs(s, d)),
+      Some(s"""WITH $BigramLmCtes,
+        |meta AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |pr AS (SELECT m.source AS source, m.n_tokens AS n_tokens,
+        |    lm.avg_lnp AS avg_lnp,
+        |    percent_rank() OVER (PARTITION BY m.source
+        |      ORDER BY lm.avg_lnp DESC, lm.doc_id) AS pr
+        |  FROM lm JOIN meta m USING (doc_id)),
+        |b AS (SELECT source, n_tokens, avg_lnp,
+        |    CASE WHEN pr < 1.0 / 3 THEN 'head'
+        |      WHEN pr < 2.0 / 3 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM pr)
+        |SELECT source, bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(avg_lnp) AS min_lnp, max(avg_lnp) AS max_lnp
+        |FROM b GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin)),
 
     // BPE merge induction: train the tokenizer's merge table (10 rounds)
     // on the corpus word-frequency table. Rows-only: each round's argmax

@@ -168,6 +168,8 @@ object ScaleSanity {
         "n130_cluster_chaining", "n131_star_clusters",
         "n132_lsh_precision", "b27_unattributed_clicks",
         "n133_dedup_savings",
+        "n134_leakage_safe_splits", "n135_leakage_safe_matrix",
+        "b28_retention_cohorts", "r15_top_supplier", "n136_ccnet_buckets",
         "m1_multimodal_features", "m2_multimodal_transform"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

@@ -402,6 +402,102 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Leakage-SAFE train/val/test assignment — the ELIMINATOR the
+    * leakage matrix ([[splitLeakageMatrix]], n97) motivates: instead of
+    * measuring how many verified near-dup pairs straddle the
+    * train/test boundary, make straddling impossible. The split key is
+    * the doc's near-dup COMPONENT minimum (the [[dupLabelsLogN]]
+    * cluster label over the verified pair graph at `threshold`) for
+    * clustered docs and the doc's own id otherwise; the split label is
+    * [[TextAnalysis.splitOf]] of that key. Every verified pair lies
+    * inside one component, so both endpoints hash to the same split —
+    * the off-diagonal of the leakage matrix over this assignment is
+    * zero BY CONSTRUCTION ([[leakageSafeMatrix]] publishes that zero
+    * as data; DedupSpec pins it and the planted straddling pair).
+    *
+    * Scale shape: the verified-pair front is the near-dup path's
+    * (zero-shuffle signatures, bucket-bounded pairs); CC runs over the
+    * EDGE list (pairs ≪ corpus at any real τ); the label join back to
+    * the corpus is hint-free — labels are a (long, long) projection of
+    * only the CLUSTERED docs, so size stats/AQE pick broadcast when it
+    * fits and a doc_id shuffle when it doesn't (the n73→n109 lesson:
+    * never force a broadcast on a corpus-shaped frame).
+    */
+  def leakageSafeSplits(docs: DataFrame, threshold: Double = 0.3): DataFrame =
+    leakageSafeSplitsFromPairs(docs, Checkpoints.cut(
+      minhashNearDupPairs(docs, threshold)
+        .select(col("doc_a"), col("doc_b"))))
+
+  /** [[leakageSafeSplits]] over an ALREADY-VERIFIED (and cut) pair
+    * frame — the composable form [[leakageSafeMatrix]] uses so the
+    * candidate+verify front is computed once per proof, not once per
+    * consumer.
+    */
+  private def leakageSafeSplitsFromPairs(docs: DataFrame,
+                                         pairs: DataFrame): DataFrame = {
+    val labels = dupLabelsLogN(pairs)
+    val key = coalesce(col("cluster"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), key.as("split_key"),
+        TextAnalysis.splitOf(key).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The PROOF query for [[leakageSafeSplits]]: the split-leakage
+    * matrix recomputed over the cluster-aware assignment, emitting the
+    * FULL cell universe (all split pairs from the size frame, zero
+    * n_pairs included) so the off-diagonal zeros are visible as rows,
+    * not as absences. Same schema as [[splitLeakageMatrix]] — diagonal
+    * cells still read as within-split redundancy (components hash
+    * whole, they don't vanish).
+    *
+    * The safe split is cluster-derived DATA, not a pure id function,
+    * so pair labeling is two joins against the (doc_id, split)
+    * assignment (the [[sourceLeakageCore]] shape), hint-free for the
+    * same reason as the assignment join. The cell universe is a
+    * 3-row × 3-row broadcast nested loop — never a CartesianProduct.
+    */
+  def leakageSafeMatrix(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val pairs = Checkpoints.cut(
+      minhashNearDupPairs(docs, threshold)
+        .select(col("doc_a"), col("doc_b")))
+    val asg = Checkpoints.cut(
+      leakageSafeSplitsFromPairs(docs, pairs)
+        .select(col("doc_id"), col("split")))
+    val withA = asg.join(pairs, col("doc_id") === col("doc_a"))
+      .select(col("split").as("sa"), col("doc_b"))
+    val m = asg.join(withA, col("doc_id") === col("doc_b"))
+      .select(least(col("sa"), col("split")).as("split_a"),
+        greatest(col("sa"), col("split")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // cut: the 3-row size frame feeds BOTH sides of the cell cross join;
+    // uncut, the eligible-scan + assignment join would execute twice
+    val sizes = Checkpoints.cut(docs
+      .filter(graft.functions.MinHash.eligible(col("text")))
+      .select(col("doc_id"))
+      .join(asg, Seq("doc_id"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n")))
+    val cells = sizes.select(col("split").as("split_a"), col("n").as("na"))
+      .crossJoin(broadcast(
+        sizes.select(col("split").as("split_b"), col("n").as("nb"))))
+      .filter(col("split_a") <= col("split_b"))
+    cells.join(broadcast(m), Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("split_a") === col("split_b"),
+          expr("(na * (na - 1)) div 2")).otherwise(col("na") * col("nb"))
+          .as("n_possible"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("n_possible"),
+        when(col("n_possible") === 0, lit(null))
+          .otherwise(round(col("n_pairs").cast("double") /
+            col("n_possible"), 9)).as("leak_rate"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Asymmetric near-dup CONTAINMENT pairs — the quote/subset signal
     * symmetric Jaccard misses: a short doc fully quoted inside a long
     * one scores |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but containment

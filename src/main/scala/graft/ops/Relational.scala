@@ -84,6 +84,36 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q15's ARGMAX-OVER-VIEW pattern: per-supplier revenue over a
+    * ship-date quarter, returning the supplier(s) achieving the GLOBAL
+    * maximum — ties all surface, the Q15 semantics. The per-supplier
+    * view is cut once (it feeds both the max aggregate and the final
+    * filter; uncut, the lineitem scan+shuffle would execute twice —
+    * at 100 TB the scan IS the job); the max arrives as a 1-row
+    * broadcast nested-loop, never a global window sort. Revenue stays
+    * EXACT decimal through aggregate and tie compare, so the argmax
+    * set is bit-identical on both engines; the supplier dim joins by
+    * broadcast.
+    */
+  def topSupplier(li: DataFrame, supplier: DataFrame,
+                  from: String = "1996-01-01",
+                  to: String = "1996-04-01"): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    val per = Checkpoints.cut(
+      li.filter(col("l_shipdate") >= lit(from) &&
+          col("l_shipdate") < lit(to))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rev).as("rdec"), count(lit(1)).as("n_items")))
+    val mx = per.agg(max(col("rdec")).as("mdec"))
+    per.crossJoin(broadcast(mx))
+      .filter(col("rdec") === col("mdec"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rdec").cast("double").as("total_revenue"), col("n_items"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** LEFT SEMI — customers having at least one finished high-value order
     * (the EXISTS shape; broadcast of the *probe-filtered* build side).
     */

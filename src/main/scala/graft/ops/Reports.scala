@@ -224,6 +224,37 @@ object Reports {
       .orderBy(col("click_id"))
   }
 
+  /** Retention cohort matrix — the canonical product-analytics rollup
+    * over the event stream: users grouped by first-seen week (cohort),
+    * counted as retained in each subsequent week they are active.
+    * Output one row per (cohort_week, week_offset) with the distinct
+    * active-user count; offset 0 is the cohort's size by construction
+    * (every user is active in their first-seen week).
+    *
+    * Scale shape: first-seen is a window `min(ts)` over user_id — ONE
+    * exchange on the user key, no self-join back (the groupBy+join
+    * formulation shuffles the stream twice for a column the
+    * window-carrying row already has). The (cohort, offset, user)
+    * distinct then re-shuffles only a 3-column projection, and the
+    * final count is map-side combinable. Weeks truncate to Monday in
+    * both engines (Spark `date_trunc('week')` ≡ DuckDB); the offset is
+    * an exact integer because truncated dates differ by multiples of
+    * 7 days.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("ts"),
+        to_date(date_trunc("week", min(col("ts")).over(w)))
+          .as("cohort_week"))
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(to_date(date_trunc("week", col("ts"))),
+          col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Banded (range) join: event values bucketed into a tiny tier table
     * on [lo, hi) intervals. A non-equi join is a nested loop in Spark —
     * correct ONLY because the tier side is broadcast and ~constant-sized;
@@ -292,7 +323,13 @@ object Reports {
     * cumulative-sum session id; one shuffle on user_id, windows sort
     * within partition only.
     */
-  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+  /** Per-event session labeling — the ONE definition of the gap-based
+    * session boundary, shared by [[sessionize]], [[sessionStats]] (via
+    * sessionize) and [[sessionFunnel]] so the three can never disagree
+    * on where a session starts. One exchange on the user key; both
+    * window passes (lag + running sum) ride the same sort.
+    */
+  private def sessionLabeled(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     // microsecond-exact gap math (unix_micros ≡ DuckDB epoch_us) so the
@@ -306,6 +343,10 @@ object Reports {
       .withColumn("new_s", newSession)
       .withColumn("session_seq", sum(col("new_s"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionLabeled(events, gapMinutes)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -313,6 +354,56 @@ object Reports {
           / lit(1000000L)).cast("long").as("duration_sec"),
         decSum(col("value")).as("sum_value"))
       .orderBy(col("user_id"), col("session_seq"))
+
+  /** Ordered conversion funnel WITHIN sessions — did this session see
+    * view → click → purchase in that order: step k counts only when an
+    * event of its type occurs AT OR AFTER the time step k−1 was first
+    * reached (t₁ = first view; t₂ = first click ≥ t₁; t₃ = first
+    * purchase ≥ t₂). Session boundaries come from [[sessionLabeled]]
+    * VERBATIM, so the funnel can never disagree with b15/b16 about
+    * what a session is. Output: one row per step with sessions
+    * reached and the conversion rate from the previous step (step 1
+    * converts from all sessions).
+    *
+    * Scale shape: the three step times are conditional window mins
+    * over the SAME (user, session) partition — Catalyst reuses one
+    * exchange+sort for all three passes (the t₂/t₃ conditions read
+    * the previous pass's column, so they can't fold into one window
+    * projection, but they add no shuffle). The per-session rollup is
+    * map-side combinable; everything after is a 1-row aggregate
+    * exploded to 3 rows.
+    */
+  def sessionFunnel(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+    val us = unix_micros(col("ts"))
+    val per = sessionLabeled(events, gapMinutes)
+      .withColumn("t1",
+        min(when(col("event_type") === "view", us)).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && us >= col("t1"), us))
+          .over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && us >= col("t2"), us))
+          .over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    per.agg(count(lit(1)).as("n0"), count(col("t1")).as("s1"),
+        count(col("t2")).as("s2"), count(col("t3")).as("s3"))
+      .select(explode(array(
+        struct(lit(1).as("step_index"), lit("view").as("step"),
+          col("s1").as("n_sessions"), col("n0").as("prev")),
+        struct(lit(2).as("step_index"), lit("click").as("step"),
+          col("s2").as("n_sessions"), col("s1").as("prev")),
+        struct(lit(3).as("step_index"), lit("purchase").as("step"),
+          col("s3").as("n_sessions"), col("s2").as("prev"))))
+        .as("r"))
+      .select(col("r.step_index").as("step_index"), col("r.step").as("step"),
+        col("r.n_sessions").as("n_sessions"),
+        when(col("r.prev") === 0, lit(null))
+          .otherwise(round(col("r.n_sessions").cast("double") /
+            col("r.prev"), 6)).as("conv_rate"))
+      .orderBy(col("step_index"))
   }
 
   /** Per-user session stats roll-up (the report section shape). */

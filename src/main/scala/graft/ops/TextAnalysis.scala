@@ -1654,6 +1654,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): per SOURCE,
+    * rank docs by LM score and cut the ranking into head / middle /
+    * tail terciles — the relative-threshold quality partition that
+    * adapts to each source's own score distribution instead of one
+    * global cutoff (a clean-but-formal source and a noisy web crawl
+    * both contribute their best third). Score = [[bigramLmScore]]'s
+    * per-doc mean log-probability VERBATIM (higher = more natural
+    * text, the perplexity proxy); rank = percent_rank over
+    * (avg_lnp DESC, doc_id) within source — doc_id makes the order
+    * total, so every row's rank (and therefore its bucket) is
+    * deterministic on both engines even under score ties. Docs with
+    * no bigram (< 2 words) are unscoreable and carry no bucket, as in
+    * CCNet. Output: per (source, bucket) doc/token counts plus the
+    * realized score range — the report a mixing decision reads before
+    * keeping only head+middle.
+    *
+    * Scale shape: the LM score is n44's documented two-explosion
+    * plan; the source/token projection joins the per-doc score frame
+    * (3 columns) hint-free — size stats pick the strategy, never a
+    * forced corpus-shaped broadcast. The percent_rank window shuffles
+    * the per-doc SCORE frame (doc_id, source, score — never the
+    * text) once on the source key; the final rollup is map-side
+    * combinable with ≤ 3 rows per source.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("avg_lnp").desc, col("doc_id"))
+    bigramLmScore(docs)
+      .join(docs.select(col("doc_id"), col("source"),
+        size(words(col("text"))).as("n_tokens")), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("avg_lnp"), percent_rank().over(w).as("pr"))
+      .select(col("source"), col("n_tokens"), col("avg_lnp"),
+        when(col("pr") < 1.0 / 3, "head")
+          .when(col("pr") < 2.0 / 3, "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("avg_lnp")).as("min_lnp"), max(col("avg_lnp")).as("max_lnp"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Per-doc bigram stream (doc_id, w1, w2) — the single definition
     * shared by training and scoring, so the two can never tokenize
     * differently.

@@ -615,6 +615,57 @@ class DedupSpec extends SparkSpec {
       "no val doc was planted — those cells must be absent")
   }
 
+  test("leakageSafeSplits: a planted cross-split near-dup clique is " +
+    "re-keyed to ONE split; the proof matrix's off-diagonal is all-zero " +
+    "over the full cell universe") {
+    import spark.implicits._
+    val ids = (1L to 60L)
+    val splits = graft.ops.TextAnalysis
+      .splitAssignment(ids.map((_, "x")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val trainIds = ids.filter(splits(_) == "train").take(2)
+    val testIds = ids.filter(splits(_) == "test").take(2)
+    assert(trainIds.size === 2 && testIds.size === 2)
+    val leaked = (trainIds ++ testIds).toSet
+    val X = "alpha beta gamma delta epsilon zeta"
+    val docs = ids.map(i =>
+      (i, if (leaked(i)) X else s"u$i a$i b$i")).toDF("doc_id", "text")
+
+    val asg = Dedup.leakageSafeSplits(docs, 0.3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(asg.keySet === ids.toSet, "every doc gets an assignment")
+    // the clique re-keys to its component min — one split for all four,
+    // even though the PLAIN hash split straddles train×test by fixture
+    val key = leaked.min
+    leaked.foreach { i =>
+      assert(asg(i)._1 === key)
+      assert(asg(i)._2 === asg(key)._2)
+    }
+    // singletons keep their own id, so their split IS the plain split
+    (ids.toSet -- leaked).foreach { i =>
+      assert(asg(i) === ((i, splits(i))))
+    }
+
+    // proof matrix: full universe (3 splits → 6 cells), zero off-diag,
+    // and the clique's 6 verified pairs on its diagonal cell
+    val cliqueSplit = asg(key)._2
+    val m = Dedup.leakageSafeMatrix(docs, 0.3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val sizes = asg.values.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cells = for {
+      a <- sizes.keys; b <- sizes.keys; if a <= b
+    } yield (a, b)
+    assert(m.keySet === cells.toSet, "every cell must be a visible row")
+    m.foreach { case ((a, b), (nPairs, nPossible)) =>
+      if (a == b && a == cliqueSplit) assert(nPairs === 6L)
+      else assert(nPairs === 0L, s"cell ($a,$b) must hold zero pairs")
+      if (a == b) assert(nPossible === sizes(a) * (sizes(a) - 1) / 2)
+      else assert(nPossible === sizes(a) * sizes(b))
+    }
+  }
+
   test("sourceLeakageMatrix: a doc copied across sources lands in the " +
     "cross cell; denominators count eligible docs") {
     import spark.implicits._

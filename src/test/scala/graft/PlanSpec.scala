@@ -452,6 +452,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("b28: first-seen is a window min — no self-join back to the " +
+    "stream, and the plan carries no join at all") {
+    val p = plan("b28_retention_cohorts")
+    assert(!p.contains("Join"),
+      "retention must derive first-seen via the window, never a join:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("r15: the 1-row max and the supplier dim both broadcast — " +
+    "Catalyst even rewrites the cross+filter into an equi join on the " +
+    "tie key — and nothing sort-merges") {
+    val p = plan("r15_top_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "argmax + supplier joins must both broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("n136: the percent_rank window partitions by source (never a " +
+    "global single-partition window)") {
+    val p = plan("n136_ccnet_buckets")
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(source".r.findFirstIn(p).nonEmpty,
+      "the rank window must shuffle on the source key:\n" + p)
+  }
+
   test("n95: both screening joins broadcast the batch — the corpus-side " +
     "index streams map-side, never shuffling into pair space") {
     val p = plan("n95_incremental_simhash_dedup")
@@ -512,7 +537,12 @@ class PlanSpec extends SparkSpec {
       // chaining audit: verified pairs join the exploded label frame on
       // doc id — both sides aggregate-fed, legitimate shuffle
       "n130_cluster_chaining", "n131_star_clusters",
-      "n133_dedup_savings")
+      "n133_dedup_savings",
+      // leakage-safe splits: the CC label frame (and in n135 the
+      // verified pairs + cluster-aware assignment) joins on doc id —
+      // aggregate-fed sides deliberately hint-free (the n73→n109
+      // lesson), legitimate shuffles; AQE localizes when small
+      "n134_leakage_safe_splits", "n135_leakage_safe_matrix")
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString

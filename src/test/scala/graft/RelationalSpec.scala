@@ -55,4 +55,25 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq === Seq((1L, 1L, 100.0), (2L, 0L, 0.0)))
   }
+
+  test("topSupplier: exact-decimal ties ALL surface; out-of-window rows " +
+    "never count") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val li = Seq(
+      // supplier 1: 60.00 + 40.00 → 100.00 in-window
+      (1L, ts("1996-01-10 00:00:00"), 60.0, 0.0),
+      (1L, ts("1996-02-10 00:00:00"), 40.0, 0.0),
+      // supplier 2: 200.00 × (1 − 0.5) → 100.00 — an exact-decimal tie
+      (2L, ts("1996-03-01 00:00:00"), 200.0, 0.5),
+      // supplier 3: close but below
+      (3L, ts("1996-01-20 00:00:00"), 99.99, 0.0),
+      // supplier 4: would win, but ships outside the quarter
+      (4L, ts("1995-12-31 00:00:00"), 999.99, 0.0)
+    ).toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val sup = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"), (4L, "S4"))
+      .toDF("s_suppkey", "s_name")
+    val got = Relational.topSupplier(li, sup).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "S1", 100.0, 2L), (2L, "S2", 100.0, 1L)))
+  }
 }

@@ -151,4 +151,28 @@ class ReportsSpec extends SparkSpec {
       ("click", 4L, 1), ("click", 3L, 2),
       ("error", 5L, 1), ("error", 2L, 2)))
   }
+
+  test("retentionCohorts: cohort = Monday-truncated first-seen week; " +
+    "offsets are exact; a user active twice in one week counts once") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday
+    val ev = Seq(
+      // user 1: first seen week of Jan 1, active again week of Jan 8
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-10 09:00:00")),
+      // user 2: first seen week of Jan 8 (Tue), active week of Jan 22
+      (2L, ts("2024-01-09 08:00:00")),
+      (2L, ts("2024-01-24 23:00:00")),
+      // user 3: two events in the SAME first week → one (cohort, 0) row
+      (3L, ts("2024-01-03 12:00:00")),
+      (3L, ts("2024-01-05 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Reports.retentionCohorts(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0L, 2L), // users 1 and 3
+      ("2024-01-01", 1L, 1L), // user 1 retained in week 2
+      ("2024-01-08", 0L, 1L), // user 2's cohort
+      ("2024-01-08", 2L, 1L))) // user 2 retained two weeks later
+  }
 }

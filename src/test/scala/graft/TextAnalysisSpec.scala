@@ -1349,4 +1349,47 @@ class TextAnalysisSpec extends SparkSpec {
         s"$src: approx $ap vs exact $ex")
     }
   }
+
+  test("ccnetBuckets: six equal-score docs split 2/2/2 by the doc_id " +
+    "tiebreak; unscoreable single-word docs carry no bucket") {
+    val docs = ((1L to 6L).map(i => (i, "the cat sat on the mat", "web")) :+
+      (7L, "solo", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.ccnetBuckets(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // identical texts → identical avg_lnp; percent_rank's total order
+    // falls back to doc_id, so the terciles are exactly 2/2/2
+    assert(got === Map(
+      "head" -> ((2L, 12L)), "middle" -> ((2L, 12L)), "tail" -> ((2L, 12L))))
+  }
+
+  test("ccnetBuckets: reconciles with a naive Scala tercile over " +
+    "bigramLmScore on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val meta = docs.select($"doc_id", $"source",
+        size(split($"text", " ")).as("n_tokens")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2).toLong)).toMap
+    val scores = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val want = scores.map { case (id, lnp) => (meta(id)._1, id, lnp) }
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        val ordered = rows.sortBy { case (_, id, lnp) => (-lnp, id) }
+        val n = ordered.size
+        ordered.zipWithIndex.map { case ((_, id, lnp), i) =>
+          val pr = if (n == 1) 0.0 else i.toDouble / (n - 1)
+          val bucket = if (pr < 1.0 / 3) "head"
+            else if (pr < 2.0 / 3) "middle" else "tail"
+          (src, bucket, id, lnp)
+        }
+      }
+      .groupBy(t => (t._1, t._2)).view.mapValues { rows =>
+        (rows.size.toLong, rows.map(t => meta(t._3)._2).sum,
+          rows.map(_._4).min, rows.map(_._4).max)
+      }.toMap
+    val got = TextAnalysis.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got === want)
+  }
 }
