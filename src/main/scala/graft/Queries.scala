@@ -401,6 +401,26 @@ object Queries {
 
   private val DecSum = "CAST(sum(value::decimal(18,2)) AS double)"
 
+  /** CTE chain ending at `sessions(user_id, ts, value, event_id,
+    * event_type, session_seq)` — the 30-minute-gap session labeling,
+    * the DuckDB twin of Reports.sessionLabeled. Shared by b15, b16 and
+    * the b29 funnel so the three oracles cannot disagree on where a
+    * session starts.
+    */
+  private val SessionCtes =
+    s"""flagged AS (
+      |  SELECT user_id, ts, value, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${30 * 60 * 1000000L}
+      |      THEN 1
+      |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id, ts, value, event_id, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)""".stripMargin
+
   // SimHash bit expressions, generated once for both engines.
   /** The ONE pair of per-bit SQL generators every simhash CTE (32-bit,
     * 60-bit wide, and the n96 both-widths harness) derives from — the
@@ -869,18 +889,7 @@ object Queries {
     // 30-min inactivity gap, µs-exact boundary math in both engines.
     ("b15_sessionize",
       (s: SparkSession, d: String) => Reports.sessionize(ev(s, d), 30),
-      Some(s"""WITH flagged AS (
-        |  SELECT user_id, ts, value, event_id,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${30 * 60 * 1000000L}
-        |      THEN 1
-        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-        |sessions AS (
-        |  SELECT user_id, ts, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM flagged)
+      Some(s"""WITH $SessionCtes
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
@@ -890,18 +899,7 @@ object Queries {
 
     ("b16_session_stats",
       (s: SparkSession, d: String) => Reports.sessionStats(ev(s, d), 30),
-      Some(s"""WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${30 * 60 * 1000000L}
-        |      THEN 1
-        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-        |sessions AS (
-        |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM flagged),
+      Some(s"""WITH $SessionCtes,
         |per_session AS (
         |  SELECT user_id, session_seq, count(*) AS n_events,
         |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec
@@ -909,6 +907,41 @@ object Queries {
         |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
         |  max(duration_sec) AS max_session_sec
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Ordered in-session conversion funnel: view → click ≥ t(view) →
+    // purchase ≥ t(click), session boundaries from the b15 machinery
+    // VERBATIM (one sessionLabeled definition Spark-side, one
+    // SessionCtes oracle-side) — the funnel cannot disagree with b15
+    // about what a session is.
+    ("b29_session_funnel",
+      (s: SparkSession, d: String) => Reports.sessionFunnel(ev(s, d), 30),
+      Some(s"""WITH $SessionCtes,
+        |s1 AS (SELECT user_id, session_seq, epoch_us(ts) AS us, event_type
+        |  FROM sessions),
+        |t1 AS (SELECT user_id, session_seq,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS t1
+        |  FROM s1 GROUP BY 1, 2),
+        |t2 AS (SELECT s.user_id, s.session_seq,
+        |    min(CASE WHEN s.event_type = 'click' AND s.us >= t.t1 THEN s.us
+        |      END) AS t2
+        |  FROM s1 s JOIN t1 t USING (user_id, session_seq) GROUP BY 1, 2),
+        |t3 AS (SELECT s.user_id, s.session_seq,
+        |    min(CASE WHEN s.event_type = 'purchase' AND s.us >= t.t2 THEN s.us
+        |      END) AS t3
+        |  FROM s1 s JOIN t2 t USING (user_id, session_seq) GROUP BY 1, 2),
+        |c AS (SELECT count(*) AS n0, count(t1.t1) AS s1c,
+        |    count(t2.t2) AS s2c, count(t3.t3) AS s3c
+        |  FROM t1 JOIN t2 USING (user_id, session_seq)
+        |  JOIN t3 USING (user_id, session_seq))
+        |SELECT step_index, step, n_sessions,
+        |  CASE WHEN prev = 0 THEN NULL
+        |    ELSE round(n_sessions::double / prev, 6) END AS conv_rate
+        |FROM (
+        |  SELECT 1 AS step_index, 'view' AS step, s1c AS n_sessions,
+        |    n0 AS prev FROM c
+        |  UNION ALL SELECT 2, 'click', s2c, s1c FROM c
+        |  UNION ALL SELECT 3, 'purchase', s3c, s2c FROM c)
+        |ORDER BY step_index""".stripMargin)),
 
     // Pivot cross-tab: days × severity counts as columns (the wide report
     // layout; values enumerated so the column order is deterministic).
@@ -2248,6 +2281,57 @@ object Queries {
         |  sum(n_chars)::double / count(*) AS avg_chars,
         |  round(CAST(sum(stopword_ratio::decimal(18,6)) AS double) / count(*), 6) AS avg_stopword_ratio
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Gopher-style per-rule quality audit: rule × lang fail counts +
+    // the all_rules composite, every rule a flag on one scan row over
+    // the n13 feature definitions — the "which rule kills what" matrix
+    // read before committing a fixed-threshold gate.
+    ("n138_quality_rules",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.qualityRulesReport(docs(s, d)),
+      Some(s"""WITH q AS (SELECT lang,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    round((length(text) - len(string_split(text, ' ')) + 1)::double
+        |      / len(string_split(text, ' ')), 6) AS mean_word_len,
+        |    round(len(list_filter(string_split(text, ' '), w -> w IN $Stop))::double
+        |      / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |    round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double
+        |      / length(text), 6) AS punct_ratio,
+        |    round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::double
+        |      / length(text), 6) AS upper_ratio
+        |  FROM documents),
+        |f AS (SELECT lang,
+        |    CASE WHEN n_words >= 5 THEN 0 ELSE 1 END AS f_min_words,
+        |    CASE WHEN n_words <= 5000 THEN 0 ELSE 1 END AS f_max_words,
+        |    CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0 ELSE 1 END
+        |      AS f_mean_word_len,
+        |    CASE WHEN stopword_ratio > 0.0 THEN 0 ELSE 1 END
+        |      AS f_stopword_presence,
+        |    CASE WHEN punct_ratio <= 0.2 THEN 0 ELSE 1 END AS f_punct_ratio,
+        |    CASE WHEN upper_ratio <= 0.2 THEN 0 ELSE 1 END AS f_upper_ratio
+        |  FROM q),
+        |a AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(f_min_words) AS BIGINT) AS f1,
+        |    CAST(sum(f_max_words) AS BIGINT) AS f2,
+        |    CAST(sum(f_mean_word_len) AS BIGINT) AS f3,
+        |    CAST(sum(f_stopword_presence) AS BIGINT) AS f4,
+        |    CAST(sum(f_punct_ratio) AS BIGINT) AS f5,
+        |    CAST(sum(f_upper_ratio) AS BIGINT) AS f6,
+        |    CAST(sum(CASE WHEN f_min_words + f_max_words + f_mean_word_len
+        |      + f_stopword_presence + f_punct_ratio + f_upper_ratio > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fall
+        |  FROM f GROUP BY lang)
+        |SELECT lang, rule, n_docs, n_fail,
+        |  round(n_fail::double / n_docs, 6) AS fail_rate
+        |FROM (
+        |  SELECT lang, 'min_words' AS rule, n_docs, f1 AS n_fail FROM a
+        |  UNION ALL SELECT lang, 'max_words', n_docs, f2 FROM a
+        |  UNION ALL SELECT lang, 'mean_word_len', n_docs, f3 FROM a
+        |  UNION ALL SELECT lang, 'stopword_presence', n_docs, f4 FROM a
+        |  UNION ALL SELECT lang, 'punct_ratio', n_docs, f5 FROM a
+        |  UNION ALL SELECT lang, 'upper_ratio', n_docs, f6 FROM a
+        |  UNION ALL SELECT lang, 'all_rules', n_docs, fall FROM a)
+        |ORDER BY lang, rule""".stripMargin)),
 
     ("n14_langid",
       (s: SparkSession, d: String) => TextAnalysis.langId(docs(s, d)),

@@ -170,6 +170,7 @@ object ScaleSanity {
         "n133_dedup_savings",
         "n134_leakage_safe_splits", "n135_leakage_safe_matrix",
         "b28_retention_cohorts", "r15_top_supplier", "n136_ccnet_buckets",
+        "b29_session_funnel", "n138_quality_rules",
         "m1_multimodal_features", "m2_multimodal_transform"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()

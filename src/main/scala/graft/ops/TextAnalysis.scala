@@ -83,6 +83,52 @@ object TextAnalysis {
           count(lit(1)), 6).as("avg_stopword_ratio"))
       .orderBy(col("lang"))
 
+  /** The fixed-threshold rule set over [[qualityFeatures]]'s columns —
+    * the Gopher-style heuristic battery (Rae et al. 2021 §A1.1 shape,
+    * thresholds adapted to the features computed here). ONE definition
+    * shared by the audit ([[qualityRulesReport]]) and any gate built on
+    * it, so the audit can never disagree with the filter it explains.
+    */
+  private[graft] val QualityRules: Seq[(String, Column)] = Seq(
+    ("min_words", col("n_words") >= 5),
+    ("max_words", col("n_words") <= 5000),
+    ("mean_word_len", col("mean_word_len").between(2.0, 12.0)),
+    ("stopword_presence", col("stopword_ratio") > 0.0),
+    ("punct_ratio", col("punct_ratio") <= 0.2),
+    ("upper_ratio", col("upper_ratio") <= 0.2))
+
+  /** Gopher-style per-rule quality AUDIT: for each rule × lang, how
+    * many docs fail it, plus the `all_rules` composite — the "which
+    * rule kills what" matrix a team reads before committing a
+    * fixed-threshold gate (a rule failing 40% of one language is a
+    * threshold bug, not a corpus property). Every rule reads
+    * [[qualityFeatures]]'s columns verbatim; all rules evaluate as
+    * FLAGS on one scan row and roll up in ONE map-side-combinable
+    * aggregate (the n63 one-pass-flags discipline — per-rule filtered
+    * re-scans would read the corpus once per rule at 100 TB), then
+    * pivot long via explode.
+    */
+  def qualityRulesReport(docs: DataFrame): DataFrame = {
+    val flagged = qualityFeatures(docs).select(
+      col("lang") +: (QualityRules.map { case (n, p) => p.as(s"ok_$n") } :+
+        QualityRules.map(_._2).reduce(_ && _).as("ok_all")): _*)
+    val failCols = (QualityRules.map(_._1) :+ "all_rules").map { n =>
+      val flag = if (n == "all_rules") col("ok_all") else col(s"ok_$n")
+      sum(when(!flag, 1L).otherwise(0L)).as(s"f_$n")
+    }
+    flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), failCols: _*)
+      .select(col("lang"), col("n_docs"), explode(array(
+        (QualityRules.map(_._1) :+ "all_rules").map(n =>
+          struct(lit(n).as("rule"), col(s"f_$n").as("n_fail"))): _*))
+        .as("r"))
+      .select(col("lang"), col("r.rule").as("rule"), col("n_docs"),
+        col("r.n_fail").as("n_fail"),
+        round(col("r.n_fail").cast("double") / col("n_docs"), 6)
+          .as("fail_rate"))
+      .orderBy(col("lang"), col("rule"))
+  }
+
   /** Language-ID n-gram heuristic: score = stopword-list hit fraction per
     * candidate language; argmax wins (tie → lexicographic). The scoring
     * machinery is the real deliverable; the tiny marker lists stand in for

@@ -477,6 +477,14 @@ class PlanSpec extends SparkSpec {
       "the rank window must shuffle on the source key:\n" + p)
   }
 
+  test("b29/n138: the one-pass-flags reports plan NO join at all — " +
+    "steps/rules are window or flag columns on the scan row") {
+    for (q <- Seq("b29_session_funnel", "n138_quality_rules")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must stay join-free:\n$p")
+    }
+  }
+
   test("n95: both screening joins broadcast the batch — the corpus-side " +
     "index streams map-side, never shuffling into pair space") {
     val p = plan("n95_incremental_simhash_dedup")

@@ -152,6 +152,40 @@ class ReportsSpec extends SparkSpec {
       ("error", 5L, 1), ("error", 2L, 2)))
   }
 
+  test("sessionFunnel: steps count only IN ORDER within a session — a " +
+    "click before the first view doesn't convert, a purchase without a " +
+    "click doesn't convert, same-timestamp steps do") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // A (user 1): full ordered funnel
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:05:00"), "click"),
+      (3L, 1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // E (user 1, >30 min gap → second session): view only
+      (4L, 1L, ts("2024-01-01 12:00:00"), "view"),
+      // B (user 2): click BEFORE the first view — step 2 must not count
+      (5L, 2L, ts("2024-01-01 10:00:00"), "click"),
+      (6L, 2L, ts("2024-01-01 10:05:00"), "view"),
+      // C (user 3): purchase after view but NO click — step 3 must not
+      (7L, 3L, ts("2024-01-01 10:00:00"), "view"),
+      (8L, 3L, ts("2024-01-01 10:10:00"), "purchase"),
+      // D (user 4): early purchase, then view + click — stops at click
+      (9L, 4L, ts("2024-01-01 09:00:00"), "purchase"),
+      (10L, 4L, ts("2024-01-01 09:20:00"), "view"),
+      (11L, 4L, ts("2024-01-01 09:30:00"), "click"),
+      // F (user 5): view and click at the SAME timestamp — >= counts it
+      (12L, 5L, ts("2024-01-01 11:00:00"), "view"),
+      (13L, 5L, ts("2024-01-01 11:00:00"), "click"),
+      (14L, 5L, ts("2024-01-01 11:01:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Reports.sessionFunnel(ev, 30).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // 6 sessions, all with a view; A, D, F convert to click; A, F to buy
+    assert(got.toSeq === Seq(
+      (1, "view", 6L, 1.0), (2, "click", 3L, 0.5),
+      (3, "purchase", 2L, 0.666667)))
+  }
+
   test("retentionCohorts: cohort = Monday-truncated first-seen week; " +
     "offsets are exact; a user active twice in one week counts once") {
     def ts(s: String) = Timestamp.valueOf(s)

@@ -1350,6 +1350,49 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("qualityRulesReport: each planted violation lands on exactly its " +
+    "rule; all_rules counts docs failing ANY rule once") {
+    val docs = Seq(
+      (1L, "a b", "en"),                        // min_words + mean_word_len
+      (2L, "the cat sat on the mat", "en"),     // clean
+      (3L, "cat dog bird fish wolf", "en"),     // no stopword
+      (4L, "AAAA BBBB CCCC DDDD EEEE", "en"),   // upper ratio + no stopword
+      (5L, "!!!! !!!! !!!! !!!! !!!!", "en")    // punct ratio + no stopword
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.qualityRulesReport(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      "min_words" -> ((5L, 1L)), "max_words" -> ((5L, 0L)),
+      "mean_word_len" -> ((5L, 1L)), "stopword_presence" -> ((5L, 3L)),
+      "punct_ratio" -> ((5L, 1L)), "upper_ratio" -> ((5L, 1L)),
+      "all_rules" -> ((5L, 4L))))
+  }
+
+  test("qualityRulesReport: reconciles with a naive per-doc recompute " +
+    "from qualityFeatures on real data") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val feats = TextAnalysis.qualityFeatures(docs).collect().map { r =>
+      (r.getString(1), r.getInt(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7))
+    }
+    def fails(nW: Int, mwl: Double, stop: Double, punct: Double,
+              upper: Double): Map[String, Boolean] = Map(
+      "min_words" -> (nW < 5), "max_words" -> (nW > 5000),
+      "mean_word_len" -> !(mwl >= 2.0 && mwl <= 12.0),
+      "stopword_presence" -> !(stop > 0.0),
+      "punct_ratio" -> (punct > 0.2), "upper_ratio" -> (upper > 0.2))
+    val want = feats.groupBy(_._1).flatMap { case (lang, rows) =>
+      val perDoc = rows.map(t => fails(t._2, t._3, t._4, t._5, t._6))
+      val rules = perDoc.head.keys.map(k =>
+        (lang, k) -> perDoc.count(_(k)).toLong).toMap
+      rules + ((lang, "all_rules") ->
+        perDoc.count(_.values.exists(identity)).toLong)
+    }
+    val got = TextAnalysis.qualityRulesReport(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got === want)
+  }
+
   test("ccnetBuckets: six equal-score docs split 2/2/2 by the doc_id " +
     "tiebreak; unscoreable single-word docs carry no bucket") {
     val docs = ((1L to 6L).map(i => (i, "the cat sat on the mat", "web")) :+
