@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev utility (the round-12 un-force receipt): demonstrate, on a real
+  * dup-heavy corpus, the hot-gram frame that the FORCED-broadcast branch
+  * of the boilerplate family cannot survive while the hint-free default
+  * completes — the miniature of the 100 TB OOM the verdict flagged.
+  *
+  * The driver result-size cap stands in for executor broadcast memory:
+  * a broadcast build collects the frame to the driver first, so capping
+  * `spark.driver.maxResultSize` makes "the hot frame outgrew the
+  * broadcast budget" an observable failure at local scale instead of a
+  * 1000-executor OOM. The corpus is sf0.1 documents word-salted into 8
+  * vocabulary-disjoint copies (gram vocabulary ×8 — the ScaleSanity
+  * salt move) and THEN duplicated ×2 with shifted ids, so EVERY 5-gram
+  * reaches df ≥ 2 and the minDf=2 hot frame is the inflated corpus's
+  * entire distinct-gram vocabulary (exactly the shape a dup-heavy web
+  * corpus produces: vocabulary grows with the corpus, and repetition
+  * makes all of it "hot").
+  *
+  * Run: sbt "runMain graft.BroadcastGuard" (fresh JVM — maxResultSize
+  * is read at SparkContext creation). Expected output: the forced
+  * branch fails with a result-size/broadcast error, the hint-free
+  * branch prints its row count and wall seconds.
+  */
+object BroadcastGuard {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the broadcast-budget stand-in: any broadcast build whose
+      // collected frame exceeds this fails, exactly like an executor
+      // whose broadcast memory the hot frame outgrows
+      .config("spark.driver.maxResultSize", "16m")
+      // a sane cluster config sizes the auto-broadcast threshold UNDER
+      // the budget (here 512k vs the 16m cap — headroom because size
+      // stats are compressed-size estimates of serialized results).
+      // The point of the demo: the hint-free branch RESPECTS this
+      // threshold and shuffles; a forced broadcast() hint overrides it
+      // and dies on the budget.
+      .config("spark.sql.autoBroadcastJoinThreshold", "512k")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "512k")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val wide = (0 until 8).map { i =>
+      base.select((col("doc_id") + lit(i.toLong * 100000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text"))
+    }.reduce(_ unionAll _)
+    val docs = wide.unionAll(
+      wide.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+
+    def attempt(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        val n = df.queryExecution.toRdd.count()
+        println(f"GUARD ok    $label rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      } catch {
+        case e: Throwable =>
+          val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .toSeq.last
+          println(s"GUARD FAIL  $label ${root.getClass.getSimpleName}: " +
+            root.getMessage.linesIterator.next())
+      }
+    }
+    attempt("forced-broadcast") {
+      ops.TextAnalysis.boilerplateCoverage(docs, 5, 2, broadcast)
+    }
+    attempt("hint-free      ") {
+      ops.TextAnalysis.boilerplateCoverage(docs, 5, 2)
+    }
+    spark.stop()
+  }
+}

@@ -3223,7 +3223,7 @@ object Queries {
         |  FROM base),
         |tk AS (SELECT doc_id, split, label, unnest(ws) AS w FROM lab),
         |th AS (SELECT doc_id, split, label,
-        |  ('0x' || substring(md5('dsirh|' || w), 1, 8))::bigint % 10000 AS h
+        |  ('0x' || substring(md5('qch|' || w), 1, 8))::bigint % 10000 AS h
         |  FROM tk),
         |c AS (SELECT h,
         |  CAST(sum(CASE WHEN split = 'train' AND label = 1 THEN 1 ELSE 0 END)

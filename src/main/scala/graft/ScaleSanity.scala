@@ -171,7 +171,8 @@ object ScaleSanity {
         "n134_leakage_safe_splits", "n135_leakage_safe_matrix",
         "b28_retention_cohorts", "r15_top_supplier", "n136_ccnet_buckets",
         "b29_session_funnel", "n138_quality_rules",
-        "m1_multimodal_features", "m2_multimodal_transform"))
+        "m1_multimodal_features", "m2_multimodal_transform",
+        "m3_audio_frames"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very

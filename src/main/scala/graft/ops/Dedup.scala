@@ -355,6 +355,16 @@ object Dedup {
     * `maxBroadcastPairs`. Both branches consume the same cut frame and
     * one [[sourceLeakageCore]], so the choice can never change the
     * answer — only the exchange strategy.
+    *
+    * EAGER by contract: the measure-then-choose read (`pairs.count()`
+    * on the cut) runs the full minhash candidate+verify subtree AT
+    * CONSTRUCTION TIME — composing or plan-inspecting this operator
+    * executes jobs, unlike the rest of the registry (the
+    * [[graft.ops.TextAnalysis.bloomDecontamination]] precedent, which
+    * states the same thing for its filter build). Callers that need a
+    * lazy plan pick a branch explicitly ([[sourceLeakageMatrix]] /
+    * [[sourceLeakageMatrixShuffle]]); the auto form exists exactly for
+    * the caller who wants the measured decision and accepts the action.
     */
   def sourceLeakageMatrixAuto(
       docs: DataFrame, threshold: Double = 0.3,

@@ -695,17 +695,26 @@ object TextAnalysis {
     * same position once), which is the number that decides trim-vs-drop.
     *
     * Scale shape: one (gram, doc) shuffle for the df aggregate; the
-    * boilerplate gram set (df ≥ minDf) is then SMALL by the boilerplate
-    * premise — repeated fragments are few, their copies are many — so
-    * it broadcasts back into the positional-gram stream (map-side
-    * semi-join; the corpus never re-shuffles on the gram key), and only
-    * COVERED positions shuffle into the per-doc count, bounded by
-    * boilerplate hits, not corpus size. A corpus where the "hot" set is
-    * itself huge (minDf too low) degrades the broadcast — raise minDf
-    * or fall back to the n47 full-join shape at that point.
+    * boilerplate gram set (df ≥ minDf) joins back into the
+    * positional-gram stream HINT-FREE (`hotHint` defaults to identity)
+    * — at the default `minDf = 2` the "hot" frame is every
+    * corpus-repeated n-gram, which on a dup-heavy web corpus is
+    * corpus-VOCABULARY-shaped, and a forced `broadcast()` there is an
+    * OOM by construction at 100 TB whatever AQE thinks (the n73→n109
+    * lesson; the adjacent [[dupWindowPositions]] already shuffles on
+    * the gram key for the same reason). Hint-free, runtime size stats /
+    * AQE still pick a broadcast whenever the hot frame genuinely fits
+    * (high minDf, template-light corpora) and a gram-key shuffle when
+    * it doesn't. Only COVERED positions then shuffle into the per-doc
+    * count, bounded by boilerplate hits, not corpus size. `hotHint =
+    * broadcast` restores the forced plan for corpora the caller KNOWS
+    * are template-shaped (TextAnalysisSpec pins both branches
+    * bit-equal with diverging plans; graft.BroadcastGuard demonstrates
+    * the hot frame a forced broadcast cannot survive).
     */
-  def boilerplateCoverage(docs: DataFrame, n: Int = 5,
-                          minDf: Int = 2): DataFrame = {
+  def boilerplateCoverage(docs: DataFrame, n: Int = 5, minDf: Int = 2,
+                          hotHint: DataFrame => DataFrame = identity)
+      : DataFrame = {
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
     val posGrams = base.select(col("doc_id"),
       posexplode(ngramsOf(col("ws"), n)).as(Seq("pos", "g")))
@@ -718,7 +727,7 @@ object TextAnalysis {
         explode(array_distinct(ngramsOf(col("ws"), n))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select(col("g"))
-    val covered = posGrams.join(broadcast(hot), Seq("g"))
+    val covered = posGrams.join(hotHint(hot), Seq("g"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
       .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("n_cov"))
@@ -740,17 +749,20 @@ object TextAnalysis {
     * disagree with its signal), and a pipeline runs n71 to DECIDE
     * trim-vs-drop and this to EXECUTE the trim.
     *
-    * Scale shape: inherits n71's — one (gram, doc) shuffle for df, hot
-    * set broadcast back map-side, only covered positions shuffle into
-    * per-doc position sets (bounded by boilerplate hits; the set is
-    * doc-length-bounded by construction). The corpus then joins those
-    * sets ONCE on doc_id — the single stage where text moves, and the
-    * output is text-sized anyway. Rebuild is an index-filter fold over
-    * the words array (split once, never re-split per position).
+    * Scale shape: inherits n71's — one (gram, doc) shuffle for df, the
+    * hot set joined back HINT-FREE (see [[boilerplateCoverage]]: at
+    * minDf = 2 that frame is corpus-vocabulary-shaped, so the exchange
+    * choice belongs to runtime stats, never a forced hint), only
+    * covered positions shuffle into per-doc position sets (bounded by
+    * boilerplate hits; the set is doc-length-bounded by construction).
+    * The corpus then joins those sets ONCE on doc_id — the single stage
+    * where text moves, and the output is text-sized anyway. Rebuild is
+    * an index-filter fold over the words array (split once, never
+    * re-split per position).
     */
-  def boilerplateTrim(docs: DataFrame, n: Int = 5,
-                      minDf: Int = 2): DataFrame =
-    boilerplateTrimRaw(docs, n, minDf).orderBy(col("doc_id"))
+  def boilerplateTrim(docs: DataFrame, n: Int = 5, minDf: Int = 2,
+                      hotHint: DataFrame => DataFrame = identity): DataFrame =
+    boilerplateTrimRaw(docs, n, minDf, hotHint).orderBy(col("doc_id"))
 
   /** [[boilerplateTrim]] without the presentation sort — the composable
     * form ([[cleanCorpus]] sorts once at its own tail).
@@ -762,8 +774,9 @@ object TextAnalysis {
     * [[boilerplateSpans]] (which distincts before the island scan).
     * `base` is the (doc_id, ws) projection both callers already hold.
     */
-  private def coveredPositionsRaw(base: DataFrame, n: Int,
-                                  minDf: Int): DataFrame = {
+  private def coveredPositionsRaw(base: DataFrame, n: Int, minDf: Int,
+                                  hotHint: DataFrame => DataFrame = identity)
+      : DataFrame = {
     val posGrams = base.select(col("doc_id"),
       posexplode(ngramsOf(col("ws"), n)).as(Seq("pos", "g")))
     val hot = base
@@ -771,15 +784,20 @@ object TextAnalysis {
         explode(array_distinct(ngramsOf(col("ws"), n))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select(col("g"))
-    posGrams.join(broadcast(hot), Seq("g"))
+    // hint-free by default: at minDf = 2 `hot` is every corpus-repeated
+    // gram — corpus-vocabulary-shaped, never a safe forced broadcast
+    // (see boilerplateCoverage's Scaladoc; AQE picks broadcast at
+    // runtime exactly when the frame actually fits)
+    posGrams.join(hotHint(hot), Seq("g"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
   }
 
-  def boilerplateTrimRaw(docs: DataFrame, n: Int = 5,
-                         minDf: Int = 2): DataFrame = {
+  def boilerplateTrimRaw(docs: DataFrame, n: Int = 5, minDf: Int = 2,
+                         hotHint: DataFrame => DataFrame = identity)
+      : DataFrame = {
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    val cov = coveredPositionsRaw(base, n, minDf)
+    val cov = coveredPositionsRaw(base, n, minDf, hotHint)
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
     base.join(cov, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("ws"),
@@ -804,14 +822,16 @@ object TextAnalysis {
     * covered-positions frame, so Σ span_len per doc ≡ n71's n_cov by
     * construction (spec-pinned).
     *
-    * Scale shape: inherits n71's audited front (hot set broadcast, only
-    * covered positions shuffle); the island scan is one per-doc window
-    * over covered positions — bounded by doc length, never corpus-wide.
+    * Scale shape: inherits n71's audited front (hint-free hot-gram
+    * join, only covered positions shuffle); the island scan is one
+    * per-doc window over covered positions — bounded by doc length,
+    * never corpus-wide.
     */
-  def boilerplateSpans(docs: DataFrame, n: Int = 5,
-                       minDf: Int = 2): DataFrame = {
+  def boilerplateSpans(docs: DataFrame, n: Int = 5, minDf: Int = 2,
+                       hotHint: DataFrame => DataFrame = identity)
+      : DataFrame = {
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    val cov = coveredPositionsRaw(base, n, minDf).distinct()
+    val cov = coveredPositionsRaw(base, n, minDf, hotHint).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
     cov.withColumn("grp", col("p") - row_number().over(w))
@@ -2062,7 +2082,10 @@ object TextAnalysis {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     nbCalibrationCore(qcLabeledToks(docs)
       .select(col("doc_id"), col("split"), col("label"),
-        saltedBucket("dsirh|", col("w"), buckets.toLong).as("f")))
+        // dedicated salt (NOT dsirWeightsHashed's "dsirh|"): the
+        // saltedBucket discipline — distinct salts keep the NB and DSIR
+        // models' bucket-collision patterns pairwise uncorrelated
+        saltedBucket("qch|", col("w"), buckets.toLong).as("f")))
   }
 
   /** The teacher-labeled token stream both calibration forms start

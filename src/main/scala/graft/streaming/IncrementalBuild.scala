@@ -147,7 +147,8 @@ object IncrementalBuild {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestBatch(batch, id, base, maxDist)
         if (releaseEvery > 0 && (id + 1) % releaseEvery == 0)
-          publishRelease(spark, base, table, keepVersions = keepVersions)
+          publishRelease(spark, base, table, keepVersions = keepVersions,
+            params = Map("lastBatch" -> id.toString))
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
           Sinks.Versioned.compact(spark, sigIndexTable(base),
             compactTargetFiles)
@@ -177,13 +178,32 @@ object IncrementalBuild {
     val q = startFromParquet(spark, dir, checkpoint, base, table, maxDist,
       glob, maxFilesPerTrigger, schema, releaseEvery, keepVersions,
       compactEvery, compactTargetFiles)
-    q.awaitTermination(timeoutMs)
+    // the Boolean matters: a still-active stream past the timeout would
+    // make the tail flush below a SECOND writer on the same Versioned
+    // tables (the stream's own cadence release could race it) and let it
+    // snapshot a partially-ingested survivor store — stop the query and
+    // refuse rather than publish concurrently
+    val done = q.awaitTermination(timeoutMs)
     q.exception.foreach(throw _)
+    if (!done) {
+      q.stop()
+      throw new IllegalStateException(
+        s"incremental build still active after ${timeoutMs}ms — tail " +
+          "flush refused (it would run concurrently with the stream's " +
+          "own cadence releases); raise timeoutMs or release manually")
+    }
     val lastBatch = SimhashIngest.maxPublished(spark, sigIndexTable(base))
+    // every release stamps the last batch it covers into its manifest
+    // meta; a re-invocation of a COMPLETED run (no new files) then sees
+    // the live release already covering lastBatch and publishes nothing,
+    // instead of re-cutting an identical version per call
+    val covered = Sinks.Versioned.meta(spark, table).get("lastBatch")
+      .exists(_.toLong >= lastBatch)
     val tail = releaseEvery > 0 && lastBatch >= 0 &&
-      (lastBatch + 1) % releaseEvery != 0
+      (lastBatch + 1) % releaseEvery != 0 && !covered
     if (tail)
-      Some(publishRelease(spark, base, table, keepVersions = keepVersions))
+      Some(publishRelease(spark, base, table, keepVersions = keepVersions,
+        params = Map("lastBatch" -> lastBatch.toString)))
     else None
   }
 }

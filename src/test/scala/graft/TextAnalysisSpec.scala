@@ -882,6 +882,45 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 6L, 6L, 1.0), (2L, 6L, 6L, 1.0), (3L, 2L, 0L, 0.0)))
   }
 
+  test("boilerplate family: the hint-free default and the forced-" +
+    "broadcast branch are bit-equal across coverage/trim/spans — and " +
+    "the two exchange strategies actually plan differently") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    import org.apache.spark.sql.functions.broadcast
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // hint-free default ≡ forced-broadcast branch, all three operators
+    val wantCov = rows(TextAnalysis.boilerplateCoverage(d, 5, 2, broadcast))
+    assert(wantCov.nonEmpty)
+    assert(rows(TextAnalysis.boilerplateCoverage(d, 5, 2)) === wantCov)
+    val wantTrim = rows(TextAnalysis.boilerplateTrim(d, 5, 2, broadcast))
+    assert(rows(TextAnalysis.boilerplateTrim(d, 5, 2)) === wantTrim)
+    val wantSpans = rows(TextAnalysis.boilerplateSpans(d, 5, 2, broadcast))
+    assert(rows(TextAnalysis.boilerplateSpans(d, 5, 2)) === wantSpans)
+    // plans diverge: the hinted branch must broadcast the hot frame;
+    // the default must NOT carry a hint — and once Spark can't
+    // auto-broadcast, it shuffles on the gram key and still agrees
+    val pB = TextAnalysis.boilerplateCoverage(d, 5, 2, broadcast)
+      .queryExecution.executedPlan.toString
+    assert(pB.contains("BroadcastHashJoin"),
+      "the hinted branch must broadcast the hot frame:\n" + pB)
+    assert(!TextAnalysis.boilerplateCoverage(d, 5, 2)
+      .queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "the default must be hint-free")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pS = TextAnalysis.boilerplateCoverage(d, 5, 2)
+        .queryExecution.executedPlan.toString
+      assert(pS.contains("SortMergeJoin") || pS.contains("ShuffledHashJoin"),
+        "hint-free must shuffle on the gram key when a broadcast is " +
+          "off the table:\n" + pS)
+      assert(rows(TextAnalysis.boilerplateCoverage(d, 5, 2)) === wantCov,
+        "and still return identical coverage")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bpeMerges: hand-computed merge sequence, leftmost-first overlaps") {
     // corpus: "aaab aaab ab" → word freqs: aaab×2, ab×1
     // round 1: pairs (a,a)×2·2=4? no — PER WORD adjacent pairs weighted
