@@ -1543,6 +1543,20 @@ object Queries {
         Dedup.containmentPairsPrefixCollapsed(docs(s, d), 0.5),
       Some(ContainmentPrefixOracle)),
 
+    // The MEASURED switch between n115 (plain PPJoin front) and n118
+    // (exact-dup pre-collapse front) — the n120 discipline on the
+    // containment family: materialize the digest groups once, read the
+    // duplication inflation Σg²/Σg, collapse only when it clears 2.0
+    // (below that the collapse's groupBy(md5) + expansion costs more
+    // than rep-level banding saves — the driver-visible 23.6 s vs
+    // 7.7 s at sf0.1, inflation ≈ 1.07). Branch-independent output by
+    // construction, so n115's oracle proves whichever branch the
+    // measurement picks; DedupSpec pins the forced branches bit-equal.
+    ("n139_containment_prefix_auto",
+      (s: SparkSession, d: String) =>
+        Dedup.containmentPairsPrefixAuto(docs(s, d), 0.5),
+      Some(ContainmentPrefixOracle)),
+
     // Split-leakage matrix: verified near-dup pairs per unordered
     // (split, split) cell with eligible-universe denominators and the
     // leak rate — the eval-hygiene dashboard. Splits are pure functions

@@ -172,7 +172,7 @@ object ScaleSanity {
         "b28_retention_cohorts", "r15_top_supplier", "n136_ccnet_buckets",
         "b29_session_funnel", "n138_quality_rules",
         "m1_multimodal_features", "m2_multimodal_transform",
-        "m3_audio_frames"))
+        "m3_audio_frames", "n139_containment_prefix_auto"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very

@@ -1052,8 +1052,13 @@ object Dedup {
 
   /** [[containmentPairsPrefix]] with the exact-dup pre-collapse in
     * front of the prefix index — the [[containmentPairsCollapsed]]
-    * move applied to the PPJoin front, the production default on
-    * dup-heavy corpora: identical texts share every shingle, df
+    * move applied to the PPJoin front; the form
+    * [[containmentPairsPrefixAuto]] PICKS when the measured duplication
+    * inflation says the collapse pays (it is not an unconditional
+    * default: on low-dup corpora the groupBy(md5) + expansion costs
+    * more than it saves — measured 23.6 s vs the plain 7.7 s at sf0.1).
+    * Why it wins on dup-heavy corpora: identical texts share every
+    * shingle, df
     * contribution, prefix, and candidate bucket, so a size-g dup group
     * multiplies the candidate volume ~g² for values its one rep
     * already determines. Banding one rep per distinct text, verifying
@@ -1069,16 +1074,28 @@ object Dedup {
     * the candidate front collapses with the distinct-text count.
     */
   def containmentPairsPrefixCollapsed(docs: DataFrame,
-                                      threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0, 1], got $threshold")
-    val eligible = docs
+                                      threshold: Double): DataFrame =
+    containmentPrefixCollapsedFromGroups(
+      containmentGroups(docs), threshold)
+
+  /** The exact-dup digest groups the collapsed containment front runs
+    * over — (digest, rep = min doc_id, one rep text, sorted member ids),
+    * cut because every consumer reads it at least twice (rep corpus +
+    * member expansion; the auto switch additionally reads its group-size
+    * stats).
+    */
+  private def containmentGroups(docs: DataFrame): DataFrame =
+    Checkpoints.cut(docs
       .filter(graft.functions.MinHash.eligible(col("text")))
       .select(col("doc_id"), col("text"))
-    val groups = Checkpoints.cut(
-      eligible.groupBy(md5(col("text")).as("digest"))
-        .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"),
-          sort_array(collect_list(col("doc_id"))).as("ids")))
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"),
+        sort_array(collect_list(col("doc_id"))).as("ids")))
+
+  private def containmentPrefixCollapsedFromGroups(
+      groups: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     val rp = containmentPairsPrefixRaw(
       groups.select(col("rep").as("doc_id"), col("text")), threshold)
     val gids = groups.select(col("rep"), col("ids"))
@@ -1108,6 +1125,56 @@ object Dedup {
         lit(1.0).as("cont_a_in_b"), lit(1.0).as("cont_b_in_a"))
     cross.unionAll(within)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Default switch point for [[containmentPairsPrefixAuto]]: collapse
+    * when the duplication INFLATION — Σ g² / Σ g over exact-dup group
+    * sizes g, i.e. the mean dup-group size weighted by membership (the
+    * factor by which identical copies multiply the prefix index's
+    * candidate volume) — reaches 2: every occurrence then sees on
+    * average ≥ 2 identical copies, so rep-level candidate generation at
+    * least halves the pair work the collapse exists to save, covering
+    * its own groupBy(md5) + expansion overhead. Below it the collapse
+    * pays that overhead for nothing (the driver-visible n118 23.6 s vs
+    * n115 7.7 s at sf0.1, where inflation ≈ 1.07).
+    */
+  val MinCollapseInflation = 2.0
+
+  /** The MEASURED switch between [[containmentPairsPrefix]] (plain
+    * PPJoin front, n115) and [[containmentPairsPrefixCollapsed]]
+    * (exact-dup pre-collapse front, n118) — the n120 discipline applied
+    * to the containment family: the digest groups are materialized ONCE
+    * ([[Checkpoints.cut]]), the duplication inflation Σg²/Σg read from
+    * the cut, and the front chosen from that number instead of a static
+    * "production default" guess. Both branches consume the SAME cut
+    * frame — the plain branch re-expands the eligible corpus from the
+    * member lists, so the measure job is never wasted work — and both
+    * produce [[containmentPairsPrefix]]'s exact output (the collapsed
+    * branch is spec-pinned bit-equal), so the choice can never change
+    * the answer, only the candidate-generation shape.
+    *
+    * EAGER by contract, like [[sourceLeakageMatrixAuto]]: the inflation
+    * read runs the digest aggregate at construction time. Callers that
+    * need a lazy plan pick a branch explicitly.
+    */
+  def containmentPairsPrefixAuto(
+      docs: DataFrame, threshold: Double,
+      minInflation: Double = MinCollapseInflation): DataFrame = {
+    val groups = containmentGroups(docs)
+    val r = groups
+      .agg(sum(size(col("ids")).cast("long") * size(col("ids")))
+        .as("sq"), sum(size(col("ids")).cast("long")).as("s"))
+      .head()
+    val inflation =
+      if (r.isNullAt(1) || r.getLong(1) == 0L) 1.0
+      else r.getLong(0).toDouble / r.getLong(1)
+    if (inflation >= minInflation)
+      containmentPrefixCollapsedFromGroups(groups, threshold)
+    else
+      containmentPairsPrefixRaw(
+        groups.select(explode(col("ids")).as("doc_id"), col("text")),
+        threshold)
+        .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Manku PERMUTED-TABLE refinement of the pigeonhole index (Manku,

@@ -808,6 +808,32 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.containmentPairsPrefix(tri, 0.5)))
   }
 
+  test("containmentPairsPrefixAuto: both forced branches are bit-equal " +
+    "to the plain form, and the measured inflation picks plain on the " +
+    "low-dup corpus and collapsed on the replicated one") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val want = rows(Dedup.containmentPairsPrefix(d, 0.5))
+    assert(want.nonEmpty)
+    // forced plain (switch point unreachable) and forced collapsed
+    // (always reached): same answer through diverging fronts
+    assert(rows(Dedup.containmentPairsPrefixAuto(d, 0.5,
+      minInflation = Double.MaxValue)) === want)
+    assert(rows(Dedup.containmentPairsPrefixAuto(d, 0.5,
+      minInflation = 0.0)) === want)
+    // default switch point: sf0.001 has inflation ≈ 1 → plain branch;
+    // a ×3 replication has inflation ≈ 3 → collapsed branch — both must
+    // agree with their anchors bit for bit (the branch choice is
+    // answer-invariant by construction)
+    assert(rows(Dedup.containmentPairsPrefixAuto(d, 0.5)) === want)
+    val tri = d.select(col("doc_id"), col("text"))
+      .union(d.select(col("doc_id") + 1000000L, col("text")))
+      .union(d.select(col("doc_id") + 2000000L, col("text")))
+    assert(rows(Dedup.containmentPairsPrefixAuto(tri, 0.5)) ===
+      rows(Dedup.containmentPairsPrefix(tri, 0.5)))
+  }
+
   test("simhashNearDupPairsPermuted: exact recall — the identical pair " +
     "set to the wide pigeonhole index on real data and the fixture") {
     val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
