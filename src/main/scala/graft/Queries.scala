@@ -482,6 +482,27 @@ object Queries {
       |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared CTEs for the paragraph-dedup oracles (n140/n141): 20-word
+    * blocks as "paragraphs" (the line-free-corpus adaptation), keep the
+    * globally-FIRST (doc_id, pidx) occurrence of each block md5. The
+    * oracle may use a row_number window; the Spark side deliberately
+    * may not (map-side-combinable min(struct) — the n121 discipline).
+    */
+  private val ParagraphBlockCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |p AS (SELECT doc_id, u.pidx AS pidx, u.para AS para FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(0, CAST(ceil(len(ws)::double / 20) AS BIGINT) - 1),
+      |    i -> {'pidx': i,
+      |      'para': array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ')})) AS u
+      |  FROM w)),
+      |f AS (SELECT doc_id, pidx,
+      |    row_number() OVER (PARTITION BY md5(para)
+      |      ORDER BY doc_id, pidx) AS rn
+      |  FROM p),
+      |k AS (SELECT p.doc_id, p.pidx, p.para, f.rn = 1 AS keep
+      |  FROM p JOIN f USING (doc_id, pidx))""".stripMargin
+
   /** The 60-bit hamming ≤ 3 pair oracle, shared VERBATIM by n94 (plain
     * 4-block pigeonhole) and n113 (Manku permuted tables): both fronts
     * have EXACT recall at this distance, so they must produce the
@@ -2592,6 +2613,43 @@ object Queries {
         |  sum(n_removed)::bigint AS dup_tokens,
         |  round(sum(n_removed)::double / sum(n_tokens), 6) AS dup_frac
         |FROM per GROUP BY source ORDER BY source""".stripMargin)),
+
+    // PARAGRAPH-level keep-first dedup — CCNet's first pass (Wenzek et
+    // al. 2020: hash each paragraph, drop every non-first occurrence
+    // corpus-wide), the cheap pre-filter ahead of the window-level
+    // substring machinery (n122). Paragraphs here are 20-word blocks
+    // (the line-free-corpus adaptation, the n106 span convention);
+    // the newline form is paragraphDedup, spec-driven on planted
+    // multi-line fixtures. One paragraph-hash shuffle; first test is
+    // the map-side-combinable min(struct) aggregate (never a window).
+    ("n140_paragraph_dedup",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.paragraphDedupBlocks(docs(s, d), 20),
+      Some(s"""WITH $ParagraphBlockCtes
+        |SELECT doc_id, count(*) AS n_paras,
+        |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::bigint AS n_removed,
+        |  coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+        |    ORDER BY pidx), '') AS text_dedup
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-source paragraph-dedup profile — n127's dataset-card shape at
+    // paragraph granularity: which sources are whole-unit copy-heavy
+    // (the number deciding whether the cheap CCNet pass suffices or the
+    // corpus needs the substring stage too); rides n140's accounting
+    // verbatim (shared k CTE).
+    ("n141_paragraph_dedup_by_source",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.paragraphDedupBySource(docs(s, d), 20),
+      Some(s"""WITH $ParagraphBlockCtes,
+        |per AS (SELECT doc_id, count(*) AS n_paras,
+        |    sum(CASE WHEN keep THEN 0 ELSE 1 END)::bigint AS n_removed
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.source AS source, count(*)::bigint AS n_docs,
+        |  sum(per.n_paras)::bigint AS total_paras,
+        |  sum(per.n_removed)::bigint AS dup_paras,
+        |  round(sum(per.n_removed)::double / sum(per.n_paras), 6) AS dup_frac
+        |FROM per JOIN documents d USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin)),
 
     // The n83 pipeline with the keep-first SUBSTRING stage in place of
     // the boilerplate trim (quotes/mirrors corpora: one copy of every

@@ -1176,6 +1176,112 @@ object TextAnalysis {
           .as("dup_frac"))
       .orderBy(col("source"))
 
+  /** PARAGRAPH-level keep-first dedup — CCNet's first pass (Wenzek et
+    * al. 2020 §3.1: hash each paragraph, drop every non-first
+    * occurrence corpus-wide), the cheap pre-filter a production
+    * pipeline runs AHEAD of the window-level substring machinery
+    * (n122): one md5-per-paragraph shuffle removes the whole-unit
+    * copies (mirrored pages, quoted mails, boilerplate lines) so the
+    * positional gram stage only pays for the partial overlaps it alone
+    * can see. Paragraph = `delim`-separated segment (default newline,
+    * CCNet's definition); `delim` is used as the split regex AND the
+    * rebuild joiner, so pass a literal. Empty segments dedup like any
+    * other paragraph (all-but-the-first blank line goes — CCNet
+    * behavior, stated not hidden). Within-doc repetition is in scope:
+    * occurrences are per (doc_id, pidx), not per document.
+    *
+    * Output: (doc_id, n_paras, n_removed, text_dedup) — n_paras counts
+    * the doc's paragraphs, n_removed the dropped ones.
+    *
+    * Scale shape: the [[dupWindowPositions]] discipline at paragraph
+    * granularity — the first-occurrence test is a min(struct(doc_id,
+    * pidx)) + count(*) aggregate on the paragraph hash (both map-side
+    * combinable partials; never a row_number window, which would
+    * buffer a corpus-hot paragraph's whole occurrence list in one
+    * reducer), singleton hashes are kept without distinguishing
+    * themselves (their own row IS the min), and the rebuild is one
+    * per-doc aggregate over kept (pidx, para) structs. Paragraph text
+    * crosses exactly two exchanges (the hash-keyed first test, the
+    * doc-keyed rebuild) — the same count the substring family pays,
+    * with far fewer rows (paragraphs, not k-windows).
+    */
+  def paragraphDedup(docs: DataFrame, delim: String = "\n"): DataFrame =
+    paragraphDedupCore(
+      docs.select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pidx", "para"))),
+      delim)
+
+  /** [[paragraphDedup]] for a corpus WITHOUT line structure (the
+    * testdata corpus — the same adaptation [[boilerplateCoverage]]
+    * documents for spans): "paragraphs" are non-overlapping `k`-word
+    * blocks of the words array, rebuilt space-joined. Block boundaries
+    * are position-deterministic, so two docs sharing a copied region
+    * dedup exactly when the copy is block-aligned — the honest
+    * limitation vs the window-level n122 (which is alignment-free);
+    * TextAnalysisSpec reconciles the two on a planted aligned fixture.
+    */
+  def paragraphDedupBlocks(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val blocks = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        // ceil(n/k) block indices; words("") = [""], so size >= 1 and
+        // the sequence is never empty (double div is exact for ints)
+        sequence(lit(0),
+          ceil(size(col("ws")).cast("double") / k).cast("int") - 1),
+        i => concat_ws(" ", slice(col("ws"), i * k + 1, lit(k)))))
+        .as(Seq("pidx", "para")))
+    paragraphDedupCore(blocks, " ")
+  }
+
+  /** ONE keep-first core over an arbitrary (doc_id, pidx, para) frame —
+    * the newline and block forms differ only in segmentation, so they
+    * can never drift on policy (the cleanCorpusWith convention).
+    */
+  private def paragraphDedupCore(paras: DataFrame,
+                                 joiner: String): DataFrame = {
+    val withH = paras.select(col("doc_id"), col("pidx"),
+      col("para"), md5(col("para")).as("h"))
+    val firsts = withH
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pidx").as("fpix"))
+    withH.join(firsts, Seq("h"))
+      .select(col("doc_id"), col("pidx"), col("para"),
+        (col("doc_id") === col("fdoc") && col("pidx") === col("fpix"))
+          .as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws(joiner, transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pidx"), col("para"))))),
+          x => x("para"))).as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-SOURCE paragraph-dedup profile — the n127 accounting shape at
+    * paragraph granularity (which sources are whole-unit copy-heavy —
+    * the number that decides whether the cheap CCNet pass suffices or
+    * the corpus needs the substring stage too): per source, docs,
+    * total paragraphs, paragraphs a keep-first pass drops, and the
+    * drop fraction. Rides [[paragraphDedupBlocks]]'s accounting
+    * verbatim, so the profile cannot disagree with the execute side.
+    */
+  def paragraphDedupBySource(docs: DataFrame, k: Int = 20): DataFrame =
+    paragraphDedupBlocks(docs, k)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_paras")).as("total_paras"),
+        sum(col("n_removed")).as("dup_paras"))
+      .select(col("source"), col("n_docs"), col("total_paras"),
+        col("dup_paras"),
+        round(col("dup_paras").cast("double") / col("total_paras"), 6)
+          .as("dup_frac"))
+      .orderBy(col("source"))
+
   /** [[cleanCorpus]] with the KEEP-FIRST SUBSTRING stage in place of the
     * boilerplate trim — the pipeline variant for corpora whose repeated
     * content is quotes/mirrors rather than templates: normalize (n36) →

@@ -591,7 +591,13 @@ class PlanSpec extends SparkSpec {
       // aggregate-fed sides deliberately hint-free (the n73→n109
       // lesson), legitimate shuffles; AQE localizes when small
       "n134_leakage_safe_splits" -> Set("doc_id"),
-      "n135_leakage_safe_matrix" -> Set("doc_id"))
+      "n135_leakage_safe_matrix" -> Set("doc_id"),
+      // paragraph dedup (CCNet first pass): the first-occurrence frame
+      // is one row per distinct paragraph hash — corpus-shaped,
+      // deliberately NOT broadcast (the n121 convention); hash-keyed
+      // and doc-keyed shuffles are the design
+      "n140_paragraph_dedup" -> Set("h", "doc_id"),
+      "n141_paragraph_dedup_by_source" -> Set("h", "doc_id"))
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString
@@ -745,6 +751,18 @@ class PlanSpec extends SparkSpec {
         p6qe.optimizedPlan)
     assert("Window".r.findAllIn(p6qe.executedPlan.toString).nonEmpty,
       "islands come from one per-doc window:\n" + p6qe.executedPlan)
+  }
+
+  test("n140: the paragraph keep-first test is the map-side-combinable " +
+    "min(struct) aggregate — never a window over the paragraph hash (a " +
+    "corpus-hot blank/boilerplate paragraph would buffer its whole " +
+    "occurrence list in one reducer)") {
+    val p = plan("n140_paragraph_dedup")
+    assert(p.contains("partial_min"),
+      "first-occurrence aggregate lost its map-side combine:\n" + p)
+    assert(!p.contains("Window"),
+      "the paragraph dedup must not plan any window — the keep-first " +
+        "test is an aggregate join, the rebuild a per-doc aggregate:\n" + p)
   }
 
   test("n121/n122: the keep-first front is the map-side-combinable " +

@@ -921,6 +921,65 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("paragraphDedup: keep-first across docs AND within a doc; empty " +
+    "segments dedup like any other paragraph") {
+    // doc 1: [A, B, A] — the second A is a within-doc repeat (removed);
+    // doc 2: [B, C] — B's first occurrence is (1,1), so doc 2 keeps
+    // only C; doc 3: ["", "", D] — the second blank line goes too
+    val docs = Seq(
+      (1L, "para A\npara B\npara A"),
+      (2L, "para B\npara C"),
+      (3L, "\n\npara D")).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 1L, "para A\npara B"),
+      (2L, 2L, 1L, "para C"),
+      (3L, 3L, 1L, "\npara D")))
+  }
+
+  test("paragraphDedupBlocks: k-word blocks dedup keep-first; the " +
+    "partial tail block participates") {
+    // k=2 blocks: doc 1 = [a b][c d], doc 2 = [a b][x] — doc 2's first
+    // block is a copy of doc 1's, its 1-word tail is unique
+    val docs = Seq((1L, "a b c d"), (2L, "a b x")).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedupBlocks(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 0L, "a b c d"), (2L, 2L, 1L, "x")))
+  }
+
+  test("paragraphDedupBlocks reconciles with dupSubstringDedup (n122) " +
+    "on a block-ALIGNED planted copy: same tokens removed") {
+    // doc 20 copies doc 10's first 5-word block at a block-aligned
+    // offset; all other words are globally unique, so no straddling
+    // 5-window duplicates exist and both granularities must remove
+    // exactly the 5 copied tokens from doc 20 and nothing from doc 10
+    val docs = Seq(
+      (10L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (20L, "b1 b2 b3 b4 b5 a1 a2 a3 a4 a5 b6 b7 b8 b9 b10"))
+      .toDF("doc_id", "text")
+    val para = TextAnalysis.paragraphDedupBlocks(docs, 5).collect()
+      .map(r => (r.getLong(0),
+        r.getString(3).split(" ").count(_.nonEmpty))).toMap
+    val sub = TextAnalysis.dupSubstringDedup(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(sub === List((10L, 10L, 0L), (20L, 15L, 5L)))
+    // surviving token counts agree: n_tokens − n122's n_removed
+    assert(para === Map(10L -> 10, 20L -> 10))
+  }
+
+  test("paragraphDedupBySource rides the block accounting verbatim") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b x y", "s1"), (3L, "q r s t", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.paragraphDedupBySource(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("s1", 2L, 4L, 1L, 0.25), ("s2", 1L, 2L, 0L, 0.0)))
+  }
+
   test("bpeMerges: hand-computed merge sequence, leftmost-first overlaps") {
     // corpus: "aaab aaab ab" → word freqs: aaab×2, ab×1
     // round 1: pairs (a,a)×2·2=4? no — PER WORD adjacent pairs weighted
