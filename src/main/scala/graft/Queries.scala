@@ -2783,6 +2783,59 @@ object Queries {
         |  n_tokens, n_removed, text_clean
         |FROM sa ORDER BY doc_id""".stripMargin)),
 
+    // n99 with LEAKAGE-SAFE splits (n134 wired into the shipped
+    // dataset): split = hash of the near-dup COMPONENT key, so a
+    // verified pair can never straddle train/test inside the build
+    // output — and at tau >= splitThreshold the decontamination drop
+    // set is EMPTY by construction. The oracle therefore composes the
+    // n134 cluster assignment with the n99 clean/mix/shard chain and
+    // deliberately OMITS the drop stage: the Spark side still executes
+    // the straddle anti-join, so any pair that did straddle would drop
+    // a doc and fail this gate loudly.
+    ("n142_training_build_safe",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.trainingDataBuildSafe(docs(s, d), 5, 2, 0.5, 0.5,
+          20000L, 8, 0.3),
+      Some(s"""WITH RECURSIVE $VerifiedPairsCtes,
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+        |  UNION SELECT doc_b, doc_a FROM vp),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.id),
+        |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |sasg AS (SELECT d.doc_id,
+        |    ${splitCaseSql("coalesce(l.cluster, d.doc_id)")} AS split
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+        |$CleanCorpusCtes,
+        |tr AS (SELECT cc.doc_id AS doc_id, d.source AS source,
+        |    cc.n_tokens AS n_tokens, cc.n_removed AS n_removed,
+        |    cc.text_clean AS text_clean
+        |  FROM cc JOIN documents d USING (doc_id)
+        |  JOIN sasg USING (doc_id)
+        |  WHERE sasg.split = 'train'),
+        |mper AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM tr GROUP BY source),
+        |mw AS (SELECT source, src_tokens,
+        |    CAST(round(pow(src_tokens::double, 0.5), 6) AS decimal(18,6)) AS wgt
+        |  FROM mper),
+        |mtot AS (SELECT sum(wgt) AS sw FROM mw),
+        |mpl AS (SELECT source, least(1000000::BIGINT, CAST(floor(
+        |      CAST(floor(20000.0 * round(wgt::double / sw::double, 6)) AS BIGINT)::double
+        |        * 1000000.0 / src_tokens::double) AS BIGINT)) AS keep_thresh
+        |  FROM mw CROSS JOIN mtot),
+        |mk AS (SELECT tr.* FROM tr JOIN mpl USING (source)
+        |  WHERE ('0x' || substring(md5('tmix|' || tr.doc_id::varchar), 1, 8))::bigint
+        |    % 1000000 < mpl.keep_thresh),
+        |sa AS (SELECT *, md5('shard|' || doc_id::varchar) AS skey FROM mk)
+        |SELECT doc_id, source,
+        |  ('0x' || substring(skey, 1, 8))::bigint % 8 AS shard,
+        |  row_number() OVER (
+        |    PARTITION BY ('0x' || substring(skey, 1, 8))::bigint % 8
+        |    ORDER BY skey, doc_id) AS pos,
+        |  n_tokens, n_removed, text_clean
+        |FROM sa ORDER BY doc_id""".stripMargin)),
+
     // Jaccard BACKGROUND distribution (τ calibration): 20-bucket
     // histogram of exact word-set Jaccard over a deterministic 10%
     // md5-sample's pair space — what UNRELATED pairs score, the context

@@ -443,8 +443,8 @@ object Dedup {
     * candidate+verify front is computed once per proof, not once per
     * consumer.
     */
-  private def leakageSafeSplitsFromPairs(docs: DataFrame,
-                                         pairs: DataFrame): DataFrame = {
+  private[ops] def leakageSafeSplitsFromPairs(docs: DataFrame,
+                                              pairs: DataFrame): DataFrame = {
     val labels = dupLabelsLogN(pairs)
     val key = coalesce(col("cluster"), col("doc_id"))
     docs.select(col("doc_id"))

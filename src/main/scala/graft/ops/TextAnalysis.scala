@@ -1354,6 +1354,20 @@ object TextAnalysis {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .withColumn("n_tok", col("n_tokens")))
+    buildMixShard(train, alpha, budget, numShards)
+  }
+
+  /** The mix + shard TAIL both builds share (n87's temperature plan
+    * over the surviving train corpus, executed with the integer
+    * md5-bucket keep test, then n60's shard assignment with per-shard
+    * positions) — one definition, so [[trainingDataBuild]] and
+    * [[trainingDataBuildSafe]] cannot drift on anything but their
+    * split/decontamination front. `train` must carry (doc_id, source,
+    * n_tokens, n_removed, text_clean, n_tok), cut by the caller (it is
+    * consumed twice: plan aggregate + keep pass).
+    */
+  private def buildMixShard(train: DataFrame, alpha: Double, budget: Long,
+                            numShards: Int): DataFrame = {
     val plan = temperatureMixPlan(train, alpha, budget)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
@@ -1368,6 +1382,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("shard"), col("pos"),
         col("n_tokens"), col("n_removed"), col("text_clean"))
       .orderBy(col("doc_id"))
+  }
+
+  /** [[trainingDataBuild]] with LEAKAGE-SAFE splits — the n134
+    * eliminator wired into the shipped dataset: the hash split
+    * ([[splitOf]] of the doc id) lets a verified near-dup pair straddle
+    * train/test INSIDE the build output (n97 measures exactly that
+    * rate), so this variant assigns splits by the near-dup COMPONENT
+    * key instead ([[graft.ops.Dedup.leakageSafeSplitsFromPairs]] over
+    * the verified pair graph at `splitThreshold`) — both endpoints of
+    * every verified pair hash to the same split, and off-diagonal
+    * leakage in the output is zero BY CONSTRUCTION (the n135 proof
+    * matrix shape; TextAnalysisSpec pins it on the build output, with a
+    * planted straddling pair the unsafe build provably leaks).
+    *
+    * The decontamination stage is where the construction pays off:
+    * requiring `tau ≥ splitThreshold` makes every train/test near-dup
+    * pair at `tau` a within-component — hence within-split — pair, so
+    * the drop set is provably EMPTY. The anti-join still executes over
+    * the measured straddle set (reusing the ONE cut pair front the
+    * split assignment consumes — the verdict's "reuse the verified
+    * pair front"), and the ORACLE deliberately omits it: a bug that
+    * let a pair straddle would drop a doc and fail the differential
+    * gate loudly, which is the point.
+    *
+    * Scale shape: [[trainingDataBuild]]'s audited stages plus ONE
+    * near-dup pair front (cut, consumed by assignment + straddle
+    * check) and the CC labeling over the edge list (pairs ≪ corpus);
+    * the assignment joins are hint-free doc_id joins (the n73→n109
+    * lesson), AQE localizes when the label frame is small.
+    */
+  def trainingDataBuildSafe(docs: DataFrame, n: Int = 5, minDf: Int = 2,
+                            tau: Double = 0.5, alpha: Double = 0.5,
+                            budget: Long = 20000L, numShards: Int = 8,
+                            splitThreshold: Double = 0.3): DataFrame = {
+    require(tau >= splitThreshold,
+      s"tau ($tau) must be >= splitThreshold ($splitThreshold): the " +
+        "decontamination drop set reuses the split-threshold pair " +
+        "front, which only covers pairs at jaccard >= splitThreshold")
+    val pairs = graft.ops.Checkpoints.cut(
+      graft.ops.Dedup.minhashNearDupPairs(docs, splitThreshold))
+    val asg = graft.ops.Dedup.leakageSafeSplitsFromPairs(
+      docs, pairs.select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("split"))
+    val cleaned = cleanCorpusRaw(docs, n, minDf).drop("split")
+      .join(asg, Seq("doc_id"))
+    // the straddle drop set — provably empty at tau >= splitThreshold
+    // (kept as executed code so the emptiness is enforced, not assumed)
+    val straddle = pairs.filter(col("jaccard") >= tau)
+      .join(asg.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(asg.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .filter((col("sa") === "train" && col("sb") === "test") ||
+        (col("sa") === "test" && col("sb") === "train"))
+      .select(when(col("sa") === "train", col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    val train = Checkpoints.cut(cleaned.filter(col("split") === "train")
+      .join(straddle, Seq("doc_id"), "left_anti")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("n_tok", col("n_tokens")))
+    buildMixShard(train, alpha, budget, numShards)
   }
 
   /** Language-ID confusion matrix: labeled lang × predicted lang counts —

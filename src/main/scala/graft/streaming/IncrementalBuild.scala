@@ -90,15 +90,28 @@ object IncrementalBuild {
                      alpha: Double = 0.5, budget: Long = 20000L,
                      numShards: Int = 8,
                      params: Map[String, String] = Map.empty,
-                     keepVersions: Int = 2): DataFrame = {
-    val build = TextAnalysis.trainingDataBuild(
-      survivors(spark, base).select(col("doc_id"), col("text"),
-        col("source")),
-      n, minDf, tau, alpha, budget, numShards)
+                     keepVersions: Int = 2,
+                     safeSplits: Boolean = false,
+                     splitThreshold: Double = 0.3): DataFrame = {
+    val docs = survivors(spark, base).select(col("doc_id"), col("text"),
+      col("source"))
+    // safeSplits: release with the LEAKAGE-SAFE assignment (n142 —
+    // split = near-dup component key, zero off-diagonal by
+    // construction) instead of the hash split; both forms re-derive
+    // the corpus-global stages over the same survivor store, so the
+    // release ≡ batch-build proof carries over unchanged per form
+    val build =
+      if (safeSplits)
+        TextAnalysis.trainingDataBuildSafe(docs, n, minDf, tau, alpha,
+          budget, numShards, splitThreshold)
+      else
+        TextAnalysis.trainingDataBuild(docs, n, minDf, tau, alpha,
+          budget, numShards)
     Sinks.publishTrainingBuild(build, table,
       params ++ Map("n" -> n.toString, "minDf" -> minDf.toString,
         "tau" -> tau.toString, "alpha" -> alpha.toString,
-        "budget" -> budget.toString, "numShards" -> numShards.toString),
+        "budget" -> budget.toString, "numShards" -> numShards.toString,
+        "safeSplits" -> safeSplits.toString),
       keepVersions)
     build
   }

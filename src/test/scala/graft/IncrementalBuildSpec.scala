@@ -51,6 +51,22 @@ class IncrementalBuildSpec extends SparkSpec {
       === asRows(oneShot))
   }
 
+  test("safeSplits release equals batch-mode trainingDataBuildSafe " +
+    "(n142) over the same survivor store, and stamps the mode") {
+    val tmp = Files.createTempDirectory("graft_incbuild_safe").toString
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    IncrementalBuild.ingestBatch(docs, 0L, s"$tmp/state", maxDist = 0)
+    val release = IncrementalBuild.publishRelease(spark, s"$tmp/state",
+      s"$tmp/release", safeSplits = true)
+    val oneShot = TextAnalysis.trainingDataBuildSafe(docs)
+    assert(asRows(release) === asRows(oneShot),
+      "safe release must equal the one-shot n142 build")
+    assert(release.count() > 0)
+    val meta = Sinks.Versioned.metaOf(spark, s"$tmp/release", 1L)
+    assert(meta("safeSplits") === "true")
+  }
+
   test("near-dup screening (maxDist=3) drops a cross-batch near-dup the " +
     "one-shot build would keep; the release equals n99 over the " +
     "SURVIVOR corpus") {

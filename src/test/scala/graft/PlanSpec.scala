@@ -597,7 +597,10 @@ class PlanSpec extends SparkSpec {
       // deliberately NOT broadcast (the n121 convention); hash-keyed
       // and doc-keyed shuffles are the design
       "n140_paragraph_dedup" -> Set("h", "doc_id"),
-      "n141_paragraph_dedup_by_source" -> Set("h", "doc_id"))
+      "n141_paragraph_dedup_by_source" -> Set("h", "doc_id"),
+      // safe build: n99's stages + the hint-free CC-label/assignment
+      // joins (doc_id) and the hint-free hot-gram join (g)
+      "n142_training_build_safe" -> Set("g", "doc_id"))
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString

@@ -921,6 +921,80 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("trainingDataBuildSafe: zero off-diagonal leakage in the build " +
+    "output; a planted 0.95-jaccard pair the unsafe build's 0.97-decon " +
+    "misses ships train-side there but cannot straddle here") {
+    import graft.ops.Dedup
+    // discover a (train, test) id pair under the HASH split the unsafe
+    // build uses — the ids that make the planted pair straddle
+    val sp = spark.range(100)
+      .select(col("id").as("doc_id"), TextAnalysis.splitCol.as("sp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val trainId = sp.find(_._2 == "train").get._1
+    val testId = sp.find(_._2 == "test").get._1
+    // 40 shared letter-words (digits would normalize to <num> and
+    // collapse), one word edited — raw word-set jaccard 39/41 ≈ 0.95122
+    val ws = (0 until 40).map(i =>
+      s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val a = ws.mkString(" ")
+    val b = (ws.init :+ "zq").mkString(" ")
+    val fill = (0 until 4).map { i =>
+      val id = 200L + i
+      (id, (0 until 35).map(j =>
+        s"f${('a' + i).toChar}${('a' + j / 26).toChar}${('a' + j % 26).toChar}")
+        .mkString(" "), s"s${i % 2}")
+    }
+    val docs = (fill :+ ((trainId, a, "s0")) :+ ((testId, b, "s1")))
+      .toDF("doc_id", "text", "source")
+    // the planted pair must be LSH-proposed and verified at >= 0.3 —
+    // the fixture self-checks its own premise
+    val vp = Dedup.minhashNearDupPairs(docs, 0.3)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (math.min(trainId, testId), math.max(trainId, testId))
+    assert(vp.contains(planted), s"planted pair $planted not proposed: $vp")
+    // UNSAFE build, decon tuned for verbatim copies (tau 0.97): the
+    // 0.95 pair slips through and the train-side endpoint SHIPS while
+    // its near-dup sits in test — the n97 leak, inside the dataset
+    // minDf=3 keeps the boilerplate trim off the planted df-2 grams
+    // (at minDf=2 the trim would gut BOTH endpoints below the 30-word
+    // gate and the leak question would never arise)
+    val unsafe = TextAnalysis.trainingDataBuild(
+      docs, 5, 3, 0.97, 0.5, 100000L, 4)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(unsafe.contains(trainId),
+      "the unsafe build must ship the leaking train endpoint")
+    // SAFE build at the same decon threshold: the pair's component
+    // hashes whole, so no verified pair can straddle the output vs the
+    // safe assignment's val/test — zero off-diagonal BY CONSTRUCTION
+    def offDiagonal(built: Set[Long], corpus: org.apache.spark.sql.DataFrame,
+                    thr: Double): Int = {
+      val asg = Dedup.leakageSafeSplits(corpus, thr)
+        .select(col("doc_id"), col("split")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      Dedup.minhashNearDupPairs(corpus, thr)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .count { r =>
+          val (x, y) = (r.getLong(0), r.getLong(1))
+          (built.contains(x) && asg(y) != "train") ||
+            (built.contains(y) && asg(x) != "train")
+        }
+    }
+    val safe = TextAnalysis.trainingDataBuildSafe(
+      docs, 5, 3, 0.97, 0.5, 100000L, 4, 0.3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(offDiagonal(safe, docs, 0.3) === 0)
+    // and on the real corpus, default knobs
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val built = TextAnalysis.trainingDataBuildSafe(d)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(built.nonEmpty)
+    assert(offDiagonal(built, d, 0.3) === 0,
+      "no verified near-dup pair may straddle the shipped train set " +
+        "and the safe assignment's val/test")
+  }
+
   test("paragraphDedup: keep-first across docs AND within a doc; empty " +
     "segments dedup like any other paragraph") {
     // doc 1: [A, B, A] — the second A is a within-doc repeat (removed);
