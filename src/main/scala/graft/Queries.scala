@@ -4105,6 +4105,28 @@ object Queries {
       (s: SparkSession, d: String) =>
         graft.sources.Multimodal.audioFrameStats(s, d, 8),
       None),
+
+    // IMAGE near-dup signatures (the multimodal × dedup intersection):
+    // 64-bit dHash per image over the original + planted-edit corpus —
+    // integer-exact (nearest-neighbor 9×8 grid, r+g+b sums, no float
+    // kernel), but codec-bound like m1 (DuckDB has no PNG decoder), so
+    // rows-only; MultimodalSpec pins hash determinism, the lossless
+    // re-encode round trip, and the corrupt-payload policy.
+    ("m4_image_phash",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.imagePhashTable(s, d),
+      None),
+
+    // Image near-dup PAIRS at hamming <= 4 via the n93/n94 permuted
+    // pigeonhole machinery reused verbatim on the 64-bit signature
+    // (8 blocks / keep 4: exact recall, no hot-block bucket bombs) —
+    // each planted one-pixel-edited twin pairs with its original.
+    // Rows-only (signatures are codec-bound); the spec proves the pair
+    // set EQUALS brute-force hamming over the decoded corpus.
+    ("m5_image_neardup_pairs",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.imageNearDupTable(s, d),
+      None),
   )
 
   def queries: Map[String, Q] =

@@ -174,7 +174,8 @@ object ScaleSanity {
         "m1_multimodal_features", "m2_multimodal_transform",
         "m3_audio_frames", "n139_containment_prefix_auto",
         "n140_paragraph_dedup", "n141_paragraph_dedup_by_source",
-        "n142_training_build_safe"))
+        "n142_training_build_safe", "m4_image_phash",
+        "m5_image_neardup_pairs"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very

@@ -592,6 +592,160 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit dHash (difference hash) of a decoded image — the
+    * deterministic PERCEPTUAL signature for image near-dup detection:
+    * nearest-neighbor sample to a 9×8 grid (the EXACT integer sampling
+    * of [[resizeImage]] — no float kernel, no JDK-rendering
+    * dependence), grayscale as the raw r+g+b sum (monotone in gray, so
+    * the /3 never needs to exist), bit (y·8+x) set iff
+    * gray(x+1, y) > gray(x, y). Integer-exact end to end: the same
+    * payload hashes identically on every JVM, and a re-encoded lossless
+    * PNG round-trips to the same hash (spec-pinned). Near-identical
+    * images (small edits, re-encodes) land within a small hamming
+    * distance — the signal [[imageNearDupPairs]] pairs on.
+    */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    // 9×8 grayscale sample grid (one extra column for the row-wise
+    // difference), nearest-neighbor like resizeImage
+    val g = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * h / 8).toInt
+      var x = 0
+      while (x < 9) {
+        val p = img.getRGB((x.toLong * w / 9).toInt, sy)
+        g(y)(x) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Perceptual-hash pass over the media table's image rows — the
+    * multimodal × dedup intersection: (media_id, phash, decode_err),
+    * one row per image. Batched map-side like m1/m2 (payloads never
+    * shuffle; the 8-byte signature is what downstream joins touch —
+    * the [[graft.ops.Dedup.incrementalSimhashDedupFromIndex]] index
+    * discipline at image scale). Failure policy pinned by spec: a
+    * corrupt payload yields a null-hash row with `decode_err` set and
+    * never kills the task (the m1 convention); a null payload is a
+    * null-hash row with no error.
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true),
+      StructField("decode_err", StringType, nullable = true)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null) Row(r.getLong(0), null, null)
+          else try {
+            val img = failAsBadPayload("image") {
+              val i = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              require(i != null, "undecodable image payload")
+              i
+            }
+            Row(r.getLong(0), Long.box(dHash(img)), null)
+          } catch {
+            case e: IllegalArgumentException =>
+              Row(r.getLong(0), null, e.getMessage)
+          }
+        }
+      }(enc)
+  }
+
+  /** Image near-dup pairs at hamming ≤ `maxDist` over the dHash
+    * signatures — the n93/n94 pigeonhole machinery REUSED verbatim on
+    * the 64-bit image signature (8 blocks of 8 bits, keep-4 permuted
+    * tables: exact recall by the pigeonhole argument, C(8,4) = 70
+    * tables of 32-bit keys so no single hot block buckets the corpus).
+    * Input is the [[imagePhash]] frame (or its persisted index) — at
+    * 100 TB the pairing never re-reads or re-decodes a payload, it
+    * joins 16-byte signature rows. Null hashes (corrupt/absent
+    * payloads) are excluded by definition. PropertiesSpec-style spec
+    * pins the pair set EQUAL to brute-force hamming over the decoded
+    * corpus, with a planted one-pixel-edited twin caught.
+    */
+  def imageNearDupPairs(phash: DataFrame, maxDist: Int = 4): DataFrame =
+    graft.ops.Dedup.simhashNearDupPairsPermutedFromIndex(
+      phash.filter(col("phash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      bits = 64, maxDist = maxDist, nBlocks = 8, nKeep = 4)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** Offset separating planted edited twins from their originals in
+    * [[mediaWithEditedImages]] — far above any event id.
+    */
+  val EditIdOffset = 1L << 40
+
+  /** The media table plus a deterministically EDITED twin of every
+    * image (media_id + [[EditIdOffset]], pixel (0,0)'s red channel
+    * bumped by one, re-encoded lossless) — the planted near-dup corpus
+    * the image-dedup registry entry and specs run on: a one-channel
+    * single-pixel edit moves at most a few 9×8 grid samples, so each
+    * twin sits within a small hamming distance of its original. (On
+    * THIS synthetic corpus the linear pixel formula also puts some
+    * unrelated images at low hamming — harmless for the machinery,
+    * whose contract is exact recall vs brute force, and the spec
+    * asserts exactly that.)
+    */
+  def mediaWithEditedImages(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromEvents(spark, dir)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    val edited = media.filter(col("kind") === "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+          val p = img.getRGB(0, 0)
+          val red = (p >> 16) & 0xff
+          val bumped = if (red == 255) red - 1 else red + 1
+          img.setRGB(0, 0, (bumped << 16) | (p & 0x00ffff))
+          val bos = new ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id + EditIdOffset, "image", bos.toByteArray,
+            Row(img.getWidth, img.getHeight, null))
+        }
+      }(enc)
+    media.unionAll(edited)
+  }
+
+  /** The rows-only registry surface for the image-dedup path: dHash
+    * signatures over the original + planted-edit corpus (codec-bound —
+    * the m1 exemption; the hash VALUES are spec-pinned deterministic,
+    * but DuckDB has no PNG decoder to oracle them).
+    */
+  def imagePhashTable(spark: SparkSession, dir: String): DataFrame =
+    imagePhash(mediaWithEditedImages(spark, dir))
+      .orderBy(col("media_id"))
+
+  /** Image near-dup pairs over [[imagePhashTable]] — each planted twin
+    * pairs with its original; the spec proves the set equals brute-
+    * force hamming ≤ maxDist over the same signatures.
+    */
+  def imageNearDupTable(spark: SparkSession, dir: String,
+                        maxDist: Int = 4): DataFrame =
+    imageNearDupPairs(imagePhash(mediaWithEditedImages(spark, dir)), maxDist)
+
   /** Roll-up of [[audioFrameFeatures]] — the rows-only registry surface
     * (float rms means are not SQL-oracle material): frame/error
     * accounting plus integer-exact zcr totals.

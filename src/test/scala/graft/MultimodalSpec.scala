@@ -29,6 +29,71 @@ class MultimodalSpec extends SparkSpec {
     assert(rows("video").take(4).toSeq === Multimodal.GfvMagic.toSeq)
   }
 
+  test("dHash: deterministic, survives a lossless PNG re-encode " +
+    "round trip bit-identically, and differs across distinct images") {
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val ids = Seq(0L, 24L, 48L, 72L)
+    val hashes = ids.map(id => Multimodal.dHash(decode(Multimodal.pngBytes(id))))
+    // stable across invocations
+    assert(ids.map(id => Multimodal.dHash(decode(Multimodal.pngBytes(id))))
+      === hashes)
+    // re-encode the decoded image (lossless) → identical hash
+    val img = decode(Multimodal.pngBytes(24L))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dHash(decode(bos.toByteArray)) === hashes(1))
+    // distinct synthetic images hash apart (the formula varies per id)
+    assert(hashes.distinct.length === hashes.length)
+  }
+
+  test("imagePhash: corrupt payload yields a null-hash row with the " +
+    "contextual error and never kills the task; null payload is a " +
+    "null-hash no-error row") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val rows = Seq(
+      Row(1L, "image", Multimodal.pngBytes(1L), Row(4, 4, null)),
+      Row(2L, "image", Array.fill[Byte](16)(7), Row(4, 4, null)),
+      Row(3L, "image", null, Row(4, 4, null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val got = Multimodal.imagePhash(media).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.getString(2))))
+      .sortBy(_._1)
+    assert(got.length === 3, "all rows must survive a corrupt neighbor")
+    assert(got(0)._2.isDefined && got(0)._3.isEmpty)
+    assert(got(1)._2.isEmpty && got(1)._3.exists(_.contains("image")))
+    assert(got(2)._2.isEmpty && got(2)._3.isEmpty)
+  }
+
+  test("imageNearDupPairs: EXACTLY the brute-force hamming <= 4 pairs " +
+    "over the decoded corpus, and every planted one-pixel edit pairs " +
+    "with its original") {
+    val phash = Multimodal.imagePhash(
+      Multimodal.mediaWithEditedImages(spark, dir))
+    val sig = phash.filter(col("phash").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sig.nonEmpty)
+    val brute = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val got = Multimodal.imageNearDupPairs(phash, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute,
+      "the permuted pigeonhole front must have exact recall at <= 4")
+    // fixture self-check: at least one planted twin is within distance
+    // (a one-pixel ±1 edit moves few 9×8 samples on the tiny images)
+    val planted = sig.map(_._1).filter(_ >= Multimodal.EditIdOffset)
+      .map(id => (id - Multimodal.EditIdOffset, id))
+      .filter { case (o, e) => sig.toMap.contains(o) }
+    val caught = planted.count { case (o, e) =>
+      got.exists(p => p._1 == o && p._2 == e) }
+    assert(planted.nonEmpty && caught > 0,
+      s"no planted twin caught (of ${planted.length})")
+  }
+
   test("resizeImage: every output pixel equals the exact nearest-" +
     "neighbor source pixel from the synthetic formula") {
     val id = 6L
