@@ -4119,10 +4119,16 @@ object Queries {
 
     // Image near-dup PAIRS at hamming <= 4 via the n93/n94 permuted
     // pigeonhole machinery reused verbatim on the 64-bit signature
-    // (8 blocks / keep 4: exact recall, no hot-block bucket bombs) —
-    // each planted one-pixel-edited twin pairs with its original.
-    // Rows-only (signatures are codec-bound); the spec proves the pair
-    // set EQUALS brute-force hamming over the decoded corpus.
+    // (8 blocks / keep 4: exact recall, no hot-block bucket bombs), in
+    // the COLLAPSED rep-level form (the n118/n123 move): identical
+    // hashes group under a min-id rep, the front pairs one rep per
+    // DISTINCT hash, member expansion is closed-form exact — measured
+    // necessity, not taste: the synthetic formula is periodic in id,
+    // so at sweep multipliers the uncollapsed all-pairs form spills
+    // quadratically in identical-hash group size. Rows-only
+    // (signatures are codec-bound); the spec proves rep pairs EQUAL
+    // brute-force hamming over distinct signatures and every planted
+    // one-pixel-edited twin is group- or rep-connected.
     ("m5_image_neardup_pairs",
       (s: SparkSession, d: String) =>
         graft.sources.Multimodal.imageNearDupTable(s, d),

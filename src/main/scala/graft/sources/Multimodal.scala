@@ -679,9 +679,18 @@ object Multimodal {
     * Input is the [[imagePhash]] frame (or its persisted index) — at
     * 100 TB the pairing never re-reads or re-decodes a payload, it
     * joins 16-byte signature rows. Null hashes (corrupt/absent
-    * payloads) are excluded by definition. PropertiesSpec-style spec
-    * pins the pair set EQUAL to brute-force hamming over the decoded
-    * corpus, with a planted one-pixel-edited twin caught.
+    * payloads) are excluded by definition. The spec pins the pair set
+    * EQUAL to brute-force hamming over the decoded corpus.
+    *
+    * This is the ANCHOR form: output is every member pair, which is
+    * quadratic in exact-dup (identical-hash) group size BY DEFINITION
+    * of the ask — on a corpus with massive identical-signature groups
+    * (re-hosted thumbnails; this repo's periodic synthetic formula at
+    * scale multipliers) run [[imageNearDupPairsCollapsed]], whose
+    * volume is bounded by DISTINCT-signature structure (the n118/n123
+    * collapse discipline — the 10× sweep that motivated it spilled for
+    * half an hour here before the collapsed twin replaced it in the
+    * registry).
     */
   def imageNearDupPairs(phash: DataFrame, maxDist: Int = 4): DataFrame =
     graft.ops.Dedup.simhashNearDupPairsPermutedFromIndex(
@@ -690,6 +699,41 @@ object Multimodal {
       bits = 64, maxDist = maxDist, nBlocks = 8, nKeep = 4)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
+
+  /** [[imageNearDupPairs]] with the exact-dup pre-collapse — the
+    * production form (the n118/n123 move on the image signature):
+    * identical hashes form a GROUP (rep = min media_id, the n2 keeper
+    * policy); the pigeonhole front runs over one rep per DISTINCT
+    * hash, so candidate and output volume are bounded by
+    * distinct-signature structure, never by dup-group size². Output is
+    * rep-level: (media_a, media_b, n_a, n_b, hamming) — reps of the
+    * two groups, their member counts, and the signature distance
+    * (≥ 1 by construction: identical hashes are the same group).
+    * Member expansion is closed-form and EXACT because identical hash
+    * ⇒ identical signature: every cross-group member pair inherits its
+    * reps' hamming verbatim, and within-group pairs are distance 0 —
+    * so this plus the group table (a groupBy over [[imagePhash]]) is
+    * the complete near-dup relation, at a fraction of the rows. Spec
+    * pins rep pairs ≡ brute force over distinct hashes and that every
+    * planted edited twin is either in its original's group (hash
+    * unchanged) or rep-connected to it.
+    */
+  def imageNearDupPairsCollapsed(phash: DataFrame,
+                                 maxDist: Int = 4): DataFrame = {
+    val groups = phash.filter(col("phash").isNotNull)
+      .groupBy(col("phash"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
+    val rp = graft.ops.Dedup.simhashNearDupPairsPermutedFromIndex(
+      groups.select(col("rep").as("doc_id"), col("phash").as("simhash")),
+      bits = 64, maxDist = maxDist, nBlocks = 8, nKeep = 4)
+    rp.join(groups.select(col("rep").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(groups.select(col("rep").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("n_a"), col("n_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
 
   /** Offset separating planted edited twins from their originals in
     * [[mediaWithEditedImages]] — far above any event id.
@@ -738,13 +782,15 @@ object Multimodal {
     imagePhash(mediaWithEditedImages(spark, dir))
       .orderBy(col("media_id"))
 
-  /** Image near-dup pairs over [[imagePhashTable]] — each planted twin
-    * pairs with its original; the spec proves the set equals brute-
-    * force hamming ≤ maxDist over the same signatures.
+  /** Rep-level image near-dup pairs over [[imagePhashTable]] (the
+    * collapsed production form) — each planted twin is in its
+    * original's hash group or rep-connected to it; the spec proves
+    * rep pairs equal brute-force hamming over distinct signatures.
     */
   def imageNearDupTable(spark: SparkSession, dir: String,
                         maxDist: Int = 4): DataFrame =
-    imageNearDupPairs(imagePhash(mediaWithEditedImages(spark, dir)), maxDist)
+    imageNearDupPairsCollapsed(
+      imagePhash(mediaWithEditedImages(spark, dir)), maxDist)
 
   /** Roll-up of [[audioFrameFeatures]] — the rows-only registry surface
     * (float rms means are not SQL-oracle material): frame/error

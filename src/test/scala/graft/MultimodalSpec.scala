@@ -94,6 +94,47 @@ class MultimodalSpec extends SparkSpec {
       s"no planted twin caught (of ${planted.length})")
   }
 
+  test("imageNearDupPairsCollapsed: rep pairs equal brute-force " +
+    "hamming over DISTINCT signatures with exact group counts; every " +
+    "planted twin is group- or rep-connected to its original") {
+    val phash = Multimodal.imagePhash(
+      Multimodal.mediaWithEditedImages(spark, dir))
+    val sig = phash.filter(col("phash").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byHash = sig.groupBy(_._2).map { case (h, m) =>
+      h -> (m.map(_._1).min, m.length) } // hash -> (rep, n)
+    val distinct = byHash.toSeq.map { case (h, (rep, _)) => (rep, h) }
+    val brute = (for {
+      (ra, ha) <- distinct; (rb, hb) <- distinct if ra < rb
+      if java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (ra, rb, byHash(ha)._2, byHash(hb)._2,
+      java.lang.Long.bitCount(ha ^ hb))).toSet
+    val got = Multimodal.imageNearDupPairsCollapsed(phash, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got === brute.map(t => (t._1, t._2, t._3.toLong, t._4.toLong,
+      t._5)))
+    // no rep pair at hamming 0 — identical hashes are the same group
+    assert(got.forall(_._5 >= 1))
+    // every planted twin: same hash group as its original, or the two
+    // groups' reps pair within the distance
+    val hashOf = sig.toMap
+    val planted = sig.map(_._1).filter(_ >= Multimodal.EditIdOffset)
+      .map(id => (id - Multimodal.EditIdOffset, id))
+      .filter { case (o, _) => hashOf.contains(o) }
+    assert(planted.nonEmpty)
+    planted.foreach { case (o, e) =>
+      val (ho, he) = (hashOf(o), hashOf(e))
+      val connected = ho == he || {
+        val (ra, rb) = (byHash(ho)._1, byHash(he)._1)
+        val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        got.exists(p => p._1 == lo && p._2 == hi)
+      }
+      assert(connected, s"planted twin ($o, $e) neither grouped nor " +
+        "rep-paired")
+    }
+  }
+
   test("resizeImage: every output pixel equals the exact nearest-" +
     "neighbor source pixel from the synthetic formula") {
     val id = 6L
