@@ -63,8 +63,14 @@ object BroadcastGuard {
         case e: Throwable =>
           val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
             .toSeq.last
-          println(s"GUARD FAIL  $label ${root.getClass.getSimpleName}: " +
-            root.getMessage.linesIterator.next())
+          // null/empty messages happen (bare IOException, some OOM
+          // wrappings) — the failure reporter must never itself throw,
+          // or the guard dies before the hint-free branch it exists
+          // to demonstrate
+          val msg = Option(root.getMessage)
+            .flatMap(_.linesIterator.find(_.nonEmpty))
+            .getOrElse(root.toString)
+          println(s"GUARD FAIL  $label ${root.getClass.getSimpleName}: $msg")
       }
     }
     attempt("forced-broadcast") {

@@ -716,20 +716,12 @@ object TextAnalysis {
                           hotHint: DataFrame => DataFrame = identity)
       : DataFrame = {
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    val posGrams = base.select(col("doc_id"),
-      posexplode(ngramsOf(col("ws"), n)).as(Seq("pos", "g")))
-    // df via per-doc-DISTINCT gram rows + a map-side-combinable count(*)
-    // (the n47 shape) — a countDistinct(doc_id) over the positional
-    // stream computes the same df but cannot collapse rows before the
-    // shuffle (measured 2.8× slower at salted 50×)
-    val hot = base
-      .select(col("doc_id"),
-        explode(array_distinct(ngramsOf(col("ws"), n))).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select(col("g"))
-    val covered = posGrams.join(hotHint(hot), Seq("g"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+    // ONE copy of the posGrams + df + hot-join front
+    // (coveredPositionsRaw — shared with trim/spans), so the
+    // OOM-policy-critical exchange choice can never diverge between
+    // the coverage signal and its executors (review-caught: this body
+    // was an inlined second copy)
+    val covered = coveredPositionsRaw(base, n, minDf, hotHint)
       .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("n_cov"))
     base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left_outer")
@@ -779,6 +771,10 @@ object TextAnalysis {
       : DataFrame = {
     val posGrams = base.select(col("doc_id"),
       posexplode(ngramsOf(col("ws"), n)).as(Seq("pos", "g")))
+    // df via per-doc-DISTINCT gram rows + a map-side-combinable count(*)
+    // (the n47 shape) — a countDistinct(doc_id) over the positional
+    // stream computes the same df but cannot collapse rows before the
+    // shuffle (measured 2.8× slower at salted 50×)
     val hot = base
       .select(col("doc_id"),
         explode(array_distinct(ngramsOf(col("ws"), n))).as("g"))

@@ -756,18 +756,30 @@ object Multimodal {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
     val edited = media.filter(col("kind") === "image")
       .mapPartitions { rows =>
-        rows.map { r =>
+        // m1 failure policy on the CONSTRUCTOR too: a null or
+        // undecodable payload yields no edited twin (the original row
+        // still flows through the union below) — it must never kill
+        // the task, same as the decode side (review-caught: the first
+        // draft dereferenced ImageIO.read's result unguarded)
+        rows.flatMap { r =>
           val id = r.getLong(0)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
-          val p = img.getRGB(0, 0)
-          val red = (p >> 16) & 0xff
-          val bumped = if (red == 255) red - 1 else red + 1
-          img.setRGB(0, 0, (bumped << 16) | (p & 0x00ffff))
-          val bos = new ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Row(id + EditIdOffset, "image", bos.toByteArray,
-            Row(img.getWidth, img.getHeight, null))
+          val payload = r.getAs[Array[Byte]]("payload")
+          val img =
+            if (payload == null) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val p = img.getRGB(0, 0)
+            val red = (p >> 16) & 0xff
+            val bumped = if (red == 255) red - 1 else red + 1
+            img.setRGB(0, 0, (bumped << 16) | (p & 0x00ffff))
+            val bos = new ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Some(Row(id + EditIdOffset, "image", bos.toByteArray,
+              Row(img.getWidth, img.getHeight, null)))
+          }
         }
       }(enc)
     media.unionAll(edited)

@@ -107,11 +107,19 @@ object IncrementalBuild {
       else
         TextAnalysis.trainingDataBuild(docs, n, minDf, tau, alpha,
           budget, numShards)
+    // stamp every knob that shapes the build — incl. splitThreshold,
+    // which changes the safe form's component graph and therefore the
+    // shipped split assignment (two safe releases at different
+    // thresholds must not carry identical manifests)
+    val safeKv =
+      if (safeSplits) Map("safeSplits" -> "true",
+        "splitThreshold" -> splitThreshold.toString)
+      else Map("safeSplits" -> "false")
     Sinks.publishTrainingBuild(build, table,
       params ++ Map("n" -> n.toString, "minDf" -> minDf.toString,
         "tau" -> tau.toString, "alpha" -> alpha.toString,
-        "budget" -> budget.toString, "numShards" -> numShards.toString,
-        "safeSplits" -> safeSplits.toString),
+        "budget" -> budget.toString, "numShards" -> numShards.toString)
+        ++ safeKv,
       keepVersions)
     build
   }
@@ -209,9 +217,17 @@ object IncrementalBuild {
     // every release stamps the last batch it covers into its manifest
     // meta; a re-invocation of a COMPLETED run (no new files) then sees
     // the live release already covering lastBatch and publishes nothing,
-    // instead of re-cutting an identical version per call
-    val covered = Sinks.Versioned.meta(spark, table).get("lastBatch")
-      .exists(_.toLong >= lastBatch)
+    // instead of re-cutting an identical version per call. Guard the
+    // existence first (the maxPublished convention): a run that never
+    // cut a cadence release (releaseEvery = 0, or fewer batches than
+    // the cadence) has no _current pointer yet, and an unguarded meta
+    // read would crash exactly the path whose tail flush publishes the
+    // FIRST release.
+    val ptr = new org.apache.hadoop.fs.Path(table, "_current")
+    val covered = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(ptr) &&
+      Sinks.Versioned.meta(spark, table).get("lastBatch")
+        .exists(_.toLong >= lastBatch)
     val tail = releaseEvery > 0 && lastBatch >= 0 &&
       (lastBatch + 1) % releaseEvery != 0 && !covered
     if (tail)

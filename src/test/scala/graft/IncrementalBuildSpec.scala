@@ -51,6 +51,35 @@ class IncrementalBuildSpec extends SparkSpec {
       === asRows(oneShot))
   }
 
+  test("runAvailableNow with no cadence release (releaseEvery=0, never-" +
+    "published table) completes and returns None — the covered check " +
+    "must not crash on a missing _current pointer; and the FIRST " +
+    "release of a short run comes from the tail flush") {
+    val tmp = Files.createTempDirectory("graft_incbuild_tail").toString
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source")).limit(120)
+    new java.io.File(s"$tmp/in").mkdirs()
+    stageParquetFile(docs, s"$tmp/stage", s"$tmp/in", "b0", 1000000L)
+    // releaseEvery = 0: no release table ever exists — must not throw
+    val none = IncrementalBuild.runAvailableNow(spark, s"$tmp/in",
+      s"$tmp/ck0", s"$tmp/state0", s"$tmp/rel0", maxDist = 0,
+      releaseEvery = 0)
+    assert(none.isEmpty)
+    // one batch, cadence 3: no cadence release fires — the tail flush
+    // must publish the FIRST release (the pre-guard code crashed here)
+    val tail = IncrementalBuild.runAvailableNow(spark, s"$tmp/in",
+      s"$tmp/ck1", s"$tmp/state1", s"$tmp/rel1", maxDist = 0,
+      releaseEvery = 3)
+    assert(tail.isDefined)
+    assert(Sinks.Versioned.versions(spark, s"$tmp/rel1") === Seq(1L))
+    // re-invoking the completed run publishes nothing new
+    val again = IncrementalBuild.runAvailableNow(spark, s"$tmp/in",
+      s"$tmp/ck1", s"$tmp/state1", s"$tmp/rel1", maxDist = 0,
+      releaseEvery = 3)
+    assert(again.isEmpty)
+    assert(Sinks.Versioned.versions(spark, s"$tmp/rel1") === Seq(1L))
+  }
+
   test("safeSplits release equals batch-mode trainingDataBuildSafe " +
     "(n142) over the same survivor store, and stamps the mode") {
     val tmp = Files.createTempDirectory("graft_incbuild_safe").toString
