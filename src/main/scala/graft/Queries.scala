@@ -482,14 +482,17 @@ object Queries {
       |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Shared CTEs for the paragraph-dedup oracles (n140/n141): 20-word
-    * blocks as "paragraphs" (the line-free-corpus adaptation), keep the
-    * globally-FIRST (doc_id, pidx) occurrence of each block md5. The
-    * oracle may use a row_number window; the Spark side deliberately
-    * may not (map-side-combinable min(struct) — the n121 discipline).
+  /** Shared CTE chain for the paragraph-dedup oracles (n140/n141/n143/
+    * n144), rooted on an arbitrary `w(doc_id, ws)` body so the cleaner
+    * re-roots it on the keeper corpus and the incremental form on the
+    * batch half: 20-word blocks as "paragraphs" (the line-free-corpus
+    * adaptation), keep the globally-FIRST (doc_id, pidx) occurrence of
+    * each block md5. The oracle may use a row_number window; the Spark
+    * side deliberately may not (map-side-combinable min(struct) — the
+    * n121 discipline).
     */
-  private val ParagraphBlockCtes =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def paragraphBlockCtes(wSql: String) =
+    s"""w AS ($wSql),
       |p AS (SELECT doc_id, u.pidx AS pidx, u.para AS para FROM (
       |  SELECT doc_id, unnest(list_transform(
       |    generate_series(0, CAST(ceil(len(ws)::double / 20) AS BIGINT) - 1),
@@ -502,6 +505,9 @@ object Queries {
       |  FROM p),
       |k AS (SELECT p.doc_id, p.pidx, p.para, f.rn = 1 AS keep
       |  FROM p JOIN f USING (doc_id, pidx))""".stripMargin
+
+  private lazy val ParagraphBlockCtes = paragraphBlockCtes(
+    "SELECT doc_id, string_split(text, ' ') AS ws FROM documents")
 
   /** The 60-bit hamming ≤ 3 pair oracle, shared VERBATIM by n94 (plain
     * 4-block pigeonhole) and n113 (Manku permuted tables): both fronts
@@ -2650,6 +2656,80 @@ object Queries {
         |  round(sum(per.n_removed)::double / sum(per.n_paras), 6) AS dup_frac
         |FROM per JOIN documents d USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // INCREMENTAL paragraph dedup — the n124 move at paragraph
+    // granularity: the newer half of the corpus deduped against the
+    // older half's 1-column paragraph-hash INDEX plus its own internal
+    // firsts (hash in index ⇒ non-first at any position); when batches
+    // arrive in doc_id order this equals batch-mode n140 restricted to
+    // the batch (spec-pinned fold equivalence). The index joins on the
+    // hash key — never broadcast, never re-reads earlier text.
+    ("n144_paragraph_dedup_incremental",
+      (s: SparkSession, d: String) => {
+        val all = docs(s, d)
+        val half = all.agg(expr("max(doc_id) div 2").as("h"))
+        val older = all.join(broadcast(half), col("doc_id") < col("h"))
+          .select(col("doc_id"), col("text"))
+        val batch = all.join(broadcast(half), col("doc_id") >= col("h"))
+          .select(col("doc_id"), col("text"))
+        TextAnalysis.paragraphDedupFromIndex(
+          TextAnalysis.paragraphIndex(older, 20), batch, 20)
+      },
+      Some(s"""WITH h AS (SELECT max(doc_id) // 2 AS h FROM documents),
+        |${paragraphBlockCtes(
+            "SELECT doc_id, string_split(text, ' ') AS ws " +
+            "FROM documents, h WHERE doc_id >= h.h")},
+        |ow AS (SELECT string_split(text, ' ') AS ws
+        |  FROM documents, h WHERE doc_id < h.h),
+        |op AS (SELECT DISTINCT
+        |    md5(array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ')) AS oh
+        |  FROM (SELECT ws, unnest(generate_series(0,
+        |    CAST(ceil(len(ws)::double / 20) AS BIGINT) - 1)) AS i FROM ow)),
+        |k2 AS (SELECT doc_id, pidx, para,
+        |    (keep AND md5(para) NOT IN (SELECT oh FROM op)) AS keep2
+        |  FROM k)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  sum(CASE WHEN keep2 THEN 0 ELSE 1 END)::bigint AS n_removed,
+        |  coalesce(string_agg(CASE WHEN keep2 THEN para END, ' '
+        |    ORDER BY pidx), '') AS text_dedup
+        |FROM k2 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // The n83 pipeline with the PARAGRAPH keep-first stage — the
+    // CCNet-shaped cleaner (paragraph-hash dedup as the first content
+    // pass): normalize → exact-dup keeper → n140's keep-first core
+    // over keepers → the same quality gate; output shape identical to
+    // n83/n126 (n_removed counts TOKENS of the dropped paragraphs, the
+    // n83 convention). The cheapest cleaning stage: one paragraph-hash
+    // shuffle vs the gram machinery's positional streams.
+    ("n143_clean_corpus_paragraph",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.cleanCorpusParagraph(docs(s, d), 20),
+      Some(s"""WITH nrm AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+        |      ' +', ' ', 'g')) AS text
+        |  FROM documents),
+        |kp AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text)),
+        |${paragraphBlockCtes(
+            "SELECT n.doc_id, string_split(n.text, ' ') AS ws " +
+            "FROM nrm n JOIN kp USING (doc_id)")},
+        |tok AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN keep THEN 0
+        |      ELSE len(string_split(para, ' ')) END) AS BIGINT) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+        |      ORDER BY pidx), '') AS td
+        |  FROM k GROUP BY doc_id),
+        |s AS (SELECT doc_id, n_removed, td,
+        |    len(string_split(td, ' ')) AS nw,
+        |    round(len(list_filter(string_split(td, ' '), x -> x IN $Stop))::double
+        |      / len(string_split(td, ' ')), 6) AS sr,
+        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  nw::bigint AS n_tokens, n_removed, td AS text_clean
+        |FROM s WHERE nw >= 30 AND sr <= 0.3
+        |ORDER BY doc_id""".stripMargin)),
 
     // The n83 pipeline with the keep-first SUBSTRING stage in place of
     // the boilerplate trim (quotes/mirrors corpora: one copy of every

@@ -175,7 +175,8 @@ object ScaleSanity {
         "m3_audio_frames", "n139_containment_prefix_auto",
         "n140_paragraph_dedup", "n141_paragraph_dedup_by_source",
         "n142_training_build_safe", "m4_image_phash",
-        "m5_image_neardup_pairs"))
+        "m5_image_neardup_pairs", "n143_clean_corpus_paragraph",
+        "n144_paragraph_dedup_incremental"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very

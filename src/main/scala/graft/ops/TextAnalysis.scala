@@ -1207,6 +1207,7 @@ object TextAnalysis {
         posexplode(split(col("text"), java.util.regex.Pattern.quote(delim)))
           .as(Seq("pidx", "para"))),
       delim)
+      .orderBy(col("doc_id"))
 
   /** [[paragraphDedup]] for a corpus WITHOUT line structure (the
     * testdata corpus — the same adaptation [[boilerplateCoverage]]
@@ -1217,9 +1218,24 @@ object TextAnalysis {
     * limitation vs the window-level n122 (which is alignment-free);
     * TextAnalysisSpec reconciles the two on a planted aligned fixture.
     */
-  def paragraphDedupBlocks(docs: DataFrame, k: Int = 20): DataFrame = {
+  def paragraphDedupBlocks(docs: DataFrame, k: Int = 20): DataFrame =
+    paragraphDedupBlocksRaw(docs, k).orderBy(col("doc_id"))
+
+  /** [[paragraphDedupBlocks]] without the presentation sort — the
+    * composable form (the raw/sorted convention; [[cleanCorpusParagraph]]
+    * sorts once at its own tail).
+    */
+  private def paragraphDedupBlocksRaw(docs: DataFrame, k: Int): DataFrame =
+    paragraphDedupCore(blockParagraphs(docs, k), " ")
+
+  /** The (doc_id, pidx, para) frame of non-overlapping `k`-word blocks
+    * — the block form's segmentation, shared by [[paragraphDedupBlocks]],
+    * the incremental form, and the streaming ingest (one definition of
+    * the block boundary, the cleanCorpusWith convention).
+    */
+  private[graft] def blockParagraphs(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val blocks = docs
+    docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), posexplode(transform(
         // ceil(n/k) block indices; words("") = [""], so size >= 1 and
@@ -1228,7 +1244,6 @@ object TextAnalysis {
           ceil(size(col("ws")).cast("double") / k).cast("int") - 1),
         i => concat_ws(" ", slice(col("ws"), i * k + 1, lit(k)))))
         .as(Seq("pidx", "para")))
-    paragraphDedupCore(blocks, " ")
   }
 
   /** ONE keep-first core over an arbitrary (doc_id, pidx, para) frame —
@@ -1236,7 +1251,21 @@ object TextAnalysis {
     * can never drift on policy (the cleanCorpusWith convention).
     */
   private def paragraphDedupCore(paras: DataFrame,
-                                 joiner: String): DataFrame = {
+                                 joiner: String): DataFrame =
+    paragraphDedupAcc(paras, joiner)
+      .select(col("doc_id"), col("n_paras"), col("n_removed"),
+        col("text_dedup"))
+
+  /** [[paragraphDedupCore]] plus TOKEN accounting (`n_tok_removed` =
+    * Σ word counts of the dropped paragraphs — what the n83-shaped
+    * cleaner reports, where the public dedup forms report paragraph
+    * counts). One aggregate serves both; the public forms project the
+    * extra column away. An empty paragraph counts one token (split("")
+    * = [""] on both engines — the same convention everywhere words()
+    * touches empty text).
+    */
+  private def paragraphDedupAcc(paras: DataFrame,
+                                joiner: String): DataFrame = {
     val withH = paras.select(col("doc_id"), col("pidx"),
       col("para"), md5(col("para")).as("h"))
     val firsts = withH
@@ -1250,11 +1279,13 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("keep"), 0L)
+          .otherwise(size(split(col("para"), " ")).cast("long")))
+          .as("n_tok_removed"),
         concat_ws(joiner, transform(
           array_sort(collect_list(when(col("keep"),
             struct(col("pidx"), col("para"))))),
           x => x("para"))).as("text_dedup"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-SOURCE paragraph-dedup profile — the n127 accounting shape at
@@ -1277,6 +1308,91 @@ object TextAnalysis {
         round(col("dup_paras").cast("double") / col("total_paras"), 6)
           .as("dup_frac"))
       .orderBy(col("source"))
+
+  /** The persisted 1-column PARAGRAPH-HASH index of a corpus — the
+    * [[dupSubstringIndex]] convention at paragraph granularity:
+    * presence of a hash means some earlier batch holds that paragraph's
+    * first occurrence, so every later occurrence is non-first. 16 B a
+    * row (md5 hex truncation not applied — the hash IS the dedup key,
+    * collisions must match the batch side exactly), never re-reads
+    * text.
+    */
+  def paragraphIndex(docs: DataFrame, k: Int = 20): DataFrame =
+    blockParagraphs(docs, k)
+      .select(md5(col("para")).as("h"))
+      .distinct()
+
+  /** The hashes a new batch adds to an existing [[paragraphIndex]] —
+    * the O(batch) append payload. Anti join on the hash key: the index
+    * side streams map-side past the batch's hash set at any index size.
+    */
+  def paragraphIndexDelta(index: DataFrame, batch: DataFrame,
+                          k: Int = 20): DataFrame =
+    paragraphIndex(batch, k).join(index, Seq("h"), "left_anti")
+
+  /** INCREMENTAL paragraph dedup (the n124 move at paragraph
+    * granularity): dedup a new batch against the accumulated paragraph
+    * index of every earlier batch PLUS the batch's own internal
+    * firsts. When batches partition the corpus in doc_id order,
+    * folding them through this + [[paragraphIndexDelta]] is EXACTLY
+    * batch-mode [[paragraphDedupBlocks]] restricted to each batch's
+    * rows (spec-pinned): a paragraph is globally non-first iff an
+    * earlier occurrence exists — a prior batch (hash ∈ index, any
+    * position) or the same batch (the min(struct) test).
+    *
+    * Scale shape: the batch's paragraphs shuffle on the hash key for
+    * internal firsts and join the index on the same key — the index
+    * never broadcasts (paragraph-vocabulary-shaped; the n73→n109
+    * lesson) and never rescans earlier text.
+    */
+  def paragraphDedupFromIndex(index: DataFrame, batch: DataFrame,
+                              k: Int = 20): DataFrame = {
+    val withH = blockParagraphs(batch, k)
+      .select(col("doc_id"), col("pidx"), col("para"),
+        md5(col("para")).as("h"))
+    val firsts = withH
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("f"),
+        count(lit(1)).as("cnt"))
+      .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pidx").as("fpix"),
+        col("cnt"))
+    withH.join(firsts, Seq("h"))
+      .join(index.select(col("h"), lit(1).as("hit")).distinct(),
+        Seq("h"), "left_outer")
+      .select(col("doc_id"), col("pidx"), col("para"),
+        (col("hit").isNull &&
+          (col("doc_id") === col("fdoc") && col("pidx") === col("fpix")))
+          .as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pidx"), col("para"))))),
+          x => x("para"))).as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[cleanCorpus]] with the PARAGRAPH keep-first stage in place of
+    * the boilerplate trim — the CCNet-shaped cleaner (Wenzek et al.
+    * 2020 run their paragraph-hash dedup as the FIRST content pass):
+    * normalize (n36) → exact-dup keeper (n2's min-id policy — whole-doc
+    * copies must not feed the paragraph stage as fake "firsts") →
+    * [[paragraphDedupBlocks]]' keep-first core over the keepers → the
+    * same quality gate. Output shape identical to n83/n126
+    * ((doc_id, split, n_tokens, n_removed, text_clean); `n_removed`
+    * counts TOKENS of the dropped paragraphs — the n83 token
+    * convention, not the dedup forms' paragraph counts), so
+    * mix/shard/build consumers take any of the three cleaners
+    * unchanged. The cheapest of the three cleaning stages: one
+    * paragraph-hash shuffle vs the gram machinery's positional streams.
+    */
+  def cleanCorpusParagraph(docs: DataFrame, k: Int = 20): DataFrame =
+    cleanCorpusWith(docs, keepers =>
+      paragraphDedupAcc(blockParagraphs(keepers, k), " ")
+        .select(col("doc_id"), col("n_tok_removed").as("n_removed"),
+          col("text_dedup").as("cleaned")))
+      .orderBy(col("doc_id"))
 
   /** [[cleanCorpus]] with the KEEP-FIRST SUBSTRING stage in place of the
     * boilerplate trim — the pipeline variant for corpora whose repeated

@@ -598,6 +598,8 @@ class PlanSpec extends SparkSpec {
       // and doc-keyed shuffles are the design
       "n140_paragraph_dedup" -> Set("h", "doc_id"),
       "n141_paragraph_dedup_by_source" -> Set("h", "doc_id"),
+      "n143_clean_corpus_paragraph" -> Set("h", "doc_id"),
+      "n144_paragraph_dedup_incremental" -> Set("h", "doc_id"),
       // safe build: n99's stages + the hint-free CC-label/assignment
       // joins (doc_id) and the hint-free hot-gram join (g)
       "n142_training_build_safe" -> Set("g", "doc_id"))

@@ -357,6 +357,69 @@ class TextAnalysisSpec extends SparkSpec {
       "fixture should exercise the index-hit path across batches")
   }
 
+  test("paragraphDedupFromIndex: folding doc_id-ordered batches through " +
+    "the index delta ≡ batch-mode paragraphDedupBlocks per batch; " +
+    "cross-batch suppression actually fires") {
+    val fix = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val whole = TextAnalysis.paragraphDedupBlocks(fix, 20).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val cuts = Seq(
+      (col("doc_id") < 150, "b1"),
+      (col("doc_id") >= 150 && col("doc_id") < 320, "b2"),
+      (col("doc_id") >= 320, "b3"))
+    var index = Seq.empty[String].toDF("h")
+    var crossBatchRemovals = 0L
+    cuts.foreach { case (pred, tag) =>
+      val batch = fix.filter(pred)
+      val got = TextAnalysis
+        .paragraphDedupFromIndex(index, batch, 20).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got === whole.view.filterKeys(got.keySet).toMap, tag)
+      val alone = TextAnalysis.paragraphDedupBlocks(batch, 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      crossBatchRemovals +=
+        got.map { case (id, (_, rem, _)) => rem - alone(id) }.sum
+      index = index.unionByName(
+        TextAnalysis.paragraphIndexDelta(index, batch, 20))
+    }
+    assert(crossBatchRemovals > 0L,
+      "fixture should exercise the index-hit path across batches")
+  }
+
+  test("cleanCorpusParagraph: keeper drops exact copies BEFORE the " +
+    "paragraph stage, a block-aligned copy is cut keep-first with TOKEN " +
+    "accounting, short docs gate out; output shape = n83's") {
+    def uniq(p: String, n: Int) = (0 until n)
+      .map(i => s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val w = uniq("w", 40)
+    val v = uniq("v", 40).toArray
+    // doc 3: 60 words, THIRD 20-word block is doc 1's first block
+    // verbatim — loses exactly those 20 tokens and still clears the
+    // 30-word gate with the 40 unique survivors
+    val d3words = v.take(40) ++ w.take(20)
+    val docs = Seq(
+      (1L, w.mkString(" ")),            // 40 uniques — untouched
+      (2L, w.mkString(" ")),            // exact copy — keeper drops
+      (3L, d3words.mkString(" ")),      // block-aligned copy — cut
+      (4L, uniq("z", 10).mkString(" ")) // too short after gate
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cleanCorpusParagraph(docs, 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.map(_._1).toSeq === Seq(1L, 3L),
+      s"keeper must drop 2, the gate must drop 4: ${got.toSeq}")
+    val byId = got.map(t => t._1 -> t).toMap
+    // doc 1 survives whole (its blocks are the global firsts)
+    assert(byId(1L)._3 === 40L && byId(1L)._4 === 0L)
+    assert(byId(1L)._5 === w.mkString(" "))
+    // doc 3 loses exactly the 20 copied TOKENS (n_removed is tokens,
+    // the n83 convention) and keeps its 40 unique words
+    assert(byId(3L)._3 === 40L && byId(3L)._4 === 20L)
+    assert(byId(3L)._5 === v.take(40).mkString(" "))
+  }
+
   test("cleanCorpusSubstring: keeper drops exact copies BEFORE the gram " +
     "stage, a quote is cut keep-first, short docs gate out; output " +
     "shape = n83's") {
