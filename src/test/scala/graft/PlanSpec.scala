@@ -542,23 +542,23 @@ class PlanSpec extends SparkSpec {
     // SortMergeJoin line in the plan must carry at least one of them, so
     // a SECOND, unintended SMJ (a regressed broadcast on some other key)
     // inside an allowlisted query is caught instead of hiding behind the
-    // legitimate one. An empty set grandfathers "any key" for the
-    // harness-style members whose plans compose many audited joins
-    // (tuning/recall/report) — tightened families name their keys.
+    // legitimate one. Key sets were read off the actual executed plans
+    // (round 12) — an SMJ on a NEW key in any of these queries now fails
+    // the sweep instead of riding the blanket allowance.
     val smjAllowed: Map[String, Set[String]] = Map(
-      "n46_semantic_dedup" -> Set.empty,
-      "n50_snapshot_diff" -> Set.empty,
-      "n54_semantic_dedup_collapsed" -> Set.empty,
-      "n55_incremental_semantic_dedup" -> Set.empty,
-      "n57_semantic_dup_clusters_collapsed" -> Set.empty,
-      "n59_lsh_tuning" -> Set.empty,
-      "n62_ann_recall" -> Set.empty,
-      "n64_ann_recall_curve" -> Set.empty,
-      "n65_lsh_tuning_sampled" -> Set.empty,
-      "n68_ann_recall_curve_mp" -> Set.empty,
-      "n74_contamination_report" -> Set.empty,
-      "n75_ivf_recall" -> Set.empty,
-      "r13_full_outer_churn" -> Set.empty,
+      "n46_semantic_dedup" -> Set("vec_id"),
+      "n50_snapshot_diff" -> Set("doc_id"),
+      "n54_semantic_dedup_collapsed" -> Set("rep", "vec_id"),
+      "n55_incremental_semantic_dedup" -> Set("vec_id"),
+      "n57_semantic_dup_clusters_collapsed" -> Set("rep"),
+      "n59_lsh_tuning" -> Set("doc_a", "doc_b"),
+      "n62_ann_recall" -> Set("q_id", "vec_id"),
+      "n64_ann_recall_curve" -> Set("bits", "q_id", "vec_id"),
+      "n65_lsh_tuning_sampled" -> Set("doc_a", "doc_b"),
+      "n68_ann_recall_curve_mp" -> Set("bits", "q_id", "vec_id"),
+      "n74_contamination_report" -> Set("test_doc"),
+      "n75_ivf_recall" -> Set("q_id", "vec_id"),
+      "r13_full_outer_churn" -> Set("ck_a", "ck_b"),
       "n112_source_leakage_shuffle" -> Set("doc_id"),
       "n120_source_leakage_auto" -> Set("doc_id"),
       // keep-first substring dedup: the duplicated-gram first-occurrence
@@ -581,11 +581,11 @@ class PlanSpec extends SparkSpec {
       "n106_boilerplate_spans" -> Set("g", "doc_id"),
       "n83_clean_corpus" -> Set("g", "doc_id"),
       "n99_training_data_build" -> Set("g", "doc_id"),
-      // chaining audit: verified pairs join the exploded label frame on
-      // doc id — both sides aggregate-fed, legitimate shuffle
-      "n130_cluster_chaining" -> Set.empty,
-      "n131_star_clusters" -> Set.empty,
-      "n133_dedup_savings" -> Set.empty,
+      // chaining audit / star clusters / savings: CC-label and hub
+      // joins over the verified edge list — aggregate-fed, legitimate
+      "n130_cluster_chaining" -> Set("id", "nbr", "hub", "doc_id"),
+      "n131_star_clusters" -> Set("id", "nbr", "hub"),
+      "n133_dedup_savings" -> Set("id", "nbr", "hub", "doc_id"),
       // leakage-safe splits: the CC label frame (and in n135 the
       // verified pairs + cluster-aware assignment) joins on doc id —
       // aggregate-fed sides deliberately hint-free (the n73→n109
