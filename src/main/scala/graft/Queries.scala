@@ -4213,6 +4213,31 @@ object Queries {
       (s: SparkSession, d: String) =>
         graft.sources.Multimodal.imageNearDupTable(s, d),
       None),
+
+    // INCREMENTAL image dedup: the OLDER half of the originals as the
+    // persisted phash index, everything else (newer originals + all
+    // planted edits) as the arriving batch, screened at hamming <= 4 —
+    // the n95/SimhashIngest greedy stream policy on the image modality,
+    // sharing ONE signature-generic screening core with the text
+    // simhash ingest (the n124/n144 half-split convention). Survivors =
+    // genuinely new signatures; edits of indexed originals drop.
+    // Rows-only (codec-bound); the spec proves survivors equal
+    // brute-force screening.
+    ("m6_image_dedup_incremental",
+      (s: SparkSession, d: String) => {
+        val ph = graft.ops.Checkpoints.cut(
+          graft.sources.Multimodal.imagePhash(
+            graft.sources.Multimodal.mediaWithEditedImages(s, d)))
+        val off = graft.sources.Multimodal.EditIdOffset
+        val half = ph.filter(col("media_id") < off)
+          .agg(expr("max(media_id) div 2").as("h"))
+        graft.sources.Multimodal.imagePhashDedupFromIndex(
+          ph.join(broadcast(half), col("media_id") < col("h"))
+            .select(col("media_id"), col("phash")),
+          ph.join(broadcast(half), col("media_id") >= col("h"))
+            .select(col("media_id"), col("phash")))
+      },
+      None),
   )
 
   def queries: Map[String, Q] =

@@ -856,25 +856,61 @@ object Dedup {
   def incrementalSimhashDedupFromIndex(newDocs: DataFrame,
                                        index: DataFrame,
                                        maxDist: Int = 3,
-                                       nBlocks: Int = 4): DataFrame = {
+                                       nBlocks: Int = 4): DataFrame =
+    incrementalSignatureDedupFromIndex(
+      Checkpoints.cut(simhashWideRaw(newDocs)), index,
+      SimhashWideBits, maxDist, nBlocks)
+
+  /** The signature-GENERIC core of [[incrementalSimhashDedupFromIndex]]
+    * — screen a pre-hashed (doc_id, simhash) BATCH against a pre-hashed
+    * index at hamming ≤ maxDist, keeping batch rows with no indexed or
+    * earlier-in-batch neighbor (greedy stream policy). Factored so the
+    * image-phash ingest ([[graft.sources.Multimodal.imagePhashDedupFromIndex]],
+    * 64-bit signatures) and the text simhash ingest (60-bit) share ONE
+    * definition of the screening joins and the pigeonhole recall
+    * argument (nBlocks > maxDist ⇒ some untouched block matches).
+    * `batch` must already be cut by the caller if expensive to derive —
+    * it feeds both screening joins and the anti join.
+    */
+  private[graft] def incrementalSignatureDedupFromIndex(
+      batch: DataFrame, index: DataFrame, bits: Int,
+      maxDist: Int, nBlocks: Int): DataFrame = {
     require(maxDist < nBlocks)
-    val batch = Checkpoints.cut(simhashWideRaw(newDocs))
-    val batchBlocks = blockKeys(batch, SimhashWideBits, nBlocks)
+    // maxDist ≥ 0 is what makes the rep collapse below survivor-exact
+    // (distance-0 duplicates must count as neighbors)
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // collapse the BATCH to one rep (min doc_id) per DISTINCT signature
+    // before any block join — the n118/n123 lesson a third time, found
+    // by measurement (the m6 sweep): identical signatures multiply the
+    // per-bucket probe side by dup-group size for screening decisions
+    // one rep already determines. Survivor-EXACT: a non-rep duplicate
+    // always has an earlier batch neighbor at distance 0 ≤ maxDist, so
+    // it can never survive; a rep survives iff no indexed signature and
+    // no smaller-rep batch signature sits within maxDist — the same
+    // "any earlier arrival" test the uncollapsed join expressed
+    // (DedupSpec n95 and the m6 brute-force spec pin the outputs).
+    // The INDEX side stays uncollapsed and streams map-side past the
+    // broadcast rep blocks — a distinct() on it would cost the
+    // corpus-sized shuffle this whole shape exists to avoid.
+    val reps = Checkpoints.cut(batch
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("simhash")))
+    val repBlocks = blockKeys(reps, bits, nBlocks)
     val corpusHit = blockKeys(index.select(col("doc_id"), col("simhash")),
-        SimhashWideBits, nBlocks).as("i")
-      .join(broadcast(batchBlocks.as("n")),
+        bits, nBlocks).as("i")
+      .join(broadcast(repBlocks.as("n")),
         col("i.blk") === col("n.blk") && col("i.bv") === col("n.bv"))
       .filter(bit_count(col("i.simhash").bitwiseXOR(col("n.simhash")))
         <= maxDist)
       .select(col("n.doc_id").as("doc_id")).distinct()
-    val batchHit = batchBlocks.as("a")
-      .join(broadcast(batchBlocks.as("b")),
+    val batchHit = repBlocks.as("a")
+      .join(broadcast(repBlocks.as("b")),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
         <= maxDist)
       .select(col("b.doc_id").as("doc_id")).distinct()
-    batch.join(broadcast(corpusHit.union(batchHit).distinct()),
+    reps.join(broadcast(corpusHit.union(batchHit).distinct()),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))

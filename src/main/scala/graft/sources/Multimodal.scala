@@ -794,6 +794,27 @@ object Multimodal {
     imagePhash(mediaWithEditedImages(spark, dir))
       .orderBy(col("media_id"))
 
+  /** INCREMENTAL image dedup — screen a new batch of dHash signatures
+    * against the persisted phash index of everything ingested earlier,
+    * keeping only images with no indexed (or earlier-in-batch) neighbor
+    * at hamming ≤ `maxDist`: the n95/SimhashIngest greedy stream policy
+    * on the image modality. One signature-generic core shared with the
+    * text simhash ingest ([[graft.ops.Dedup]]); the index stores
+    * 16-byte (media_id, phash) rows — screening never re-reads or
+    * re-decodes a payload, and the batch's block keys broadcast while
+    * the index streams map-side past them (the trigger-bounded-batch
+    * contract). Pigeonhole exact recall: 8 blocks > maxDist = 4.
+    */
+  def imagePhashDedupFromIndex(index: DataFrame, batchPhash: DataFrame,
+                               maxDist: Int = 4): DataFrame =
+    graft.ops.Dedup.incrementalSignatureDedupFromIndex(
+      batchPhash.filter(col("phash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      index.select(col("media_id").as("doc_id"),
+        col("phash").as("simhash")),
+      bits = 64, maxDist = maxDist, nBlocks = 8)
+      .select(col("doc_id").as("media_id"), col("simhash").as("phash"))
+
   /** Rep-level image near-dup pairs over [[imagePhashTable]] (the
     * collapsed production form) — each planted twin is in its
     * original's hash group or rep-connected to it; the spec proves

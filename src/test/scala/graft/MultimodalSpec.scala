@@ -135,6 +135,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imagePhashDedupFromIndex: survivors equal brute-force screening " +
+    "(no indexed or earlier-in-batch neighbor within hamming 4); " +
+    "planted twins of indexed originals are dropped") {
+    val ph = Multimodal.imagePhash(
+      Multimodal.mediaWithEditedImages(spark, dir))
+    val sig = ph.filter(col("phash").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val idx = sig.filter(_._1 < Multimodal.EditIdOffset)
+    val batch = sig.filter(_._1 >= Multimodal.EditIdOffset).sortBy(_._1)
+    import spark.implicits._
+    val idxDf = idx.toSeq.toDF("media_id", "phash")
+    val batchDf = batch.toSeq.toDF("media_id", "phash")
+    val got = Multimodal.imagePhashDedupFromIndex(idxDf, batchDf, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // brute force: greedy stream policy over (index ∪ earlier batch)
+    val want = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    batch.foreach { case (id, h) =>
+      val near = idx.exists(o => java.lang.Long.bitCount(o._2 ^ h) <= 4) ||
+        want.exists(o => java.lang.Long.bitCount(o._2 ^ h) <= 4)
+      if (!near) want += ((id, h))
+    }
+    assert(got === want.toList)
+    // the fixture must exercise BOTH outcomes: twins dropped (near
+    // their original) and twins kept (drifted or unique)
+    assert(got.size < batch.size, "some twin must be screened out")
+  }
+
   test("resizeImage: every output pixel equals the exact nearest-" +
     "neighbor source pixel from the synthetic formula") {
     val id = 6L

@@ -195,6 +195,66 @@ class PropertiesSpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("property: the m5 pigeonhole config (64-bit / 8 blocks / keep 4, " +
+    "hamming ≤ 4) ≡ brute force over random FULL-RANGE 64-bit " +
+    "signatures, incl. planted near-dups — the image-dedup parameters, " +
+    "sign bit exercised") {
+    val sigGen: Gen[List[Long]] = for {
+      n <- Gen.choose(4, 12)
+      base <- Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue))
+      planted <- Gen.choose(0, 3).flatMap(k => Gen.listOfN(k, for {
+        src <- Gen.choose(0, n - 1)
+        flips <- Gen.choose(0, 4)
+        bits <- Gen.listOfN(flips, Gen.choose(0, 63))
+      } yield bits.foldLeft(base(src))((s, b) => s ^ (1L << b))))
+    } yield base ++ planted
+    check(Prop.forAll(sigGen) { sigs =>
+      val idx = sigs.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "simhash")
+      val got = graft.ops.Dedup
+        .simhashNearDupPairsPermutedFromIndex(idx, bits = 64,
+          maxDist = 4, nBlocks = 8, nKeep = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val arr = sigs.zipWithIndex
+      val brute = (for {
+        (sa, ia) <- arr; (sb, ib) <- arr if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= 4
+      } yield (ia.toLong, ib.toLong, d)).toSet
+      got == brute
+    }, n = 10)
+  }
+
+  test("property: paragraphDedupBlocks ≡ naive Scala keep-first over " +
+    "random corpora with planted copied blocks (n140)") {
+    // words from a tiny vocabulary so whole-block collisions are
+    // common; k = 3 so multi-block docs are cheap
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val doc = Gen.choose(1, 8).flatMap(Gen.listOfN(_, word))
+    val corpus = Gen.choose(2, 8).flatMap(Gen.listOfN(_, doc))
+    check(Prop.forAll(corpus) { docsW =>
+      val k = 3
+      val rows = docsW.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val got = graft.ops.TextAnalysis
+        .paragraphDedupBlocks(rows.toDF("doc_id", "text"), k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toList
+      // naive: global (doc_id, pidx) scan, first occurrence of each
+      // block text kept
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = rows.map { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val blocks = ws.grouped(k).map(_.mkString(" ")).toList
+        val kept = blocks.filter { b =>
+          if (seen.contains(b)) false else { seen += b; true }
+        }
+        (id, blocks.length.toLong, (blocks.length - kept.length).toLong,
+          kept.mkString(" "))
+      }
+      got == want
+    }, n = 12)
+  }
+
   test("property: collapsed semantic dedup ≡ uncollapsed on random " +
     "vectors with copies, zero vectors, and null embeddings (n54)") {
     // coordinates from a tiny set so exact copies are common; the zero
