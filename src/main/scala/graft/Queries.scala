@@ -2590,6 +2590,20 @@ object Queries {
         |$DupSubRebuildCtes
         |$DupSubRebuildSelect""".stripMargin)),
 
+    // The MEASURED switch between n122 (plain) and n123 (pre-collapse)
+    // — the n139 discipline on the substring family: digest groups cut
+    // once, duplication inflation read, collapse only at >= 2.0 (the
+    // regime where round 11 measured 12.4s -> 2.8s at plain 5x).
+    // Branch-independent output by construction; n122's oracle proves
+    // whichever branch the measurement picks; TextAnalysisSpec pins
+    // both forced branches bit-equal + the default's branch choice.
+    ("n145_dupsub_dedup_auto",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.dupSubstringDedupAuto(docs(s, d), 5),
+      Some(s"""WITH $DupSubCtes,
+        |$DupSubRebuildCtes
+        |$DupSubRebuildSelect""".stripMargin)),
+
     // n122 over 60-bit HASHED gram keys — the production shuffle/index
     // payload (8 B per window vs a 5-word string). Both engines compute
     // the identical md5-prefix key, so this is oracled bit-for-bit (the

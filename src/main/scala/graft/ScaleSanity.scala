@@ -176,7 +176,8 @@ object ScaleSanity {
         "n140_paragraph_dedup", "n141_paragraph_dedup_by_source",
         "n142_training_build_safe", "m4_image_phash",
         "m5_image_neardup_pairs", "n143_clean_corpus_paragraph",
-        "n144_paragraph_dedup_incremental", "m6_image_dedup_incremental"))
+        "n144_paragraph_dedup_incremental", "m6_image_dedup_incremental",
+        "n145_dupsub_dedup_auto"))
     for (name <- names if Queries.queries.contains(name)) {
       val t0 = System.nanoTime()
       // full materialization — count() would let Catalyst prune the very

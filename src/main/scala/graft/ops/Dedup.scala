@@ -1176,42 +1176,49 @@ object Dedup {
     */
   val MinCollapseInflation = 2.0
 
+  /** Duplication INFLATION Σg²/Σg over a corpus's exact-dup (md5 text)
+    * group sizes — the number both measured collapse switches
+    * ([[containmentPairsPrefixAuto]],
+    * [[graft.ops.TextAnalysis.dupSubstringDedupAuto]]) read before
+    * choosing a front. Deliberately a digest-COUNT aggregate: the
+    * shuffle carries 16-byte hashes and longs, never the text (a
+    * text-carrying groups reuse cost the plain branch ~1.8× in the
+    * n145 sweep), so probing the corpus's dup structure is band-level
+    * next to either branch. EAGER: runs one job. Empty corpus → 1.0
+    * (no duplication).
+    */
+  def digestInflation(docs: DataFrame): Double = {
+    val r = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("g"))
+      .agg(sum(col("g") * col("g")).as("sq"), sum(col("g")).as("s"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 1.0
+    else r.getLong(0).toDouble / r.getLong(1)
+  }
+
   /** The MEASURED switch between [[containmentPairsPrefix]] (plain
     * PPJoin front, n115) and [[containmentPairsPrefixCollapsed]]
     * (exact-dup pre-collapse front, n118) — the n120 discipline applied
-    * to the containment family: the digest groups are materialized ONCE
-    * ([[Checkpoints.cut]]), the duplication inflation Σg²/Σg read from
-    * the cut, and the front chosen from that number instead of a static
-    * "production default" guess. Both branches consume the SAME cut
-    * frame — the plain branch re-expands the eligible corpus from the
-    * member lists, so the measure job is never wasted work — and both
-    * produce [[containmentPairsPrefix]]'s exact output (the collapsed
-    * branch is spec-pinned bit-equal), so the choice can never change
-    * the answer, only the candidate-generation shape.
+    * to the containment family: read the duplication inflation
+    * ([[digestInflation]] — a 16-byte digest-count shuffle, never the
+    * text) and choose the front from that number instead of a static
+    * "production default" guess. The collapsed branch's text-carrying
+    * groups pass is paid exactly when the collapse pays for it. Both
+    * branches produce [[containmentPairsPrefix]]'s exact output (the
+    * collapsed branch is spec-pinned bit-equal), so the choice can
+    * never change the answer, only the candidate-generation shape.
     *
     * EAGER by contract, like [[sourceLeakageMatrixAuto]]: the inflation
-    * read runs the digest aggregate at construction time. Callers that
-    * need a lazy plan pick a branch explicitly.
+    * read runs a job at construction time. Callers that need a lazy
+    * plan pick a branch explicitly.
     */
   def containmentPairsPrefixAuto(
       docs: DataFrame, threshold: Double,
-      minInflation: Double = MinCollapseInflation): DataFrame = {
-    val groups = containmentGroups(docs)
-    val r = groups
-      .agg(sum(size(col("ids")).cast("long") * size(col("ids")))
-        .as("sq"), sum(size(col("ids")).cast("long")).as("s"))
-      .head()
-    val inflation =
-      if (r.isNullAt(1) || r.getLong(1) == 0L) 1.0
-      else r.getLong(0).toDouble / r.getLong(1)
-    if (inflation >= minInflation)
-      containmentPrefixCollapsedFromGroups(groups, threshold)
-    else
-      containmentPairsPrefixRaw(
-        groups.select(explode(col("ids")).as("doc_id"), col("text")),
-        threshold)
-        .orderBy(col("doc_a"), col("doc_b"))
-  }
+      minInflation: Double = MinCollapseInflation): DataFrame =
+    if (digestInflation(docs
+        .filter(graft.functions.MinHash.eligible(col("text")))) >=
+        minInflation)
+      containmentPairsPrefixCollapsed(docs, threshold)
+    else containmentPairsPrefix(docs, threshold)
 
   /** Manku PERMUTED-TABLE refinement of the pigeonhole index (Manku,
     * Jain & Das Sarma, WWW'07 §3) — the fix for the documented

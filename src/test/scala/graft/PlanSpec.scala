@@ -600,6 +600,9 @@ class PlanSpec extends SparkSpec {
       "n141_paragraph_dedup_by_source" -> Set("h", "doc_id"),
       "n143_clean_corpus_paragraph" -> Set("h", "doc_id"),
       "n144_paragraph_dedup_incremental" -> Set("h", "doc_id"),
+      // the substring auto inherits whichever branch fires (gram-key +
+      // doc-keyed shuffles, the n122/n123 shapes)
+      "n145_dupsub_dedup_auto" -> Set("g", "doc_id"),
       // safe build: n99's stages + the hint-free CC-label/assignment
       // joins (doc_id) and the hint-free hot-gram join (g)
       "n142_training_build_safe" -> Set("g", "doc_id"))

@@ -357,6 +357,27 @@ class TextAnalysisSpec extends SparkSpec {
       "fixture should exercise the index-hit path across batches")
   }
 
+  test("dupSubstringDedupAuto: both forced branches are bit-equal to " +
+    "the plain form, and the measured inflation picks plain on the " +
+    "low-dup corpus and collapsed on the replicated one") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val want = rows(TextAnalysis.dupSubstringDedup(d, 5))
+    assert(want.nonEmpty)
+    assert(rows(TextAnalysis.dupSubstringDedupAuto(d, 5,
+      minInflation = Double.MaxValue)) === want)
+    assert(rows(TextAnalysis.dupSubstringDedupAuto(d, 5,
+      minInflation = 0.0)) === want)
+    assert(rows(TextAnalysis.dupSubstringDedupAuto(d, 5)) === want)
+    // ×3 replication: inflation ≈ 3 → collapsed branch, same answer
+    val tri = d.union(d.select(col("doc_id") + 1000000L, col("text")))
+      .union(d.select(col("doc_id") + 2000000L, col("text")))
+    assert(rows(TextAnalysis.dupSubstringDedupAuto(tri, 5)) ===
+      rows(TextAnalysis.dupSubstringDedup(tri, 5)))
+  }
+
   test("paragraphDedupFromIndex: folding doc_id-ordered batches through " +
     "the index delta ≡ batch-mode paragraphDedupBlocks per batch; " +
     "cross-batch suppression actually fires") {
