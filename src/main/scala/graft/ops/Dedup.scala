@@ -1115,10 +1115,11 @@ object Dedup {
       containmentGroups(docs), threshold)
 
   /** The exact-dup digest groups the collapsed containment front runs
-    * over — (digest, rep = min doc_id, one rep text, sorted member ids),
-    * cut because every consumer reads it at least twice (rep corpus +
-    * member expansion; the auto switch additionally reads its group-size
-    * stats).
+    * over — (digest, rep = min doc_id, one rep text, sorted member
+    * ids), cut because the collapsed form reads it twice (rep corpus +
+    * member expansion). The auto switch deliberately does NOT read it:
+    * it probes [[digestInflation]] (digest counts, no text) and only a
+    * collapse decision pays for this text-carrying pass.
     */
   private def containmentGroups(docs: DataFrame): DataFrame =
     Checkpoints.cut(docs

@@ -999,9 +999,11 @@ object TextAnalysis {
     dupSubstringDedupCollapsedFromGroups(dupSubstringGroups(docs), k)
 
   /** The exact-dup digest groups the collapsed substring front runs
-    * over — cut because every consumer reads it at least twice (rep
-    * corpus + member expansion; the auto switch additionally reads its
-    * group-size stats).
+    * over — cut because the collapsed form reads it twice (rep corpus +
+    * member expansion). The auto switch deliberately does NOT read it:
+    * it probes [[graft.ops.Dedup.digestInflation]] (digest counts, no
+    * text) and only a collapse decision pays for this text-carrying
+    * pass.
     */
   private def dupSubstringGroups(docs: DataFrame): DataFrame =
     graft.ops.Checkpoints.cut(
@@ -1064,9 +1066,15 @@ object TextAnalysis {
       .distinct()
 
   /** The grams a new batch adds to an existing [[dupSubstringIndex]] —
-    * the O(batch) append payload (write these rows, inherit the rest by
-    * reference). Anti join on the gram key: the index side streams
-    * map-side past the batch's gram set at any index size.
+    * the O(batch-OUTPUT) append payload (write these rows, inherit the
+    * rest by reference), as an anti join on the gram key. This is the
+    * OFFLINE form (both sides legitimately exchange on `g` — a
+    * left-anti cannot broadcast its left side, so a corpus-sized index
+    * here shuffles or broadcasts whole); the streaming ingest
+    * ([[graft.streaming.SubstringIngest]]) instead derives its delta
+    * as batchGrams ∖ hitGrams where hitGrams came from an index-side
+    * LEFT SEMI against the BROADCAST batch set — the trigger-bounded
+    * shape in which the index truly streams map-side.
     */
   def dupSubstringIndexDelta(index: DataFrame, batch: DataFrame,
                              k: Int = 5): DataFrame =
@@ -1346,10 +1354,10 @@ object TextAnalysis {
   /** The persisted 1-column PARAGRAPH-HASH index of a corpus — the
     * [[dupSubstringIndex]] convention at paragraph granularity:
     * presence of a hash means some earlier batch holds that paragraph's
-    * first occurrence, so every later occurrence is non-first. 16 B a
-    * row (md5 hex truncation not applied — the hash IS the dedup key,
-    * collisions must match the batch side exactly), never re-reads
-    * text.
+    * first occurrence, so every later occurrence is non-first. One
+    * 32-hex md5 STRING per row (~32 B payload; not truncated — the
+    * hash IS the dedup key and must match the batch side exactly),
+    * never the text.
     */
   def paragraphIndex(docs: DataFrame, k: Int = 20): DataFrame =
     blockParagraphs(docs, k)
@@ -1357,8 +1365,15 @@ object TextAnalysis {
       .distinct()
 
   /** The hashes a new batch adds to an existing [[paragraphIndex]] —
-    * the O(batch) append payload. Anti join on the hash key: the index
-    * side streams map-side past the batch's hash set at any index size.
+    * the O(batch-OUTPUT) append payload, as an anti join on the hash
+    * key. This is the OFFLINE form (both sides legitimately exchange
+    * on `h` — a left-anti cannot broadcast its left side, so a
+    * corpus-sized index here shuffles or broadcasts whole); the
+    * streaming ingest ([[graft.streaming.ParagraphIngest]]) instead
+    * derives its delta as batchHashes ∖ hitHashes where hitHashes came
+    * from an index-side LEFT SEMI against the BROADCAST batch set —
+    * the trigger-bounded shape in which the index truly streams
+    * map-side.
     */
   def paragraphIndexDelta(index: DataFrame, batch: DataFrame,
                           k: Int = 20): DataFrame =
@@ -1384,12 +1399,13 @@ object TextAnalysis {
     val withH = blockParagraphs(batch, k)
       .select(col("doc_id"), col("pidx"), col("para"),
         md5(col("para")).as("h"))
+    // no cnt column here, unlike dupSubstringDedupFromIndex: the keep
+    // test below needs only the min and the index hit (a singleton
+    // paragraph IS its own first and keeps without a count filter)
     val firsts = withH
       .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pidx"))).as("f"),
-        count(lit(1)).as("cnt"))
-      .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pidx").as("fpix"),
-        col("cnt"))
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pidx").as("fpix"))
     withH.join(firsts, Seq("h"))
       .join(index.select(col("h"), lit(1).as("hit")).distinct(),
         Seq("h"), "left_outer")

@@ -149,12 +149,18 @@ class MultimodalSpec extends SparkSpec {
     val batchDf = batch.toSeq.toDF("media_id", "phash")
     val got = Multimodal.imagePhashDedupFromIndex(idxDf, batchDf, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
-    // brute force: greedy stream policy over (index ∪ earlier batch)
+    // brute force: the pinned policy (DedupSpec n95) — drop on ANY
+    // earlier batch ARRIVAL within distance, kept or dropped, never
+    // only on earlier survivors (the two diverge on chains: x1 dropped
+    // by the index, x2 near x1 but far from everything else — x2 must
+    // still drop)
     val want = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val earlier = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
     batch.foreach { case (id, h) =>
       val near = idx.exists(o => java.lang.Long.bitCount(o._2 ^ h) <= 4) ||
-        want.exists(o => java.lang.Long.bitCount(o._2 ^ h) <= 4)
+        earlier.exists(o => java.lang.Long.bitCount(o._2 ^ h) <= 4)
       if (!near) want += ((id, h))
+      earlier += ((id, h))
     }
     assert(got === want.toList)
     // the fixture must exercise BOTH outcomes: twins dropped (near
