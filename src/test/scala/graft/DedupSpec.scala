@@ -808,6 +808,20 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.containmentPairsPrefix(tri, 0.5)))
   }
 
+  test("digestInflation: hand-computed Σg²/Σg — 1.0 on all-distinct, " +
+    "exact value on planted groups, 1.0 on empty") {
+    import spark.implicits._
+    // all distinct: every group size 1 → Σg²/Σg = 1
+    assert(Dedup.digestInflation(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")) === 1.0)
+    // groups of sizes 3 and 1: (9 + 1) / (3 + 1) = 2.5
+    assert(Dedup.digestInflation(Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y")).toDF("doc_id", "text")) === 2.5)
+    // empty corpus: no duplication by definition
+    assert(Dedup.digestInflation(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")) === 1.0)
+  }
+
   test("containmentPairsPrefixAuto: both forced branches are bit-equal " +
     "to the plain form, and the measured inflation picks plain on the " +
     "low-dup corpus and collapsed on the replicated one") {
