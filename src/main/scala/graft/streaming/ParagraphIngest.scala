@@ -41,37 +41,17 @@ import graft.sources.Sinks
   */
 object ParagraphIngest {
 
-  private val BatchIdMeta = "max_batch_id"
-
-  private def indexExists(spark: SparkSession, table: String): Boolean = {
-    val ptr = new org.apache.hadoop.fs.Path(table, "_current")
-    ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ptr)
-  }
-
-  /** Highest batch id already published — from version metadata (O(1),
-    * zero Spark jobs); pre-metadata tables fall back to one index scan.
-    */
   def maxPublished(spark: SparkSession, table: String): Long =
-    if (!indexExists(spark, table)) -1L
-    else Sinks.Versioned.meta(spark, table).get(BatchIdMeta) match {
-      case Some(v) => v.toLong
-      case None =>
-        Sinks.Versioned.read(spark, table)
-          .agg(max(col("batch_id"))).head() match {
-            case r if r.isNullAt(0) => -1L
-            case r => r.getLong(0)
-          }
-    }
+    VersionedIngest.maxPublished(spark, table)
 
   /** The published hash index (h, batch_id), empty-but-typed before the
     * first publish.
     */
   def readIndex(spark: SparkSession, table: String): DataFrame =
-    if (indexExists(spark, table)) Sinks.Versioned.read(spark, table)
-    else {
+    VersionedIngest.readIndexOr(spark, table, {
       import spark.implicits._
       Seq.empty[(String, Long)].toDF("h", "batch_id")
-    }
+    })
 
   /** Process ONE batch of (doc_id, text, ...) rows: dedup against the
     * pre-batch index + the batch's own firsts, append the new hashes,
@@ -97,16 +77,10 @@ object ParagraphIngest {
     // result (the SubstringIngest lesson)
     val result = graft.ops.Checkpoints.cut(TextAnalysis
       .paragraphDedupFromIndex(hitHashes, batch, k))
-    if (batchId > maxPublished(spark, indexTable)) {
-      val delta = batchHashes.join(hitHashes, Seq("h"), "left_anti")
-        .withColumn("batch_id", lit(batchId))
-      if (indexExists(spark, indexTable))
-        Sinks.Versioned.append(delta, indexTable,
-          meta = Map(BatchIdMeta -> batchId.toString))
-      else
-        Sinks.Versioned.publish(delta, indexTable,
-          meta = Map(BatchIdMeta -> batchId.toString))
-    }
+    if (batchId > maxPublished(spark, indexTable))
+      VersionedIngest.commit(spark, indexTable,
+        batchHashes.join(hitHashes, Seq("h"), "left_anti")
+          .withColumn("batch_id", lit(batchId)), batchId)
     // sink write AFTER the publish: a crash in between replays into the
     // deterministic recompute, which rewrites exactly this partition
     val rows = result.withColumn("batch_id", lit(batchId))
@@ -128,21 +102,9 @@ object ParagraphIngest {
                          None,
                        compactEvery: Int = 0,
                        compactTargetFiles: Int = 8)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    Sinks.Versioned.breakLease(spark, indexTable)
-    FileStreams.readParquetStream(spark, dir, glob, maxFilesPerTrigger,
-        schema)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestBatch(batch, id, indexTable, out, k)
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0 &&
-            indexExists(spark, indexTable))
-          Sinks.Versioned.compact(spark, indexTable, compactTargetFiles)
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    VersionedIngest.runStream(spark, dir, checkpoint, indexTable, glob,
+      maxFilesPerTrigger, schema, compactEvery, compactTargetFiles) {
+      (batch, id) => ingestBatch(batch, id, indexTable, out, k); ()
+    }
 }

@@ -44,40 +44,17 @@ import graft.sources.Sinks
   */
 object SemanticIngest {
 
-  private val BatchIdMeta = "max_batch_id"
-
-  private def indexExists(spark: SparkSession, table: String): Boolean = {
-    val ptr = new org.apache.hadoop.fs.Path(table, "_current")
-    ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ptr)
-  }
-
-  /** The highest batch id already published into the index — from the
-    * live version's metadata (O(1): a manifest read, ZERO Spark jobs).
-    * An index published by a pre-metadata build falls back to the
-    * one-off `max(batch_id)` scan; every commit this object makes
-    * stamps the metadata, so the fallback runs at most once per table
-    * lifetime.
-    */
   def maxPublished(spark: SparkSession, table: String): Long =
-    if (!indexExists(spark, table)) -1L
-    else Sinks.Versioned.meta(spark, table).get(BatchIdMeta) match {
-      case Some(v) => v.toLong
-      case None =>
-        Sinks.Versioned.read(spark, table)
-          .agg(max(col("batch_id"))).head() match {
-            case r if r.isNullAt(0) => -1L
-            case r => r.getLong(0)
-          }
-    }
+    VersionedIngest.maxPublished(spark, table)
 
   /** The published survivor index (vec_id, label, embedding, batch_id),
     * empty-but-typed when nothing has been published yet.
     */
   def readIndex(spark: SparkSession, table: String,
                 like: DataFrame): DataFrame =
-    if (indexExists(spark, table)) Sinks.Versioned.read(spark, table)
-    else like.select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("batch_id", lit(0L)).limit(0)
+    VersionedIngest.readIndexOr(spark, table,
+      like.select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("batch_id", lit(0L)).limit(0))
 
   /** Process ONE batch: dedup against the index + itself, publish the
     * survivors into the index, emit them to `out/batch_id=<id>/`.
@@ -109,12 +86,7 @@ object SemanticIngest {
         // written; the index data is inherited by reference. The old
         // `publish(index ∪ batch)` rewrote the WHOLE index per batch —
         // quadratic over the stream's life.
-        if (indexExists(spark, indexTable))
-          Sinks.Versioned.append(enriched, indexTable,
-            meta = Map(BatchIdMeta -> batchId.toString))
-        else
-          Sinks.Versioned.publish(enriched, indexTable,
-            meta = Map(BatchIdMeta -> batchId.toString))
+        VersionedIngest.commit(spark, indexTable, enriched, batchId)
         enriched.select(col("vec_id"), col("label"))
       }
     // sink write AFTER the publish: a crash in between replays into the
@@ -160,24 +132,10 @@ object SemanticIngest {
                          None,
                        compactEvery: Int = 0,
                        compactTargetFiles: Int = 8)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    // this query is the index's single writer by construction; a prior
-    // run that died holding the publish lease must not stall the resume
-    // until the lease ages out
-    Sinks.Versioned.breakLease(spark, indexTable)
-    FileStreams.readParquetStream(spark, dir, glob, maxFilesPerTrigger,
-        schema)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestBatch(batch, id, indexTable, out, threshold, bucketBits)
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0 &&
-            indexExists(spark, indexTable))
-          Sinks.Versioned.compact(spark, indexTable, compactTargetFiles)
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    VersionedIngest.runStream(spark, dir, checkpoint, indexTable, glob,
+      maxFilesPerTrigger, schema, compactEvery, compactTargetFiles) {
+      (batch, id) =>
+        ingestBatch(batch, id, indexTable, out, threshold, bucketBits); ()
+    }
 }

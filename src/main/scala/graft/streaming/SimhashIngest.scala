@@ -44,37 +44,17 @@ import graft.sources.Sinks
   */
 object SimhashIngest {
 
-  private val BatchIdMeta = "max_batch_id"
-
-  private def indexExists(spark: SparkSession, table: String): Boolean = {
-    val ptr = new org.apache.hadoop.fs.Path(table, "_current")
-    ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ptr)
-  }
-
-  /** Highest batch id already published — from version metadata (O(1),
-    * zero Spark jobs); pre-metadata tables fall back to one index scan.
-    */
   def maxPublished(spark: SparkSession, table: String): Long =
-    if (!indexExists(spark, table)) -1L
-    else Sinks.Versioned.meta(spark, table).get(BatchIdMeta) match {
-      case Some(v) => v.toLong
-      case None =>
-        Sinks.Versioned.read(spark, table)
-          .agg(max(col("batch_id"))).head() match {
-            case r if r.isNullAt(0) => -1L
-            case r => r.getLong(0)
-          }
-    }
+    VersionedIngest.maxPublished(spark, table)
 
   /** The published signature index (doc_id, simhash, batch_id),
     * empty-but-typed before the first publish.
     */
   def readIndex(spark: SparkSession, table: String): DataFrame =
-    if (indexExists(spark, table)) Sinks.Versioned.read(spark, table)
-    else {
+    VersionedIngest.readIndexOr(spark, table, {
       import spark.implicits._
       Seq.empty[(Long, Long, Long)].toDF("doc_id", "simhash", "batch_id")
-    }
+    })
 
   /** Process ONE batch of (doc_id, text, ...) rows: screen against the
     * index + itself, append the survivors' signatures to the index,
@@ -101,13 +81,8 @@ object SimhashIngest {
         val kept = graft.ops.Checkpoints.cut(
           Dedup.incrementalSimhashDedupFromIndex(batch,
             index.select(col("doc_id"), col("simhash")), maxDist))
-        val stamped = kept.withColumn("batch_id", lit(batchId))
-        if (indexExists(spark, indexTable))
-          Sinks.Versioned.append(stamped, indexTable,
-            meta = Map(BatchIdMeta -> batchId.toString))
-        else
-          Sinks.Versioned.publish(stamped, indexTable,
-            meta = Map(BatchIdMeta -> batchId.toString))
+        VersionedIngest.commit(spark, indexTable,
+          kept.withColumn("batch_id", lit(batchId)), batchId)
         batch.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
       }
     // sink write AFTER the publish: a crash in between replays into the
@@ -131,21 +106,9 @@ object SimhashIngest {
                          None,
                        compactEvery: Int = 0,
                        compactTargetFiles: Int = 8)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    Sinks.Versioned.breakLease(spark, indexTable)
-    FileStreams.readParquetStream(spark, dir, glob, maxFilesPerTrigger,
-        schema)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestBatch(batch, id, indexTable, out, maxDist)
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0 &&
-            indexExists(spark, indexTable))
-          Sinks.Versioned.compact(spark, indexTable, compactTargetFiles)
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    VersionedIngest.runStream(spark, dir, checkpoint, indexTable, glob,
+      maxFilesPerTrigger, schema, compactEvery, compactTargetFiles) {
+      (batch, id) => ingestBatch(batch, id, indexTable, out, maxDist); ()
+    }
 }

@@ -86,6 +86,29 @@ class ImageIngestSpec extends SparkSpec {
     assert(idxIds === Set(3L, 6L) ++ expectKept)
   }
 
+  test("row policy edges: a NULL-kind row passes through (never lost), " +
+    "and a non-image row sharing a media_id with an undecodable image " +
+    "is emitted exactly once") {
+    val tmp = Files.createTempDirectory("graft_imgingest_pol").toString
+    val (table, out) = (s"$tmp/index", s"$tmp/out")
+    val rows = Seq(
+      img(1L, Multimodal.pngBytes(1L)),
+      Row(7L, null, Multimodal.wavBytes(7L), Row(null, null, 8000)),
+      // id 42 twice: an audio row AND a corrupt image — both must
+      // survive, each exactly once
+      Row(42L, "audio", Multimodal.wavBytes(42L), Row(null, null, 8000)),
+      img(42L, Array.fill[Byte](16)(7)))
+    val n = ImageIngest.ingestBatch(media(rows: _*), 0L, table, out)
+    assert(n === 4L, "all four rows must be emitted")
+    val got = spark.read.parquet(out)
+      .select(col("media_id"), col("kind")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got === Map(
+      (1L, Some("image")) -> 1, (7L, None) -> 1,
+      (42L, Some("audio")) -> 1, (42L, Some("image")) -> 1))
+  }
+
   test("replay idempotence incl. the publish-then-crash torn order") {
     val tmp = Files.createTempDirectory("graft_imgingest_rp").toString
     val (table, out) = (s"$tmp/index", s"$tmp/out")
