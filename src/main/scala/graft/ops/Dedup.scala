@@ -1189,11 +1189,16 @@ object Dedup {
     * (no duplication).
     */
   def digestInflation(docs: DataFrame): Double = {
+    // g² as DOUBLE: a Long product silently wraps (non-ANSI) once a
+    // single exact-dup group tops ~3e9 members — exactly the dup-heavy
+    // corpora this switch targets. The switch reads a ratio, not an
+    // exact integer, so double precision is the right trade.
     val r = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("g"))
-      .agg(sum(col("g") * col("g")).as("sq"), sum(col("g")).as("s"))
+      .agg(sum(col("g").cast("double") * col("g")).as("sq"),
+        sum(col("g")).as("s"))
       .head()
     if (r.isNullAt(1) || r.getLong(1) == 0L) 1.0
-    else r.getLong(0).toDouble / r.getLong(1)
+    else r.getDouble(0) / r.getLong(1)
   }
 
   /** The MEASURED switch between [[containmentPairsPrefix]] (plain

@@ -48,7 +48,12 @@ object Multimodal {
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = false),
+    // `kind` is nullable: ImageIngest's row policy promises NULL-kind
+    // rows pass through unscreened (its `<=>` null-safe tests exist for
+    // exactly this), and a non-nullable field would make the ENCODER
+    // throw before any policy runs. transformMedia already declared its
+    // output kind nullable; the input schema must agree.
+    StructField("kind", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("meta", StructType(Seq(
       StructField("width", IntegerType, nullable = true),
@@ -167,7 +172,11 @@ object Multimodal {
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = false),
+    // nullable: extractFeatures pipes the INPUT kind straight through,
+    // and mediaSchema allows a null kind (decoded as the zero feature
+    // via the wildcard arm) — a non-nullable field here would kill the
+    // decode task on the first such row.
+    StructField("kind", StringType, nullable = true),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = true),
     StructField("decode_err", StringType, nullable = true)))
@@ -774,7 +783,10 @@ object Multimodal {
             val p = img.getRGB(0, 0)
             val red = (p >> 16) & 0xff
             val bumped = if (red == 255) red - 1 else red + 1
-            img.setRGB(0, 0, (bumped << 16) | (p & 0x00ffff))
+            // preserve every non-red byte, INCLUDING alpha (bits 24-31):
+            // masking with 0x00ffff would zero alpha on an ARGB source,
+            // turning the "one red-channel bump" into a transparency edit
+            img.setRGB(0, 0, (p & 0xff00ffff) | (bumped << 16))
             val bos = new ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, "png", bos)
             Some(Row(id + EditIdOffset, "image", bos.toByteArray,

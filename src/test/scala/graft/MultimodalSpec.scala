@@ -67,6 +67,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2)._2.isEmpty && got(2)._3.isEmpty)
   }
 
+  test("extractFeatures: a NULL-kind row survives the decode task " +
+    "(zero feature via the wildcard arm, kind piped through as null) — " +
+    "the r12 latent trap: featureSchema must admit the null it emits") {
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "image", Multimodal.pngBytes(1L), Row(4, 4, null)),
+      Row(2L, null, Multimodal.pngBytes(2L), Row(4, 4, null)),
+      Row(3L, null, null, null))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getSeq[Float](3)), Option(r.getString(4))))
+      .sortBy(_._1)
+    assert(got.length === 3, "NULL-kind rows must not kill the task")
+    assert(got(0)._2.contains("image") && got(0)._3.isDefined)
+    // null kind, real payload: wildcard arm → zero feature, no error
+    assert(got(1)._2.isEmpty && got(1)._4.isEmpty)
+    assert(got(1)._3.exists(f => f.length == 8 && f.forall(_ == 0f)))
+    // null kind AND null payload: the null-payload zero-feature path
+    assert(got(2)._2.isEmpty && got(2)._4.isEmpty)
+    assert(got(2)._3.exists(f => f.length == 8 && f.forall(_ == 0f)))
+  }
+
   test("imageNearDupPairs: EXACTLY the brute-force hamming <= 4 pairs " +
     "over the decoded corpus, and every planted one-pixel edit pairs " +
     "with its original") {
@@ -143,7 +167,19 @@ class MultimodalSpec extends SparkSpec {
     val sig = ph.filter(col("phash").isNotNull).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val idx = sig.filter(_._1 < Multimodal.EditIdOffset)
-    val batch = sig.filter(_._1 >= Multimodal.EditIdOffset).sortBy(_._1)
+    // plant one batch row whose hash is provably FAR (hamming > 4) from
+    // every indexed and every batch hash, so the keep path is exercised
+    // even when every edited twin lands near its original (the registry
+    // corpus produced exactly that all-dropped regime at r12): search
+    // deterministic candidates until one clears the distance bound.
+    val allHashes = sig.map(_._2)
+    val farHash = Iterator.iterate(0x5a5a5a5a5a5a5a5aL)(h =>
+      h * 0x9e3779b97f4a7c15L + 1L)
+      .find(h => allHashes.forall(o =>
+        java.lang.Long.bitCount(o ^ h) > 4)).get
+    val plantedId = Multimodal.EditIdOffset * 4
+    val batch = (sig.filter(_._1 >= Multimodal.EditIdOffset) :+
+      ((plantedId, farHash))).sortBy(_._1)
     import spark.implicits._
     val idxDf = idx.toSeq.toDF("media_id", "phash")
     val batchDf = batch.toSeq.toDF("media_id", "phash")
@@ -164,8 +200,11 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(got === want.toList)
     // the fixture must exercise BOTH outcomes: twins dropped (near
-    // their original) and twins kept (drifted or unique)
+    // their original) and survivors kept (the planted far row at
+    // minimum) — an all-dropped run would vacuously pass the equality
     assert(got.size < batch.size, "some twin must be screened out")
+    assert(got.nonEmpty, "some batch row must survive screening")
+    assert(got.exists(_._1 == plantedId), "the planted far row must survive")
   }
 
   test("resizeImage: every output pixel equals the exact nearest-" +
