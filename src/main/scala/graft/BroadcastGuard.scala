@@ -2,10 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Dev utility (the round-12 un-force receipt): demonstrate, on a real
-  * dup-heavy corpus, the hot-gram frame that the FORCED-broadcast branch
-  * of the boilerplate family cannot survive while the hint-free default
-  * completes — the miniature of the 100 TB OOM the verdict flagged.
+/** Dev utility (the round-12/13 un-force receipts): demonstrate, on a
+  * real dup-heavy corpus, the corpus-vocabulary-shaped frames that the
+  * FORCED-broadcast branches cannot survive while the hint-free
+  * defaults complete — the miniature of the 100 TB OOM the verdict
+  * flagged. Three families share the pathology: the boilerplate
+  * hot-gram frame (round 12), n25's idf table and n77's BPE word
+  * segmentation table (round 13) — each is the corpus's distinct
+  * vocabulary, which grows with the corpus and never fits a broadcast
+  * budget at web scale.
   *
   * The driver result-size cap stands in for executor broadcast memory:
   * a broadcast build collects the frame to the driver first, so capping
@@ -73,11 +78,34 @@ object BroadcastGuard {
           println(s"GUARD FAIL  $label ${root.getClass.getSimpleName}: $msg")
       }
     }
-    attempt("forced-broadcast") {
+    attempt("coverage forced-broadcast") {
       ops.TextAnalysis.boilerplateCoverage(docs, 5, 2, broadcast)
     }
-    attempt("hint-free      ") {
+    attempt("coverage hint-free      ") {
       ops.TextAnalysis.boilerplateCoverage(docs, 5, 2)
+    }
+    // n25: the idf frame is the corpus's distinct-word vocabulary —
+    // the same corpus-vocabulary shape. Forced broadcast(df) dies on
+    // the budget; the hint-free default (r13) shuffles and completes.
+    attempt("tfidf    forced-broadcast") {
+      ops.TextAnalysis.tfidfTopTerms(docs, 5, broadcast)
+    }
+    attempt("tfidf    hint-free      ") {
+      ops.TextAnalysis.tfidfTopTerms(docs, 5)
+    }
+    // n77: the (word, n_sub) segmentation table is the distinct-word
+    // vocabulary of the SCORED corpus. The model itself is tiny and
+    // bounded (trained here on the un-salted base — its contents are
+    // irrelevant to the exchange-shape demo); what must never be
+    // forced is the vocabulary join.
+    val model = ops.TextAnalysis.bpeMerges(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text")), 10)
+    attempt("bpe      forced-broadcast") {
+      ops.TextAnalysis.bpeTokenize(docs, model, broadcast)
+    }
+    attempt("bpe      hint-free      ") {
+      ops.TextAnalysis.bpeTokenize(docs, model)
     }
     spark.stop()
   }

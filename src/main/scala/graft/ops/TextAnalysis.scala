@@ -1620,14 +1620,19 @@ object TextAnalysis {
 
   /** TF-IDF: top-`k` highest-scoring terms per document. tf = in-doc
     * count, idf = ln(N / df) over distinct-word document frequency.
-    * Two shuffles (df aggregate, per-doc rank); the df table is tiny
-    * (vocabulary-sized) and broadcast into the scoring join. The corpus
-    * size N is a 1-row aggregate broadcast into the scorer — never a
-    * driver-side `count()`, so the whole query stays lazy (composable,
-    * and the same shape reuses on a stream where an eager action is
-    * illegal).
+    * Two shuffles (df aggregate, per-doc rank). The df join is
+    * HINT-FREE (the [[scoreBigramLm]] model-join pattern): the df table
+    * is corpus-vocabulary-shaped — 10⁸–10⁹ rows on a web corpus, the
+    * [[dsirWeightsHashed]] number — so a forced broadcast is an
+    * OOM-by-construction at scale; AQE broadcasts it when (and only
+    * when) runtime stats say it fits, which covers the tiny-vocabulary
+    * regime without betting the driver on it. The corpus size N is a
+    * 1-row aggregate broadcast into the scorer — never a driver-side
+    * `count()`, so the whole query stays lazy (composable, and the same
+    * shape reuses on a stream where an eager action is illegal).
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+                    dfHint: DataFrame => DataFrame = identity): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -1642,7 +1647,7 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word").asc)
-    tf.join(broadcast(df), "word")
+    tf.join(dfHint(df), "word")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"),
         round(col("tf") * log(col("n_total") / col("df")), 6).as("tfidf"))
@@ -2764,36 +2769,42 @@ object TextAnalysis {
     * and their ratio (the fertility number that replaces [[tokenCounts]]'
     * 4-char proxy with the real trained tokenizer).
     *
-    * Piece count is a function of the WORD alone, so the rule chain
-    * (`nMerges` chained HOF folds — the training fold verbatim:
-    * leftmost-first, the merged symbol cannot re-match its own left
-    * side) runs on the DISTINCT word table, vocabulary-sized, and the
-    * (word → n_sub) result broadcasts back into the token stream — the
-    * n67 shape. Segmenting per OCCURRENCE instead measured 22.6 s at
-    * sf0.1 vs ~1 s for this form: the fold work multiplies by
+    * Piece count is a function of the WORD alone, so the segmenter
+    * (the codegen'd [[graft.functions.BpeSegment]] expression, spec-
+    * pinned bit-equal to the [[bpeSegmentHof]] training-fold anchor)
+    * runs on the DISTINCT word table, vocabulary-sized, and the
+    * (word → n_sub) result joins back into the token stream HINT-FREE:
+    * that frame is corpus-vocabulary-shaped (10⁸–10⁹ rows on a web
+    * corpus), so broadcast is AQE's runtime call, never forced.
+    * Segmenting per OCCURRENCE instead measured 22.6 s at sf0.1 vs
+    * ~1 s for this form: the segment work multiplies by
     * corpus-tokens/vocab (~160× here) for identical output. The model
     * collect is bounded (`nMerges` rows); the scoring plan carries zero
     * training subtrees, and the per-doc sum keeps a map-side partial
     * phase below its one doc_id exchange.
     */
-  def bpeTokenize(docs: DataFrame, merges: DataFrame): DataFrame = {
+  def bpeTokenize(docs: DataFrame, merges: DataFrame,
+                  vocabHint: DataFrame => DataFrame = identity): DataFrame = {
     val rules = merges.orderBy(col("round")).collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    def segment(word: Column): Column =
-      rules.foldLeft(filter(split(word, ""), s => s =!= "")) {
-        case (seg, (l, r)) =>
-          aggregate(seg, array().cast("array<string>"), (acc, s) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && s === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(s))))
-      }
+      .map(r => (r.getString(1), r.getString(2))).toSeq
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // production segmenter: the codegen'd BpeSegment expression (spec-
+    // pinned ≡ bpeSegmentHof) — one tree node at ANY vocabulary size,
+    // where the HOF chain's expression depth is linear in nMerges and
+    // stops planning near the measured BENCH_NOTES r13 ceiling, far
+    // short of a production 32k-merge model
     val vocab = base.select(explode(col("ws")).as("word")).distinct()
-      .select(col("word"), size(segment(col("word"))).cast("long").as("n_sub"))
+      .select(col("word"),
+        size(graft.functions.BpeSegment.bpeSegment(col("word"), rules))
+          .cast("long").as("n_sub"))
+    // HINT-FREE word join (the scoreBigramLm model-join pattern): the
+    // (word, n_sub) frame is corpus-vocabulary-shaped — the
+    // dsirWeightsHashed Scaladoc's 10⁸–10⁹ rows on a web corpus — so a
+    // forced broadcast is an OOM-by-construction; AQE broadcasts it
+    // when runtime stats say it fits (it does at fixture scale)
     base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
         explode(col("ws")).as("word"))
-      .join(broadcast(vocab), Seq("word"))
+      .join(vocabHint(vocab), Seq("word"))
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(sum(col("n_sub")).as("n_pieces"))
       .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
@@ -2801,6 +2812,26 @@ object TextAnalysis {
           .as("pieces_per_token"))
       .orderBy(col("doc_id"))
   }
+
+  /** The compositional nested-HOF segmenter — the ANCHOR form of BPE
+    * application (the training fold verbatim: per rule, one
+    * leftmost-first pass where the merged symbol cannot re-match its
+    * own right side). [[graft.functions.BpeSegment]] is spec-pinned
+    * bit-equal and is the production form: this chain's expression
+    * tree is LINEAR in nMerges (one `aggregate` lambda per rule), so
+    * it stops planning well short of a 32k-merge production model —
+    * the measured ceiling is the round-13 BENCH_NOTES receipt. Kept
+    * public as the parity oracle and the depth-receipt harness.
+    */
+  def bpeSegmentHof(word: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(filter(split(word, ""), s => s =!= "")) {
+      case (seg, (l, r)) =>
+        aggregate(seg, array().cast("array<string>"), (acc, s) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s))))
+    }
 
   /** The shared projection of the budget/packing operators: per-doc
     * token count + stable walk key.

@@ -129,6 +129,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan("n82_boilerplate_trim").contains("CartesianProduct"))
   }
 
+  test("n25/n77: the corpus-vocabulary word joins are HINT-FREE — the " +
+    "idf table and the BPE segmentation table are the corpus's " +
+    "distinct-word vocabulary (10⁸–10⁹ rows on a web corpus), so the " +
+    "exchange choice belongs to AQE (the scoreBigramLm pattern); only " +
+    "the 1-row N frame may carry a hint") {
+    for (name <- Seq("n25_tfidf_top_terms", "n77_bpe_tokenize")) {
+      val opt = Queries.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      // every equi-join ON word must be hint-free; n25's cross join
+      // with the 1-row corpus count is the single allowed hint (its
+      // join line carries no word key)
+      val wordJoins = opt.linesIterator
+        .filter(l => l.contains("Join") && l.contains("word#")).toList
+      assert(wordJoins.nonEmpty, s"$name lost its word join:\n" + opt)
+      wordJoins.foreach(l =>
+        assert(!l.contains("strategy=broadcast"),
+          s"$name force-broadcasts a vocabulary-shaped frame (the " +
+            s"n71/BroadcastGuard OOM class):\n" + l))
+    }
+  }
+
+  test("n77: the production segmenter is ONE expression node — the " +
+    "plan carries bpe_segment, not a chained-aggregate lambda tree " +
+    "linear in nMerges") {
+    val opt = Queries.queries("n77_bpe_tokenize")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("bpe_segment"),
+      "the codegen'd BpeSegment expression must be the production " +
+        "segmenter (the depth-receipt lesson):\n" + opt)
+    assert(!opt.contains("aggregate(lambdafunction"),
+      "a nested-HOF fold chain reappeared in the scoring plan — its " +
+        "expression depth is linear in nMerges and stops planning " +
+        "short of a 32k-merge model:\n" + opt)
+  }
+
   test("n83: the composite keeps its stages' shapes — hint-free hot " +
     "set, no cartesian") {
     val opt = Queries.queries("n83_clean_corpus")(spark, dir)
@@ -409,11 +444,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("n77: BPE segmentation runs on the vocab table and broadcasts " +
-    "back — the corpus never shuffles on the word key") {
+    "back at FIXTURE scale — AQE/stats choose it (the join is hint-free " +
+    "since r13; the hint-absence pin above guards the mechanism, this " +
+    "pins the small-regime outcome)") {
     val p = plan("n77_bpe_tokenize")
     assert(p.contains("BroadcastHashJoin"),
-      "the (word → n_sub) table must broadcast into the token stream, " +
-        "never shuffle the corpus by word:\n" + p)
+      "at sf0.01 the (word → n_sub) table fits any broadcast budget — " +
+        "stats must still pick the broadcast without a hint:\n" + p)
     assert("partial_sum\\(n_sub".r.findAllIn(p).nonEmpty &&
       p.contains("HashAggregate"),
       "the per-doc piece sum must keep a map-side partial phase:\n" + p)

@@ -611,6 +611,41 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("property: BpeSegment (codegen'd production segmenter) ≡ the " +
+    "nested-HOF bpeSegmentHof anchor, array for array, on random words " +
+    "and random rule sequences incl. duplicate pairs and merged-output " +
+    "sides") {
+    // rules are NOT restricted to trainer-shaped sequences: sides may
+    // reference symbols no earlier rule can build, pairs may repeat
+    // (the fold runs BOTH passes — the later one can fire on
+    // adjacencies that only exist after intermediate merges), and
+    // merged outputs may collide with later rules' sides. The
+    // expression must match the fold on ALL of them, not just trained
+    // models.
+    val symGen = Gen.oneOf("a", "b", "c", "ab", "bc", "abc", "é", "日")
+    val ruleGen = Gen.zip(symGen, symGen)
+    val caseGen = for {
+      nRules <- Gen.choose(0, 12)
+      rules <- Gen.listOfN(nRules, ruleGen)
+      words <- Gen.nonEmptyListOf(
+        Gen.choose(0, 10).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c", "é", "日", "😀"))
+            .map(_.mkString)))
+    } yield (rules, words.distinct.take(12))
+    check(Prop.forAll(caseGen) { case (rules, wordList) =>
+      val df = wordList.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("id", "word")
+      val both = df.select(col("id"),
+          graft.functions.BpeSegment.bpeSegment(col("word"), rules)
+            .as("expr"),
+          graft.ops.TextAnalysis.bpeSegmentHof(col("word"), rules)
+            .as("hof"))
+        .collect()
+        .map(r => (r.getSeq[String](1).toList, r.getSeq[String](2).toList))
+      both.forall { case (e, h) => e == h }
+    }, n = 20)
+  }
+
   test("property: bpeMergesBatched ≡ bpeMerges rule for rule on random " +
     "corpora, across batch/pool shapes") {
     // bpeMerges is itself property-pinned to the naive Scala BPE above,
