@@ -39,9 +39,9 @@ object BroadcastGuard {
       // the broadcast-budget stand-in: any broadcast build whose
       // collected frame exceeds this fails, exactly like an executor
       // whose broadcast memory the hot frame outgrows
-      .config("spark.driver.maxResultSize", "16m")
+      .config("spark.driver.maxResultSize", "4m")
       // a sane cluster config sizes the auto-broadcast threshold UNDER
-      // the budget (here 512k vs the 16m cap — headroom because size
+      // the budget (here 512k vs the 4m cap — headroom because size
       // stats are compressed-size estimates of serialized results).
       // The point of the demo: the hint-free branch RESPECTS this
       // threshold and shuffles; a forced broadcast() hint overrides it
@@ -84,14 +84,22 @@ object BroadcastGuard {
     attempt("coverage hint-free      ") {
       ops.TextAnalysis.boilerplateCoverage(docs, 5, 2)
     }
-    // n25: the idf frame is the corpus's distinct-word vocabulary —
-    // the same corpus-vocabulary shape. Forced broadcast(df) dies on
-    // the budget; the hint-free default (r13) shuffles and completes.
+    // The vocab-family demos (n25 idf, n77 BPE segmentation) need a
+    // corpus whose DISTINCT-WORD vocabulary grows with the corpus —
+    // the defining property of a web corpus (typo/entity/url long
+    // tail) and exactly what the synthetic fixture lacks (31 distinct
+    // words at any scale: the salted gram space explodes, the word
+    // space doesn't). Suffix every word with a per-document bucket:
+    // vocabulary = 31 × 8 salts × 9973 buckets ≈ 2.5M distinct words,
+    // the miniature of the 10⁸-row web vocabulary.
+    val vocabDocs = docs.withColumn("text",
+      expr("array_join(transform(split(text, ' '), " +
+        "w -> concat(w, '_', doc_id % 9973)), ' ')"))
     attempt("tfidf    forced-broadcast") {
-      ops.TextAnalysis.tfidfTopTerms(docs, 5, broadcast)
+      ops.TextAnalysis.tfidfTopTerms(vocabDocs, 5, broadcast)
     }
     attempt("tfidf    hint-free      ") {
-      ops.TextAnalysis.tfidfTopTerms(docs, 5)
+      ops.TextAnalysis.tfidfTopTerms(vocabDocs, 5)
     }
     // n77: the (word, n_sub) segmentation table is the distinct-word
     // vocabulary of the SCORED corpus. The model itself is tiny and
@@ -102,10 +110,10 @@ object BroadcastGuard {
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select(col("doc_id"), col("text")), 10)
     attempt("bpe      forced-broadcast") {
-      ops.TextAnalysis.bpeTokenize(docs, model, broadcast)
+      ops.TextAnalysis.bpeTokenize(vocabDocs, model, broadcast)
     }
     attempt("bpe      hint-free      ") {
-      ops.TextAnalysis.bpeTokenize(docs, model)
+      ops.TextAnalysis.bpeTokenize(vocabDocs, model)
     }
     spark.stop()
   }

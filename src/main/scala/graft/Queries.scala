@@ -509,6 +509,40 @@ object Queries {
   private lazy val ParagraphBlockCtes = paragraphBlockCtes(
     "SELECT doc_id, string_split(text, ' ') AS ws FROM documents")
 
+  /** CTE chain ending at `cc(doc_id, split, n_tokens, n_removed,
+    * text_clean)` — the PARAGRAPH cleaner (n143's pipeline: normalize →
+    * exact-dup keeper → paragraph keep-first over keepers → quality
+    * gate). Shared by n143 and the paragraph-cleaner safe build (n146),
+    * whose cleaning stage must be THE SAME SQL the standalone cleaner
+    * verifies (the CleanCorpusCtes discipline).
+    */
+  private lazy val ParagraphCleanCtes =
+    s"""nrm AS (SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+      |      ' +', ' ', 'g')) AS text
+      |  FROM documents),
+      |kp AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text)),
+      |${paragraphBlockCtes(
+          "SELECT n.doc_id, string_split(n.text, ' ') AS ws " +
+          "FROM nrm n JOIN kp USING (doc_id)")},
+      |tok AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN keep THEN 0
+      |      ELSE len(string_split(para, ' ')) END) AS BIGINT) AS n_removed,
+      |    coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+      |      ORDER BY pidx), '') AS td
+      |  FROM k GROUP BY doc_id),
+      |s AS (SELECT doc_id, n_removed, td,
+      |    len(string_split(td, ' ')) AS nw,
+      |    round(len(list_filter(string_split(td, ' '), x -> x IN $Stop))::double
+      |      / len(string_split(td, ' ')), 6) AS sr,
+      |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+      |  FROM tok),
+      |cc AS (SELECT doc_id,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    nw::bigint AS n_tokens, n_removed, td AS text_clean
+      |  FROM s WHERE nw >= 30 AND sr <= 0.3)""".stripMargin
+
   /** The 60-bit hamming ≤ 3 pair oracle, shared VERBATIM by n94 (plain
     * 4-block pigeonhole) and n113 (Manku permuted tables): both fronts
     * have EXACT recall at this distance, so they must produce the
@@ -2718,32 +2752,9 @@ object Queries {
     ("n143_clean_corpus_paragraph",
       (s: SparkSession, d: String) =>
         TextAnalysis.cleanCorpusParagraph(docs(s, d), 20),
-      Some(s"""WITH nrm AS (SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
-        |      ' +', ' ', 'g')) AS text
-        |  FROM documents),
-        |kp AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text)),
-        |${paragraphBlockCtes(
-            "SELECT n.doc_id, string_split(n.text, ' ') AS ws " +
-            "FROM nrm n JOIN kp USING (doc_id)")},
-        |tok AS (SELECT doc_id,
-        |    CAST(sum(CASE WHEN keep THEN 0
-        |      ELSE len(string_split(para, ' ')) END) AS BIGINT) AS n_removed,
-        |    coalesce(string_agg(CASE WHEN keep THEN para END, ' '
-        |      ORDER BY pidx), '') AS td
-        |  FROM k GROUP BY doc_id),
-        |s AS (SELECT doc_id, n_removed, td,
-        |    len(string_split(td, ' ')) AS nw,
-        |    round(len(list_filter(string_split(td, ' '), x -> x IN $Stop))::double
-        |      / len(string_split(td, ' ')), 6) AS sr,
-        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
-        |  FROM tok)
-        |SELECT doc_id,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-        |    ELSE 'test' END AS split,
-        |  nw::bigint AS n_tokens, n_removed, td AS text_clean
-        |FROM s WHERE nw >= 30 AND sr <= 0.3
-        |ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $ParagraphCleanCtes
+        |SELECT doc_id, split, n_tokens, n_removed, text_clean
+        |FROM cc ORDER BY doc_id""".stripMargin)),
 
     // The n83 pipeline with the keep-first SUBSTRING stage in place of
     // the boilerplate trim (quotes/mirrors corpora: one copy of every
@@ -2902,6 +2913,59 @@ object Queries {
         |    ${splitCaseSql("coalesce(l.cluster, d.doc_id)")} AS split
         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
         |$CleanCorpusCtes,
+        |tr AS (SELECT cc.doc_id AS doc_id, d.source AS source,
+        |    cc.n_tokens AS n_tokens, cc.n_removed AS n_removed,
+        |    cc.text_clean AS text_clean
+        |  FROM cc JOIN documents d USING (doc_id)
+        |  JOIN sasg USING (doc_id)
+        |  WHERE sasg.split = 'train'),
+        |mper AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM tr GROUP BY source),
+        |mw AS (SELECT source, src_tokens,
+        |    CAST(round(pow(src_tokens::double, 0.5), 6) AS decimal(18,6)) AS wgt
+        |  FROM mper),
+        |mtot AS (SELECT sum(wgt) AS sw FROM mw),
+        |mpl AS (SELECT source, least(1000000::BIGINT, CAST(floor(
+        |      CAST(floor(20000.0 * round(wgt::double / sw::double, 6)) AS BIGINT)::double
+        |        * 1000000.0 / src_tokens::double) AS BIGINT)) AS keep_thresh
+        |  FROM mw CROSS JOIN mtot),
+        |mk AS (SELECT tr.* FROM tr JOIN mpl USING (source)
+        |  WHERE ('0x' || substring(md5('tmix|' || tr.doc_id::varchar), 1, 8))::bigint
+        |    % 1000000 < mpl.keep_thresh),
+        |sa AS (SELECT *, md5('shard|' || doc_id::varchar) AS skey FROM mk)
+        |SELECT doc_id, source,
+        |  ('0x' || substring(skey, 1, 8))::bigint % 8 AS shard,
+        |  row_number() OVER (
+        |    PARTITION BY ('0x' || substring(skey, 1, 8))::bigint % 8
+        |    ORDER BY skey, doc_id) AS pos,
+        |  n_tokens, n_removed, text_clean
+        |FROM sa ORDER BY doc_id""".stripMargin)),
+
+    // n142's safe build with the PARAGRAPH cleaning stage (the CCNet-
+    // shaped corpus's pipeline): the cleaner seam exposed at the build
+    // level — n143's stage slots into the identical safe-split /
+    // straddle / mix / shard tail. The oracle is n142's chain with the
+    // shared ParagraphCleanCtes in place of CleanCorpusCtes, so the
+    // build's cleaning SQL is THE SAME text the standalone n143 gate
+    // verifies; the drop stage stays omitted (empty by construction at
+    // tau >= splitThreshold — a straddle fails this gate loudly).
+    ("n146_training_build_safe_paragraph",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.trainingDataBuildSafeWith(docs(s, d),
+          dd => TextAnalysis.cleanCorpusParagraphRaw(dd, 20),
+          0.5, 0.5, 20000L, 8, 0.3),
+      Some(s"""WITH RECURSIVE $VerifiedPairsCtes,
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+        |  UNION SELECT doc_b, doc_a FROM vp),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.id),
+        |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |sasg AS (SELECT d.doc_id,
+        |    ${splitCaseSql("coalesce(l.cluster, d.doc_id)")} AS split
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+        |$ParagraphCleanCtes,
         |tr AS (SELECT cc.doc_id AS doc_id, d.source AS source,
         |    cc.n_tokens AS n_tokens, cc.n_removed AS n_removed,
         |    cc.text_clean AS text_clean
@@ -4250,6 +4314,95 @@ object Queries {
             .select(col("media_id"), col("phash")),
           ph.join(broadcast(half), col("media_id") >= col("h"))
             .select(col("media_id"), col("phash")))
+      },
+      None),
+
+    // Audio fingerprints (Haitsma-Kalker-shape sign-of-energy-delta,
+    // 64-bit, integer-exact over the shared pcmShorts decode path) on
+    // the planted-twin corpus: every clip plus a requantized and a
+    // time-shifted twin, both real-codec round trips. Rows-only
+    // (codec-bound, the m1 exemption); hash values and twin distances
+    // are spec-pinned deterministic.
+    ("m7_audio_hash",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.audioHashTable(s, d),
+      None),
+
+    // Audio near-dup pairs at hamming <= 4: the n93/n94 permuted
+    // pigeonhole front at 64 bits (8 blocks / keep 4 — the m5
+    // machinery verbatim), in the collapsed rep-level form (identical
+    // fingerprints pre-group; pair volume bounded by DISTINCT-signature
+    // structure). Rows-only; the spec proves rep pairs EQUAL brute
+    // force and every planted twin group- or rep-connected.
+    ("m8_audio_neardup_pairs",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.audioNearDupTable(s, d),
+      None),
+
+    // INCREMENTAL audio dedup: older half of the originals as the
+    // persisted fingerprint index, newer originals + all planted twins
+    // as the arriving batch (the m6 half-split convention), screened
+    // at hamming <= 4 through the ONE signature-generic core shared
+    // with the text and image ingests. Rows-only; the spec proves
+    // survivors equal brute-force screening.
+    ("m9_audio_dedup_incremental",
+      (s: SparkSession, d: String) => {
+        val ah = graft.ops.Checkpoints.cut(
+          graft.sources.Multimodal.audioHash(
+            graft.sources.Multimodal.audioWithEditedClips(s, d)))
+        val off = graft.sources.Multimodal.AudioEditIdOffset
+        val half = ah.filter(col("media_id") < off)
+          .agg(expr("max(media_id) div 2").as("h"))
+        graft.sources.Multimodal.audioHashDedupFromIndex(
+          ah.join(broadcast(half), col("media_id") < col("h"))
+            .select(col("media_id"), col("ahash")),
+          ah.join(broadcast(half), col("media_id") >= col("h"))
+            .select(col("media_id"), col("ahash")))
+      },
+      None),
+
+    // Per-frame video hashes (one dHash per sampled GFV frame) over the
+    // planted corpus: originals + a frame-0 one-pixel-edit twin per
+    // clip, real container round trips. Rows-only (codec-bound, the m1
+    // exemption); values and the per-frame/per-clip failure policy are
+    // spec-pinned.
+    ("m10_video_frame_hashes",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.videoFrameHashTable(s, d),
+      None),
+
+    // Clip-level near-dup pairs, collapsed rep form: identical
+    // frame-hash sequences group under a min-id rep (re-posted clips
+    // collapse), the m5 permuted pigeonhole front pairs rep FRAMES, and
+    // frame pairs aggregate to (rep_a, rep_b, n_a, n_b, n_frame_pairs,
+    // min_hamming). Rows-only; spec proves rep pairs equal brute force
+    // over distinct clip signatures and every planted twin group- or
+    // rep-connected.
+    ("m11_video_neardup_clips",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.videoNearDupTable(s, d),
+      None),
+
+    // INCREMENTAL video dedup through the GROUP-level screening core
+    // (the n95/m6/m9 policy lifted to multi-signature units): older
+    // half of the originals' frames as the index, newer + edits as the
+    // batch; a clip drops if ANY frame nears an indexed or
+    // earlier-in-batch clip's frame (own frames never screen each
+    // other). Rows-only; spec proves survivors equal brute-force
+    // screening.
+    ("m12_video_dedup_incremental",
+      (s: SparkSession, d: String) => {
+        val fh = graft.ops.Checkpoints.cut(
+          graft.sources.Multimodal.videoFrameHashes(
+            graft.sources.Multimodal.mediaWithEditedVideos(s, d)))
+        val off = graft.sources.Multimodal.VideoEditIdOffset
+        val half = fh.filter(col("media_id") < off)
+          .agg(expr("max(media_id) div 2").as("h"))
+        graft.sources.Multimodal.videoDedupFromIndex(
+          fh.join(broadcast(half), col("media_id") < col("h"))
+            .select(col("media_id"), col("frame_idx"), col("fhash")),
+          fh.join(broadcast(half), col("media_id") >= col("h"))
+            .select(col("media_id"), col("frame_idx"), col("fhash")))
       },
       None),
   )

@@ -392,6 +392,60 @@ object ScaleSanity {
           s"ssingest_batch_$b (rows=$rows)")
       }
     }
+    // image-dedup streaming ingest: the same 20-batch per-batch-wall
+    // measurement over ImageIngest — the phash index grows every batch
+    // (plus the planted edited twins arriving in later batches to be
+    // screened) while per-batch wall must stay FLAT; the codec decode
+    // is per-batch O(batch) by construction, so the number charted here
+    // is the screening+publish tail the VersionedIngest wiring owns
+    if (wanted("image_ingest_stream")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/imgingest"), true)
+      val media = sources.Multimodal.mediaWithEditedImages(spark, out)
+      val nBatches = 20
+      for (b <- 0 until nBatches) {
+        // hash-bucketed batches: media ids are multiples of 5 with the
+        // edit offset at 2^40, so a plain mod-20 split leaves most
+        // batches empty and lumps a quarter of the corpus into one
+        val batch = media.filter(
+          pmod(hash(col("media_id")), lit(nBatches)) === b)
+        val t0 = System.nanoTime()
+        val rows = streaming.ImageIngest.ingestBatch(batch, b.toLong,
+          s"$out/imgingest/index", s"$out/imgingest/out")
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"imgingest_batch_$b (rows=$rows)")
+      }
+    }
+    // audio-dedup batch screening at stream cadence: the m9 core driven
+    // over 20 batches with a growing index — the image block's shape on
+    // the audio fingerprint (ONE signature-generic screening core)
+    if (wanted("audio_ingest_stream")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/audingest"), true)
+      // cut ONCE: the fingerprint pass (synthesize + decode the whole
+      // corpus) must not re-run per batch — the number charted here is
+      // the screening core, not 20 redundant codec passes
+      val ah = ops.Checkpoints.cut(sources.Multimodal.audioHash(
+        sources.Multimodal.audioWithEditedClips(spark, out))
+        .filter(col("ahash").isNotNull)
+        .select(col("media_id"), col("ahash")))
+      val nBatches = 20
+      import spark.implicits._
+      var index = Seq.empty[(Long, Long)].toDF("media_id", "ahash")
+      for (b <- 0 until nBatches) {
+        val batch = ah.filter(
+          pmod(hash(col("media_id")), lit(nBatches)) === b)
+        val t0 = System.nanoTime()
+        val kept = ops.Checkpoints.cut(
+          sources.Multimodal.audioHashDedupFromIndex(index, batch))
+        val n = kept.count()
+        index = index.unionByName(kept)
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"audingest_batch_$b (kept=$n)")
+      }
+    }
     // incremental one-call build: the 20-batch per-batch-wall
     // measurement over IncrementalBuild (ingest = SimhashIngest
     // verbatim, so per-batch FLAT must carry over), then ONE timed

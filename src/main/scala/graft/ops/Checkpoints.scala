@@ -75,6 +75,31 @@ object Checkpoints {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** [[cut]] WITHOUT the construction-time job: the checkpoint
+    * materializes at the frame's FIRST action and is reused from blocks
+    * after that — the same share-once semantics, deferred. This is the
+    * form for share-inside-one-query cuts (a subtree read N times by
+    * one plan), where eagerness buys nothing and costs plan-build
+    * neutrality: operators built on cutLazy can be constructed and
+    * plan-inspected with zero Spark jobs (spec-pinned). Keep the EAGER
+    * [[cut]] for (a) iterative loops (lineage must truncate each round
+    * BEFORE the next builds on it), (b) read-modify-write cycles (the
+    * read must materialize before the write overwrites its input), and
+    * (c) measure-then-choose reads (the count IS the point).
+    *
+    * Reliable mode note: a reliable checkpoint needs the persist dance
+    * around an eager materialization, so in that mode this falls back
+    * to the eager [[cut]] — correctness is identical, only plan-build
+    * neutrality is local-mode (the registry autos are eager on a
+    * cluster anyway, per their documented contract).
+    */
+  def cutLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
+    if (reliable) cut(df) else df.localCheckpoint(eager = false)
+  }
+
   // Superseded rounds: localCheckpoint blocks are freed by the
   // ContextCleaner once the driver drops the reference (the loops reassign
   // their frame each round, so at most ~2 rounds are strongly reachable);

@@ -371,10 +371,24 @@ object Dedup {
       maxBroadcastPairs: Long = MaxBroadcastPairs): DataFrame = {
     val pairs = Checkpoints.cut(
       minhashNearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b")))
-    val hint: DataFrame => DataFrame =
-      if (pairs.count() <= maxBroadcastPairs) broadcast else identity
-    sourceLeakageCore(docs, pairs, hint)
+    sourceLeakageMatrixFromPairs(docs, pairs, pairs.count(),
+      maxBroadcastPairs)
   }
+
+  /** The LAZY half of [[sourceLeakageMatrixAuto]] — the ADVICE-sketched
+    * measure()/build split: the caller supplies the verified pair frame
+    * (typically [[Checkpoints.cut]] of [[minhashNearDupPairs]]) and its
+    * already-measured count; constructing THIS plan executes zero jobs
+    * (spec-pinned via a job-count listener), so it composes and
+    * plan-inspects like the rest of the registry. The auto form keeps
+    * its documented EAGER contract as the registry entry; this is the
+    * form for callers who measure once and build many (or lazily).
+    */
+  def sourceLeakageMatrixFromPairs(
+      docs: DataFrame, pairs: DataFrame, nPairs: Long,
+      maxBroadcastPairs: Long = MaxBroadcastPairs): DataFrame =
+    sourceLeakageCore(docs, pairs,
+      if (nPairs <= maxBroadcastPairs) broadcast else identity)
 
   /** ONE definition of the source-leakage matrix over an arbitrary
     * verified (doc_a, doc_b) pair frame — `hint` is the exchange
@@ -916,6 +930,96 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** GROUP-level greedy incremental screening over MEMBER signatures —
+    * the [[incrementalSignatureDedupFromIndex]] policy lifted one
+    * level, for modalities whose unit of dedup carries SEVERAL
+    * signatures (a video clip's sampled-frame hashes): a batch group
+    * `g` survives iff none of its member signatures sits within
+    * `maxDist` of (a) any INDEX signature or (b) any member signature
+    * of an EARLIER batch group (group-id order — the n95 "any earlier
+    * arrival, kept or dropped" rule; a group's OWN members never
+    * screen each other).
+    *
+    * Shape (all decisions at DISTINCT-signature level — the m6
+    * collapse lesson, so identical frames across re-posted clips can
+    * never multiply a join):
+    *   1. per distinct batch signature s: minGrp(s) = earliest group
+    *      carrying it (distance-0 arrivals collapse here);
+    *   2. the permuted pigeonhole pair front over distinct signatures
+    *      yields near pairs; nearMin(s) = min minGrp over s and its
+    *      neighbors — the earliest arrival that can kill via s;
+    *   3. g drops iff min over its signatures of nearMin < g — ONE
+    *      membership join + a per-group min, never a pair expansion;
+    *   4. index hits ride the corpusHit shape: index block keys stream
+    *      map-side past the BROADCAST distinct-signature blocks.
+    * Returns the surviving (grp_id) rows.
+    */
+  private[graft] def incrementalGroupSignatureDedupFromIndex(
+      batch: DataFrame, index: DataFrame, bits: Int,
+      maxDist: Int, nBlocks: Int): DataFrame = {
+    require(maxDist < nBlocks && maxDist >= 0)
+    // distinct (group, signature) membership — within-group duplicate
+    // frames collapse here (they cannot affect any screening decision)
+    val members = Checkpoints.cut(
+      batch.select(col("grp_id"), col("simhash")).distinct())
+    val minGrp = Checkpoints.cut(members.groupBy(col("simhash"))
+      .agg(min(col("grp_id")).as("min_grp")))
+    // the pair front needs a unique per-row doc_id; the DISTINCT
+    // signature VALUE is one (64-bit signatures are Longs — the same
+    // move would need a dense rank at wider signatures)
+    val near = simhashNearDupPairsPermutedFromIndex(
+      minGrp.select(col("simhash").as("doc_id"), col("simhash")),
+      bits, maxDist, nBlocks, nBlocks - maxDist)
+      .select(col("doc_a").as("sa"), col("doc_b").as("sb"))
+    // nearMin(s) = the earliest batch arrival reachable through s:
+    // min over {s} ∪ neighbors(s) of minGrp — distance-0 arrivals are
+    // already inside minGrp itself
+    // every frame below is BATCH-derived (bounded by the micro-batch's
+    // distinct signature count) — broadcast the lookup sides, the same
+    // contract as the flat core's screening joins; only the INDEX side
+    // of idxHit streams
+    val nbrMin = near
+      .join(broadcast(minGrp.select(col("simhash").as("sb"),
+        col("min_grp").as("mb"))), Seq("sb"))
+      .select(col("sa").as("simhash"), col("mb").as("m"))
+      .unionAll(near
+        .join(broadcast(minGrp.select(col("simhash").as("sa"),
+          col("min_grp").as("ma"))), Seq("sa"))
+        .select(col("sb").as("simhash"), col("ma").as("m")))
+      .groupBy(col("simhash")).agg(min(col("m")).as("nbr_min"))
+    val nearMin = minGrp.join(broadcast(nbrMin), Seq("simhash"),
+        "left_outer")
+      .select(col("simhash"),
+        least(col("min_grp"), coalesce(col("nbr_min"), col("min_grp")))
+          .as("near_min"))
+    // index hits at distinct-signature level: the corpusHit shape —
+    // index block keys stream map-side past the BROADCAST batch blocks
+    val sigBlocks = blockKeys(
+      minGrp.select(col("simhash").as("doc_id"), col("simhash")),
+      bits, nBlocks)
+    val idxHit = blockKeys(index.select(col("doc_id"), col("simhash")),
+        bits, nBlocks).as("i")
+      .join(broadcast(sigBlocks.as("n")),
+        col("i.blk") === col("n.blk") && col("i.bv") === col("n.bv"))
+      .filter(bit_count(col("i.simhash").bitwiseXOR(col("n.simhash")))
+        <= maxDist)
+      .select(col("n.simhash").as("simhash")).distinct()
+    // a group drops iff ANY of its signatures is index-hit or reaches
+    // an earlier batch arrival — one membership join, per-group min
+    val dropped = members
+      .join(broadcast(idxHit.withColumn("ih", lit(true))),
+        Seq("simhash"), "left_outer")
+      .join(broadcast(nearMin), Seq("simhash"), "left_outer")
+      .groupBy(col("grp_id"))
+      .agg(max(coalesce(col("ih"), lit(false))).as("any_idx"),
+        min(coalesce(col("near_min"), col("grp_id"))).as("reach"))
+      .filter(col("any_idx") || col("reach") < col("grp_id"))
+      .select(col("grp_id"))
+    members.select(col("grp_id")).distinct()
+      .join(broadcast(dropped), Seq("grp_id"), "left_anti")
+      .orderBy(col("grp_id"))
+  }
+
   /** Pigeonhole-index tuning harness — the [[lshTuning]]/recall-curve
     * discipline applied to the simhash index: per signature width (32
     * and 60 bits) and block, the bucket count, the largest bucket, and
@@ -1052,7 +1156,9 @@ object Dedup {
     // and ONE materialization: the shingle-set frame feeds the df
     // count, the prefix rank, the inverted index, and both verify
     // sides — uncut, the shingle build would run four times
-    val sets = Checkpoints.cut(docs
+    // cutLazy: shared by four consumers of ONE query — materializes at
+    // first action, so the operator stays plan-inspectable job-free
+    val sets = Checkpoints.cutLazy(docs
       .filter(graft.functions.MinHash.eligible(col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
@@ -1122,7 +1228,7 @@ object Dedup {
     * collapse decision pays for this text-carrying pass.
     */
   private def containmentGroups(docs: DataFrame): DataFrame =
-    Checkpoints.cut(docs
+    Checkpoints.cutLazy(docs
       .filter(graft.functions.MinHash.eligible(col("text")))
       .select(col("doc_id"), col("text"))
       .groupBy(md5(col("text")).as("digest"))
@@ -1220,9 +1326,22 @@ object Dedup {
   def containmentPairsPrefixAuto(
       docs: DataFrame, threshold: Double,
       minInflation: Double = MinCollapseInflation): DataFrame =
-    if (digestInflation(docs
-        .filter(graft.functions.MinHash.eligible(col("text")))) >=
-        minInflation)
+    containmentPairsPrefixFromInflation(docs, threshold,
+      digestInflation(docs
+        .filter(graft.functions.MinHash.eligible(col("text")))),
+      minInflation)
+
+  /** The LAZY half of [[containmentPairsPrefixAuto]] — measure()/build
+    * split: the caller supplies the inflation number (run
+    * [[digestInflation]] once, at a moment of its choosing) and this
+    * picks the branch with ZERO construction-time jobs (spec-pinned
+    * via a job-count listener). The auto form stays the registry entry
+    * with its documented EAGER contract.
+    */
+  def containmentPairsPrefixFromInflation(
+      docs: DataFrame, threshold: Double, inflation: Double,
+      minInflation: Double = MinCollapseInflation): DataFrame =
+    if (inflation >= minInflation)
       containmentPairsPrefixCollapsed(docs, threshold)
     else containmentPairsPrefix(docs, threshold)
 

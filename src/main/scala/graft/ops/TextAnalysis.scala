@@ -876,7 +876,7 @@ object TextAnalysis {
     // overhead); the materialized frame is the compact 20 B/occurrence
     // shape the hashing exists to produce
     val posGrams =
-      if (hashed) graft.ops.Checkpoints.cut(
+      if (hashed) graft.ops.Checkpoints.cutLazy(
         raw.select(col("doc_id"), col("pos"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
             .as("g")))
@@ -1006,7 +1006,7 @@ object TextAnalysis {
     * pass.
     */
   private def dupSubstringGroups(docs: DataFrame): DataFrame =
-    graft.ops.Checkpoints.cut(
+    graft.ops.Checkpoints.cutLazy(
       docs.groupBy(md5(col("text")).as("digest"))
         .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"),
           sort_array(collect_list(col("doc_id"))).as("ids")))
@@ -1030,7 +1030,21 @@ object TextAnalysis {
       docs: DataFrame, k: Int = 5,
       minInflation: Double = graft.ops.Dedup.MinCollapseInflation)
       : DataFrame =
-    if (graft.ops.Dedup.digestInflation(docs) >= minInflation)
+    dupSubstringDedupFromInflation(docs, k,
+      graft.ops.Dedup.digestInflation(docs), minInflation)
+
+  /** The LAZY half of [[dupSubstringDedupAuto]] — measure()/build
+    * split (the containmentPairsPrefixFromInflation convention): the
+    * caller supplies the [[graft.ops.Dedup.digestInflation]] number;
+    * branch choice runs zero construction-time jobs (spec-pinned via a
+    * job-count listener). The auto form stays the registry entry with
+    * its documented EAGER contract.
+    */
+  def dupSubstringDedupFromInflation(
+      docs: DataFrame, k: Int, inflation: Double,
+      minInflation: Double = graft.ops.Dedup.MinCollapseInflation)
+      : DataFrame =
+    if (inflation >= minInflation)
       dupSubstringDedupCollapsed(docs, k)
     else dupSubstringDedup(docs, k)
 
@@ -1438,11 +1452,17 @@ object TextAnalysis {
     * paragraph-hash shuffle vs the gram machinery's positional streams.
     */
   def cleanCorpusParagraph(docs: DataFrame, k: Int = 20): DataFrame =
+    cleanCorpusParagraphRaw(docs, k).orderBy(col("doc_id"))
+
+  /** [[cleanCorpusParagraph]] without the presentation sort — the
+    * composable form ([[trainingDataBuildSafeWith]] sorts once at its
+    * own tail, the cleanCorpusRaw convention).
+    */
+  def cleanCorpusParagraphRaw(docs: DataFrame, k: Int = 20): DataFrame =
     cleanCorpusWith(docs, keepers =>
       paragraphDedupAcc(blockParagraphs(keepers, k), " ")
         .select(col("doc_id"), col("n_tok_removed").as("n_removed"),
           col("text_dedup").as("cleaned")))
-      .orderBy(col("doc_id"))
 
   /** [[cleanCorpus]] with the KEEP-FIRST SUBSTRING stage in place of the
     * boilerplate trim — the pipeline variant for corpora whose repeated
@@ -1577,7 +1597,26 @@ object TextAnalysis {
   def trainingDataBuildSafe(docs: DataFrame, n: Int = 5, minDf: Int = 2,
                             tau: Double = 0.5, alpha: Double = 0.5,
                             budget: Long = 20000L, numShards: Int = 8,
-                            splitThreshold: Double = 0.3): DataFrame = {
+                            splitThreshold: Double = 0.3): DataFrame =
+    trainingDataBuildSafeWith(docs, cleanCorpusRaw(_, n, minDf), tau,
+      alpha, budget, numShards, splitThreshold)
+
+  /** [[trainingDataBuildSafe]] with a PLUGGABLE cleaning stage — the
+    * seam the three parallel cleaners (n83 trim, n126 substring, n143
+    * paragraph) already share via [[cleanCorpusWith]], exposed at the
+    * build level: a CCNet-shaped corpus wants the paragraph pass
+    * first, a template-heavy one the trim, a quote/mirror one the
+    * substring stage — the SAFE-split/straddle/mix/shard tail is
+    * identical and defined once here. `cleaner` maps the raw corpus to
+    * the n83 output shape ((doc_id, split, n_tokens, n_removed,
+    * text_clean) — split is dropped and re-derived from the
+    * leakage-safe component assignment, the n142 move).
+    */
+  def trainingDataBuildSafeWith(docs: DataFrame,
+                                cleaner: DataFrame => DataFrame,
+                                tau: Double = 0.5, alpha: Double = 0.5,
+                                budget: Long = 20000L, numShards: Int = 8,
+                                splitThreshold: Double = 0.3): DataFrame = {
     require(tau >= splitThreshold,
       s"tau ($tau) must be >= splitThreshold ($splitThreshold): the " +
         "decontamination drop set reuses the split-threshold pair " +
@@ -1587,7 +1626,7 @@ object TextAnalysis {
     val asg = graft.ops.Dedup.leakageSafeSplitsFromPairs(
       docs, pairs.select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("split"))
-    val cleaned = cleanCorpusRaw(docs, n, minDf).drop("split")
+    val cleaned = cleaner(docs).drop("split")
       .join(asg, Seq("doc_id"))
     // the straddle drop set — provably empty at tau >= splitThreshold
     // (kept as executed code so the emptiness is enforced, not assumed)

@@ -316,18 +316,18 @@ object Multimodal {
   def decodeVideo(payload: Array[Byte]): Array[Float] =
     failAsBadPayload("video") {
     require(payload.length >= 8,
-      s"GFV1 container: ${payload.length} bytes is shorter than the " +
-        "8-byte magic + frame-count header")
+      s"GFV1 video container: ${payload.length} bytes is shorter than " +
+        "the 8-byte magic + frame-count header")
     val bb = java.nio.ByteBuffer.wrap(payload)
     val magic = new Array[Byte](4)
     bb.get(magic)
     require(java.util.Arrays.equals(magic, GfvMagic),
-      "bad GFV1 container magic")
+      "bad GFV1 video container magic")
     val nFrames = bb.getInt
     // validate the header fields like the magic — a zero/negative count
     // or a frame length past the payload end must fail with the payload's
     // context, not a bare NoSuchElement/BufferUnderflow mid-partition
-    require(nFrames >= 1, s"GFV1 container declares $nFrames frames")
+    require(nFrames >= 1, s"GFV1 video container declares $nFrames frames")
     val frames = (0 until nFrames).map { i =>
       require(bb.remaining >= 4, s"GFV1 frame $i: truncated length header")
       val len = bb.getInt
@@ -434,12 +434,13 @@ object Multimodal {
       require(k >= 1, s"k must be >= 1, got $k")
       val bb = java.nio.ByteBuffer.wrap(payload)
       val magic = new Array[Byte](4)
-      require(payload.length >= 8, "GFV1 container shorter than header")
+      require(payload.length >= 8,
+        "GFV1 video container shorter than header")
       bb.get(magic)
       require(java.util.Arrays.equals(magic, GfvMagic),
-        "bad GFV1 container magic")
+        "bad GFV1 video container magic")
       val n = bb.getInt
-      require(n >= 1, s"GFV1 container declares $n frames")
+      require(n >= 1, s"GFV1 video container declares $n frames")
       val frames = (0 until n).map { i =>
         require(bb.remaining >= 4, s"GFV1 frame $i: truncated length header")
         val len = bb.getInt
@@ -851,4 +852,471 @@ object Multimodal {
         round(avg(col("rms")), 4).as("avg_rms"),
         count(col("decode_err")).as("n_err"))
       .orderBy(col("media_id"))
+
+  // ======== audio perceptual dedup (m7/m8/m9) ========
+
+  /** Mono 16-bit PCM → a real RIFF/WAV — the encode mirror of
+    * [[pcmShorts]], shared by the long-clip synthesis and the planted
+    * audio twins (which decode → transform → RE-ENCODE through the
+    * real codec path, the mediaWithEditedImages convention).
+    */
+  def pcmToWav(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  val LongWavSamples = 2048
+
+  /** Smooth two-tone sample formula for the audio-dedup fixture —
+    * LONGER and SMOOTHER than [[wavSample]]'s hash-noise clips (a
+    * 16-sample noise clip has no perceptual structure for a
+    * fingerprint to survive edits on; real near-dup audio is long and
+    * band-limited). StrictMath.sin is bit-reproducible across JVMs, so
+    * the clip, its hash, and every spec expectation are deterministic.
+    */
+  def longWavSample(id: Long, i: Int): Short = {
+    val n = LongWavSamples.toDouble
+    val f1 = 2 + (id % 5)
+    val f2 = 7 + (id % 11)
+    val phase = (id % 17) * 2.0 * StrictMath.PI / 17.0
+    val v = 12000.0 * StrictMath.sin(2.0 * StrictMath.PI * f1 * i / n) +
+      8000.0 * StrictMath.sin(2.0 * StrictMath.PI * f2 * i / n + phase)
+    StrictMath.rint(v).toInt.toShort
+  }
+
+  /** A real long-form WAV clip from the smooth formula. */
+  def longWavBytes(id: Long): Array[Byte] = {
+    val s = new Array[Short](LongWavSamples)
+    var i = 0
+    while (i < LongWavSamples) { s(i) = longWavSample(id, i); i += 1 }
+    pcmToWav(s, WavRate)
+  }
+
+  /** 64-bit audio fingerprint — the Haitsma–Kalker SHAPE (sign of
+    * energy difference between consecutive frames; Haitsma & Kalker,
+    * "A Highly Robust Audio Fingerprint System", ISMIR 2002) reduced
+    * to one 64-bit word: the clip is cut into 65 PROPORTIONAL windows
+    * (boundary k at ⌊k·n/65⌋ — position-relative, so the signature is
+    * length-normalized), E(k) = Σ s² over window k as a Long (integer-
+    * exact: no float accumulation, identical on every JVM; bounded for
+    * clips < 16M samples), and bit k is set iff E(k+1) > E(k).
+    * Amplitude requantization scales all energies monotonically and
+    * preserves every sign; a small time shift moves only the window-
+    * boundary samples of each ~n/65-sample window, flipping signs only
+    * where adjacent energies nearly tie — the planted-twin hamming the
+    * spec pins. Frame-feature aggregates (m3) measure WITHIN a clip;
+    * this signature compares ACROSS clips — the dedup key.
+    */
+  def audioHash64(samples: Array[Short]): Long = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      val from = (k.toLong * n / 65).toInt
+      val to = ((k + 1).toLong * n / 65).toInt
+      var sum = 0L
+      var i = from
+      while (i < to) {
+        val s = samples(i).toLong
+        sum += s * s
+        i += 1
+      }
+      e(k) = sum
+      k += 1
+    }
+    var bits = 0L
+    k = 0
+    while (k < 64) {
+      if (e(k + 1) > e(k)) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Fingerprint pass over the media table's audio rows — (media_id,
+    * ahash, decode_err), one row per audio clip, decoded through the
+    * one shared [[pcmShorts]] path. Batched map-side like m1/m4
+    * (payloads never shuffle; downstream joins touch the 8-byte
+    * signature). Failure policy pinned by spec (the m1 convention): a
+    * corrupt payload yields a null-hash row with `decode_err` set and
+    * never kills the task; a null payload is a null-hash no-error row.
+    */
+  def audioHash(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = true),
+      StructField("decode_err", StringType, nullable = true)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null) Row(r.getLong(0), null, null)
+          else try {
+            val (samples, _) = failAsBadPayload("audio")(pcmShorts(payload))
+            Row(r.getLong(0), Long.box(audioHash64(samples)), null)
+          } catch {
+            case e: IllegalArgumentException =>
+              Row(r.getLong(0), null, e.getMessage)
+          }
+        }
+      }(enc)
+  }
+
+  /** Offset separating planted audio twins from their originals —
+    * requantized twins at +1×, time-shifted twins at +2×.
+    */
+  val AudioEditIdOffset = 1L << 41
+
+  /** Samples dropped from the front of the time-shifted twin: 2 of
+    * 2048 (≈0.1%) — each ~31-sample proportional window keeps ≥93% of
+    * its content, so the energy-delta signs survive except at
+    * near-ties (hamming stays within the pairing distance; the spec
+    * pins the exact planted distances).
+    */
+  val AudioShiftSamples = 2
+
+  /** Quantization step of the requantized twin (6 of 16 bits dropped):
+    * monotone on each sample's magnitude, so window energies scale
+    * near-uniformly and delta signs survive except at exact ties.
+    */
+  val AudioQuantStep = 64
+
+  /** The audio-dedup fixture: every audio media_id re-synthesized as a
+    * LONG smooth clip, plus two planted twins per clip — requantized
+    * (id + [[AudioEditIdOffset]]) and time-shifted (id + 2×offset) —
+    * both built by decoding the original through [[pcmShorts]],
+    * transforming the PCM, and re-encoding through [[pcmToWav]] (real
+    * codec round trips, the mediaWithEditedImages convention). The
+    * m1/m4 failure policy holds on the constructor: a null or
+    * undecodable payload yields no twins, never a dead task.
+    */
+  def audioWithEditedClips(spark: SparkSession, dir: String): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    val base = mediaFromEvents(spark, dir)
+      .filter(col("kind") === "audio")
+      .select(col("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "audio", longWavBytes(id), Row(null, null, WavRate))
+        }
+      }(enc)
+    val edited = base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        // positional access: rows crossing mapPartitions carry no
+        // field-name schema (payload is mediaSchema field 2)
+        val payload = r.getAs[Array[Byte]](2)
+        val decoded =
+          if (payload == null) None
+          else try Some(pcmShorts(payload))
+          catch { case _: Exception => None }
+        decoded.toSeq.flatMap { case (s, rate) =>
+          val quant = s.map(v => ((v / AudioQuantStep) * AudioQuantStep)
+            .toShort)
+          val shifted = s.drop(AudioShiftSamples)
+          Seq(
+            Row(id + AudioEditIdOffset, "audio",
+              pcmToWav(quant, rate.toInt), Row(null, null, rate.toInt)),
+            Row(id + 2 * AudioEditIdOffset, "audio",
+              pcmToWav(shifted, rate.toInt), Row(null, null, rate.toInt)))
+        }
+      }
+    }(enc)
+    base.unionAll(edited)
+  }
+
+  /** Audio near-dup pairs at hamming ≤ `maxDist` — the n93/n94
+    * permuted-pigeonhole machinery reused VERBATIM at 64 bits (8
+    * blocks / keep 4, exact recall for maxDist ≤ 4), exactly as the
+    * image signature (m5) did: the pairing joins 16-byte signature
+    * rows and never re-reads a payload. ANCHOR all-pairs form — see
+    * [[audioNearDupPairsCollapsed]] for the production collapse.
+    */
+  def audioNearDupPairs(ahash: DataFrame, maxDist: Int = 4): DataFrame =
+    graft.ops.Dedup.simhashNearDupPairsPermutedFromIndex(
+      ahash.filter(col("ahash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("ahash").as("simhash")),
+      bits = 64, maxDist = maxDist, nBlocks = 8, nKeep = 4)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** [[audioNearDupPairs]] with the exact-dup pre-collapse (the
+    * n118/m5 discipline): identical fingerprints group under a min-id
+    * rep, the pigeonhole front pairs one rep per DISTINCT hash, and
+    * member expansion is closed-form exact — pair volume is bounded by
+    * distinct-signature structure, never dup-group size².
+    */
+  def audioNearDupPairsCollapsed(ahash: DataFrame,
+                                 maxDist: Int = 4): DataFrame = {
+    val groups = ahash.filter(col("ahash").isNotNull)
+      .groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
+    val rp = graft.ops.Dedup.simhashNearDupPairsPermutedFromIndex(
+      groups.select(col("rep").as("doc_id"), col("ahash").as("simhash")),
+      bits = 64, maxDist = maxDist, nBlocks = 8, nKeep = 4)
+    rp.join(groups.select(col("rep").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(groups.select(col("rep").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("n_a"), col("n_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** Rows-only registry surface (m7): fingerprints over the planted
+    * audio corpus — codec-bound (the m1 exemption; DuckDB decodes no
+    * WAV), hash values spec-pinned deterministic.
+    */
+  def audioHashTable(spark: SparkSession, dir: String): DataFrame =
+    audioHash(audioWithEditedClips(spark, dir))
+      .orderBy(col("media_id"))
+
+  /** Rows-only registry surface (m8): rep-level audio near-dup pairs
+    * over [[audioHashTable]] — each planted twin is in its original's
+    * hash group or rep-connected to it (spec-pinned vs brute force).
+    */
+  def audioNearDupTable(spark: SparkSession, dir: String,
+                        maxDist: Int = 4): DataFrame =
+    audioNearDupPairsCollapsed(
+      audioHash(audioWithEditedClips(spark, dir)), maxDist)
+
+  /** INCREMENTAL audio dedup — the n95/m6 greedy stream policy on the
+    * audio modality, via the ONE signature-generic screening core
+    * ([[graft.ops.Dedup.incrementalSignatureDedupFromIndex]]): keep
+    * only clips with no indexed (or earlier-in-batch) neighbor at
+    * hamming ≤ `maxDist`. The index stores 16-byte (media_id, ahash)
+    * rows; screening never re-decodes a payload.
+    */
+  def audioHashDedupFromIndex(index: DataFrame, batchAhash: DataFrame,
+                              maxDist: Int = 4): DataFrame =
+    graft.ops.Dedup.incrementalSignatureDedupFromIndex(
+      batchAhash.filter(col("ahash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("ahash").as("simhash")),
+      index.select(col("media_id").as("doc_id"),
+        col("ahash").as("simhash")),
+      bits = 64, maxDist = maxDist, nBlocks = 8)
+      .select(col("doc_id").as("media_id"), col("simhash").as("ahash"))
+
+  // ======== video perceptual dedup (m10/m11/m12) ========
+
+  /** Frames sampled per clip for the video signature — the production
+    * knob (the fixture's GFV clips carry [[GfvFrames]] = 2, so every
+    * frame is sampled; a real pipeline samples k of thousands).
+    */
+  val VideoFrameK = 4
+
+  /** Build a GFV1 container from encoded frames — the encode mirror of
+    * [[sampleVideoFrames]], shared by the synthetic fixture and the
+    * planted video twins (decode frames → edit → re-pack, the
+    * mediaWithEditedImages convention on the clip container).
+    */
+  def packGfv(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + frames.map(_.length + 4).sum)
+    bb.put(GfvMagic).putInt(frames.length)
+    frames.foreach(f => bb.putInt(f.length).put(f))
+    bb.array()
+  }
+
+  /** Per-FRAME perceptual hashes of the media table's video rows — the
+    * video unit of dedup carries SEVERAL signatures (one [[dHash]] per
+    * [[sampleVideoFrames]] frame), so the output is one row per
+    * (media_id, frame_idx). The container parse and every frame decode
+    * run under the m1 failure policy: a corrupt CONTAINER yields one
+    * (null frame_idx, null hash, decode_err) row for the clip; an
+    * individually undecodable FRAME yields its own null-hash err row
+    * while healthy sibling frames land; a null payload is one null-hash
+    * no-error row. Batched map-side like m1/m4/m7 — payloads never
+    * shuffle, downstream joins touch (id, idx, 8-byte hash) rows.
+    */
+  def videoFrameHashes(media: DataFrame,
+                       frameK: Int = VideoFrameK): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("fhash", LongType, nullable = true),
+      StructField("decode_err", StringType, nullable = true)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null) Seq(Row(id, null, null, null))
+          else try {
+            val frames = sampleVideoFrames(payload, frameK)
+            frames.zipWithIndex.map { case (png, i) =>
+              try {
+                val img = failAsBadPayload("video") {
+                  val im = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(png))
+                  require(im != null, s"undecodable frame $i")
+                  im
+                }
+                Row(id, Int.box(i), Long.box(dHash(img)), null)
+              } catch {
+                case e: IllegalArgumentException =>
+                  Row(id, Int.box(i), null, e.getMessage)
+              }
+            }
+          } catch {
+            case e: IllegalArgumentException =>
+              Seq(Row(id, null, null, e.getMessage))
+          }
+        }
+      }(enc)
+  }
+
+  /** Offset separating planted edited video twins from originals. */
+  val VideoEditIdOffset = 1L << 42
+
+  /** The media table's video rows plus a deterministically EDITED twin
+    * per clip (media_id + [[VideoEditIdOffset]]): frame 0's pixel
+    * (0, 0) red channel bumped by one (alpha preserved), every frame
+    * re-encoded lossless and re-packed through [[packGfv]] — a real
+    * container round trip. The m1 policy holds on the constructor: a
+    * null or unparseable payload yields no twin, never a dead task.
+    */
+  def mediaWithEditedVideos(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromEvents(spark, dir).filter(col("kind") === "video")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    val edited = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](2)
+        val frames =
+          if (payload == null) None
+          else try Some(sampleVideoFrames(payload, Int.MaxValue))
+          catch { case _: Exception => None }
+        frames.flatMap { fs =>
+          try {
+            val edited = fs.zipWithIndex.map { case (png, i) =>
+              if (i != 0) png
+              else {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(png))
+                require(img != null)
+                val p = img.getRGB(0, 0)
+                val red = (p >> 16) & 0xff
+                val bumped = if (red == 255) red - 1 else red + 1
+                img.setRGB(0, 0, (p & 0xff00ffff) | (bumped << 16))
+                val bos = new ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", bos)
+                bos.toByteArray
+              }
+            }
+            val meta = r.getStruct(3)
+            Some(Row(id + VideoEditIdOffset, "video", packGfv(edited),
+              meta))
+          } catch { case _: Exception => None }
+        }.toSeq
+      }
+    }(enc)
+    media.unionAll(edited)
+  }
+
+  /** Clip-level near-dup pairs in the COLLAPSED rep form (the m5/m8
+    * discipline lifted to multi-signature units): clips group by their
+    * EXACT frame-hash sequence (clip key = md5 over (idx, hash) pairs —
+    * identical re-posted clips collapse under a min-id rep), the
+    * permuted pigeonhole front pairs the REP clips' frames at 64
+    * bits / 8 blocks / keep 4 (frame key = media_id·64 + idx), and
+    * frame pairs aggregate to clip pairs: (media_a, media_b, n_a, n_b,
+    * n_frame_pairs, min_hamming). Within-clip frame pairs are excluded
+    * by definition. Pair volume is bounded by DISTINCT-clip structure,
+    * never clip-dup group size².
+    */
+  def videoNearDupClipsCollapsed(frameHashes: DataFrame,
+                                 maxDist: Int = 4): DataFrame = {
+    val fh = frameHashes.filter(col("fhash").isNotNull)
+    val clipKeys = fh.groupBy(col("media_id"))
+      .agg(md5(to_json(sort_array(collect_list(
+        struct(col("frame_idx"), col("fhash")))))).as("ck"))
+    val groups = clipKeys.groupBy(col("ck"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
+    val repFrames = fh.join(
+        groups.select(col("rep").as("media_id"), col("n")),
+        Seq("media_id"))
+      .select((col("media_id") * 64 + col("frame_idx")).as("doc_id"),
+        col("fhash").as("simhash"))
+    val fp = graft.ops.Dedup.simhashNearDupPairsPermutedFromIndex(
+      repFrames, bits = 64, maxDist = maxDist, nBlocks = 8, nKeep = 4)
+      .select(expr("doc_a div 64").as("ma"), expr("doc_b div 64").as("mb"),
+        col("hamming"))
+      .filter(col("ma") =!= col("mb"))
+      .select(least(col("ma"), col("mb")).as("media_a"),
+        greatest(col("ma"), col("mb")).as("media_b"), col("hamming"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        min(col("hamming")).as("min_hamming"))
+    fp.join(groups.select(col("rep").as("media_a"), col("n").as("n_a")),
+        Seq("media_a"))
+      .join(groups.select(col("rep").as("media_b"), col("n").as("n_b")),
+        Seq("media_b"))
+      .select(col("media_a"), col("media_b"), col("n_a"), col("n_b"),
+        col("n_frame_pairs"), col("min_hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** Rows-only registry surface (m10): per-frame hashes over the
+    * planted video corpus (codec-bound, the m1 exemption; values
+    * spec-pinned deterministic).
+    */
+  def videoFrameHashTable(spark: SparkSession, dir: String): DataFrame =
+    videoFrameHashes(mediaWithEditedVideos(spark, dir))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** Rows-only registry surface (m11): rep-level clip near-dup pairs
+    * over [[videoFrameHashTable]]'s corpus.
+    */
+  def videoNearDupTable(spark: SparkSession, dir: String,
+                        maxDist: Int = 4): DataFrame =
+    videoNearDupClipsCollapsed(
+      videoFrameHashes(mediaWithEditedVideos(spark, dir)), maxDist)
+
+  /** INCREMENTAL video dedup — the clip-level greedy stream policy
+    * through [[graft.ops.Dedup.incrementalGroupSignatureDedupFromIndex]]
+    * (the n95/m6/m9 screening core lifted to multi-signature units): a
+    * batch clip survives iff NO sampled frame sits within `maxDist` of
+    * an indexed frame or a frame of an earlier-in-batch clip; a clip's
+    * own frames never screen each other. The index stores per-frame
+    * (media_id, frame_idx, fhash) rows; screening never re-decodes a
+    * payload. Returns surviving (media_id, n_frames).
+    */
+  def videoDedupFromIndex(index: DataFrame, batchFrames: DataFrame,
+                          maxDist: Int = 4): DataFrame = {
+    val b = batchFrames.filter(col("fhash").isNotNull)
+    graft.ops.Dedup.incrementalGroupSignatureDedupFromIndex(
+      b.select(col("media_id").as("grp_id"), col("fhash").as("simhash")),
+      index.filter(col("fhash").isNotNull)
+        .select((col("media_id") * 64 + col("frame_idx")).as("doc_id"),
+          col("fhash").as("simhash")),
+      bits = 64, maxDist = maxDist, nBlocks = 8)
+      .select(col("grp_id").as("media_id"))
+      // survivors are batch-bounded (≤ the micro-batch's clip count) —
+      // broadcast them into the per-clip frame counts explicitly
+      // rather than trusting the anti-join's size estimate
+      .hint("broadcast")
+      .join(b.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames")), Seq("media_id"))
+      .orderBy(col("media_id"))
+  }
 }

@@ -848,6 +848,63 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.containmentPairsPrefix(tri, 0.5)))
   }
 
+  test("the measure()/build lazy halves of the three EAGER autos " +
+    "(containment, substring, leakage) construct their plans with ZERO " +
+    "Spark jobs, and each equals its auto twin's answer") {
+    val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    // measure ONCE, before the listener: these are the documented
+    // EAGER reads the registry autos pay at construction
+    val infl = Dedup.digestInflation(
+      d.filter(graft.functions.MinHash.eligible(col("text"))))
+    val inflAll = Dedup.digestInflation(d)
+    val pairs = Dedup.minhashNearDupPairs(d, 0.3)
+      .select(col("doc_a"), col("doc_b"))
+    val nPairs = pairs.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (lazyC, lazyS, lazyL) = try {
+      def gated[T](label: String)(build: => T): T = {
+        val before = jobs.get()
+        val r = build
+        // force full planning too, not just DataFrame construction —
+        // the contract is "plan-inspectable without jobs". Listener
+        // delivery is async; the expectation is zero, so the sleep can
+        // only catch a regression, never flake a pass.
+        Thread.sleep(1000)
+        assert(jobs.get() === before,
+          s"building the lazy $label form ran Spark jobs — the EAGER " +
+            "probe leaked into the build half")
+        r
+      }
+      val c = gated("containment") {
+        val df = Dedup.containmentPairsPrefixFromInflation(d, 0.5, infl)
+        df.queryExecution.executedPlan; df
+      }
+      val s = gated("substring") {
+        val df = graft.ops.TextAnalysis
+          .dupSubstringDedupFromInflation(d, 5, inflAll)
+        df.queryExecution.executedPlan; df
+      }
+      val l = gated("leakage") {
+        val df = Dedup.sourceLeakageMatrixFromPairs(d, pairs, nPairs)
+        df.queryExecution.executedPlan; df
+      }
+      (c, s, l)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the split cannot change any answer: lazy(measure) ≡ auto
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(lazyC) === rows(Dedup.containmentPairsPrefixAuto(d, 0.5)))
+    assert(rows(lazyS) ===
+      rows(graft.ops.TextAnalysis.dupSubstringDedupAuto(d, 5)))
+    assert(rows(lazyL) === rows(Dedup.sourceLeakageMatrixAuto(d, 0.3)))
+  }
+
   test("simhashNearDupPairsPermuted: exact recall — the identical pair " +
     "set to the wide pigeonhole index on real data and the fixture") {
     val d = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")

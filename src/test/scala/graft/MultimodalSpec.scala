@@ -207,6 +207,309 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exists(_._1 == plantedId), "the planted far row must survive")
   }
 
+  test("audioHash64: deterministic, survives a lossless PCM re-encode " +
+    "round trip bit-identically, differs across distinct clips, and " +
+    "every planted twin (requantized AND time-shifted) lands within " +
+    "hamming 4 of its original") {
+    def decode(b: Array[Byte]): Array[Short] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val bytes = in.readAllBytes(); in.close()
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.tabulate[Short](bytes.length / 2)(i => bb.getShort(i * 2))
+    }
+    val ids = Seq(0L, 24L, 48L, 72L, 96L)
+    val hashes = ids.map(id =>
+      Multimodal.audioHash64(decode(Multimodal.longWavBytes(id))))
+    // stable across invocations
+    assert(ids.map(id =>
+      Multimodal.audioHash64(decode(Multimodal.longWavBytes(id)))) === hashes)
+    // re-encode the decoded PCM (lossless) → identical hash
+    val s24 = decode(Multimodal.longWavBytes(24L))
+    assert(Multimodal.audioHash64(
+      decode(Multimodal.pcmToWav(s24, Multimodal.WavRate))) === hashes(1))
+    // distinct clips hash apart (the two-tone formula varies per id)
+    assert(hashes.distinct.length === hashes.length)
+    // planted-twin distances: the fixture's whole premise
+    ids.zip(hashes).foreach { case (id, h) =>
+      val s = decode(Multimodal.longWavBytes(id))
+      val quant = s.map(v =>
+        ((v / Multimodal.AudioQuantStep) * Multimodal.AudioQuantStep).toShort)
+      val shifted = s.drop(Multimodal.AudioShiftSamples)
+      val dq = java.lang.Long.bitCount(Multimodal.audioHash64(quant) ^ h)
+      val ds = java.lang.Long.bitCount(Multimodal.audioHash64(shifted) ^ h)
+      assert(dq <= 4, s"requantized twin of $id at hamming $dq > 4")
+      assert(ds <= 4, s"shifted twin of $id at hamming $ds > 4")
+    }
+  }
+
+  test("audioHash: corrupt payload yields a null-hash row with the " +
+    "contextual error and never kills the task; null payload is a " +
+    "null-hash no-error row") {
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "audio", Multimodal.longWavBytes(1L), Row(null, null, 8000)),
+      Row(2L, "audio", Array.fill[Byte](16)(7), Row(null, null, 8000)),
+      Row(3L, "audio", null, Row(null, null, 8000)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val got = Multimodal.audioHash(media).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.getString(2))))
+      .sortBy(_._1)
+    assert(got.length === 3, "all rows must survive a corrupt neighbor")
+    assert(got(0)._2.isDefined && got(0)._3.isEmpty)
+    assert(got(1)._2.isEmpty && got(1)._3.exists(_.contains("audio")))
+    assert(got(2)._2.isEmpty && got(2)._3.isEmpty)
+  }
+
+  test("audioNearDupPairs: EXACTLY the brute-force hamming <= 4 pairs " +
+    "over the decoded corpus, and every planted twin pairs with (or " +
+    "hashes identically to) its original") {
+    val ah = Multimodal.audioHash(
+      Multimodal.audioWithEditedClips(spark, dir))
+    val sig = ah.filter(col("ahash").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sig.nonEmpty)
+    val brute = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val got = Multimodal.audioNearDupPairs(ah, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute,
+      "the permuted pigeonhole front must have exact recall at <= 4")
+    // fixture self-check: EVERY planted twin is within distance of its
+    // original — paired (hamming >= 1) or hash-identical (hamming 0,
+    // which the pair front excludes by the a < b same-hash group rule
+    // only when collapsed; here distance-0 pairs are still pairs)
+    val byId = sig.toMap
+    val off = Multimodal.AudioEditIdOffset
+    val planted = sig.map(_._1).filter(_ >= off)
+      .map(id => (id % off, id)).filter { case (o, _) => byId.contains(o) }
+    assert(planted.nonEmpty)
+    planted.foreach { case (o, e) =>
+      val d = java.lang.Long.bitCount(byId(o) ^ byId(e))
+      assert(d <= 4, s"planted twin ($o, $e) at hamming $d")
+      if (d > 0)
+        assert(got.exists(p => p._1 == math.min(o, e) &&
+          p._2 == math.max(o, e)), s"twin pair ($o, $e) missing")
+    }
+  }
+
+  test("audioNearDupPairsCollapsed: rep pairs equal brute-force " +
+    "hamming over DISTINCT signatures with exact group counts; every " +
+    "planted twin is group- or rep-connected to its original") {
+    val ah = Multimodal.audioHash(
+      Multimodal.audioWithEditedClips(spark, dir))
+    val sig = ah.filter(col("ahash").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val groups = sig.groupBy(_._2)
+      .map { case (h, g) => h -> (g.map(_._1).min, g.length) }
+    val brute = (for {
+      (ha, (ra, na)) <- groups; (hb, (rb, nb)) <- groups
+      if ra < rb && java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (math.min(ra, rb), math.max(ra, rb),
+      java.lang.Long.bitCount(ha ^ hb))).toSet
+    val got = Multimodal.audioNearDupPairsCollapsed(ah, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got === brute)
+    // counts: every rep pair carries its groups' exact member counts
+    val counts = Multimodal.audioNearDupPairsCollapsed(ah, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    counts.foreach { case (a, b, na, nb) =>
+      val byRep = groups.map { case (_, (rep, n)) => rep -> n }
+      assert(byRep(a) === na && byRep(b) === nb)
+    }
+    // every planted twin: same hash group as its original, or reps
+    // paired
+    val byId = sig.toMap
+    val off = Multimodal.AudioEditIdOffset
+    sig.map(_._1).filter(_ >= off).map(id => (id % off, id))
+      .filter { case (o, _) => byId.contains(o) }
+      .foreach { case (o, e) =>
+        val same = byId(o) == byId(e)
+        val (ra, rb) = (groups(byId(o))._1, groups(byId(e))._1)
+        val connected = same ||
+          got.exists(p => p._1 == math.min(ra, rb) && p._2 == math.max(ra, rb))
+        assert(connected, s"planted twin ($o, $e) neither grouped nor " +
+          "rep-paired")
+      }
+  }
+
+  test("audioHashDedupFromIndex: survivors equal brute-force screening " +
+    "(no indexed or earlier-in-batch neighbor within hamming 4); " +
+    "planted twins of indexed originals drop, a planted far row " +
+    "survives") {
+    val ah = Multimodal.audioHash(
+      Multimodal.audioWithEditedClips(spark, dir))
+    val sig = ah.filter(col("ahash").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val off = Multimodal.AudioEditIdOffset
+    val idx = sig.filter(_._1 < off)
+    val allHashes = sig.map(_._2)
+    val farHash = Iterator.iterate(0x5a5a5a5a5a5a5a5aL)(h =>
+      h * 0x9e3779b97f4a7c15L + 1L)
+      .find(h => allHashes.forall(o =>
+        java.lang.Long.bitCount(o ^ h) > 4)).get
+    val plantedId = off * 8
+    val batch = (sig.filter(_._1 >= off) :+ ((plantedId, farHash)))
+      .sortBy(_._1)
+    import spark.implicits._
+    val idxDf = idx.toSeq.toDF("media_id", "ahash")
+    val batchDf = batch.toSeq.toDF("media_id", "ahash")
+    val got = Multimodal.audioHashDedupFromIndex(idxDf, batchDf, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // brute force: drop on ANY earlier ARRIVAL within distance (the
+    // n95 pinned policy)
+    val want = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val earlier = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    batch.foreach { case (id, h) =>
+      val near = idx.exists(o => java.lang.Long.bitCount(o._2 ^ h) <= 4) ||
+        earlier.exists(o => java.lang.Long.bitCount(o._2 ^ h) <= 4)
+      if (!near) want += ((id, h))
+      earlier += ((id, h))
+    }
+    assert(got === want.toList)
+    assert(got.size < batch.size, "some twin must be screened out")
+    assert(got.exists(_._1 == plantedId), "the planted far row must survive")
+  }
+
+  test("videoFrameHashes: deterministic per-frame dHashes; corrupt " +
+    "CONTAINER yields one clip-level err row, a corrupt FRAME its own " +
+    "err row with healthy siblings alive, null payload a no-error row") {
+    import org.apache.spark.sql.Row
+    val goodClip = Multimodal.gfvBytes(3L)
+    val frameBad = Multimodal.packGfv(
+      Seq(Array.fill[Byte](16)(7), Multimodal.pngBytes(9L)))
+    val rows = Seq(
+      Row(1L, "video", goodClip, Row(4, 4, null)),
+      Row(2L, "video", Array.fill[Byte](16)(9), Row(4, 4, null)),
+      Row(3L, "video", null, Row(4, 4, null)),
+      Row(4L, "video", frameBad, Row(4, 4, null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val got = Multimodal.videoFrameHashes(media).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getString(3))))
+      .sortBy(r => (r._1, r._2.getOrElse(-1)))
+    // clip 1: GfvFrames healthy frames, hashes = dHash of the frames
+    val h1 = got.filter(_._1 == 1L)
+    assert(h1.length === Multimodal.GfvFrames &&
+      h1.forall(r => r._3.isDefined && r._4.isEmpty))
+    def hashOf(png: Array[Byte]) = Multimodal.dHash(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
+    assert(h1.map(_._3.get).toSeq ===
+      (0 until Multimodal.GfvFrames).map(f =>
+        hashOf(Multimodal.pngBytes(3L * 8 + f))))
+    // clip 2: corrupt container → ONE clip-level err row
+    assert(got.filter(_._1 == 2L).toSeq match {
+      case Seq((_, None, None, Some(e))) => e.contains("video")
+      case _ => false
+    })
+    // clip 3: null payload → one null-hash no-error row
+    assert(got.filter(_._1 == 3L).toSeq === Seq((3L, None, None, None)))
+    // clip 4: frame 0 undecodable (err row), frame 1 healthy
+    val h4 = got.filter(_._1 == 4L)
+    assert(h4.length === 2)
+    assert(h4(0)._2.contains(0) && h4(0)._3.isEmpty && h4(0)._4.isDefined)
+    assert(h4(1)._2.contains(1) &&
+      h4(1)._3.contains(hashOf(Multimodal.pngBytes(9L))) && h4(1)._4.isEmpty)
+  }
+
+  test("videoNearDupClipsCollapsed: rep pairs equal brute force over " +
+    "DISTINCT clip signatures (frame-pair counts and min hamming " +
+    "exact); every planted frame-0-edited twin is group- or " +
+    "rep-connected to its original") {
+    val fh = Multimodal.videoFrameHashes(
+      Multimodal.mediaWithEditedVideos(spark, dir))
+    val sig = fh.filter(col("fhash").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(sig.nonEmpty)
+    val clips = sig.groupBy(_._1)
+      .map { case (id, fs) => id -> fs.map(f => (f._2, f._3)).sortBy(_._1).toSeq }
+    val groups = clips.groupBy(_._2)
+      .map { case (s, g) => s -> (g.keys.min, g.size) }
+    val brute = (for {
+      (sa, (ra, na)) <- groups; (sb, (rb, nb)) <- groups if ra < rb
+      pairs = for { (_, ha) <- sa; (_, hb) <- sb
+        if java.lang.Long.bitCount(ha ^ hb) <= 4 }
+        yield java.lang.Long.bitCount(ha ^ hb)
+      if pairs.nonEmpty
+    } yield (ra, rb, na.toLong, nb.toLong, pairs.size.toLong,
+      pairs.min)).toSet
+    val got = Multimodal.videoNearDupClipsCollapsed(fh, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSet
+    assert(got === brute)
+    // planted twins connect: same exact frame sequence (grouped) or
+    // their reps pair
+    val off = Multimodal.VideoEditIdOffset
+    val planted = clips.keys.filter(_ >= off).map(id => (id - off, id))
+      .filter { case (o, _) => clips.contains(o) }
+    assert(planted.nonEmpty)
+    planted.foreach { case (o, e) =>
+      val same = clips(o) == clips(e)
+      val (ra, rb) = (groups(clips(o))._1, groups(clips(e))._1)
+      val connected = same ||
+        got.exists(p => p._1 == math.min(ra, rb) && p._2 == math.max(ra, rb))
+      assert(connected, s"planted twin ($o, $e) neither grouped nor " +
+        "rep-paired")
+    }
+  }
+
+  test("videoDedupFromIndex: survivors equal brute-force clip " +
+    "screening (no frame near an indexed or EARLIER-batch clip's " +
+    "frame; own frames never screen each other); twins of indexed " +
+    "originals drop, a planted far clip survives") {
+    val fh = Multimodal.videoFrameHashes(
+      Multimodal.mediaWithEditedVideos(spark, dir))
+    val sig = fh.filter(col("fhash").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val off = Multimodal.VideoEditIdOffset
+    val idx = sig.filter(_._1 < off)
+    // plant one clip whose two frame hashes are provably FAR from every
+    // hash present (and from each other — irrelevant by policy, but
+    // keeps the fixture honest)
+    val allHashes = sig.map(_._3)
+    val farStream = Iterator.iterate(0x5a5a5a5a5a5a5a5aL)(h =>
+      h * 0x9e3779b97f4a7c15L + 1L)
+      .filter(h => allHashes.forall(o =>
+        java.lang.Long.bitCount(o ^ h) > 4))
+    val far1 = farStream.next()
+    val far2 = farStream.filter(h =>
+      java.lang.Long.bitCount(h ^ far1) > 4).next()
+    val plantedId = off * 8
+    val batch = (sig.filter(_._1 >= off) :+ ((plantedId, 0, far1)) :+
+      ((plantedId, 1, far2))).sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    val idxDf = idx.toSeq.toDF("media_id", "frame_idx", "fhash")
+    val batchDf = batch.toSeq.toDF("media_id", "frame_idx", "fhash")
+    val got = Multimodal.videoDedupFromIndex(idxDf, batchDf, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // brute force: clip order, drop on ANY earlier ARRIVAL (kept or
+    // dropped) holding a frame within distance — never on own frames
+    val byClip = batch.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSeq).toMap
+    val clipsInOrder = batch.map(_._1).distinct.sorted
+    val near = (a: Seq[Long], b: Seq[Long]) =>
+      a.exists(x => b.exists(y => java.lang.Long.bitCount(x ^ y) <= 4))
+    val idxHashes = idx.map(_._3).toSeq
+    val want = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    clipsInOrder.foreach { id =>
+      val mine = byClip(id)
+      val earlier = clipsInOrder.filter(_ < id)
+      val hit = near(mine, idxHashes) ||
+        earlier.exists(e => near(mine, byClip(e)))
+      if (!hit) want += ((id, mine.size.toLong))
+    }
+    assert(got === want.toList)
+    assert(got.size < clipsInOrder.size, "some twin must be screened out")
+    assert(got.exists(_._1 == plantedId), "the planted far clip must survive")
+  }
+
   test("resizeImage: every output pixel equals the exact nearest-" +
     "neighbor source pixel from the synthetic formula") {
     val id = 6L

@@ -1079,6 +1079,44 @@ class TextAnalysisSpec extends SparkSpec {
         "and the safe assignment's val/test")
   }
 
+  test("trainingDataBuildSafeWith(paragraph cleaner) ≡ its standalone " +
+    "stages composed: cleaning columns equal n143's rows verbatim, " +
+    "every shipped doc is safe-split train, and the seam genuinely " +
+    "swaps the stage (output differs from the n83-cleaner build)") {
+    import graft.ops.Dedup
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val built = TextAnalysis.trainingDataBuildSafeWith(
+      d, dd => TextAnalysis.cleanCorpusParagraphRaw(dd, 20))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(built.nonEmpty)
+    // 1. cleaning columns come from the STANDALONE paragraph cleaner,
+    // row for row (the build may only drop/reorder docs, never alter
+    // a doc's cleaning outcome)
+    val standalone = TextAnalysis.cleanCorpusParagraph(d, 20).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    built.foreach { case (id, nTok, nRem, tc) =>
+      assert(standalone.get(id).contains((nTok, nRem, tc)),
+        s"doc $id diverges from the standalone n143 cleaner")
+    }
+    // 2. shipped docs are exactly train-side under the SAFE (component)
+    // assignment the build derives
+    val asg = Dedup.leakageSafeSplits(d, 0.3)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    built.foreach { case (id, _, _, _) =>
+      assert(asg(id) === "train", s"doc $id shipped from ${asg(id)}")
+    }
+    // 3. the seam swaps the stage: the paragraph-cleaner build differs
+    // from the n83-cleaner build (different survivor set or accounting)
+    val trimBuild = TextAnalysis.trainingDataBuildSafe(d).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(built.toSeq != trimBuild.toSeq,
+      "paragraph and trim cleaner builds coincide — the seam is dead")
+  }
+
   test("paragraphDedup: keep-first across docs AND within a doc; empty " +
     "segments dedup like any other paragraph") {
     // doc 1: [A, B, A] — the second A is a within-doc repeat (removed);
