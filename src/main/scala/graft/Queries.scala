@@ -543,6 +543,86 @@ object Queries {
       |    nw::bigint AS n_tokens, n_removed, td AS text_clean
       |  FROM s WHERE nw >= 30 AND sr <= 0.3)""".stripMargin
 
+  /** CTE chain ending at `cc(doc_id, split, n_tokens, n_removed,
+    * text_clean)` — the SUBSTRING cleaner (n126's pipeline: normalize →
+    * exact-dup keeper → keep-first substring dedup over keepers →
+    * quality gate). Shared by n126 and the substring-cleaner safe
+    * build (n147), the ParagraphCleanCtes discipline.
+    */
+  private lazy val SubstringCleanCtes =
+    s"""nrm AS (SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+      |      ' +', ' ', 'g')) AS text
+      |  FROM documents),
+      |kp AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text)),
+      |${dupSubCtesKeyed(identity,
+          "SELECT n.doc_id, string_split(n.text, ' ') AS ws " +
+          "FROM nrm n JOIN kp USING (doc_id)")},
+      |$DupSubRebuildCtes,
+      |t AS (SELECT w.doc_id, coalesce(nrem.n_removed, 0)::bigint AS n_removed,
+      |    coalesce(kept.td, '') AS td
+      |  FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)),
+      |s AS (SELECT doc_id, n_removed, td,
+      |    len(string_split(td, ' ')) AS nw,
+      |    round(len(list_filter(string_split(td, ' '), x -> x IN $Stop))::double
+      |      / len(string_split(td, ' ')), 6) AS sr,
+      |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
+      |  FROM t),
+      |cc AS (SELECT doc_id,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    nw::bigint AS n_tokens, n_removed, td AS text_clean
+      |  FROM s WHERE nw >= 30 AND sr <= 0.3)""".stripMargin
+
+  /** The SAFE-build oracle over a pluggable cleaner chain: n142's
+    * component-split assignment + mix/shard tail rooted on a
+    * caller-supplied CTE chain ending at `cc(doc_id, split, n_tokens,
+    * n_removed, text_clean)` — ONE SQL text serving every
+    * trainingDataBuildSafeWith oracle (n146 paragraph, n147
+    * substring), so each build's cleaning SQL is THE SAME text its
+    * standalone cleaner gate verifies, and a tail fix lands once.
+    */
+  private def safeBuildWithCleanerSql(cleanCtes: String): String =
+    s"""WITH RECURSIVE $VerifiedPairsCtes,
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+      |  UNION SELECT doc_b, doc_a FROM vp),
+      |reach(id, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.id),
+      |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |sasg AS (SELECT d.doc_id,
+      |    ${splitCaseSql("coalesce(l.cluster, d.doc_id)")} AS split
+      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+      |$cleanCtes,
+      |tr AS (SELECT cc.doc_id AS doc_id, d.source AS source,
+      |    cc.n_tokens AS n_tokens, cc.n_removed AS n_removed,
+      |    cc.text_clean AS text_clean
+      |  FROM cc JOIN documents d USING (doc_id)
+      |  JOIN sasg USING (doc_id)
+      |  WHERE sasg.split = 'train'),
+      |mper AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      |  FROM tr GROUP BY source),
+      |mw AS (SELECT source, src_tokens,
+      |    CAST(round(pow(src_tokens::double, 0.5), 6) AS decimal(18,6)) AS wgt
+      |  FROM mper),
+      |mtot AS (SELECT sum(wgt) AS sw FROM mw),
+      |mpl AS (SELECT source, least(1000000::BIGINT, CAST(floor(
+      |      CAST(floor(20000.0 * round(wgt::double / sw::double, 6)) AS BIGINT)::double
+      |        * 1000000.0 / src_tokens::double) AS BIGINT)) AS keep_thresh
+      |  FROM mw CROSS JOIN mtot),
+      |mk AS (SELECT tr.* FROM tr JOIN mpl USING (source)
+      |  WHERE ('0x' || substring(md5('tmix|' || tr.doc_id::varchar), 1, 8))::bigint
+      |    % 1000000 < mpl.keep_thresh),
+      |sa AS (SELECT *, md5('shard|' || doc_id::varchar) AS skey FROM mk)
+      |SELECT doc_id, source,
+      |  ('0x' || substring(skey, 1, 8))::bigint % 8 AS shard,
+      |  row_number() OVER (
+      |    PARTITION BY ('0x' || substring(skey, 1, 8))::bigint % 8
+      |    ORDER BY skey, doc_id) AS pos,
+      |  n_tokens, n_removed, text_clean
+      |FROM sa ORDER BY doc_id""".stripMargin
+
   /** The 60-bit hamming ≤ 3 pair oracle, shared VERBATIM by n94 (plain
     * 4-block pigeonhole) and n113 (Manku permuted tables): both fronts
     * have EXACT recall at this distance, so they must produce the
@@ -2766,30 +2846,9 @@ object Queries {
     ("n126_clean_corpus_subdedup",
       (s: SparkSession, d: String) =>
         TextAnalysis.cleanCorpusSubstring(docs(s, d), 5),
-      Some(s"""WITH nrm AS (SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
-        |      ' +', ' ', 'g')) AS text
-        |  FROM documents),
-        |kp AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(text)),
-        |${dupSubCtesKeyed(identity,
-            "SELECT n.doc_id, string_split(n.text, ' ') AS ws " +
-            "FROM nrm n JOIN kp USING (doc_id)")},
-        |$DupSubRebuildCtes,
-        |t AS (SELECT w.doc_id, coalesce(nrem.n_removed, 0)::bigint AS n_removed,
-        |    coalesce(kept.td, '') AS td
-        |  FROM w LEFT JOIN nrem USING (doc_id) LEFT JOIN kept USING (doc_id)),
-        |s AS (SELECT doc_id, n_removed, td,
-        |    len(string_split(td, ' ')) AS nw,
-        |    round(len(list_filter(string_split(td, ' '), x -> x IN $Stop))::double
-        |      / len(string_split(td, ' ')), 6) AS sr,
-        |    ('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint % 100 AS b
-        |  FROM t)
-        |SELECT doc_id,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-        |    ELSE 'test' END AS split,
-        |  nw::bigint AS n_tokens, n_removed, td AS text_clean
-        |FROM s WHERE nw >= 30 AND sr <= 0.3
-        |ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $SubstringCleanCtes
+        |SELECT doc_id, split, n_tokens, n_removed, text_clean
+        |FROM cc ORDER BY doc_id""".stripMargin)),
 
     // INCREMENTAL keep-first substring dedup: the newer half of the
     // corpus (doc_id ≥ max÷2) deduped against the older half's gram
@@ -2954,45 +3013,22 @@ object Queries {
         TextAnalysis.trainingDataBuildSafeWith(docs(s, d),
           dd => TextAnalysis.cleanCorpusParagraphRaw(dd, 20),
           0.5, 0.5, 20000L, 8, 0.3),
-      Some(s"""WITH RECURSIVE $VerifiedPairsCtes,
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
-        |  UNION SELECT doc_b, doc_a FROM vp),
-        |reach(id, r) AS (
-        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-        |  UNION
-        |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.id),
-        |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-        |sasg AS (SELECT d.doc_id,
-        |    ${splitCaseSql("coalesce(l.cluster, d.doc_id)")} AS split
-        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
-        |$ParagraphCleanCtes,
-        |tr AS (SELECT cc.doc_id AS doc_id, d.source AS source,
-        |    cc.n_tokens AS n_tokens, cc.n_removed AS n_removed,
-        |    cc.text_clean AS text_clean
-        |  FROM cc JOIN documents d USING (doc_id)
-        |  JOIN sasg USING (doc_id)
-        |  WHERE sasg.split = 'train'),
-        |mper AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
-        |  FROM tr GROUP BY source),
-        |mw AS (SELECT source, src_tokens,
-        |    CAST(round(pow(src_tokens::double, 0.5), 6) AS decimal(18,6)) AS wgt
-        |  FROM mper),
-        |mtot AS (SELECT sum(wgt) AS sw FROM mw),
-        |mpl AS (SELECT source, least(1000000::BIGINT, CAST(floor(
-        |      CAST(floor(20000.0 * round(wgt::double / sw::double, 6)) AS BIGINT)::double
-        |        * 1000000.0 / src_tokens::double) AS BIGINT)) AS keep_thresh
-        |  FROM mw CROSS JOIN mtot),
-        |mk AS (SELECT tr.* FROM tr JOIN mpl USING (source)
-        |  WHERE ('0x' || substring(md5('tmix|' || tr.doc_id::varchar), 1, 8))::bigint
-        |    % 1000000 < mpl.keep_thresh),
-        |sa AS (SELECT *, md5('shard|' || doc_id::varchar) AS skey FROM mk)
-        |SELECT doc_id, source,
-        |  ('0x' || substring(skey, 1, 8))::bigint % 8 AS shard,
-        |  row_number() OVER (
-        |    PARTITION BY ('0x' || substring(skey, 1, 8))::bigint % 8
-        |    ORDER BY skey, doc_id) AS pos,
-        |  n_tokens, n_removed, text_clean
-        |FROM sa ORDER BY doc_id""".stripMargin)),
+      Some(safeBuildWithCleanerSql(ParagraphCleanCtes))),
+
+    // n142's safe build with the keep-first SUBSTRING cleaning stage
+    // (quote/mirror corpora: one copy of every repeated k-gram run
+    // survives corpus-wide) — the third cleaner through the same seam,
+    // so all three parallel cleaning chains (n83 trim in n142, n143
+    // paragraph in n146, n126 substring here) now compose into the
+    // identical safe-split/straddle/mix/shard tail. Oracle = the ONE
+    // shared tail SQL over SubstringCleanCtes — the same text n126's
+    // standalone gate verifies.
+    ("n147_training_build_safe_substring",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.trainingDataBuildSafeWith(docs(s, d),
+          dd => TextAnalysis.cleanCorpusSubstringRaw(dd, 5),
+          0.5, 0.5, 20000L, 8, 0.3),
+      Some(safeBuildWithCleanerSql(SubstringCleanCtes))),
 
     // Jaccard BACKGROUND distribution (τ calibration): 20-bucket
     // histogram of exact word-set Jaccard over a deterministic 10%
@@ -4404,6 +4440,17 @@ object Queries {
           fh.join(broadcast(half), col("media_id") >= col("h"))
             .select(col("media_id"), col("frame_idx"), col("fhash")))
       },
+      None),
+
+    // Cross-modality dedup card: per kind, decode health + the
+    // exact-signature duplication structure (distinct sigs, dup
+    // groups, max group, sum(g^2)/sum(g) inflation — the measured-auto
+    // switch number, per modality) over the three planted corpora.
+    // Rows-only (codec-bound, the m1 exemption); the card math is
+    // spec-pinned hand-computed on a planted fixture.
+    ("m13_media_dedup_card",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.mediaDedupCardTable(s, d),
       None),
   )
 

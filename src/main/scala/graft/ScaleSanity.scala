@@ -446,6 +446,55 @@ object ScaleSanity {
           s"audingest_batch_$b (kept=$n)")
       }
     }
+    // audio-dedup streaming ingest: the image block's measurement over
+    // the REAL AudioIngest stream (decode + screen + publish per batch
+    // through the shared MediaDedupIngest policy) — per-batch wall must
+    // stay flat while the fingerprint index grows; the per-batch codec
+    // decode is O(batch) by construction
+    if (wanted("audio_ingest_publish")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/audpub"), true)
+      // stage the planted corpus ONCE — in a real stream batches arrive
+      // as data; re-running the fixture's codec round trips (synthesis +
+      // twin re-encode) per batch charted 52 s/batch of HARNESS cost
+      // that drowned the ingest's own number (first cut of this sweep)
+      sources.Multimodal.audioWithEditedClips(spark, out)
+        .write.mode("overwrite").parquet(s"$out/audpub/media.parquet")
+      val media = spark.read.parquet(s"$out/audpub/media.parquet")
+      val nBatches = 20
+      for (b <- 0 until nBatches) {
+        val batch = media.filter(
+          pmod(hash(col("media_id")), lit(nBatches)) === b)
+        val t0 = System.nanoTime()
+        val rows = streaming.AudioIngest.ingestBatch(batch, b.toLong,
+          s"$out/audpub/index", s"$out/audpub/out")
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"audpub_batch_$b (rows=$rows)")
+      }
+    }
+    // video-dedup streaming ingest: the same measurement over the REAL
+    // VideoIngest stream — CLIP-level screening through the GROUP core
+    // against a per-frame index growing every batch
+    if (wanted("video_ingest_publish")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/vidpub"), true)
+      // stage ONCE — same reason as the audio block
+      sources.Multimodal.mediaWithEditedVideos(spark, out)
+        .write.mode("overwrite").parquet(s"$out/vidpub/media.parquet")
+      val media = spark.read.parquet(s"$out/vidpub/media.parquet")
+      val nBatches = 20
+      for (b <- 0 until nBatches) {
+        val batch = media.filter(
+          pmod(hash(col("media_id")), lit(nBatches)) === b)
+        val t0 = System.nanoTime()
+        val rows = streaming.VideoIngest.ingestBatch(batch, b.toLong,
+          s"$out/vidpub/index", s"$out/vidpub/out")
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"vidpub_batch_$b (rows=$rows)")
+      }
+    }
     // incremental one-call build: the 20-batch per-batch-wall
     // measurement over IncrementalBuild (ingest = SimhashIngest
     // verbatim, so per-batch FLAT must carry over), then ONE timed

@@ -1481,11 +1481,17 @@ object TextAnalysis {
     * join), same as n83.
     */
   def cleanCorpusSubstring(docs: DataFrame, k: Int = 5): DataFrame =
+    cleanCorpusSubstringRaw(docs, k).orderBy(col("doc_id"))
+
+  /** [[cleanCorpusSubstring]] without the presentation sort — the
+    * composable form ([[trainingDataBuildSafeWith]] sorts once at its
+    * own tail, the cleanCorpusRaw convention).
+    */
+  def cleanCorpusSubstringRaw(docs: DataFrame, k: Int = 5): DataFrame =
     cleanCorpusWith(docs, keepers =>
       dupSubstringDedupRaw(keepers, k)
         .select(col("doc_id"), col("n_removed"),
           col("text_dedup").as("cleaned")))
-      .orderBy(col("doc_id"))
 
   /** The one-call training-data BUILD — the full published pipeline a
     * 100 TB run executes, each stage a registry operator's machinery

@@ -1319,4 +1319,76 @@ object Multimodal {
         .agg(count(lit(1)).as("n_frames")), Seq("media_id"))
       .orderBy(col("media_id"))
   }
+
+  // ======== cross-modality dedup card (m13) ========
+
+  /** The media table's DEDUP CARD — the n70 dataset-card move on the
+    * modality × dedup matrix: per kind, the decode health and the
+    * exact-signature duplication structure every downstream dedup
+    * decision reads. One row per kind with
+    * (n_media, n_decoded, n_err, n_distinct_sig, n_dup_groups,
+    * max_group, inflation): units whose perceptual signature exists /
+    * errored, the DISTINCT signature count (phash / ahash / the m11
+    * clip key over healthy frames), identical-signature group
+    * structure, and the Σg²/Σg duplication inflation — the SAME number
+    * the measured collapse autos (n139/n145) switch on, so the card
+    * says per modality whether a collapsed front is warranted BEFORE a
+    * pairing job commits.
+    *
+    * Scale shape: each signature pass decodes only its own kind (the
+    * three passes partition the table — the corpus is decoded once in
+    * total), group stats are two map-side-combinable aggregates over
+    * 16-byte signature rows, and the final join is three 1-row-per-kind
+    * frames. Payloads never shuffle.
+    */
+  def mediaDedupCard(media: DataFrame): DataFrame = {
+    // unit = (kind, media_id, sig, has_err): image/audio carry their
+    // 64-bit hash as a hex string; a video clip's sig is the m11 clip
+    // key (md5 over its healthy (frame_idx, fhash) pairs), null iff NO
+    // frame decoded; has_err = any decode error at either granularity
+    val img = imagePhash(media).select(lit("image").as("kind"),
+      col("media_id"), hex(col("phash")).as("sig"),
+      col("decode_err").isNotNull.as("has_err"))
+    val aud = audioHash(media).select(lit("audio").as("kind"),
+      col("media_id"), hex(col("ahash")).as("sig"),
+      col("decode_err").isNotNull.as("has_err"))
+    val vid = videoFrameHashes(media).groupBy(col("media_id"))
+      .agg(count(col("fhash")).as("n_ok"),
+        md5(to_json(sort_array(collect_list(when(col("fhash").isNotNull,
+          struct(col("frame_idx"), col("fhash"))))))).as("ck"),
+        (count(col("decode_err")) > 0).as("has_err"))
+      .select(lit("video").as("kind"), col("media_id"),
+        when(col("n_ok") > 0, col("ck")).as("sig"), col("has_err"))
+    val units = img.unionByName(aud).unionByName(vid)
+    val perUnit = units.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        count(col("sig")).as("n_decoded"),
+        sum(col("has_err").cast("long")).as("n_err"))
+    val groups = units.filter(col("sig").isNotNull)
+      .groupBy(col("kind"), col("sig")).agg(count(lit(1)).as("g"))
+    val perGroup = groups.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_distinct_sig"),
+        sum((col("g") >= 2).cast("long")).as("n_dup_groups"),
+        max(col("g")).as("max_group"),
+        // double BEFORE the square — the ADVICE-fixed digestInflation
+        // lesson (a Long product wraps on ~3e9-member groups)
+        round(sum(col("g").cast("double") * col("g")) /
+          sum(col("g")), 6).as("inflation"))
+    perUnit.join(perGroup, Seq("kind"), "left_outer")
+      .orderBy(col("kind"))
+  }
+
+  /** Rows-only registry surface (m13): the dedup card over the planted
+    * media corpus (originals + every modality's edited twins — the
+    * m4/m7/m10 corpora unioned), so the card's dup structure reflects
+    * the near-dup plants' exact-signature collisions.
+    */
+  def mediaDedupCardTable(spark: SparkSession, dir: String): DataFrame =
+    mediaDedupCard(
+      // scope each planted corpus to its modality — the image
+      // constructor returns the WHOLE media table plus edited images
+      // (the audio/video ones are already kind-scoped)
+      mediaWithEditedImages(spark, dir).filter(col("kind") === "image")
+        .unionByName(audioWithEditedClips(spark, dir))
+        .unionByName(mediaWithEditedVideos(spark, dir)))
 }

@@ -34,64 +34,34 @@ object ImageIngest {
   def maxPublished(spark: SparkSession, table: String): Long =
     VersionedIngest.maxPublished(spark, table)
 
+  private def emptyIndex(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long)].toDF("media_id", "phash", "batch_id")
+  }
+
   /** The published signature index (media_id, phash, batch_id),
     * empty-but-typed before the first publish.
     */
   def readIndex(spark: SparkSession, table: String): DataFrame =
-    VersionedIngest.readIndexOr(spark, table, {
-      import spark.implicits._
-      Seq.empty[(Long, Long, Long)].toDF("media_id", "phash", "batch_id")
-    })
+    VersionedIngest.readIndexOr(spark, table, emptyIndex(spark))
 
   /** Process ONE batch of media rows: dHash the images, screen against
     * the index + the batch itself, append the survivors' signatures,
     * emit surviving media rows (plus all pass-throughs) to
     * `out/batch_id=<id>/`. Idempotent per (batch contents, batchId).
-    * Returns the emitted row count.
+    * Returns the emitted row count. The policy (decode-once,
+    * pass-through arms, replay reconstruction, publish-then-write
+    * order) is [[MediaDedupIngest]]'s — shared with the audio and
+    * video streams; only the modality triple lives here.
     */
   def ingestBatch(batch: DataFrame, batchId: Long, indexTable: String,
-                  out: String, maxDist: Int = 4): Long = {
-    val spark = batch.sparkSession
-    val index = readIndex(spark, indexTable)
-    // images only — screening and the undecodable pass-through must
-    // both be scoped to image rows (a non-image row sharing a media_id
-    // with an undecodable image would otherwise emit twice;
-    // review-caught)
-    val images = batch.filter(col("kind") <=> "image")
-    // decode ONCE: the phash frame feeds the screening and the
-    // unscreenable pass-through — uncut, both would re-pay the codecs
-    val phash = graft.ops.Checkpoints.cut(Multimodal.imagePhash(images))
-    // pass-throughs are a PURE deterministic function of the batch
-    // (kind + decode success), so both the fresh and replay arms emit
-    // them identically; the null-safe kind test keeps a NULL-kind row
-    // from vanishing (=!= would filter it out of BOTH arms)
-    val passThrough = batch.filter(!(col("kind") <=> "image"))
-      .unionByName(images.join(
-        phash.filter(col("phash").isNull).select(col("media_id")),
-        Seq("media_id"), "left_semi"))
-    val screened =
-      if (batchId <= VersionedIngest.maxPublished(spark, indexTable))
-        // replay: the stamped signatures ARE this batch's survivors
-        images.join(index.filter(col("batch_id") === batchId)
-          .select(col("media_id")), Seq("media_id"), "left_semi")
-      else {
-        val kept = graft.ops.Checkpoints.cut(
-          Multimodal.imagePhashDedupFromIndex(
-            index.select(col("media_id"), col("phash")), phash, maxDist))
-        VersionedIngest.commit(spark, indexTable,
-          kept.withColumn("batch_id", lit(batchId)), batchId)
-        images.join(kept.select(col("media_id")), Seq("media_id"),
-          "left_semi")
-      }
-    // sink write AFTER the publish: a crash in between replays into the
-    // stamped-survivors arm, which rewrites exactly this partition
-    val rows = screened.unionByName(passThrough)
-      .withColumn("batch_id", lit(batchId))
-    rows.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(out)
-    rows.count()
-  }
+                  out: String, maxDist: Int = 4): Long =
+    MediaDedupIngest.ingestBatch(batch, batchId, indexTable, out,
+      kind = "image", sigCol = "phash",
+      signatures = Multimodal.imagePhash,
+      emptyIndex = emptyIndex,
+      screen = (index, sigs) =>
+        Multimodal.imagePhashDedupFromIndex(index, sigs, maxDist))
 
   /** Checkpointed streaming ingest over a parquet directory of media
     * rows — [[ingestBatch]] in the shared [[VersionedIngest]] wiring.

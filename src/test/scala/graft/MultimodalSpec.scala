@@ -847,4 +847,44 @@ class MultimodalSpec extends SparkSpec {
     assert(byKind("image") >= 4.0 && byKind("image") <= 11.0)
     assert(byKind("audio") >= 16.0 && byKind("audio") <= 47.0)
   }
+
+  test("mediaDedupCard: hand-computed card over a planted fixture — " +
+    "dup groups by exact signature, decode health at both video " +
+    "granularities, inflation = sum(g^2)/sum(g)") {
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      // image: an identical-payload pair (one dup group of 2), a
+      // corrupt payload (err), a null payload (neither decoded nor err)
+      Row(1L, "image", Multimodal.pngBytes(1L), Row(4, 4, null)),
+      Row(2L, "image", Multimodal.pngBytes(1L), Row(4, 4, null)),
+      Row(3L, "image", Array.fill[Byte](16)(7), Row(4, 4, null)),
+      Row(4L, "image", null, Row(4, 4, null)),
+      // audio: same shape
+      Row(11L, "audio", Multimodal.wavBytes(1L), Row(null, null, 8000)),
+      Row(12L, "audio", Multimodal.wavBytes(1L), Row(null, null, 8000)),
+      Row(13L, "audio", Array.fill[Byte](16)(7), Row(null, null, 8000)),
+      Row(14L, "audio", null, Row(null, null, 8000)),
+      // video: an identical clip pair, a PARTIAL clip (frame 0 corrupt
+      // → err, but decoded on frame 1), a corrupt container (err, not
+      // decoded), a null payload
+      Row(21L, "video", Multimodal.gfvBytes(2L), Row(4, 4, null)),
+      Row(22L, "video", Multimodal.gfvBytes(2L), Row(4, 4, null)),
+      Row(23L, "video", Multimodal.packGfv(Seq(Array.fill[Byte](16)(7),
+        Multimodal.pngBytes(99L))), Row(4, 4, null)),
+      Row(24L, "video", Array.fill[Byte](16)(9), Row(4, 4, null)),
+      Row(25L, "video", null, Row(4, 4, null)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val got = Multimodal.mediaDedupCard(media).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toSeq
+    assert(got === Seq(
+      ("audio", 4L, 2L, 1L, 1L, 1L, 2L, 2.0),
+      ("image", 4L, 2L, 1L, 1L, 1L, 2L, 2.0),
+      // video: decoded = {21, 22, 23}; errs = {23 partial, 24
+      // container}; sigs = the 21/22 clip key + 23's one-frame key;
+      // inflation = (2^2 + 1^2) / 3
+      ("video", 5L, 3L, 2L, 2L, 1L, 2L, 1.666667)))
+  }
 }

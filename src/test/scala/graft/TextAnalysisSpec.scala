@@ -1117,6 +1117,33 @@ class TextAnalysisSpec extends SparkSpec {
       "paragraph and trim cleaner builds coincide — the seam is dead")
   }
 
+  test("trainingDataBuildSafeWith(substring cleaner) ≡ its standalone " +
+    "stages composed: cleaning columns equal n126's rows verbatim and " +
+    "every shipped doc is safe-split train (the third cleaner through " +
+    "the one seam)") {
+    import graft.ops.Dedup
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val built = TextAnalysis.trainingDataBuildSafeWith(
+      d, dd => TextAnalysis.cleanCorpusSubstringRaw(dd, 5))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(built.nonEmpty)
+    val standalone = TextAnalysis.cleanCorpusSubstring(d, 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    built.foreach { case (id, nTok, nRem, tc) =>
+      assert(standalone.get(id).contains((nTok, nRem, tc)),
+        s"doc $id diverges from the standalone n126 cleaner")
+    }
+    val asg = Dedup.leakageSafeSplits(d, 0.3)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    built.foreach { case (id, _, _, _) =>
+      assert(asg(id) === "train", s"doc $id shipped from ${asg(id)}")
+    }
+  }
+
   test("paragraphDedup: keep-first across docs AND within a doc; empty " +
     "segments dedup like any other paragraph") {
     // doc 1: [A, B, A] — the second A is a within-doc repeat (removed);
