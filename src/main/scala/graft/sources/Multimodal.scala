@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.ByteArrayOutputStream
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -126,16 +126,10 @@ object Multimodal {
 
   /** Toy video container: magic, big-endian frame count, then length-
     * prefixed PNG frames (frame f is the image of id·8+f, so frames
-    * differ deterministically).
+    * differ deterministically). Layout owned by [[packGfv]].
     */
-  def gfvBytes(id: Long): Array[Byte] = {
-    val frames = (0 until GfvFrames).map(f => pngBytes(id * 8 + f))
-    val bb = java.nio.ByteBuffer.allocate(
-      8 + frames.map(_.length + 4).sum)
-    bb.put(GfvMagic).putInt(frames.length)
-    frames.foreach(f => bb.putInt(f.length).put(f))
-    bb.array()
-  }
+  def gfvBytes(id: Long): Array[Byte] =
+    packGfv((0 until GfvFrames).map(f => pngBytes(id * 8 + f)))
 
   /** Synthesize the media table from `events`: a deterministic 1-in-5
     * sidecar sample (not every event carries media), kind round-robined
@@ -490,13 +484,8 @@ object Multimodal {
               kind match {
                 case "image" => (resizeImage(payload, outW, outH), null)
                 case "video" =>
-                  val frames = sampleVideoFrames(payload, frameK)
-                    .map(resizeImage(_, outW, outH))
-                  val bb = java.nio.ByteBuffer.allocate(
-                    8 + frames.map(_.length + 4).sum)
-                  bb.put(GfvMagic).putInt(frames.length)
-                  frames.foreach(f => bb.putInt(f.length).put(f))
-                  (bb.array(), null)
+                  (packGfv(sampleVideoFrames(payload, frameK)
+                    .map(resizeImage(_, outW, outH))), null)
                 case _ => (payload, null) // audio: pass-through
               }
             } catch {
@@ -773,29 +762,41 @@ object Multimodal {
         // draft dereferenced ImageIO.read's result unguarded)
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]]("payload")
-          val img =
-            if (payload == null) null
-            else try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(payload))
-            catch { case _: Exception => null }
-          if (img == null) None
-          else {
-            val p = img.getRGB(0, 0)
-            val red = (p >> 16) & 0xff
-            val bumped = if (red == 255) red - 1 else red + 1
-            // preserve every non-red byte, INCLUDING alpha (bits 24-31):
-            // masking with 0x00ffff would zero alpha on an ARGB source,
-            // turning the "one red-channel bump" into a transparency edit
-            img.setRGB(0, 0, (p & 0xff00ffff) | (bumped << 16))
-            val bos = new ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            Some(Row(id + EditIdOffset, "image", bos.toByteArray,
-              Row(img.getWidth, img.getHeight, null)))
+          bumpRedPixelPng(r.getAs[Array[Byte]]("payload")).map {
+            case (png, w, h) =>
+              Row(id + EditIdOffset, "image", png, Row(w, h, null))
           }
         }
       }(enc)
     media.unionAll(edited)
+  }
+
+  /** Decode a PNG, bump pixel (0, 0)'s red channel by one, re-encode
+    * lossless — the ONE edit-twin transform the image and video
+    * planted corpora share (review-forced: the alpha-preservation fix
+    * had landed twice). Preserves every non-red byte INCLUDING alpha
+    * (bits 24-31): masking with 0x00ffff would zero alpha on an ARGB
+    * source, turning the "one red-channel bump" into a transparency
+    * edit. None on a null or undecodable payload (the constructors' m1
+    * policy: no twin, never a dead task). Returns (png, w, h).
+    */
+  private[graft] def bumpRedPixelPng(png: Array[Byte])
+      : Option[(Array[Byte], Int, Int)] = {
+    val img =
+      if (png == null) null
+      else try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val p = img.getRGB(0, 0)
+      val red = (p >> 16) & 0xff
+      val bumped = if (red == 255) red - 1 else red + 1
+      img.setRGB(0, 0, (p & 0xff00ffff) | (bumped << 16))
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Some((bos.toByteArray, img.getWidth, img.getHeight))
+    }
   }
 
   /** The rows-only registry surface for the image-dedup path: dHash
@@ -1207,55 +1208,69 @@ object Multimodal {
           else try Some(sampleVideoFrames(payload, Int.MaxValue))
           catch { case _: Exception => None }
         frames.flatMap { fs =>
-          try {
-            val edited = fs.zipWithIndex.map { case (png, i) =>
-              if (i != 0) png
-              else {
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(png))
-                require(img != null)
-                val p = img.getRGB(0, 0)
-                val red = (p >> 16) & 0xff
-                val bumped = if (red == 255) red - 1 else red + 1
-                img.setRGB(0, 0, (p & 0xff00ffff) | (bumped << 16))
-                val bos = new ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(img, "png", bos)
-                bos.toByteArray
-              }
-            }
-            val meta = r.getStruct(3)
-            Some(Row(id + VideoEditIdOffset, "video", packGfv(edited),
-              meta))
-          } catch { case _: Exception => None }
+          // frame 0 through the ONE shared bump transform; an
+          // undecodable frame 0 yields no twin (m1 policy)
+          bumpRedPixelPng(fs.head).map { case (png0, _, _) =>
+            Row(id + VideoEditIdOffset, "video",
+              packGfv(png0 +: fs.tail), r.getStruct(3))
+          }
         }.toSeq
       }
     }(enc)
     media.unionAll(edited)
   }
 
+  /** The m11 clip key: md5 over the clip's healthy (frame_idx, fhash)
+    * pairs in sorted order — identical re-posted clips collapse under
+    * it. ONE aggregate definition shared by the pairing front and the
+    * m13 dedup card (review-forced: a drift in field order / json
+    * encoding / sort between two copies would silently break the
+    * card's claimed equality with m11 grouping). Null-hash rows (an
+    * undecodable frame) drop out via the `when`; over a pre-filtered
+    * frame the `when` is a no-op, so both call sites compute the
+    * identical key.
+    */
+  private[graft] def clipKeyAgg: Column =
+    md5(to_json(sort_array(collect_list(when(col("fhash").isNotNull,
+      struct(col("frame_idx"), col("fhash")))))))
+
+  /** Pack (media_id, frame_idx) into the single-Long frame key the
+    * pigeonhole pair front requires (doc_id = media_id·64 + idx).
+    * GUARDED: an idx outside [0, 64) would silently attribute frames
+    * to the WRONG clip after the div-64 unpack (spurious cross-clip
+    * pairs, suppressed within-clip ones) — fail loudly instead. The
+    * bound limits PAIRING/SCREENING to 64 sampled frames per clip
+    * ([[VideoFrameK]] defaults far under it); hashing itself
+    * ([[videoFrameHashes]]) has no such limit.
+    */
+  private def frameKey(mediaId: Column, frameIdx: Column): Column =
+    when(frameIdx >= 0 && frameIdx < 64, mediaId * 64 + frameIdx)
+      .otherwise(raise_error(concat(
+        lit("frame_idx outside [0, 64) cannot pack into the 64-slot " +
+          "clip-frame key (sample at most 64 frames for pairing): "),
+        frameIdx.cast("string"))))
+
   /** Clip-level near-dup pairs in the COLLAPSED rep form (the m5/m8
     * discipline lifted to multi-signature units): clips group by their
-    * EXACT frame-hash sequence (clip key = md5 over (idx, hash) pairs —
-    * identical re-posted clips collapse under a min-id rep), the
-    * permuted pigeonhole front pairs the REP clips' frames at 64
-    * bits / 8 blocks / keep 4 (frame key = media_id·64 + idx), and
-    * frame pairs aggregate to clip pairs: (media_a, media_b, n_a, n_b,
-    * n_frame_pairs, min_hamming). Within-clip frame pairs are excluded
-    * by definition. Pair volume is bounded by DISTINCT-clip structure,
-    * never clip-dup group size².
+    * EXACT frame-hash sequence ([[clipKeyAgg]] — identical re-posted
+    * clips collapse under a min-id rep), the permuted pigeonhole front
+    * pairs the REP clips' frames at 64 bits / 8 blocks / keep 4
+    * ([[frameKey]]), and frame pairs aggregate to clip pairs:
+    * (media_a, media_b, n_a, n_b, n_frame_pairs, min_hamming).
+    * Within-clip frame pairs are excluded by definition. Pair volume
+    * is bounded by DISTINCT-clip structure, never clip-dup group
+    * size².
     */
   def videoNearDupClipsCollapsed(frameHashes: DataFrame,
                                  maxDist: Int = 4): DataFrame = {
     val fh = frameHashes.filter(col("fhash").isNotNull)
-    val clipKeys = fh.groupBy(col("media_id"))
-      .agg(md5(to_json(sort_array(collect_list(
-        struct(col("frame_idx"), col("fhash")))))).as("ck"))
+    val clipKeys = fh.groupBy(col("media_id")).agg(clipKeyAgg.as("ck"))
     val groups = clipKeys.groupBy(col("ck"))
       .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
     val repFrames = fh.join(
         groups.select(col("rep").as("media_id"), col("n")),
         Seq("media_id"))
-      .select((col("media_id") * 64 + col("frame_idx")).as("doc_id"),
+      .select(frameKey(col("media_id"), col("frame_idx")).as("doc_id"),
         col("fhash").as("simhash"))
     val fp = graft.ops.Dedup.simhashNearDupPairsPermutedFromIndex(
       repFrames, bits = 64, maxDist = maxDist, nBlocks = 8, nKeep = 4)
@@ -1307,7 +1322,7 @@ object Multimodal {
     graft.ops.Dedup.incrementalGroupSignatureDedupFromIndex(
       b.select(col("media_id").as("grp_id"), col("fhash").as("simhash")),
       index.filter(col("fhash").isNotNull)
-        .select((col("media_id") * 64 + col("frame_idx")).as("doc_id"),
+        .select(frameKey(col("media_id"), col("frame_idx")).as("doc_id"),
           col("fhash").as("simhash")),
       bits = 64, maxDist = maxDist, nBlocks = 8)
       .select(col("grp_id").as("media_id"))
@@ -1335,17 +1350,24 @@ object Multimodal {
     * says per modality whether a collapsed front is warranted BEFORE a
     * pairing job commits.
     *
+    * Rows the three modality passes cannot touch — a NULL kind or an
+    * unknown kind string — land in an `other` row (never decoded, no
+    * signature), so Σ n_media equals the media table's row count: the
+    * card covers EVERY row, the same never-lose-a-row-silently
+    * discipline the ingest pass-through arms follow.
+    *
     * Scale shape: each signature pass decodes only its own kind (the
-    * three passes partition the table — the corpus is decoded once in
+    * passes partition the table — the corpus is decoded once in
     * total), group stats are two map-side-combinable aggregates over
-    * 16-byte signature rows, and the final join is three 1-row-per-kind
+    * 16-byte signature rows, and the final join is 1-row-per-kind
     * frames. Payloads never shuffle.
     */
   def mediaDedupCard(media: DataFrame): DataFrame = {
     // unit = (kind, media_id, sig, has_err): image/audio carry their
     // 64-bit hash as a hex string; a video clip's sig is the m11 clip
-    // key (md5 over its healthy (frame_idx, fhash) pairs), null iff NO
-    // frame decoded; has_err = any decode error at either granularity
+    // key ([[clipKeyAgg]] — ONE definition with the pairing front),
+    // null iff NO frame decoded; has_err = any decode error at either
+    // granularity
     val img = imagePhash(media).select(lit("image").as("kind"),
       col("media_id"), hex(col("phash")).as("sig"),
       col("decode_err").isNotNull.as("has_err"))
@@ -1353,13 +1375,16 @@ object Multimodal {
       col("media_id"), hex(col("ahash")).as("sig"),
       col("decode_err").isNotNull.as("has_err"))
     val vid = videoFrameHashes(media).groupBy(col("media_id"))
-      .agg(count(col("fhash")).as("n_ok"),
-        md5(to_json(sort_array(collect_list(when(col("fhash").isNotNull,
-          struct(col("frame_idx"), col("fhash"))))))).as("ck"),
+      .agg(count(col("fhash")).as("n_ok"), clipKeyAgg.as("ck"),
         (count(col("decode_err")) > 0).as("has_err"))
       .select(lit("video").as("kind"), col("media_id"),
         when(col("n_ok") > 0, col("ck")).as("sig"), col("has_err"))
-    val units = img.unionByName(aud).unionByName(vid)
+    val other = media
+      .filter(col("kind").isNull ||
+        !col("kind").isin("image", "audio", "video"))
+      .select(lit("other").as("kind"), col("media_id"),
+        lit(null).cast("string").as("sig"), lit(false).as("has_err"))
+    val units = img.unionByName(aud).unionByName(vid).unionByName(other)
     val perUnit = units.groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         count(col("sig")).as("n_decoded"),
@@ -1375,6 +1400,14 @@ object Multimodal {
         round(sum(col("g").cast("double") * col("g")) /
           sum(col("g")), 6).as("inflation"))
     perUnit.join(perGroup, Seq("kind"), "left_outer")
+      // a kind with zero decoded units (the `other` bucket) has no
+      // group stats — zero counts, null inflation (0/0 is undefined)
+      .select(col("kind"), col("n_media"), col("n_decoded"),
+        col("n_err"),
+        coalesce(col("n_distinct_sig"), lit(0L)).as("n_distinct_sig"),
+        coalesce(col("n_dup_groups"), lit(0L)).as("n_dup_groups"),
+        coalesce(col("max_group"), lit(0L)).as("max_group"),
+        col("inflation"))
       .orderBy(col("kind"))
   }
 

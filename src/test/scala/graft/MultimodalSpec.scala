@@ -872,19 +872,42 @@ class MultimodalSpec extends SparkSpec {
       Row(23L, "video", Multimodal.packGfv(Seq(Array.fill[Byte](16)(7),
         Multimodal.pngBytes(99L))), Row(4, 4, null)),
       Row(24L, "video", Array.fill[Byte](16)(9), Row(4, 4, null)),
-      Row(25L, "video", null, Row(4, 4, null)))
+      Row(25L, "video", null, Row(4, 4, null)),
+      // rows no modality pass can touch: NULL kind and an unknown
+      // kind — the card must still count them (the `other` bucket;
+      // sum of n_media must cover the table)
+      Row(31L, null, Multimodal.pngBytes(31L), Row(4, 4, null)),
+      Row(32L, "pdf", Array.fill[Byte](16)(3), Row(null, null, null)))
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
     val got = Multimodal.mediaDedupCard(media).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-        r.getDouble(7))).toSeq
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toSeq
     assert(got === Seq(
-      ("audio", 4L, 2L, 1L, 1L, 1L, 2L, 2.0),
-      ("image", 4L, 2L, 1L, 1L, 1L, 2L, 2.0),
+      ("audio", 4L, 2L, 1L, 1L, 1L, 2L, Some(2.0)),
+      ("image", 4L, 2L, 1L, 1L, 1L, 2L, Some(2.0)),
+      ("other", 2L, 0L, 0L, 0L, 0L, 0L, None),
       // video: decoded = {21, 22, 23}; errs = {23 partial, 24
       // container}; sigs = the 21/22 clip key + 23's one-frame key;
       // inflation = (2^2 + 1^2) / 3
-      ("video", 5L, 3L, 2L, 2L, 1L, 2L, 1.666667)))
+      ("video", 5L, 3L, 2L, 2L, 1L, 2L, Some(1.666667))))
+    assert(got.map(_._2).sum === rows.size.toLong,
+      "the card must cover every media row")
+  }
+
+  test("frameKey guard: a frame_idx outside [0, 64) fails the pairing " +
+    "front loudly instead of silently attributing frames to the wrong " +
+    "clip") {
+    import spark.implicits._
+    val fh = Seq((1L, 0, 11L), (1L, 64, 22L), (2L, 0, 7L))
+      .toDF("media_id", "frame_idx", "fhash")
+    val e = intercept[Exception](
+      Multimodal.videoNearDupClipsCollapsed(fh, 4).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("clip-frame key")),
+      s"expected the frameKey guard message, got: $e")
   }
 }
