@@ -827,4 +827,35 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("Window"),
       "islands come from one per-doc window:\n" + ps)
   }
+
+  test("m9/m12: media screening is broadcast-shaped — zero sort-merge " +
+    "joins, the block joins BroadcastHashJoin, and the index-side " +
+    "pigeonhole stream never hash-shuffles on a block key") {
+    for (name <- Seq("m9_audio_dedup_incremental",
+        "m12_video_dedup_incremental")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must screen via broadcast, not a sort-merge join:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"$name lost its broadcast screening joins:\n$p")
+      // the index side explodes its block keys and feeds the join
+      // map-side — an exchange keyed on (blk, bv) would mean the
+      // corpus-sized index is shuffling into the pair space
+      assert(!p.contains("Exchange hashpartitioning(blk"),
+        s"$name shuffles on the block key — the index must stream " +
+          s"past the broadcast batch blocks:\n$p")
+    }
+  }
+
+  test("m13: the card's stats partial-aggregate map-side over 16-byte " +
+    "signature rows; no window, no cartesian, the per-kind join " +
+    "broadcast") {
+    val p = plan("m13_media_dedup_card")
+    assert(p.contains("partial_count"),
+      "the card's counts lost their map-side combine:\n" + p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "the card is pure combinable aggregation:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row-per-kind join must broadcast:\n" + p)
+  }
 }
