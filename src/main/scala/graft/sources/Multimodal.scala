@@ -124,6 +124,14 @@ object Multimodal {
   val GfvMagic: Array[Byte] = "GFV1".getBytes("US-ASCII")
   val GfvFrames = 2
 
+  /** Every modality with a signature pass. A NEW modality pass MUST be
+    * added here: [[mediaDedupCard]]'s `other` bucket counts the
+    * complement of this list, so a pass missing from it would
+    * double-count its rows (once by the pass, once as `other`) and
+    * silently break the card's covers-every-row invariant.
+    */
+  val MediaKinds: Seq[String] = Seq("image", "audio", "video")
+
   /** Toy video container: magic, big-endian frame count, then length-
     * prefixed PNG frames (frame f is the image of id·8+f, so frames
     * differ deterministically). Layout owned by [[packGfv]].
@@ -1208,12 +1216,15 @@ object Multimodal {
           else try Some(sampleVideoFrames(payload, Int.MaxValue))
           catch { case _: Exception => None }
         frames.flatMap { fs =>
-          // frame 0 through the ONE shared bump transform; an
-          // undecodable frame 0 yields no twin (m1 policy)
-          bumpRedPixelPng(fs.head).map { case (png0, _, _) =>
+          // frame 0 through the ONE shared bump transform; ANY failure
+          // (undecodable frame 0, a re-pack allocation, an encoder
+          // error) yields no twin, never a dead task — the m1 policy
+          // the docstring promises (review-caught: a refactor narrowed
+          // the guard to the decode alone)
+          try bumpRedPixelPng(fs.head).map { case (png0, _, _) =>
             Row(id + VideoEditIdOffset, "video",
               packGfv(png0 +: fs.tail), r.getStruct(3))
-          }
+          } catch { case _: Exception => None }
         }.toSeq
       }
     }(enc)
@@ -1238,10 +1249,12 @@ object Multimodal {
     * pigeonhole pair front requires (doc_id = media_id·64 + idx).
     * GUARDED: an idx outside [0, 64) would silently attribute frames
     * to the WRONG clip after the div-64 unpack (spurious cross-clip
-    * pairs, suppressed within-clip ones) — fail loudly instead. The
-    * bound limits PAIRING/SCREENING to 64 sampled frames per clip
-    * ([[VideoFrameK]] defaults far under it); hashing itself
-    * ([[videoFrameHashes]]) has no such limit.
+    * pairs, suppressed within-clip ones) — fail loudly instead. Used
+    * ONLY where the unpack is real (the m11 pairing front); the
+    * screening core never unpacks its index doc_id, and the streaming
+    * entry validates frameK ≤ 64 at configuration time
+    * ([[graft.streaming.VideoIngest.ingestBatch]]). Hashing itself
+    * ([[videoFrameHashes]]) has no frame bound.
     */
   private def frameKey(mediaId: Column, frameIdx: Column): Column =
     when(frameIdx >= 0 && frameIdx < 64, mediaId * 64 + frameIdx)
@@ -1321,8 +1334,14 @@ object Multimodal {
     val b = batchFrames.filter(col("fhash").isNotNull)
     graft.ops.Dedup.incrementalGroupSignatureDedupFromIndex(
       b.select(col("media_id").as("grp_id"), col("fhash").as("simhash")),
+      // the group core consumes ONLY the index's signature values (its
+      // doc_id is interface plumbing — never unpacked), so a plain
+      // pack is sound at any frame_idx; the guarded [[frameKey]] would
+      // be decorative here (column pruning may drop an unconsumed
+      // raise_error) and lives only where div-64 unpacking is real
+      // (the m11 pairing front)
       index.filter(col("fhash").isNotNull)
-        .select(frameKey(col("media_id"), col("frame_idx")).as("doc_id"),
+        .select((col("media_id") * 64 + col("frame_idx")).as("doc_id"),
           col("fhash").as("simhash")),
       bits = 64, maxDist = maxDist, nBlocks = 8)
       .select(col("grp_id").as("media_id"))
@@ -1380,11 +1399,16 @@ object Multimodal {
       .select(lit("video").as("kind"), col("media_id"),
         when(col("n_ok") > 0, col("ck")).as("sig"), col("has_err"))
     val other = media
-      .filter(col("kind").isNull ||
-        !col("kind").isin("image", "audio", "video"))
+      .filter(col("kind").isNull || !col("kind").isin(MediaKinds: _*))
       .select(lit("other").as("kind"), col("media_id"),
         lit(null).cast("string").as("sig"), lit(false).as("has_err"))
-    val units = img.unionByName(aud).unionByName(vid).unionByName(other)
+    // cut: perUnit and the group stats are two aggregations over the
+    // SAME unit frame — uncut, each would re-run the three codec
+    // decode passes over the whole corpus (review-caught: the card is
+    // codec-bound, so the double decode doubled its dominant cost);
+    // lazy (share-inside-one-query, the n139 measure()/build lesson)
+    val units = graft.ops.Checkpoints.cutLazy(
+      img.unionByName(aud).unionByName(vid).unionByName(other))
     val perUnit = units.groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         count(col("sig")).as("n_decoded"),

@@ -48,7 +48,12 @@ object VideoIngest {
     */
   def ingestBatch(batch: DataFrame, batchId: Long, indexTable: String,
                   out: String, maxDist: Int = 4,
-                  frameK: Int = Multimodal.VideoFrameK): Long =
+                  frameK: Int = Multimodal.VideoFrameK): Long = {
+    // fail at configuration time, not after a batch's decode work:
+    // the downstream pairing key packs frame_idx into 64 slots
+    require(frameK >= 1 && frameK <= 64,
+      s"frameK must be in [1, 64] (the clip-frame key packs 64 " +
+        s"slots), got $frameK")
     MediaDedupIngest.ingestBatch(batch, batchId, indexTable, out,
       kind = "video", sigCol = "fhash",
       signatures = m => Multimodal.videoFrameHashes(m, frameK),
@@ -61,6 +66,7 @@ object VideoIngest {
           .join(broadcast(kept.select(col("media_id"))),
             Seq("media_id"), "left_semi")
       })
+  }
 
   /** Checkpointed streaming ingest over a parquet directory of media
     * rows — [[ingestBatch]] in the shared [[VersionedIngest]] wiring.

@@ -117,6 +117,15 @@ class VideoIngestSpec extends SparkSpec {
       (200L, 0, P(4)), (200L, 1, P(5)), (500L, 1, P(6))))
   }
 
+  test("frameK outside [1, 64] fails at configuration time, before " +
+    "any decode work") {
+    val tmp = Files.createTempDirectory("graft_vidingest_fk").toString
+    val e = intercept[IllegalArgumentException](
+      VideoIngest.ingestBatch(media(b0: _*), 0L, s"$tmp/index",
+        s"$tmp/out", frameK = 65))
+    assert(e.getMessage.contains("frameK must be in [1, 64]"))
+  }
+
   test("replay idempotence incl. the publish-then-crash torn order") {
     val tmp = Files.createTempDirectory("graft_vidingest_rp").toString
     val (table, out) = (s"$tmp/index", s"$tmp/out")
