@@ -24,13 +24,17 @@ import org.apache.spark.sql.functions._
   * corpus produces: vocabulary grows with the corpus, and repetition
   * makes all of it "hot").
   *
-  * Run: sbt "runMain graft.BroadcastGuard" (fresh JVM — maxResultSize
-  * is read at SparkContext creation). Expected output: the forced
+  * Run: sbt "runMain graft.BroadcastGuard [testdataRoot]" (fresh JVM —
+  * maxResultSize is read at SparkContext creation; the root defaults
+  * to /root/testdata and both the sf0.1 corpus and the sf0.001 model
+  * fixture derive from it, so the utility runs on any machine with
+  * the standard sf layout under any root). Expected output: the forced
   * branch fails with a result-size/broadcast error, the hint-free
   * branch prints its row count and wall seconds.
   */
 object BroadcastGuard {
   def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/root/testdata")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -50,7 +54,7 @@ object BroadcastGuard {
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "512k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val base = spark.read.parquet(s"$root/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
     val wide = (0 until 8).map { i =>
       base.select((col("doc_id") + lit(i.toLong * 100000L)).as("doc_id"),
@@ -107,7 +111,7 @@ object BroadcastGuard {
     // irrelevant to the exchange-shape demo); what must never be
     // forced is the vocabulary join.
     val model = ops.TextAnalysis.bpeMerges(
-      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      spark.read.parquet(s"$root/sf0.001/documents.parquet")
         .select(col("doc_id"), col("text")), 10)
     attempt("bpe      forced-broadcast") {
       ops.TextAnalysis.bpeTokenize(vocabDocs, model, broadcast)

@@ -40,12 +40,18 @@ case class BpeSegment(child: Expression, rules: Seq[(String, String)])
   // rule pair -> ALL its ranks ascending (a duplicated pair keeps every
   // rank: the fold runs BOTH passes, and the later one can fire on
   // adjacencies that only exist after intermediate merges). Built once
-  // per executor via the lazy val on deserialization.
-  @transient private lazy val ranked: java.util.HashMap[String, Array[Int]] = {
-    val m = new java.util.HashMap[String, Array[Int]](rules.length * 2)
+  // per executor via the lazy val on deserialization. Keyed by the
+  // (l, r) TUPLE, not a joined string: a separator-joined key is
+  // ambiguous whenever a rule side can contain the separator —
+  // ("a b","c") vs ("a","b c") — and this is a general Column API even
+  // though bpeTokenize's space-split words can't reach that case.
+  @transient private lazy val ranked
+      : java.util.HashMap[(String, String), Array[Int]] = {
+    val m = new java.util.HashMap[(String, String), Array[Int]](
+      rules.length * 2)
     var i = 0
     rules.foreach { case (l, r) =>
-      val k = l + " " + r
+      val k = (l, r)
       val prev = m.get(k)
       m.put(k, if (prev == null) Array(i) else prev :+ i)
       i += 1
@@ -53,8 +59,8 @@ case class BpeSegment(child: Expression, rules: Seq[(String, String)])
     m
   }
 
-  // smallest rank of `pair` strictly greater than `cursor`, or MaxValue
-  private def rankAfter(pair: String, cursor: Int): Int = {
+  // smallest rank of (l, r) strictly greater than `cursor`, or MaxValue
+  private def rankAfter(pair: (String, String), cursor: Int): Int = {
     val rs = ranked.get(pair)
     if (rs == null) Int.MaxValue
     else {
@@ -95,7 +101,7 @@ case class BpeSegment(child: Expression, rules: Seq[(String, String)])
       var best = Int.MaxValue
       var i = 0
       while (i < syms.size - 1) {
-        val rk = rankAfter(syms.get(i) + " " + syms.get(i + 1), cursor)
+        val rk = rankAfter((syms.get(i), syms.get(i + 1)), cursor)
         if (rk < best) best = rk
         i += 1
       }
