@@ -4341,7 +4341,7 @@ object Queries {
       (s: SparkSession, d: String) => {
         val ph = graft.ops.Checkpoints.cut(
           graft.sources.Multimodal.imagePhash(
-            graft.sources.Multimodal.mediaWithEditedImages(s, d)))
+            graft.sources.Multimodal.stagedEditedImages(s, d)))
         val off = graft.sources.Multimodal.EditIdOffset
         val half = ph.filter(col("media_id") < off)
           .agg(expr("max(media_id) div 2").as("h"))
@@ -4385,7 +4385,7 @@ object Queries {
       (s: SparkSession, d: String) => {
         val ah = graft.ops.Checkpoints.cut(
           graft.sources.Multimodal.audioHash(
-            graft.sources.Multimodal.audioWithEditedClips(s, d)))
+            graft.sources.Multimodal.stagedEditedAudio(s, d)))
         val off = graft.sources.Multimodal.AudioEditIdOffset
         val half = ah.filter(col("media_id") < off)
           .agg(expr("max(media_id) div 2").as("h"))
@@ -4430,7 +4430,7 @@ object Queries {
       (s: SparkSession, d: String) => {
         val fh = graft.ops.Checkpoints.cut(
           graft.sources.Multimodal.videoFrameHashes(
-            graft.sources.Multimodal.mediaWithEditedVideos(s, d)))
+            graft.sources.Multimodal.stagedEditedVideos(s, d)))
         val off = graft.sources.Multimodal.VideoEditIdOffset
         val half = fh.filter(col("media_id") < off)
           .agg(expr("max(media_id) div 2").as("h"))
@@ -4451,6 +4451,30 @@ object Queries {
     ("m13_media_dedup_card",
       (s: SparkSession, d: String) =>
         graft.sources.Multimodal.mediaDedupCardTable(s, d),
+      None),
+
+    // MEASURED collapse auto on the audio modality (the n139/n145
+    // discipline closing the loop m13 opened): the MEMBER-level
+    // near-dup pair relation with the front chosen by the measured
+    // signature inflation — Σg²/Σg over identical-fingerprint groups,
+    // the SAME number the m13 card reports per kind. Both fronts are
+    // spec-pinned bit-equal (plain pigeonhole vs exact-dup pre-collapse
+    // + closed-form expansion), so the probe can only change the
+    // candidate-generation shape, never the answer. EAGER by the
+    // documented auto contract (one count-only probe job; the lazy
+    // FromInflation half reads the card via cardInflation — zero-job
+    // construction, listener-pinned). Registered on the AUDIO corpus:
+    // its member relation is output-bounded (~1.6k distinct reachable
+    // fingerprints), where the image/video member relations on this
+    // synthetic corpus are inherently group-size²-sized — those autos
+    // are API + spec surfaces and their registry encodings stay the
+    // bounded rep-level m5/m11 forms. Rows-only (codec-bound, the m1
+    // exemption).
+    ("m14_audio_neardup_auto",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.mediaNearDupPairsAuto(
+          graft.sources.Multimodal.audioHash(
+            graft.sources.Multimodal.stagedEditedAudio(s, d)), "ahash"),
       None),
   )
 

@@ -495,6 +495,35 @@ object ScaleSanity {
           s"vidpub_batch_$b (rows=$rows)")
       }
     }
+    // measured media collapse auto (m14): the expanded front and the
+    // auto over the audio fingerprints at the sweep multiplier. Plain
+    // replication grows identical-fingerprint groups ∝ mult, so the
+    // member-level OUTPUT grows ∝ mult² BY DEFINITION of the relation —
+    // what must stay bounded is the candidate front: the expanded
+    // form's pigeonhole runs over DISTINCT fingerprints, which saturate
+    // at the formula's reachable space. The PLAIN front is timed only
+    // at mult ≤ 3: its per-bucket candidate volume grows with
+    // dup-group² (the exact bomb the auto exists to dodge — at 10× it
+    // would be the half-hour spill the m5 sweep already demonstrated
+    // once), and the auto provably never picks it there.
+    if (wanted("media_auto")) {
+      val ah = ops.Checkpoints.cut(sources.Multimodal.audioHash(
+        sources.Multimodal.audioWithEditedClips(spark, out)))
+      def timeIt(label: String)(df: => org.apache.spark.sql.DataFrame)
+          : Unit = {
+        val t0 = System.nanoTime()
+        val n = df.queryExecution.toRdd.count()
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"$label (rows=$n)")
+      }
+      if (mult <= 3)
+        timeIt("m14_plain")(
+          sources.Multimodal.mediaSignaturePairsPlain(ah, "ahash"))
+      timeIt("m14_expanded")(
+        sources.Multimodal.mediaSignaturePairsExpanded(ah, "ahash"))
+      timeIt("m14_auto")(
+        sources.Multimodal.mediaNearDupPairsAuto(ah, "ahash"))
+    }
     // incremental one-call build: the 20-batch per-batch-wall
     // measurement over IncrementalBuild (ingest = SimhashIngest
     // verbatim, so per-batch FLAT must carry over), then ONE timed

@@ -14,11 +14,16 @@ object TimeOne {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val fn = Queries.queries(args(0))
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      fn(spark, dir).queryExecution.toRdd.count()
-      println(s"RUN$i=${(System.nanoTime() - t0) / 1e9}")
+    // comma-separated names time a whole family in one JVM (per-name
+    // passes stay labeled, so RUN1-vs-RUN2+ still separates one-time
+    // cost — stage builds, codegen — from steady-state operator cost)
+    for (name <- args(0).split(',')) {
+      val fn = Queries.queries(name)
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        fn(spark, dir).queryExecution.toRdd.count()
+        println(s"$name RUN$i=${(System.nanoTime() - t0) / 1e9}")
+      }
     }
     spark.stop()
   }

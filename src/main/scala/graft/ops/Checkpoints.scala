@@ -87,6 +87,19 @@ object Checkpoints {
     * read must materialize before the write overwrites its input), and
     * (c) measure-then-choose reads (the count IS the point).
     *
+    * AQE caveat (measured, round 14 — MediaAutoSpec's zero-job
+    * listener caught it): when the subtree being cut CONTAINS AN
+    * EXCHANGE and adaptive execution is on, building the checkpoint
+    * RDD materializes the plan's shuffle stages at construction — the
+    * "lazy" checkpoint still runs those jobs up front (only the final
+    * stage defers). Zero-job construction holds for exchange-free
+    * subtrees (a checkpointed input's filter/select, the card's
+    * decode union). An operator whose job-free construction is part
+    * of its CONTRACT must not cutLazy an exchanging subtree — share
+    * it through Catalyst's exchange reuse instead
+    * ([[graft.ops.Dedup.signaturePairsCollapsedExpanded]]'s sharing
+    * note).
+    *
     * Reliable mode note: a reliable checkpoint needs the persist dance
     * around an eager materialization, so in that mode this falls back
     * to the eager [[cut]] — correctness is identical, only plan-build

@@ -1294,18 +1294,8 @@ object Dedup {
     * next to either branch. EAGER: runs one job. Empty corpus → 1.0
     * (no duplication).
     */
-  def digestInflation(docs: DataFrame): Double = {
-    // g² as DOUBLE: a Long product silently wraps (non-ANSI) once a
-    // single exact-dup group tops ~3e9 members — exactly the dup-heavy
-    // corpora this switch targets. The switch reads a ratio, not an
-    // exact integer, so double precision is the right trade.
-    val r = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("g"))
-      .agg(sum(col("g").cast("double") * col("g")).as("sq"),
-        sum(col("g")).as("s"))
-      .head()
-    if (r.isNullAt(1) || r.getLong(1) == 0L) 1.0
-    else r.getDouble(0) / r.getLong(1)
-  }
+  def digestInflation(docs: DataFrame): Double =
+    groupInflation(docs, md5(col("text")))
 
   /** The MEASURED switch between [[containmentPairsPrefix]] (plain
     * PPJoin front, n115) and [[containmentPairsPrefixCollapsed]]
@@ -1399,6 +1389,91 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The MEMBER-LEVEL near-dup pair relation over a pre-hashed
+    * (doc_id, simhash) frame, computed through the exact-dup
+    * pre-collapse and EXPANDED back: identical signatures group under
+    * a min-id rep, the permuted pigeonhole front pairs one rep per
+    * DISTINCT signature, then every rep pair expands to its groups'
+    * member cross product (inheriting the reps' hamming VERBATIM —
+    * identical signature ⇒ identical distance) and every ≥ 2-member
+    * group contributes its within-group pairs at hamming 0. Output ≡
+    * [[simhashNearDupPairsPermutedFromIndex]] row for row (spec-pinned
+    * bit-equal on both dup regimes) — the containment-family
+    * collapse/expand template (n118) applied to signature pairing, so
+    * a measured auto can choose fronts without changing the answer.
+    *
+    * Candidate-generation volume is bounded by DISTINCT-signature
+    * structure; the OUTPUT is the member relation by definition (on a
+    * heavily-duplicated corpus it is inherently quadratic in group
+    * size — callers who want the bounded encoding use the collapsed
+    * rep-level forms directly, as the m5/m8/m11 registry entries do).
+    * Each group's ids ride one collect_list row — the n119-measured
+    * bound, shared with every collapse template here.
+    *
+    * Sharing note: the `groups` subtree feeds three consumers but is
+    * deliberately NOT checkpointed — it ends in an exchange, which
+    * Catalyst's exchange reuse dedupes within the one query (the
+    * shuffle write and everything below it, including the caller's
+    * signature derivation, runs once), and a lazy localCheckpoint here
+    * would not even be lazy: under AQE, building the checkpoint RDD
+    * materializes the plan's shuffle stages AT CONSTRUCTION (measured
+    * — MediaAutoSpec's zero-job listener caught exactly that), which
+    * would break the FromInflation halves' job-free construction
+    * contract precisely on the branch that collapses.
+    */
+  def signaturePairsCollapsedExpanded(sigs: DataFrame, bits: Int,
+                                      maxDist: Int, nBlocks: Int,
+                                      nKeep: Int): DataFrame = {
+    val groups = sigs
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+    val rp = simhashNearDupPairsPermutedFromIndex(
+      groups.select(col("rep").as("doc_id"), col("simhash")),
+      bits, maxDist, nBlocks, nKeep)
+    val gids = groups.select(col("rep"), col("ids"))
+    val cross = rp
+      .join(gids.as("ga"), col("doc_a") === col("ga.rep"))
+      .join(gids.as("gb"), col("doc_b") === col("gb.rep"))
+      .select(col("hamming"),
+        explode(flatten(transform(col("ga.ids"), a =>
+          transform(col("gb.ids"), b =>
+            struct(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"))))))
+          .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("hamming"))
+    val within = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> named_struct('doc_a', x, 'doc_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionAll(within)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Duplication INFLATION Σg²/Σg over the group sizes of `key` — the
+    * [[digestInflation]] probe generalized to any grouping column, so
+    * the media signature autos measure the SAME switch number over
+    * phash/ahash/clip-key groups that the text autos read over
+    * md5(text) groups. A count-only aggregate: the shuffle carries the
+    * key and a long, never a payload. EAGER (one job); empty input →
+    * 1.0 (no duplication).
+    */
+  def groupInflation(df: DataFrame, key: Column): Double = {
+    // g² as DOUBLE: a Long product silently wraps (non-ANSI) once one
+    // group tops ~3e9 members — exactly the dup-heavy corpora this
+    // switch targets; the switch reads a ratio, not an exact integer
+    val r = df.groupBy(key.as("k")).agg(count(lit(1)).as("g"))
+      .agg(sum(col("g").cast("double") * col("g")).as("sq"),
+        sum(col("g")).as("s"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 1.0
+    else r.getDouble(0) / r.getLong(1)
   }
 
   /** C(nBlocks, nKeep) permuted-table key rows per signature: table t's

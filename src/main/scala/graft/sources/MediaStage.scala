@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Read-through parquet STAGE for the deterministic media fixture
+  * corpora (the planted image/audio/video twin tables the m4–m13
+  * registry entries run on).
+  *
+  * Why it exists (round-13 verdict #1): the fixture constructors
+  * ([[Multimodal.mediaWithEditedImages]] and friends) synthesize their
+  * corpus through REAL codec round trips — encode + decode + re-encode
+  * per row. That is fixture scaffolding, not the operator under test,
+  * yet every registry query re-paid it at query time (cold JIT
+  * included), so the driver's bench gate measured codec fixture
+  * synthesis instead of dedup operators (78.2 → 203.2 s when the nine
+  * media entries landed). The stream sweeps already learned this
+  * lesson — "the corpus is staged to parquet once … which is what a
+  * real stream does" — and this applies it to the registry surface:
+  * the first query to touch a corpus synthesizes and publishes it
+  * ONCE; every later query (and every later bench pass / JVM) reads
+  * staged parquet and pays only the decode its operator actually owns.
+  * In production terms the staged table IS the media table — payloads
+  * come off storage; nobody re-synthesizes their corpus per query.
+  *
+  * Publish protocol (safe under the concurrent bench pass and across
+  * JVMs): build into `<dest>.tmp-<uuid>`, then a same-filesystem
+  * ATOMIC rename onto `<dest>`. The loser of a cross-JVM race fails
+  * the rename (rename(2) refuses a non-empty dir target), deletes its
+  * tmp, and reads the winner's publish. Within one JVM a per-dest
+  * monitor keeps concurrent bench threads from double-building. A
+  * `_SUCCESS`-less dest (a crashed writer from some older scheme —
+  * the tmp+rename path can never leave one) is removed and rebuilt.
+  *
+  * Staleness: the stage key is (corpus name, fixture TAG, sf dir).
+  * The tag is bumped in code whenever a constructor's synthesis logic
+  * changes, so a stale publish from an earlier fixture version is
+  * simply never read. The stage root defaults under `java.io.tmpdir`
+  * and is overridable via the session conf
+  * `spark.graft.media.stage.dir` (tests point it at a scratch dir;
+  * a cluster would point it at shared storage — though on a real
+  * cluster the media table comes off storage to begin with and this
+  * scaffolding has nothing to stage).
+  */
+object MediaStage {
+
+  val StageDirConf = "spark.graft.media.stage.dir"
+
+  /** Bumped when ANY fixture constructor's synthesis logic changes —
+    * part of every stage path, so old publishes go stale by key.
+    */
+  val FixtureTag = "v2" // v2: planted guaranteed survivors (m6/m9/m12)
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(q => Files.deleteIfExists(q))
+
+  private def stageRoot(spark: SparkSession): Path = {
+    val root = spark.conf.getOption(StageDirConf)
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_media_stage")
+    Paths.get(root)
+  }
+
+  /** One directory per (sfDir, corpus, tag) — the sf dir's full path is
+    * folded into the key (short sanitized prefix for a human-readable
+    * listing + an md5 of the full path so distinct dirs with colliding
+    * sanitized names — the ScaleSanity scratch corpora — never share a
+    * stage).
+    */
+  private def destFor(spark: SparkSession, sfDir: String,
+                      name: String): Path = {
+    val sanitized = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      .takeRight(40)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    stageRoot(spark).resolve(s"${sanitized}_$digest")
+      .resolve(s"${name}_$FixtureTag")
+  }
+
+  /** The staged corpus at `dest`, building and publishing it first if
+    * no valid publish exists. `build` runs at most once per key per
+    * filesystem lifetime (and at most once per JVM even under the
+    * concurrent bench pass).
+    */
+  def staged(spark: SparkSession, sfDir: String, name: String)
+            (build: => DataFrame): DataFrame = {
+    val dest = destFor(spark, sfDir, name)
+    val lock = locks.computeIfAbsent(dest.toString, _ => new Object)
+    lock.synchronized {
+      val success = dest.resolve("_SUCCESS")
+      if (Files.exists(dest) && !Files.exists(success))
+        deleteRecursively(dest) // no writer can be mid-flight: writers
+                                // only ever rename complete dirs in
+      if (!Files.exists(dest)) {
+        Files.createDirectories(dest.getParent)
+        val tmp = dest.getParent.resolve(
+          s"${dest.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+        build.write.parquet(tmp.toString)
+        try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException =>
+            // lost a cross-JVM race — read the winner's publish
+            deleteRecursively(tmp)
+            require(Files.exists(success),
+              s"stage rename onto $dest failed but no valid publish " +
+                "exists there")
+        }
+      }
+    }
+    spark.read.parquet(dest.toString)
+  }
+}

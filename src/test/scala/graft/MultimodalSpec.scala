@@ -177,7 +177,10 @@ class MultimodalSpec extends SparkSpec {
       h * 0x9e3779b97f4a7c15L + 1L)
       .find(h => allHashes.forall(o =>
         java.lang.Long.bitCount(o ^ h) > 4)).get
-    val plantedId = Multimodal.EditIdOffset * 4
+    // off the constructor's own planted survivor (ImageSurvivorId =
+    // 4×offset, which now arrives in `sig` with its own far hash) — a
+    // duplicate media_id would make the survivor ordering ambiguous
+    val plantedId = Multimodal.EditIdOffset * 16
     val batch = (sig.filter(_._1 >= Multimodal.EditIdOffset) :+
       ((plantedId, farHash))).sortBy(_._1)
     import spark.implicits._
@@ -909,5 +912,85 @@ class MultimodalSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("clip-frame key")),
       s"expected the frameKey guard message, got: $e")
+  }
+
+  // ======== planted guaranteed survivors (the m6/m9/m12 receipts) ====
+  //
+  // The survivor guarantees rest on EXHAUSTIVE enumeration, not
+  // sampling: every synthesis formula is periodic in media_id (pngBytes
+  // pixels/dims repeat every 256 ids; longWavSample's two tones and
+  // phase repeat every lcm(5, 11, 17) = 935 ids), so the COMPLETE
+  // signature space any corpus at any scale factor can reach is finite
+  // and these tests hash all of it.
+
+  test("planted image & video survivors: gradientPng realizes each " +
+    "pattern's dHash exactly; every pattern sits >= 6 bits from EVERY " +
+    "hash the periodic pngBytes family can produce (originals AND " +
+    "red-bumped edit twins, all 256 residues); the survivor's own edit " +
+    "twin hashes IDENTICALLY (it must drop against the survivor)") {
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val reachable = (0 until 256).flatMap { i =>
+      val orig = Multimodal.pngBytes(i.toLong)
+      val bumped = Multimodal.bumpRedPixelPng(orig).get._1
+      Seq(Multimodal.dHash(decode(orig)), Multimodal.dHash(decode(bumped)))
+    }.toSet
+    Seq(Multimodal.ImageSurvivorBits, Multimodal.VideoSurvivorBitsA,
+      Multimodal.VideoSurvivorBitsB).foreach { p =>
+      val png = Multimodal.gradientPng(p)
+      assert(Multimodal.dHash(decode(png)) === p,
+        f"gradientPng(0x$p%016X) does not realize its pattern")
+      val minD = reachable.iterator
+        .map(h => java.lang.Long.bitCount(h ^ p)).min
+      assert(minD >= 6, f"pattern 0x$p%016X margin $minD < 6")
+      // the red +1 bump (the edit-twin transform) cannot flip any bit:
+      // adjacent gradient grays differ by 30
+      val twin = Multimodal.bumpRedPixelPng(png).get._1
+      assert(Multimodal.dHash(decode(twin)) === p)
+    }
+    // the two video frames are distinct patterns (a genuine
+    // multi-signature unit)
+    assert(java.lang.Long.bitCount(Multimodal.VideoSurvivorBitsA ^
+      Multimodal.VideoSurvivorBitsB) >= 6)
+  }
+
+  test("planted audio survivor: the amplitude ladder realizes its " +
+    "fingerprint exactly through a real WAV round trip; it sits >= 6 " +
+    "bits from EVERY signature the periodic longWavSample family can " +
+    "produce (base, requantized, time-shifted — all 935 residues); " +
+    "both its own edit twins fingerprint IDENTICALLY to it") {
+    def decode(b: Array[Byte]): Array[Short] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val bytes = in.readAllBytes(); in.close()
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.tabulate[Short](bytes.length / 2)(i => bb.getShort(i * 2))
+    }
+    def quantOf(s: Array[Short]): Array[Short] = s.map(v =>
+      ((v / Multimodal.AudioQuantStep) * Multimodal.AudioQuantStep).toShort)
+    val p = Multimodal.AudioSurvivorBits
+    val lad = Multimodal.ladderPcm(p)
+    assert(Multimodal.audioHash64(
+      decode(Multimodal.pcmToWav(lad, Multimodal.WavRate))) === p,
+      "ladder clip does not realize its pattern through the codec")
+    val reachable = (0 until 935).flatMap { id =>
+      val s = decode(Multimodal.longWavBytes(id.toLong))
+      Seq(Multimodal.audioHash64(s),
+        Multimodal.audioHash64(
+          decode(Multimodal.pcmToWav(quantOf(s), Multimodal.WavRate))),
+        Multimodal.audioHash64(decode(Multimodal.pcmToWav(
+          s.drop(Multimodal.AudioShiftSamples), Multimodal.WavRate))))
+    }.toSet
+    val minD = reachable.iterator
+      .map(h => java.lang.Long.bitCount(h ^ p)).min
+    assert(minD >= 6, s"planted audio survivor margin $minD < 6")
+    // the survivor's own twins: quant is a PCM no-op (multiple-of-64
+    // amplitudes), the 2-sample shift moves only window-boundary
+    // samples — both fingerprint identically and drop against it
+    assert(Multimodal.audioHash64(decode(
+      Multimodal.pcmToWav(quantOf(lad), Multimodal.WavRate))) === p)
+    assert(Multimodal.audioHash64(decode(Multimodal.pcmToWav(
+      lad.drop(Multimodal.AudioShiftSamples), Multimodal.WavRate))) === p)
   }
 }

@@ -642,7 +642,15 @@ class PlanSpec extends SparkSpec {
       "n145_dupsub_dedup_auto" -> Set("g", "doc_id"),
       // safe build: n99's stages + the hint-free CC-label/assignment
       // joins (doc_id) and the hint-free hot-gram join (g)
-      "n142_training_build_safe" -> Set("g", "doc_id"))
+      "n142_training_build_safe" -> Set("g", "doc_id"),
+      // m11's pigeonhole pair front: the permuted-table block-key
+      // self-join over the rep clips' frames — corpus-sized on both
+      // sides at scale (the n59/n65 family's shape), deliberately
+      // hint-free; it rode an auto-broadcast while the fixture was an
+      // in-memory lineage with tiny size estimates and surfaced as the
+      // designed SMJ once the corpus moved to staged parquet with
+      // honest file stats (r14). AQE localizes it when a side fits.
+      "m11_video_neardup_clips" -> Set("tbl", "kv"))
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString
