@@ -1,0 +1,196 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Multimodal, Sinks}
+
+/** MIXED-CORPUS one-call build — the brief's multimodal pillar wired
+  * into the build surface: a corpus whose rows are text documents AND
+  * media objects (image/audio/video payloads as opaque binary columns)
+  * ingested through ONE per-batch entry point and released as ONE
+  * versioned dataset with per-kind accounting.
+  *
+  * Composition, not reinvention — each kind routes to the machinery
+  * that already owns its semantics, proofs included:
+  *
+  *   - '''text''' → [[IncrementalBuild.ingestBatch]] (SimhashIngest
+  *     screening, exactly-once replay, flat per-batch shape); the
+  *     release re-derives the corpus-global n99 stages over the
+  *     survivor store ([[IncrementalBuild.publishRelease]]'s argument,
+  *     applied verbatim).
+  *   - '''image/audio/video''' → the modality's versioned ingest
+  *     ([[ImageIngest]]/[[AudioIngest]]/[[VideoIngest]] — ONE
+  *     [[MediaDedupIngest]] policy: decode-once signatures, screening
+  *     against the published index, undecodable pass-through, stamped
+  *     survivors, torn-publish replay).
+  *   - '''anything else''' (NULL/unknown kind) → a batch-partitioned
+  *     pass-through store: the never-lose-a-row-silently discipline at
+  *     the corpus boundary. Replay-safe for the same reason the media
+  *     pass-through arms are — a pure deterministic filter of the
+  *     batch rewrites its partition bit-same.
+  *
+  * The RELEASE is one frame over all kinds (text rows carry their
+  * mix/shard assignment and cleaned text; media rows carry payloads,
+  * byte counts, and a deterministic xxhash64 shard), published through
+  * [[Sinks.publishTrainingBuild]] with per-kind counts stamped into the
+  * manifest. [[releaseCard]] is the dataset-card stamp: the m13
+  * cross-modality dedup card over everything the release ships (plus
+  * the pass-through store, so the card's `other` bucket covers the
+  * rows no modality owns). MixedBuildSpec proves release-over-batches
+  * ≡ release-over-one-batch (batch composition) and reconciles the
+  * per-kind counts against both the manifest and the card.
+  *
+  * Scale shape: each batch pays batch-sized + index-stream work per
+  * kind (the component ingests' proven shapes); payloads never shuffle
+  * on the ingest path (kind routing is a filter; signatures are
+  * map-side); the release's text half is the n99 plan, its media half
+  * a projection of the survivor stores.
+  */
+object MixedBuild {
+
+  /** The mixed-corpus row: text rows set `text`, media rows set
+    * `payload`/`meta`; `kind` routes.
+    */
+  val mixedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true))),
+      nullable = true)))
+
+  def textBase(base: String): String = s"$base/text"
+  def mediaIndex(base: String, kind: String): String = s"$base/$kind/index"
+  def mediaOut(base: String, kind: String): String = s"$base/$kind/out"
+  def otherOut(base: String): String = s"$base/other/out"
+
+  private def mediaCols(batch: DataFrame, kind: String): DataFrame =
+    batch.filter(col("kind") <=> kind)
+      .select(col("doc_id").as("media_id"), col("kind"), col("source"),
+        col("payload"), col("meta"))
+
+  /** Ingest ONE batch of mixed rows, routed by kind. Each component
+    * inherits its own exactly-once replay contract; the `other` store's
+    * rewrite is deterministic like the media pass-through arms. Returns
+    * the total rows landed (text + media survivors incl. pass-throughs
+    * + other).
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, base: String,
+                  textMaxDist: Int = 0, mediaMaxDist: Int = 4): Long = {
+    val text = IncrementalBuild.ingestBatch(
+      batch.filter(col("kind") <=> "text")
+        .select(col("doc_id"), col("text"), col("source")),
+      batchId, textBase(base), textMaxDist)
+    val img = ImageIngest.ingestBatch(mediaCols(batch, "image"), batchId,
+      mediaIndex(base, "image"), mediaOut(base, "image"), mediaMaxDist)
+    val aud = AudioIngest.ingestBatch(mediaCols(batch, "audio"), batchId,
+      mediaIndex(base, "audio"), mediaOut(base, "audio"), mediaMaxDist)
+    val vid = VideoIngest.ingestBatch(mediaCols(batch, "video"), batchId,
+      mediaIndex(base, "video"), mediaOut(base, "video"), mediaMaxDist)
+    val otherRows = batch.filter(col("kind").isNull ||
+        !col("kind").isin("text" +: Multimodal.MediaKinds: _*))
+      .withColumn("batch_id", lit(batchId))
+    otherRows.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(otherOut(base))
+    text + img + aud + vid + otherRows.count()
+  }
+
+  private def readOr(spark: SparkSession, path: String,
+                     empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(path)
+    else empty
+  }
+
+  private def emptyMedia(spark: SparkSession): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](),
+      StructType(mixedSchema.filterNot(_.name == "text")
+        .map(f => if (f.name == "doc_id") f.copy(name = "media_id") else f)))
+
+  /** Every media row the build ships for `kind` — the modality sink's
+    * survivors plus its undecodable pass-throughs, batch stamp dropped.
+    */
+  def mediaSurvivors(spark: SparkSession, base: String,
+                     kind: String): DataFrame =
+    readOr(spark, mediaOut(base, kind), emptyMedia(spark))
+      .drop("batch_id")
+
+  /** The dataset-card stamp over everything this build ships: the m13
+    * cross-modality dedup card on the three survivor stores UNIONED
+    * with the pass-through store — so Σ n_media equals every media/
+    * unknown row the release covers and the `other` bucket is the
+    * never-lost rows.
+    */
+  def releaseCard(spark: SparkSession, base: String): DataFrame = {
+    val media = Multimodal.MediaKinds
+      .map(k => mediaSurvivors(spark, base, k))
+      .reduce(_ unionByName _)
+      .unionByName(readOr(spark, otherOut(base),
+        spark.createDataFrame(java.util.Collections.emptyList[Row](),
+          mixedSchema))
+        .drop("batch_id")
+        .select(col("doc_id").as("media_id"), col("kind"), col("source"),
+          col("payload"), col("meta")))
+      .select(col("media_id"), col("kind"), col("payload"), col("meta"))
+    Multimodal.mediaDedupCard(media)
+  }
+
+  /** Cut a RELEASE over everything that survived ingest so far: the
+    * text half re-derives the corpus-global n99 stages over the text
+    * survivor store ([[IncrementalBuild.publishRelease]]'s machinery
+    * verbatim, minus its separate publish); the media half projects
+    * the survivor stores to the release schema (payloads ride as-is;
+    * shard = pmod(xxhash64(doc_id)) — deterministic and engine-stable,
+    * deliberately payload-agnostic). One frame, one versioned publish,
+    * per-kind counts stamped into the manifest.
+    */
+  def publishRelease(spark: SparkSession, base: String, table: String,
+                     n: Int = 5, minDf: Int = 2, tau: Double = 0.5,
+                     alpha: Double = 0.5, budget: Long = 20000L,
+                     numShards: Int = 8,
+                     params: Map[String, String] = Map.empty,
+                     keepVersions: Int = 2): DataFrame = {
+    val textDocs = IncrementalBuild.survivors(spark, textBase(base))
+      .select(col("doc_id"), col("text"), col("source"))
+    val textBuild = graft.ops.TextAnalysis.trainingDataBuild(
+      textDocs, n, minDf, tau, alpha, budget, numShards)
+      .select(col("doc_id"), lit("text").as("kind"), col("source"),
+        col("shard"), col("pos"), col("n_tokens"), col("n_removed"),
+        col("text_clean"),
+        lit(null).cast("long").as("n_bytes"),
+        lit(null).cast("binary").as("payload"))
+    val media = Multimodal.MediaKinds
+      .map(k => mediaSurvivors(spark, base, k))
+      .reduce(_ unionByName _)
+      .select(col("media_id").as("doc_id"), col("kind"), col("source"),
+        pmod(xxhash64(col("media_id")), lit(numShards)).cast("int")
+          .as("shard"),
+        lit(null).cast("int").as("pos"),
+        lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("n_removed"),
+        lit(null).cast("string").as("text_clean"),
+        coalesce(octet_length(col("payload")).cast("long"), lit(0L))
+          .as("n_bytes"),
+        col("payload"))
+    val release = graft.ops.Checkpoints.cut(
+      textBuild.unionByName(media).orderBy(col("kind"), col("doc_id")))
+    val kindCounts = release.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => s"n_${r.getString(0)}" -> r.getLong(1).toString).toMap
+    Sinks.publishTrainingBuild(release, table,
+      params ++ kindCounts ++ Map("n" -> n.toString,
+        "minDf" -> minDf.toString, "tau" -> tau.toString,
+        "alpha" -> alpha.toString, "budget" -> budget.toString,
+        "numShards" -> numShards.toString),
+      keepVersions)
+    release
+  }
+}

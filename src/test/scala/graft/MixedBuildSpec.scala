@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Multimodal, Sinks}
+import graft.streaming.MixedBuild
+
+/** The mixed text+media one-call build: a release over id-ordered
+  * batches equals the release over the same corpus as ONE batch (batch
+  * composition — each kind's incremental screening composes exactly),
+  * cross-batch dedup provably fires per modality, undecodable and
+  * unknown-kind rows are never lost, and the per-kind counts reconcile
+  * three ways: release frame ↔ manifest meta ↔ the m13 dataset-card
+  * stamp.
+  */
+class MixedBuildSpec extends SparkSpec {
+
+  private def textRow(id: Long, text: String, source: String) =
+    Row(id, "text", source, text, null, null)
+
+  private def imgRow(id: Long, bits: Long) =
+    Row(id, "image", "img_src", null, Multimodal.gradientPng(bits),
+      Row(9, 8, null))
+
+  private def audRow(id: Long, bits: Long) =
+    Row(id, "audio", "aud_src", null,
+      Multimodal.pcmToWav(Multimodal.ladderPcm(bits), Multimodal.WavRate),
+      Row(null, null, Multimodal.WavRate))
+
+  private def vidRow(id: Long, bits: Long*) =
+    Row(id, "video", "vid_src", null,
+      Multimodal.packGfv(bits.map(Multimodal.gradientPng)),
+      Row(9, 8, null))
+
+  // far-apart signature patterns (pairwise hamming ≥ 6 — the
+  // VideoIngestSpec family) and a second bounded-excursion audio
+  // pattern 6 bits off the pinned survivor pattern
+  private val P = Seq(0x0000000000000000L, 0xFFFFFFFFFFFFFFFFL,
+    0x00000000FFFFFFFFL, 0xFFFFFFFF00000000L, 0x0F0F0F0F0F0F0F0FL)
+  private val A1 = Multimodal.AudioSurvivorBits
+  private val A2 = A1 ^ 0x3FL
+
+  // id-ordered mixed corpus. Cross-batch dedup plants: 20x are copies
+  // of batch-0 rows (must screen against the published indexes); 2012
+  // is a 2-bit image edit of 102's pattern (near-dup, must screen).
+  private val b0 = Seq(
+    textRow(1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    textRow(2L, "pack my box with five dozen liquor jugs", "s1"),
+    imgRow(101L, P(0)), imgRow(102L, P(1)),
+    audRow(111L, A1),
+    vidRow(121L, P(0), P(1)), vidRow(122L, P(2), P(3)))
+  private val b1 = Seq(
+    textRow(2001L, "the quick brown fox jumps over the lazy dog", "s2"),
+    textRow(2002L, "sphinx of black quartz judge my vow", "s2"),
+    imgRow(2011L, P(0)), // exact copy of 101's signature → drops
+    imgRow(2012L, P(1) ^ 0x3L), // 2 bits from 102 → drops
+    imgRow(2013L, P(4)), // fresh → survives
+    audRow(2021L, A1), // copy of 111's fingerprint → drops
+    audRow(2022L, A2), // fresh → survives
+    vidRow(2031L, P(0), P(1)), // re-post of 121 → drops
+    vidRow(2032L, P(4))) // fresh → survives
+  private val b2 = Seq(
+    Row(3001L, "image", "img_src", null, Array.fill[Byte](16)(7),
+      Row(4, 4, null)), // corrupt image → passes through
+    Row(3002L, null, "mystery", null, null, null), // NULL kind → other
+    Row(3003L, "pdf", "docs", null, Array.fill[Byte](8)(1),
+      null)) // unknown kind → other
+
+  private def df(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      MixedBuild.mixedSchema)
+
+  private def releaseRows(rel: DataFrame): Seq[String] =
+    rel.select(col("doc_id"), col("kind"), col("source"), col("shard"),
+      col("pos"), col("n_tokens"), col("n_removed"), col("text_clean"),
+      col("n_bytes"), md5(col("payload")).as("payload_md5"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("release over id-ordered batches ≡ release over ONE batch; " +
+    "cross-batch dedup fires per modality; corrupt and unknown rows " +
+    "are never lost; per-kind counts reconcile release ↔ manifest ↔ " +
+    "card") {
+    val tmpA = Files.createTempDirectory("graft_mixed_a").toString
+    val tmpB = Files.createTempDirectory("graft_mixed_b").toString
+    // A: three id-ordered batches
+    MixedBuild.ingestBatch(df(b0), 0L, s"$tmpA/store")
+    MixedBuild.ingestBatch(df(b1), 1L, s"$tmpA/store")
+    MixedBuild.ingestBatch(df(b2), 2L, s"$tmpA/store")
+    val relA = MixedBuild.publishRelease(spark, s"$tmpA/store",
+      s"$tmpA/release")
+    // B: the same corpus as one batch
+    MixedBuild.ingestBatch(df(b0 ++ b1 ++ b2), 0L, s"$tmpB/store")
+    val relB = MixedBuild.publishRelease(spark, s"$tmpB/store",
+      s"$tmpB/release")
+    assert(releaseRows(relA) === releaseRows(relB),
+      "batch composition must not change the release")
+
+    // cross-batch dedup: the copies/near-dups are gone, survivors and
+    // the corrupt pass-through are shipped
+    val mediaIds = relA.filter(col("kind") =!= "text")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(mediaIds === Set(101L, 102L, 111L, 121L, 122L,
+      2013L, 2022L, 2032L, 3001L))
+    // text: the exact dup (2001, same text as 1) screens at ingest;
+    // the release's text half equals the one-shot n99 build over
+    // exactly the surviving docs (split/mix may legitimately drop more
+    // — the comparison is against the machinery, not a hardcoded set)
+    val textIds = relA.filter(col("kind") === "text")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!textIds.contains(2001L), "the exact-dup text must screen")
+    val survivorsDf = df(b0 ++ b1)
+      .filter(col("kind") === "text" && col("doc_id") =!= 2001L)
+      .select(col("doc_id"), col("text"), col("source"))
+    val expectText = graft.ops.TextAnalysis.trainingDataBuild(survivorsDf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(textIds === expectText,
+      "release text half ≡ one-shot n99 over the ingest survivors")
+
+    // unknown-kind rows: not trainable, never lost — the other store
+    // holds them and the card's `other` bucket accounts them
+    val other = spark.read.parquet(MixedBuild.otherOut(s"$tmpA/store"))
+    assert(other.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(3002L, 3003L))
+
+    // three-way per-kind reconciliation
+    val relCounts = relA.groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val meta = Sinks.Versioned.meta(spark, s"$tmpA/release")
+    relCounts.keys.foreach { k =>
+      assert(meta(s"n_$k").toLong === relCounts(k),
+        s"manifest count for $k must match the release frame")
+    }
+    assert(Seq("image", "audio", "video").forall(relCounts.contains),
+      "every media kind must ship rows in this fixture")
+    val card = MixedBuild.releaseCard(spark, s"$tmpA/store")
+    val cardCounts = card.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("image", "audio", "video").foreach { k =>
+      assert(cardCounts(k) === relCounts(k),
+        s"card n_media for $k must match the released rows")
+    }
+    assert(cardCounts("other") === 2L,
+      "the card's other bucket must cover the unknown-kind rows")
+    // the card covers EVERY row the build touched beyond text
+    assert(cardCounts.values.sum ===
+      relCounts.filterNot(_._1 == "text").values.sum + 2L)
+
+    // replay idempotence at the composition level: re-running a
+    // published batch must not change any store
+    val before = Multimodal.MediaKinds.map(k =>
+      MixedBuild.mediaSurvivors(spark, s"$tmpA/store", k).count()).sum
+    MixedBuild.ingestBatch(df(b1), 1L, s"$tmpA/store")
+    val after = Multimodal.MediaKinds.map(k =>
+      MixedBuild.mediaSurvivors(spark, s"$tmpA/store", k).count()).sum
+    assert(after === before)
+  }
+}
