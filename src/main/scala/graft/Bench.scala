@@ -114,6 +114,18 @@ object Bench {
       if (seqRuns.isEmpty) 0.0
       else seqRuns.map(_._1).sorted.apply(seqRuns.size / 2)
 
+    // WARM concurrent pass LAST (round-13 lesson: the driver's 203.2 s
+    // gate number mixed cold-JIT/codec warmup into the conc wall with no
+    // receipt to decompose it — r13's first seq pass hit 580.9 s cold vs
+    // 273.5 warm and the anomaly was unattributable). `value` stays the
+    // COLD conc wall (comparable to every prior round); `value_warm` is
+    // the same batch re-run after the seq passes warmed codegen/stages,
+    // so a cold-session anomaly in the driver's record now reads off the
+    // committed cold−warm delta instead of being guessed at.
+    val (concWarmTotal, concWarmResults) =
+      if (mode != "sequential") runPass(spark, sfDir, parallelism)
+      else (0.0, Seq.empty[(String, Double, Boolean)])
+
     // `queries` carries the load-independent SEQUENTIAL per-query medians
     // (the regression-detection record the round-4 verdict asked for);
     // `value` stays the concurrent batch wall, comparable to prior rounds.
@@ -121,14 +133,17 @@ object Bench {
     val queriesJson =
       toJsonMap(if (seqResults.nonEmpty) seqResults else concResults)
     val concJson = toJsonMap(concResults)
+    val concWarmJson = toJsonMap(concWarmResults)
     val value = if (concResults.nonEmpty) concTotal else seqTotal
-    val failed = (concResults ++ seqResults).collect {
+    val failed = (concResults ++ seqResults ++ concWarmResults).collect {
       case (k, _, false) => "\"" + k + "\""
     }.distinct.mkString("[", ",", "]")
     val seqTotalsJson = seqRuns.map(_._1).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$value,"unit":"sec","queries":$queriesJson,""" +
         s""""queries_concurrent":$concJson,"seq_total":$seqTotal,""" +
+        s""""value_warm":$concWarmTotal,""" +
+        s""""queries_concurrent_warm":$concWarmJson,""" +
         s""""seq_pass_totals":$seqTotalsJson,"seq_passes":$seqPasses,""" +
         s""""mode":"$mode","failed":$failed,"sf":"$sfDir"}"""
     println(line)
@@ -150,7 +165,8 @@ object Bench {
     val nQueries = math.max(concResults.size, seqResults.size)
     println(
       s"""{"metric":"total","value":$value,"unit":"sec","sf":"$sfDir",""" +
-        s""""n_queries":$nQueries,"seq_total":$seqTotal,"mode":"$mode",""" +
+        s""""n_queries":$nQueries,"seq_total":$seqTotal,""" +
+        s""""value_warm":$concWarmTotal,"mode":"$mode",""" +
         s""""failed":$failed,"detail":"$outFile"}""")
     spark.stop()
   }

@@ -4472,9 +4472,13 @@ object Queries {
     // exemption).
     ("m14_audio_neardup_auto",
       (s: SparkSession, d: String) =>
+        // cut: the EAGER inflation probe and the executed query both
+        // consume the fingerprints — uncut, the WAV decode of the
+        // staged corpus (the query's dominant cost) would run twice
+        // (review-caught; the m6/m9/m12 cut convention)
         graft.sources.Multimodal.mediaNearDupPairsAuto(
-          graft.sources.Multimodal.audioHash(
-            graft.sources.Multimodal.stagedEditedAudio(s, d)), "ahash"),
+          graft.ops.Checkpoints.cut(graft.sources.Multimodal.audioHash(
+            graft.sources.Multimodal.stagedEditedAudio(s, d))), "ahash"),
       None),
   )
 

@@ -34,15 +34,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `_SUCCESS`-less dest (a crashed writer from some older scheme —
   * the tmp+rename path can never leave one) is removed and rebuilt.
   *
-  * Staleness: the stage key is (corpus name, fixture TAG, sf dir).
-  * The tag is bumped in code whenever a constructor's synthesis logic
-  * changes, so a stale publish from an earlier fixture version is
-  * simply never read. The stage root defaults under `java.io.tmpdir`
-  * and is overridable via the session conf
-  * `spark.graft.media.stage.dir` (tests point it at a scratch dir;
-  * a cluster would point it at shared storage — though on a real
-  * cluster the media table comes off storage to begin with and this
-  * scaffolding has nothing to stage).
+  * Staleness: the stage key is (corpus name, fixture TAG, sf dir,
+  * SOURCE-DATA fingerprint). The tag is bumped in code whenever a
+  * constructor's synthesis logic changes; the fingerprint — a digest
+  * over the sf dir's events.parquet file listing (names, sizes,
+  * mtimes; every corpus derives from events) — catches the other
+  * staleness axis, a testdata dir regenerated IN PLACE under the same
+  * path. The stage root defaults under `java.io.tmpdir` and is
+  * overridable via the session conf `spark.graft.media.stage.dir`
+  * (tests and the bench share the default root — same key, same
+  * corpus; a cluster deployment would point it at shared storage,
+  * though on a real cluster the media table comes off storage to
+  * begin with and this scaffolding has nothing to stage).
   */
 object MediaStage {
 
@@ -57,9 +60,14 @@ object MediaStage {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      // close the walk stream: its directory handles are real fds, and
+      // a long-lived bench JVM rebuilding stages would leak them
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(q => Files.deleteIfExists(q))
+      finally walk.close()
+    }
 
   private def stageRoot(spark: SparkSession): Path = {
     val root = spark.conf.getOption(StageDirConf)
@@ -67,11 +75,36 @@ object MediaStage {
     Paths.get(root)
   }
 
-  /** One directory per (sfDir, corpus, tag) — the sf dir's full path is
-    * folded into the key (short sanitized prefix for a human-readable
-    * listing + an md5 of the full path so distinct dirs with colliding
-    * sanitized names — the ScaleSanity scratch corpora — never share a
-    * stage).
+  /** Fingerprint of the corpus's SOURCE data: every fixture corpus
+    * derives from the sf dir's events table, so a digest over its file
+    * listing (relative name, size, mtime — sorted) changes whenever
+    * the testdata is regenerated in place, and a stale publish under
+    * the same path is never read. Listing-only: no data is scanned.
+    */
+  private def dataFingerprint(sfDir: String): String = {
+    val events = Paths.get(sfDir, "events.parquet")
+    val listing =
+      if (!Files.exists(events)) s"absent:$events"
+      else {
+        val walk = Files.walk(events)
+        try walk.sorted(Comparator.naturalOrder[Path]())
+          .map[String](p => s"${events.relativize(p)}:" +
+            s"${if (Files.isRegularFile(p)) Files.size(p) else 0}:" +
+            s"${Files.getLastModifiedTime(p).toMillis}")
+          .reduce("", (a, b) => a + "\n" + b)
+        finally walk.close()
+      }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** One directory per (sfDir, corpus, tag, data fingerprint) — the sf
+    * dir's full path is folded into the key (short sanitized prefix
+    * for a human-readable listing + an md5 of the full path so
+    * distinct dirs with colliding sanitized names — the ScaleSanity
+    * scratch corpora — never share a stage), and the source-data
+    * fingerprint guards against in-place regeneration.
     */
   private def destFor(spark: SparkSession, sfDir: String,
                       name: String): Path = {
@@ -81,7 +114,7 @@ object MediaStage {
       .digest(sfDir.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
     stageRoot(spark).resolve(s"${sanitized}_$digest")
-      .resolve(s"${name}_$FixtureTag")
+      .resolve(s"${name}_${FixtureTag}_${dataFingerprint(sfDir)}")
   }
 
   /** The staged corpus at `dest`, building and publishing it first if
@@ -102,7 +135,11 @@ object MediaStage {
         Files.createDirectories(dest.getParent)
         val tmp = dest.getParent.resolve(
           s"${dest.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-        build.write.parquet(tmp.toString)
+        // a failed build must not orphan its partial tmp dir (each
+        // retry gets a fresh uuid — failing runs would accumulate
+        // unbounded payload garbage under the shared stage root)
+        try build.write.parquet(tmp.toString)
+        catch { case e: Throwable => deleteRecursively(tmp); throw e }
         try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
         catch {
           case _: java.nio.file.FileAlreadyExistsException |

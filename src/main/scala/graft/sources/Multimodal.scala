@@ -1849,9 +1849,13 @@ object Multimodal {
   /** media_id of the m13 fixture's NULL-kind probe row — the card's
     * covers-every-row invariant (Σ n_media = table rows via the
     * `other` bucket) was previously proven only in spec; this one row
-    * makes it driver-visible (4 card rows, not 3).
+    * makes it driver-visible (4 card rows, not 3). 2^45 sits above
+    * every id any planted family can reach (the largest is the video
+    * survivor's edit twin at 5·2^42) — review-caught: the first draft
+    * used 2^43, which IS the audio survivor's id (4·2^41), putting two
+    * rows with one media_id into the card's unioned table.
     */
-  val OtherKindProbeId = 1L << 43
+  val OtherKindProbeId = 1L << 45
 
   /** Rows-only registry surface (m13): the dedup card over the planted
     * media corpus (originals + every modality's edited twins — the

@@ -102,25 +102,41 @@ object MixedBuild {
     text + img + aud + vid + otherRows.count()
   }
 
-  private def readOr(spark: SparkSession, path: String,
-                     empty: => DataFrame): DataFrame = {
+  /** Schema-EXPLICIT store read: a kind that never received a row
+    * still gets its store directory written per batch (the component
+    * ingests write unconditionally), so the directory can exist with
+    * only a `_SUCCESS` marker — schema inference would throw on it
+    * (review-caught: the spec fixture happened to feed every kind).
+    * With the schema supplied, a file-less directory reads as the
+    * empty frame it is; a missing directory (release before any
+    * ingest) falls back to an explicit empty.
+    */
+  private def readOrEmpty(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      spark.read.parquet(path)
-    else empty
+      spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
   }
 
-  private def emptyMedia(spark: SparkSession): DataFrame =
-    spark.createDataFrame(java.util.Collections.emptyList[Row](),
-      StructType(mixedSchema.filterNot(_.name == "text")
-        .map(f => if (f.name == "doc_id") f.copy(name = "media_id") else f)))
+  private def withBatchId(s: StructType): StructType =
+    StructType(s :+ StructField("batch_id", LongType, nullable = true))
+
+  private val mediaStoreSchema: StructType =
+    StructType(mixedSchema.filterNot(_.name == "text")
+      .map(f => if (f.name == "doc_id") f.copy(name = "media_id") else f))
+
+  private val textStoreSchema: StructType =
+    StructType(mixedSchema.filter(f =>
+      Seq("doc_id", "text", "source").contains(f.name)))
 
   /** Every media row the build ships for `kind` — the modality sink's
     * survivors plus its undecodable pass-throughs, batch stamp dropped.
     */
   def mediaSurvivors(spark: SparkSession, base: String,
                      kind: String): DataFrame =
-    readOr(spark, mediaOut(base, kind), emptyMedia(spark))
+    readOrEmpty(spark, mediaOut(base, kind), withBatchId(mediaStoreSchema))
       .drop("batch_id")
 
   /** The dataset-card stamp over everything this build ships: the m13
@@ -133,9 +149,8 @@ object MixedBuild {
     val media = Multimodal.MediaKinds
       .map(k => mediaSurvivors(spark, base, k))
       .reduce(_ unionByName _)
-      .unionByName(readOr(spark, otherOut(base),
-        spark.createDataFrame(java.util.Collections.emptyList[Row](),
-          mixedSchema))
+      .unionByName(readOrEmpty(spark, otherOut(base),
+        withBatchId(mixedSchema))
         .drop("batch_id")
         .select(col("doc_id").as("media_id"), col("kind"), col("source"),
           col("payload"), col("meta")))
@@ -158,10 +173,26 @@ object MixedBuild {
                      numShards: Int = 8,
                      params: Map[String, String] = Map.empty,
                      keepVersions: Int = 2): DataFrame = {
-    val textDocs = IncrementalBuild.survivors(spark, textBase(base))
+    // schema-explicit like the media stores (a text-less corpus leaves
+    // a file-less doc store), and the n99 stages only run when there
+    // is text to build — their plan aggregates assume a non-empty
+    // corpus
+    val textDocs = readOrEmpty(spark,
+      IncrementalBuild.docStore(textBase(base)),
+      withBatchId(textStoreSchema))
       .select(col("doc_id"), col("text"), col("source"))
-    val textBuild = graft.ops.TextAnalysis.trainingDataBuild(
-      textDocs, n, minDf, tau, alpha, budget, numShards)
+    val textBuild = (if (textDocs.head(1).isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("source", StringType, nullable = true),
+          StructField("shard", IntegerType, nullable = true),
+          StructField("pos", IntegerType, nullable = true),
+          StructField("n_tokens", LongType, nullable = true),
+          StructField("n_removed", LongType, nullable = true),
+          StructField("text_clean", StringType, nullable = true))))
+    else graft.ops.TextAnalysis.trainingDataBuild(
+      textDocs, n, minDf, tau, alpha, budget, numShards))
       .select(col("doc_id"), lit("text").as("kind"), col("source"),
         col("shard"), col("pos"), col("n_tokens"), col("n_removed"),
         col("text_clean"),

@@ -157,4 +157,25 @@ class MixedBuildSpec extends SparkSpec {
       MixedBuild.mediaSurvivors(spark, s"$tmpA/store", k).count()).sum
     assert(after === before)
   }
+
+  test("a corpus missing whole kinds still releases: the component " +
+    "ingests write empty-but-existing stores (a _SUCCESS-only parquet " +
+    "dir), which must read as empty frames, not crash schema " +
+    "inference — incl. the text-less corpus, whose n99 stages must " +
+    "not run on an empty survivor store") {
+    // images only: no text, no audio, no video, no unknown kinds —
+    // the common real shape (one modality at a time)
+    val tmp = Files.createTempDirectory("graft_mixed_partial").toString
+    MixedBuild.ingestBatch(df(Seq(imgRow(1L, P(0)), imgRow(2L, P(4)))),
+      0L, s"$tmp/store")
+    val rel = MixedBuild.publishRelease(spark, s"$tmp/store",
+      s"$tmp/release")
+    val counts = rel.groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("image" -> 2L))
+    val card = MixedBuild.releaseCard(spark, s"$tmp/store")
+    val cardCounts = card.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cardCounts === Map("image" -> 2L))
+  }
 }
