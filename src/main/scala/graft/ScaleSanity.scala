@@ -524,6 +524,51 @@ object ScaleSanity {
       timeIt("m14_auto")(
         sources.Multimodal.mediaNearDupPairsAuto(ah, "ahash"))
     }
+    // mixed text+media build: the composition measurement — 10 batches
+    // of a REAL mixed corpus (documents + the media table) through
+    // MixedBuild.ingestBatch (per-batch wall must stay flat: each kind
+    // routes to its component ingest, whose 20-batch sweeps are flat
+    // individually), then ONE timed release + card. The corpus stages
+    // to parquet once (the round-13 harness lesson).
+    if (wanted("mixed_build_stream")) {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/mixedbuild"), true)
+      val metaType = sources.Multimodal.mediaSchema("meta").dataType
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .select(col("doc_id"), lit("text").as("kind"), col("source"),
+          col("text"), lit(null).cast("binary").as("payload"),
+          lit(null).cast(metaType).as("meta"))
+      // media ids offset clear of doc ids so the mixed corpus keys
+      // stay unique across kinds
+      val media = sources.Multimodal.mediaFromEvents(spark, out)
+        .select((col("media_id") + lit(1L << 50)).as("doc_id"),
+          col("kind"), lit("media_src").as("source"),
+          lit(null).cast("string").as("text"), col("payload"), col("meta"))
+      docs.unionByName(media).write.mode("overwrite")
+        .parquet(s"$out/mixedbuild/corpus.parquet")
+      val corpus = spark.read.parquet(s"$out/mixedbuild/corpus.parquet")
+      val nBatches = 10
+      for (b <- 0 until nBatches) {
+        val batch = corpus.filter(
+          pmod(hash(col("doc_id")), lit(nBatches)) === b)
+        val t0 = System.nanoTime()
+        val rows = streaming.MixedBuild.ingestBatch(batch, b.toLong,
+          s"$out/mixedbuild/store")
+        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+          s"mixedbuild_batch_$b (rows=$rows)")
+      }
+      val t1 = System.nanoTime()
+      val rel = streaming.MixedBuild.publishRelease(spark,
+        s"$out/mixedbuild/store", s"$out/mixedbuild/release")
+      println(f"SCALE$mult%d ${(System.nanoTime() - t1) / 1e9}%8.2f  " +
+        s"mixedbuild_release (rows=${rel.count()})")
+      val t2 = System.nanoTime()
+      val card = streaming.MixedBuild.releaseCard(spark,
+        s"$out/mixedbuild/store")
+      println(f"SCALE$mult%d ${(System.nanoTime() - t2) / 1e9}%8.2f  " +
+        s"mixedbuild_card (rows=${card.count()})")
+    }
     // incremental one-call build: the 20-batch per-batch-wall
     // measurement over IncrementalBuild (ingest = SimhashIngest
     // verbatim, so per-batch FLAT must carry over), then ONE timed
