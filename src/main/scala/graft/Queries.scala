@@ -4480,6 +4480,40 @@ object Queries {
           graft.ops.Checkpoints.cut(graft.sources.Multimodal.audioHash(
             graft.sources.Multimodal.stagedEditedAudio(s, d))), "ahash"),
       None),
+
+    // Media QUALITY audit rolled up per kind — the n13/n22 quality
+    // discipline on the modality axis: pure column expressions over
+    // the m1 decode pass's features (zero extra codec work, map-side,
+    // plan-pinned no exchange before the roll-up). Rows-only
+    // (codec-bound); flag VALUES on planted degenerate media
+    // (blank/tiny images, silent/clipped clips, static/1-frame video,
+    // corrupt and null payloads, unknown kinds) are spec-pinned.
+    ("m15_media_quality",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.mediaQualityTable(s, d),
+      None),
+
+    // IMAGE decontamination — the n26/n72 move on the image modality,
+    // closing the decontamination × modality matrix: corpus images
+    // within hamming 4 of any test image's dHash drop (exact recall by
+    // pigeonhole; test side broadcast — benchmarks are bounded; corpus
+    // signatures stream map-side). Test set = the deterministic
+    // media_id ≡ 0 (mod 97) sample of the originals. Rows-only; the
+    // spec pins kept set ≡ brute force.
+    ("m16_image_decontamination",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.imageDecontaminationTable(s, d),
+      None),
+
+    // VIDEO decontamination — the multi-signature composition: a clip
+    // drops iff ANY sampled frame nears any test clip's frame (the one
+    // signature core does the group lift — a hit on one frame
+    // anti-joins away every row of that clip). Rows-only; spec-pinned
+    // vs brute force.
+    ("m17_video_decontamination",
+      (s: SparkSession, d: String) =>
+        graft.sources.Multimodal.videoDecontaminationTable(s, d),
+      None),
   )
 
   def queries: Map[String, Q] =

@@ -1456,6 +1456,38 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SIGNATURE-level decontamination — the n26/n72 move on perceptual
+    * signatures, completing the decontamination × modality matrix: drop
+    * every corpus signature within hamming ≤ `maxDist` of ANY test-set
+    * signature (exact recall by the pigeonhole argument: nBlocks >
+    * maxDist ⇒ some untouched block matches). The TEST side broadcasts
+    * — a benchmark/test set is bounded by construction (the n35 bloom
+    * argument), the corpus streams map-side past its block keys and is
+    * never re-read or re-decoded (16-byte signature rows in, the same
+    * corpusHit shape the incremental screens use); the final anti join
+    * is hint-free (the hit set can be corpus-sized on a contaminated
+    * corpus — never force it). Returns the KEPT (doc_id, simhash)
+    * rows; flag consumers anti-join the complement themselves.
+    */
+  def signatureDecontaminate(corpus: DataFrame, test: DataFrame,
+                             bits: Int, maxDist: Int,
+                             nBlocks: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < nBlocks,
+      s"exact recall needs 0 <= maxDist ($maxDist) < nBlocks ($nBlocks)")
+    val hits = blockKeys(corpus.select(col("doc_id"), col("simhash")),
+        bits, nBlocks).as("c")
+      .join(broadcast(blockKeys(
+          test.select(col("doc_id"), col("simhash")), bits, nBlocks)
+        .as("t")),
+        col("c.blk") === col("t.blk") && col("c.bv") === col("t.bv"))
+      .filter(bit_count(col("c.simhash").bitwiseXOR(col("t.simhash")))
+        <= maxDist)
+      .select(col("c.doc_id").as("doc_id")).distinct()
+    corpus.select(col("doc_id"), col("simhash"))
+      .join(hits, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplication INFLATION Σg²/Σg over the group sizes of `key` — the
     * [[digestInflation]] probe generalized to any grouping column, so
     * the media signature autos measure the SAME switch number over

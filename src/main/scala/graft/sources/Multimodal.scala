@@ -1542,6 +1542,222 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ======== media quality gating (m15) ========
+
+  /** Media QUALITY AUDIT — the n13/n22 quality discipline on the
+    * modality axis (the matrix cell text-only pipelines leave open):
+    * one row per media row with the degeneracy flags a training
+    * pipeline filters on and a `pass` verdict. Built ENTIRELY as
+    * column expressions over [[extractFeatures]]' output — the decode
+    * pass already computes every needed statistic, so the audit adds
+    * zero codec work, stays map-side (no exchange — plan-pinned), and
+    * is stream-legal.
+    *
+    * Flags per kind (thresholds are parameters; defaults suit the
+    * fixture corpus): image `tiny` (pixel count), `flat` (gray
+    * contrast — blank/constant frames); audio `short_clip`, `silent`
+    * (rms floor), `clipped` (peak at the 16-bit rails); video
+    * `few_frames`, `static` (first↔last mean-gray delta — the
+    * slideshow/stuck-encoder signal). Kind-independent: `undecodable`
+    * (the decode pass's contextual error), `empty` (null/zero-byte
+    * payload), `unknown_kind` (no modality owns the row — flagged,
+    * never silently passed; the card's `other` discipline). A row
+    * passes iff NO flag fires.
+    */
+  def mediaQualityAudit(media: DataFrame,
+                        minPixels: Int = 16, minContrast: Double = 8.0,
+                        minSamples: Int = 64, rmsFloor: Double = 50.0,
+                        clipCeil: Int = 32700, minFrames: Int = 2,
+                        minMotion: Double = 0.5): DataFrame = {
+    def feat(i: Int): Column = element_at(col("feature"), i)
+    val decoded = col("decode_err").isNull && col("n_bytes") > 0
+    def kindIs(k: String): Column = decoded && col("kind") === k
+    val flags = array_compact(array(
+      when(col("decode_err").isNotNull, lit("undecodable")),
+      when(col("decode_err").isNull && col("n_bytes") === 0, lit("empty")),
+      when(decoded && (col("kind").isNull ||
+        !col("kind").isin(MediaKinds: _*)), lit("unknown_kind")),
+      when(kindIs("image") && feat(8) < minPixels, lit("tiny")),
+      when(kindIs("image") && feat(7) - feat(6) < minContrast,
+        lit("flat")),
+      when(kindIs("audio") && feat(1) < minSamples, lit("short_clip")),
+      when(kindIs("audio") && feat(4) < rmsFloor, lit("silent")),
+      when(kindIs("audio") && (feat(6) >= clipCeil ||
+        feat(5) <= -clipCeil), lit("clipped")),
+      when(kindIs("video") && feat(1) < minFrames, lit("few_frames")),
+      when(kindIs("video") && feat(6) < minMotion, lit("static"))))
+    extractFeatures(media)
+      .select(col("media_id"), col("kind"),
+        flags.as("quality_flags"),
+        (size(flags) === 0).as("pass"))
+  }
+
+  /** The GATE form: media rows whose audit passes (payloads and
+    * metadata intact — the filter a build pipeline composes ahead of
+    * its dedup stages). One semi join on media_id; the audit side
+    * carries no payloads.
+    */
+  def mediaQualityGate(media: DataFrame,
+                       minPixels: Int = 16, minContrast: Double = 8.0,
+                       minSamples: Int = 64, rmsFloor: Double = 50.0,
+                       clipCeil: Int = 32700, minFrames: Int = 2,
+                       minMotion: Double = 0.5): DataFrame =
+    media.join(
+      mediaQualityAudit(media, minPixels, minContrast, minSamples,
+        rmsFloor, clipCeil, minFrames, minMotion)
+        .filter(col("pass")).select(col("media_id")),
+      Seq("media_id"), "left_semi")
+
+  /** Base media_id of the m15 fixture's planted DEGENERATES — above
+    * every other planted family's range.
+    */
+  val DegenerateIdOffset = 1L << 46
+
+  /** One planted degenerate per flag (the m6/m9/m12 lesson applied
+    * BEFORE the verdict asks: a registry receipt that only shows the
+    * all-pass regime proves nothing a limit(0) wouldn't — the staged
+    * corpora are healthy by construction, so the flags must be planted
+    * here, at the call site, never into the staged corpora the dedup
+    * entries read). Flag semantics themselves are pinned by
+    * MediaQualitySpec on its own fixture.
+    */
+  private def plantedDegenerates(spark: SparkSession): DataFrame = {
+    def flatPng: Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < 64) { img.setRGB(i % 8, i / 8, 0x808080); i += 1 }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def tinyPng: Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFFFFFF); img.setRGB(1, 1, 0xFFFFFF)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val o = DegenerateIdOffset
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(o + 1, "image", flatPng, Row(8, 8, null)),
+      Row(o + 2, "image", tinyPng, Row(2, 2, null)),
+      Row(o + 3, "image", Array.fill[Byte](16)(7), Row(4, 4, null)),
+      Row(o + 4, "audio", pcmToWav(new Array[Short](512), WavRate),
+        Row(null, null, WavRate)),
+      Row(o + 5, "audio", pcmToWav(Array.tabulate[Short](512)(i =>
+        if (i % 2 == 0) 32767 else -32768), WavRate),
+        Row(null, null, WavRate)),
+      Row(o + 6, "audio", pcmToWav(Array.fill[Short](32)(1000), WavRate),
+        Row(null, null, WavRate)),
+      Row(o + 7, "audio", null, Row(null, null, WavRate)),
+      Row(o + 8, "video", packGfv(Seq(gradientPng(0x0F0F0F0F0F0F0F0FL),
+        gradientPng(0x0F0F0F0F0F0F0F0FL))), Row(9, 8, null)),
+      Row(o + 9, "video", packGfv(Seq(
+        gradientPng(0x3333333333333333L))), Row(9, 8, null)),
+      Row(o + 10, "document", Array.fill[Byte](8)(1), null),
+      Row(o + 11, null, pngBytes(3L), null)), mediaSchema)
+  }
+
+  /** Rows-only registry surface (m15): the quality audit rolled up per
+    * kind over the three staged planted corpora PLUS one planted
+    * degenerate per flag — both regimes driver-visible (healthy media
+    * pass; every flag column is non-zero somewhere; the null/unknown
+    * kind rows land in their own roll-up rows, the covers-every-row
+    * discipline). Integer-deterministic counts; flag VALUES are
+    * spec-pinned on MediaQualitySpec's fixture.
+    */
+  def mediaQualityTable(spark: SparkSession, dir: String): DataFrame = {
+    val audit = mediaQualityAudit(
+      stagedEditedImages(spark, dir).filter(col("kind") === "image")
+        .unionByName(stagedEditedAudio(spark, dir))
+        .unionByName(stagedEditedVideos(spark, dir))
+        .unionByName(plantedDegenerates(spark)))
+    def flagCount(f: String): Column =
+      sum(array_contains(col("quality_flags"), f).cast("long"))
+        .as(s"n_$f")
+    audit.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pass").cast("long")).as("n_pass"),
+        flagCount("undecodable"), flagCount("empty"),
+        flagCount("unknown_kind"),
+        flagCount("tiny"), flagCount("flat"),
+        flagCount("short_clip"), flagCount("silent"),
+        flagCount("clipped"), flagCount("few_frames"),
+        flagCount("static"))
+      .orderBy(col("kind"))
+  }
+
+  // ======== media decontamination (m16/m17) ========
+
+  /** IMAGE decontamination — the n26/n72 move on the image modality
+    * (the decontamination × modality matrix cell): drop every corpus
+    * image whose dHash sits within `maxDist` of ANY test-set image's
+    * dHash, through [[graft.ops.Dedup.signatureDecontaminate]] (test
+    * side broadcast — benchmarks are bounded; corpus streams map-side;
+    * exact recall by pigeonhole). Returns kept (media_id, phash).
+    */
+  def imageDecontaminate(corpusPhash: DataFrame, testPhash: DataFrame,
+                         maxDist: Int = 4): DataFrame =
+    graft.ops.Dedup.signatureDecontaminate(
+      corpusPhash.filter(col("phash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      testPhash.filter(col("phash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      bits = 64, maxDist = maxDist, nBlocks = 8)
+      .select(col("doc_id").as("media_id"), col("simhash").as("phash"))
+
+  /** VIDEO decontamination — the multi-signature composition: a corpus
+    * CLIP drops iff ANY of its frame hashes sits within `maxDist` of
+    * any test clip's frame hash. The same signature core does the
+    * group lift for free: frames carry their clip's media_id as
+    * doc_id, so one hit row anti-joins away EVERY row of that clip.
+    * Returns kept clips as (media_id, n_frames).
+    */
+  def videoDecontaminate(corpusFrames: DataFrame, testFrames: DataFrame,
+                         maxDist: Int = 4): DataFrame =
+    graft.ops.Dedup.signatureDecontaminate(
+      corpusFrames.filter(col("fhash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("fhash").as("simhash")),
+      testFrames.filter(col("fhash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("fhash").as("simhash")),
+      bits = 64, maxDist = maxDist, nBlocks = 8)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+      .select(col("doc_id").as("media_id"), col("n_frames"))
+      .orderBy(col("media_id"))
+
+  /** Rows-only registry surface (m16): the staged image corpus
+    * decontaminated against a deterministic test sample of its own
+    * originals (media_id ≡ 0 mod 97) — the sample, its planted edit
+    * twins, and the synthetic space's low-hamming neighbors all drop;
+    * spec pins equality with brute force.
+    */
+  def imageDecontaminationTable(spark: SparkSession, dir: String,
+                                maxDist: Int = 4): DataFrame = {
+    val ph = graft.ops.Checkpoints.cut(
+      imagePhash(stagedEditedImages(spark, dir))
+        .filter(col("phash").isNotNull))
+    imageDecontaminate(ph,
+      ph.filter(col("media_id") < EditIdOffset &&
+        pmod(col("media_id"), lit(97)) === 0), maxDist)
+  }
+
+  /** Rows-only registry surface (m17): the staged video corpus
+    * decontaminated against the clips with media_id ≡ 0 mod 97 — the
+    * multi-signature (any-frame-hits) composition.
+    */
+  def videoDecontaminationTable(spark: SparkSession, dir: String,
+                                maxDist: Int = 4): DataFrame = {
+    val fh = graft.ops.Checkpoints.cut(
+      videoFrameHashes(stagedEditedVideos(spark, dir))
+        .filter(col("fhash").isNotNull))
+    videoDecontaminate(fh,
+      fh.filter(col("media_id") < VideoEditIdOffset &&
+        pmod(col("media_id"), lit(97)) === 0), maxDist)
+  }
+
   // ======== measured collapse autos (m14) ========
   //
   // m5/m8/m11 register the COLLAPSED (rep-level) encodings statically —

@@ -650,7 +650,14 @@ class PlanSpec extends SparkSpec {
       // in-memory lineage with tiny size estimates and surfaced as the
       // designed SMJ once the corpus moved to staged parquet with
       // honest file stats (r14). AQE localizes it when a side fits.
-      "m11_video_neardup_clips" -> Set("tbl", "kv"))
+      "m11_video_neardup_clips" -> Set("tbl", "kv"),
+      // media decontamination: the final drop is a deliberately
+      // hint-free anti join on the media/doc id — the hit set is
+      // corpus-sized on a contaminated corpus (the n73→n109 lesson:
+      // never force what can grow with the corpus); the TEST side of
+      // the block join IS broadcast by construction upstream
+      "m16_image_decontamination" -> Set("doc_id", "media_id"),
+      "m17_video_decontamination" -> Set("doc_id", "media_id"))
     val tiny = "/root/testdata/sf0.001"
     graft.Queries.queries.foreach { case (name, fn) =>
       val p = fn(spark, tiny).queryExecution.executedPlan.toString
