@@ -506,16 +506,21 @@ object ScaleSanity {
     // dup-group² (the exact bomb the auto exists to dodge — at 10× it
     // would be the half-hour spill the m5 sweep already demonstrated
     // once), and the auto provably never picks it there.
+    // shared timer for the media sweep blocks: the FULL materialization
+    // (toRdd.count) runs INSIDE the timed region — a lazily-constructed
+    // frame (cutLazy operators, plain projections) otherwise charges
+    // its whole execution outside the clock (review-caught on the
+    // mixed-build card)
+    def timeIt(label: String)(df: => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
+        s"$label (rows=$n)")
+    }
     if (wanted("media_auto")) {
       val ah = ops.Checkpoints.cut(sources.Multimodal.audioHash(
         sources.Multimodal.audioWithEditedClips(spark, out)))
-      def timeIt(label: String)(df: => org.apache.spark.sql.DataFrame)
-          : Unit = {
-        val t0 = System.nanoTime()
-        val n = df.queryExecution.toRdd.count()
-        println(f"SCALE$mult%d ${(System.nanoTime() - t0) / 1e9}%8.2f  " +
-          s"$label (rows=$n)")
-      }
       if (mult <= 3)
         timeIt("m14_plain")(
           sources.Multimodal.mediaSignaturePairsPlain(ah, "ahash"))
@@ -523,6 +528,28 @@ object ScaleSanity {
         sources.Multimodal.mediaSignaturePairsExpanded(ah, "ahash"))
       timeIt("m14_auto")(
         sources.Multimodal.mediaNearDupPairsAuto(ah, "ahash"))
+    }
+    // media decontamination (m16/m17): corpus-side screening against a
+    // broadcast test sample at the sweep multiplier. The test sample is
+    // PINNED to the base copy's id range (ids < perCopy — review-caught:
+    // a mod-97 sample of the replicated corpus grows ∝ mult, so the
+    // sweep would charge the growing test side to the corpus-side
+    // scaling it claims to measure); what must scale linearly is the
+    // corpus side (map-side block keys + one hint-free anti join).
+    if (wanted("media_decon")) {
+      val ph = ops.Checkpoints.cut(sources.Multimodal.imagePhash(
+        sources.Multimodal.mediaWithEditedImages(spark, out))
+        .filter(col("phash").isNotNull))
+      val fh = ops.Checkpoints.cut(sources.Multimodal.videoFrameHashes(
+        sources.Multimodal.mediaWithEditedVideos(spark, out))
+        .filter(col("fhash").isNotNull))
+      val baseCopy = 10000000L // rep()'s perCopy id shift
+      timeIt("m16_image_decon")(sources.Multimodal.imageDecontaminate(ph,
+        ph.filter(col("media_id") < lit(baseCopy) &&
+          pmod(col("media_id"), lit(97)) === 0)))
+      timeIt("m17_video_decon")(sources.Multimodal.videoDecontaminate(fh,
+        fh.filter(col("media_id") < lit(baseCopy) &&
+          pmod(col("media_id"), lit(97)) === 0)))
     }
     // mixed text+media build: the composition measurement — 10 batches
     // of a REAL mixed corpus (documents + the media table) through
@@ -563,11 +590,11 @@ object ScaleSanity {
         s"$out/mixedbuild/store", s"$out/mixedbuild/release")
       println(f"SCALE$mult%d ${(System.nanoTime() - t1) / 1e9}%8.2f  " +
         s"mixedbuild_release (rows=${rel.count()})")
-      val t2 = System.nanoTime()
-      val card = streaming.MixedBuild.releaseCard(spark,
-        s"$out/mixedbuild/store")
-      println(f"SCALE$mult%d ${(System.nanoTime() - t2) / 1e9}%8.2f  " +
-        s"mixedbuild_card (rows=${card.count()})")
+      // timeIt: the card is built on cutLazy — counting OUTSIDE the
+      // timed region charged plan construction only (review-caught; the
+      // first committed numbers under-reported the card)
+      timeIt("mixedbuild_card")(streaming.MixedBuild.releaseCard(spark,
+        s"$out/mixedbuild/store"))
     }
     // incremental one-call build: the 20-batch per-batch-wall
     // measurement over IncrementalBuild (ingest = SimhashIngest

@@ -1564,28 +1564,48 @@ object Multimodal {
     * never silently passed; the card's `other` discipline). A row
     * passes iff NO flag fires.
     */
+  /** The (flag name, fire condition) arms of [[mediaQualityAudit]] —
+    * ONE definition owning both the names and the conditions, so the
+    * m15 roll-up ([[mediaQualityTable]]) can derive its per-flag
+    * columns from the same list and a NEW flag can never be silently
+    * absent from the driver-visible receipt (review-caught: the first
+    * cut hardcoded the names twice).
+    */
+  private def qualityArms(minPixels: Int, minContrast: Double,
+                          minSamples: Int, rmsFloor: Double,
+                          clipCeil: Int, minFrames: Int,
+                          minMotion: Double): Seq[(String, Column)] = {
+    def feat(i: Int): Column = element_at(col("feature"), i)
+    val decoded = col("decode_err").isNull && col("n_bytes") > 0
+    def kindIs(k: String): Column = decoded && col("kind") === k
+    Seq(
+      "undecodable" -> col("decode_err").isNotNull,
+      "empty" -> (col("decode_err").isNull && col("n_bytes") === 0),
+      "unknown_kind" -> (decoded && (col("kind").isNull ||
+        !col("kind").isin(MediaKinds: _*))),
+      "tiny" -> (kindIs("image") && feat(8) < minPixels),
+      "flat" -> (kindIs("image") && feat(7) - feat(6) < minContrast),
+      "short_clip" -> (kindIs("audio") && feat(1) < minSamples),
+      "silent" -> (kindIs("audio") && feat(4) < rmsFloor),
+      "clipped" -> (kindIs("audio") && (feat(6) >= clipCeil ||
+        feat(5) <= -clipCeil)),
+      "few_frames" -> (kindIs("video") && feat(1) < minFrames),
+      "static" -> (kindIs("video") && feat(6) < minMotion))
+  }
+
+  /** Every flag [[mediaQualityAudit]] can emit, in roll-up order. */
+  val QualityFlags: Seq[String] =
+    qualityArms(0, 0, 0, 0, 0, 0, 0).map(_._1)
+
   def mediaQualityAudit(media: DataFrame,
                         minPixels: Int = 16, minContrast: Double = 8.0,
                         minSamples: Int = 64, rmsFloor: Double = 50.0,
                         clipCeil: Int = 32700, minFrames: Int = 2,
                         minMotion: Double = 0.5): DataFrame = {
-    def feat(i: Int): Column = element_at(col("feature"), i)
-    val decoded = col("decode_err").isNull && col("n_bytes") > 0
-    def kindIs(k: String): Column = decoded && col("kind") === k
     val flags = array_compact(array(
-      when(col("decode_err").isNotNull, lit("undecodable")),
-      when(col("decode_err").isNull && col("n_bytes") === 0, lit("empty")),
-      when(decoded && (col("kind").isNull ||
-        !col("kind").isin(MediaKinds: _*)), lit("unknown_kind")),
-      when(kindIs("image") && feat(8) < minPixels, lit("tiny")),
-      when(kindIs("image") && feat(7) - feat(6) < minContrast,
-        lit("flat")),
-      when(kindIs("audio") && feat(1) < minSamples, lit("short_clip")),
-      when(kindIs("audio") && feat(4) < rmsFloor, lit("silent")),
-      when(kindIs("audio") && (feat(6) >= clipCeil ||
-        feat(5) <= -clipCeil), lit("clipped")),
-      when(kindIs("video") && feat(1) < minFrames, lit("few_frames")),
-      when(kindIs("video") && feat(6) < minMotion, lit("static"))))
+      qualityArms(minPixels, minContrast, minSamples, rmsFloor,
+        clipCeil, minFrames, minMotion)
+        .map { case (f, cond) => when(cond, lit(f)) }: _*))
     extractFeatures(media)
       .select(col("media_id"), col("kind"),
         flags.as("quality_flags"),
@@ -1677,15 +1697,13 @@ object Multimodal {
     def flagCount(f: String): Column =
       sum(array_contains(col("quality_flags"), f).cast("long"))
         .as(s"n_$f")
+    // one column per flag the audit can emit — derived from the same
+    // arm list, so a new flag is in the receipt by construction
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(col("pass").cast("long")).as("n_pass")) ++
+      QualityFlags.map(flagCount)
     audit.groupBy(col("kind"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("pass").cast("long")).as("n_pass"),
-        flagCount("undecodable"), flagCount("empty"),
-        flagCount("unknown_kind"),
-        flagCount("tiny"), flagCount("flat"),
-        flagCount("short_clip"), flagCount("silent"),
-        flagCount("clipped"), flagCount("few_frames"),
-        flagCount("static"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("kind"))
   }
 

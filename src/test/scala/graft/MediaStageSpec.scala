@@ -63,9 +63,13 @@ class MediaStageSpec extends SparkSpec {
       def build = { builds.incrementAndGet(); spark.range(5).toDF("id") }
       val first = MediaStage.staged(spark, sf, "t")(build)
       assert(first.count() === 5L && builds.get() === 1)
-      // find the published dest and tear it: drop _SUCCESS
-      val destRoot = Files.list(Paths.get(root)).iterator().next()
-      val dest = Files.list(destRoot).iterator().next()
+      // find the published dest and tear it: drop _SUCCESS (close the
+      // directory streams — the MediaStage.deleteRecursively fd lesson)
+      def onlyChild(p: java.nio.file.Path): java.nio.file.Path = {
+        val s = Files.list(p)
+        try s.iterator().next() finally s.close()
+      }
+      val dest = onlyChild(onlyChild(Paths.get(root)))
       Files.delete(dest.resolve("_SUCCESS"))
       assert(MediaStage.staged(spark, sf, "t")(build).count() === 5L)
       assert(builds.get() === 2, "a torn dest must rebuild")
