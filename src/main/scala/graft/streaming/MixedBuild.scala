@@ -69,6 +69,7 @@ object MixedBuild {
   def mediaIndex(base: String, kind: String): String = s"$base/$kind/index"
   def mediaOut(base: String, kind: String): String = s"$base/$kind/out"
   def otherOut(base: String): String = s"$base/other/out"
+  def rejectsOut(base: String): String = s"$base/rejects/out"
 
   private def mediaCols(batch: DataFrame, kind: String): DataFrame =
     batch.filter(col("kind") <=> kind)
@@ -77,21 +78,65 @@ object MixedBuild {
 
   /** Ingest ONE batch of mixed rows, routed by kind. Each component
     * inherits its own exactly-once replay contract; the `other` store's
-    * rewrite is deterministic like the media pass-through arms. Returns
-    * the total rows landed (text + media survivors incl. pass-throughs
-    * + other).
+    * rewrite is deterministic like the media pass-through arms.
+    *
+    * `qualityGate = true` runs [[Multimodal.mediaQualityAudit]] over
+    * the media-kind rows FIRST (the quality → dedup stage order a
+    * build pipeline wants: a degenerate payload must not cost a dedup
+    * decision or an index entry): failing rows land in a REJECTS store
+    * (batch-partitioned, carrying their flags — never lost silently),
+    * passing rows proceed to their modality's screening. The gate is a
+    * pure deterministic function of the batch, so the rejects
+    * partition rewrites bit-same on replay and the downstream ingests
+    * see a deterministic subset — the replay contracts compose
+    * unchanged. Text rows are untouched (their quality stages live in
+    * the n99 release, where corpus-global statistics exist);
+    * NULL/unknown kinds keep routing to `other` (the gate flags them
+    * `unknown_kind` only in audit contexts — the router, not the gate,
+    * owns them here). The audit's feature decode is a second map-side
+    * pass next to the signature hash pass — both O(batch), stated.
+    *
+    * Returns the total rows landed (text + media survivors incl.
+    * pass-throughs + other + rejects).
     */
   def ingestBatch(batch: DataFrame, batchId: Long, base: String,
-                  textMaxDist: Int = 0, mediaMaxDist: Int = 4): Long = {
+                  textMaxDist: Int = 0, mediaMaxDist: Int = 4,
+                  qualityGate: Boolean = false): Long = {
     val text = IncrementalBuild.ingestBatch(
       batch.filter(col("kind") <=> "text")
         .select(col("doc_id"), col("text"), col("source")),
       batchId, textBase(base), textMaxDist)
-    val img = ImageIngest.ingestBatch(mediaCols(batch, "image"), batchId,
+    val mediaRows = batch.filter(col("kind").isin(Multimodal.MediaKinds: _*))
+    val (gated, nRejects) =
+      if (!qualityGate) (batch, 0L)
+      else {
+        val audit = graft.ops.Checkpoints.cut(
+          Multimodal.mediaQualityAudit(mediaRows
+            .select(col("doc_id").as("media_id"), col("kind"),
+              col("payload"), col("meta"))))
+        val rejects = mediaRows
+          .join(audit.filter(!col("pass"))
+            .select(col("media_id").as("doc_id"), col("kind"),
+              col("quality_flags")),
+            Seq("doc_id", "kind"))
+          .withColumn("batch_id", lit(batchId))
+        rejects.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(rejectsOut(base))
+        // anti-join on (id, kind): two kinds may legitimately share an
+        // id, and a failing image must never strip a healthy
+        // same-id audio row (which would vanish without a store)
+        val accepted = batch.join(
+          audit.filter(!col("pass"))
+            .select(col("media_id").as("doc_id"), col("kind")),
+          Seq("doc_id", "kind"), "left_anti")
+        (accepted, rejects.count())
+      }
+    val img = ImageIngest.ingestBatch(mediaCols(gated, "image"), batchId,
       mediaIndex(base, "image"), mediaOut(base, "image"), mediaMaxDist)
-    val aud = AudioIngest.ingestBatch(mediaCols(batch, "audio"), batchId,
+    val aud = AudioIngest.ingestBatch(mediaCols(gated, "audio"), batchId,
       mediaIndex(base, "audio"), mediaOut(base, "audio"), mediaMaxDist)
-    val vid = VideoIngest.ingestBatch(mediaCols(batch, "video"), batchId,
+    val vid = VideoIngest.ingestBatch(mediaCols(gated, "video"), batchId,
       mediaIndex(base, "video"), mediaOut(base, "video"), mediaMaxDist)
     val otherRows = batch.filter(col("kind").isNull ||
         !col("kind").isin("text" +: Multimodal.MediaKinds: _*))
@@ -99,8 +144,20 @@ object MixedBuild {
     otherRows.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(otherOut(base))
-    text + img + aud + vid + otherRows.count()
+    text + img + aud + vid + otherRows.count() + nRejects
   }
+
+  /** Quality-rejected media rows (flags attached) — the gate's
+    * never-lose-a-row store; MixedBuildSpec reconciles the
+    * conservation equation released + other + rejects = input.
+    */
+  def rejects(spark: SparkSession, base: String): DataFrame =
+    readOrEmpty(spark, rejectsOut(base),
+      withBatchId(StructType(mixedSchema :+
+        StructField("quality_flags",
+          org.apache.spark.sql.types.ArrayType(StringType,
+            containsNull = false), nullable = true))))
+      .drop("batch_id")
 
   /** Schema-EXPLICIT store read: a kind that never received a row
     * still gets its store directory written per batch (the component

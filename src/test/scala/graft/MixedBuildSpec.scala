@@ -158,6 +158,66 @@ class MixedBuildSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("qualityGate = true: degenerate media land in the rejects store " +
+    "with their flags BEFORE any dedup decision, healthy media flow " +
+    "through screening unchanged, replay rewrites the rejects " +
+    "partition bit-same, and the conservation equation holds " +
+    "(released media + other + rejects = every non-text input row)") {
+    val tmp = Files.createTempDirectory("graft_mixed_gate").toString
+    val base = s"$tmp/store"
+    // healthy media + one degenerate per modality + an unknown kind;
+    // 5001 is a FLAT image whose id would otherwise dedup nothing
+    val rows = Seq(
+      textRow(1L, "the quick brown fox jumps over the lazy dog", "s1"),
+      imgRow(101L, P(0)), imgRow(102L, P(4)),
+      Row(5001L, "image", "img_src", null,
+        { val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray }, Row(8, 8, null)),
+      audRow(111L, A1),
+      Row(5002L, "audio", "aud_src", null,
+        Multimodal.pcmToWav(new Array[Short](512), Multimodal.WavRate),
+        Row(null, null, Multimodal.WavRate)), // silent
+      vidRow(121L, P(0), P(1)),
+      Row(5003L, "video", "vid_src", null,
+        Multimodal.packGfv(Seq(Multimodal.gradientPng(P(2)),
+          Multimodal.gradientPng(P(2)))), Row(9, 8, null)), // static
+      Row(5004L, "pdf", "docs", null, Array.fill[Byte](4)(1), null))
+    assert(MixedBuild.ingestBatch(df(rows), 0L, base,
+      qualityGate = true) > 0L)
+    val rej = MixedBuild.rejects(spark, base)
+      .select(col("doc_id"), col("quality_flags")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(rej === Map(5001L -> Set("flat"), 5002L -> Set("silent"),
+      5003L -> Set("static")))
+    // rejected rows never reached the screening stores or indexes
+    val releasedMedia = Multimodal.MediaKinds.flatMap(k =>
+      MixedBuild.mediaSurvivors(spark, base, k).select(col("media_id"))
+        .collect().map(_.getLong(0))).toSet
+    assert(releasedMedia === Set(101L, 102L, 111L, 121L))
+    // conservation: released + other + rejects = non-text input
+    val other = spark.read.parquet(MixedBuild.otherOut(base))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(releasedMedia ++ other ++ rej.keySet ===
+      rows.collect { case r if r.getString(1) != "text" => r.getLong(0) }
+        .toSet)
+    // replay: bit-same rejects partition, stores unchanged (payloads
+    // compared through md5 — Row.toString prints array identity)
+    def rejectRows() = MixedBuild.rejects(spark, base)
+      .select(col("doc_id"), col("kind"), col("source"),
+        md5(col("payload")).as("payload_md5"), col("quality_flags"))
+      .collect().map(_.toString).sorted.toSeq
+    val before = rejectRows()
+    MixedBuild.ingestBatch(df(rows), 0L, base, qualityGate = true)
+    assert(rejectRows() === before)
+    assert(Multimodal.MediaKinds.flatMap(k =>
+      MixedBuild.mediaSurvivors(spark, base, k).select(col("media_id"))
+        .collect().map(_.getLong(0))).toSet === releasedMedia)
+  }
+
   test("a corpus missing whole kinds still releases: the component " +
     "ingests write empty-but-existing stores (a _SUCCESS-only parquet " +
     "dir), which must read as empty frames, not crash schema " +
