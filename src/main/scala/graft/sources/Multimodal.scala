@@ -1641,16 +1641,22 @@ object Multimodal {
     * entries read). Flag semantics themselves are pinned by
     * MediaQualitySpec on its own fixture.
     */
+  /** A real PNG of one constant RGB — the 'flat' degenerate fixture,
+    * shared by the m15 registry plant and the gate specs (one
+    * definition, so a threshold change can't silently strand a copy).
+    */
+  def constantPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) { img.setRGB(i % w, i / w, rgb); i += 1 }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private def plantedDegenerates(spark: SparkSession): DataFrame = {
-    def flatPng: Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(8, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var i = 0
-      while (i < 64) { img.setRGB(i % 8, i / 8, 0x808080); i += 1 }
-      val bos = new ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    def flatPng: Array[Byte] = constantPng(8, 8, 0x808080)
     def tinyPng: Array[Byte] = {
       val img = new java.awt.image.BufferedImage(2, 2,
         java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -96,6 +96,20 @@ object MixedBuild {
     * owns them here). The audit's feature decode is a second map-side
     * pass next to the signature hash pass — both O(batch), stated.
     *
+    * Preconditions, stated: (doc_id, kind) is a KEY within a batch —
+    * the same contract every versioned ingest's replay join already
+    * holds on its id (two payloads under one key have no row identity
+    * to reconcile); and the gate setting is part of the stream's
+    * IDENTITY, like a state schema — a batch replayed under a flipped
+    * setting disagrees with what its stores hold, so flipping requires
+    * a fresh checkpoint + base (the Sessions state-schema precedent).
+    * As a guard rail the gate-off path still CLEARS the batch's
+    * rejects partition (dynamic overwrite cannot rewrite a partition
+    * absent from empty data): an on → off replay then at least cannot
+    * double-count stale reject rows against the stores — though only
+    * the fresh base the contract demands restores full equivalence
+    * with a never-gated run.
+    *
     * Returns the total rows landed (text + media survivors incl.
     * pass-throughs + other + rejects).
     */
@@ -108,17 +122,29 @@ object MixedBuild {
       batchId, textBase(base), textMaxDist)
     val mediaRows = batch.filter(col("kind").isin(Multimodal.MediaKinds: _*))
     val (gated, nRejects) =
-      if (!qualityGate) (batch, 0L)
-      else {
+      if (!qualityGate) {
+        // converge the on → off flip: this batch's rejects partition,
+        // if an earlier gated run left one, no longer reflects the
+        // stores — remove it (dynamic overwrite can't, with no data)
+        val part = new org.apache.hadoop.fs.Path(rejectsOut(base),
+          s"batch_id=$batchId")
+        val fs = part.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(part)) fs.delete(part, true)
+        (batch, 0L)
+      } else {
         val audit = graft.ops.Checkpoints.cut(
           Multimodal.mediaQualityAudit(mediaRows
             .select(col("doc_id").as("media_id"), col("kind"),
               col("payload"), col("meta"))))
+        // distinct: under the (doc_id, kind)-key precondition this is
+        // one row per failing key either way; on malformed duplicate
+        // input it bounds the join to N×1 instead of N×N
+        val fails = audit.filter(!col("pass"))
+          .select(col("media_id").as("doc_id"), col("kind"),
+            col("quality_flags")).distinct()
         val rejects = mediaRows
-          .join(audit.filter(!col("pass"))
-            .select(col("media_id").as("doc_id"), col("kind"),
-              col("quality_flags")),
-            Seq("doc_id", "kind"))
+          .join(fails, Seq("doc_id", "kind"))
           .withColumn("batch_id", lit(batchId))
         rejects.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
@@ -127,10 +153,12 @@ object MixedBuild {
         // id, and a failing image must never strip a healthy
         // same-id audio row (which would vanish without a store)
         val accepted = batch.join(
-          audit.filter(!col("pass"))
-            .select(col("media_id").as("doc_id"), col("kind")),
+          fails.select(col("doc_id"), col("kind")),
           Seq("doc_id", "kind"), "left_anti")
-        (accepted, rejects.count())
+        // count off the CUT audit (no payload columns, no re-executed
+        // join) — under the key precondition it equals the written
+        // row count
+        (accepted, audit.filter(!col("pass")).count())
       }
     val img = ImageIngest.ingestBatch(mediaCols(gated, "image"), batchId,
       mediaIndex(base, "image"), mediaOut(base, "image"), mediaMaxDist)

@@ -171,12 +171,7 @@ class MixedBuildSpec extends SparkSpec {
       textRow(1L, "the quick brown fox jumps over the lazy dog", "s1"),
       imgRow(101L, P(0)), imgRow(102L, P(4)),
       Row(5001L, "image", "img_src", null,
-        { val img = new java.awt.image.BufferedImage(8, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          bos.toByteArray }, Row(8, 8, null)),
+        Multimodal.constantPng(8, 8, 0x808080), Row(8, 8, null)),
       audRow(111L, A1),
       Row(5002L, "audio", "aud_src", null,
         Multimodal.pcmToWav(new Array[Short](512), Multimodal.WavRate),
@@ -186,8 +181,10 @@ class MixedBuildSpec extends SparkSpec {
         Multimodal.packGfv(Seq(Multimodal.gradientPng(P(2)),
           Multimodal.gradientPng(P(2)))), Row(9, 8, null)), // static
       Row(5004L, "pdf", "docs", null, Array.fill[Byte](4)(1), null))
+    // exact landed total pins the return-value accounting:
+    // 1 text + 4 media survivors + 1 other + 3 rejects
     assert(MixedBuild.ingestBatch(df(rows), 0L, base,
-      qualityGate = true) > 0L)
+      qualityGate = true) === 9L)
     val rej = MixedBuild.rejects(spark, base)
       .select(col("doc_id"), col("quality_flags")).collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
@@ -211,7 +208,8 @@ class MixedBuildSpec extends SparkSpec {
         md5(col("payload")).as("payload_md5"), col("quality_flags"))
       .collect().map(_.toString).sorted.toSeq
     val before = rejectRows()
-    MixedBuild.ingestBatch(df(rows), 0L, base, qualityGate = true)
+    assert(MixedBuild.ingestBatch(df(rows), 0L, base,
+      qualityGate = true) === 9L)
     assert(rejectRows() === before)
     assert(Multimodal.MediaKinds.flatMap(k =>
       MixedBuild.mediaSurvivors(spark, base, k).select(col("media_id"))
