@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
   * that nothing scales superlinearly before real-cluster scale.
   */
 object ScaleSanity {
+
+  /** Per-copy id shift used by every `rep()` replication AND by any
+    * downstream filter that needs "the base copy's id range" (the
+    * media_decon test-sample pinning) — ONE constant, so changing the
+    * shift can never silently strand a hardcoded twin and charge a
+    * growing test side to a corpus-side scaling claim.
+    */
+  val RepPerCopy = 10000000L
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(5)
     // args(2) == "salt": per-copy-transformed replication for the
@@ -102,12 +111,12 @@ object ScaleSanity {
         }.reduce(_ union _)
         big.write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
-      rep("lineitem", Seq("l_orderkey"), 10000000L)
-      rep("orders", Seq("o_orderkey"), 10000000L)
-      rep("customer", Seq("c_custkey"), 10000000L)
-      rep("events", Seq("event_id"), 10000000L)
-      rep("documents", Seq("doc_id"), 10000000L)
-      rep("embeddings", Seq("vec_id"), 10000000L)
+      rep("lineitem", Seq("l_orderkey"), RepPerCopy)
+      rep("orders", Seq("o_orderkey"), RepPerCopy)
+      rep("customer", Seq("c_custkey"), RepPerCopy)
+      rep("events", Seq("event_id"), RepPerCopy)
+      rep("documents", Seq("doc_id"), RepPerCopy)
+      rep("embeddings", Seq("vec_id"), RepPerCopy)
       Seq("region", "nation", "supplier", "part").foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet") }
@@ -543,7 +552,7 @@ object ScaleSanity {
       val fh = ops.Checkpoints.cut(sources.Multimodal.videoFrameHashes(
         sources.Multimodal.mediaWithEditedVideos(spark, out))
         .filter(col("fhash").isNotNull))
-      val baseCopy = 10000000L // rep()'s perCopy id shift
+      val baseCopy = RepPerCopy // rep()'s per-copy id shift, by name
       timeIt("m16_image_decon")(sources.Multimodal.imageDecontaminate(ph,
         ph.filter(col("media_id") < lit(baseCopy) &&
           pmod(col("media_id"), lit(97)) === 0)))

@@ -97,6 +97,27 @@ object TextAnalysis {
     ("punct_ratio", col("punct_ratio") <= 0.2),
     ("upper_ratio", col("upper_ratio") <= 0.2))
 
+  /** PER-DOC quality flags — the GATE form of the n138 audit over the
+    * same [[QualityRules]] (one rule definition, so a gate can never
+    * disagree with the audit that explains it): for each doc, the
+    * rules it fails, plus the `pass` composite. A rule whose feature
+    * is NULL (null text) counts as FAILED — a gate must never pass a
+    * row it cannot score. Stream-legal by construction: every rule is
+    * a pure per-row function of the text (fixed thresholds, no corpus
+    * statistics), so the flags are deterministic under replay and the
+    * gate composes into incremental ingest exactly like the media
+    * quality gate does. Input needs (doc_id, text); a lang column is
+    * ignored (the rules don't read it).
+    */
+  def qualityFlagsPerDoc(docs: DataFrame): DataFrame = {
+    val flags = array_compact(array(QualityRules.map { case (n, p) =>
+      when(!coalesce(p, lit(false)), lit(n)) }: _*))
+    qualityFeatures(docs.select(col("doc_id"),
+        lit(null).cast("string").as("lang"), col("text")))
+      .select(col("doc_id"), flags.as("quality_flags"),
+        (size(flags) === 0).as("pass"))
+  }
+
   /** Gopher-style per-rule quality AUDIT: for each rule × lang, how
     * many docs fail it, plus the `all_rules` composite — the "which
     * rule kills what" matrix a team reads before committing a
@@ -1529,6 +1550,23 @@ object TextAnalysis {
                         tau: Double = 0.5, alpha: Double = 0.5,
                         budget: Long = 20000L,
                         numShards: Int = 8): DataFrame = {
+    trainingDataBuildUnordered(docs, n, minDf, tau, alpha, budget,
+      numShards).orderBy(col("doc_id"))
+  }
+
+  /** [[trainingDataBuild]] minus the registry's trailing doc_id total
+    * order — the COMPOSITION form: a consumer that immediately
+    * re-clusters the rows by its own layout (the mixed release's
+    * (kind, shard) hash clustering) must not pay a global range sort
+    * whose ordering its next exchange discards — at scale that sort is
+    * a full extra pass (sampling + range shuffle) over the text half
+    * for nothing. Same rows, same columns, no ordering contract.
+    */
+  def trainingDataBuildUnordered(docs: DataFrame, n: Int = 5,
+                                 minDf: Int = 2, tau: Double = 0.5,
+                                 alpha: Double = 0.5,
+                                 budget: Long = 20000L,
+                                 numShards: Int = 8): DataFrame = {
     val cleaned = cleanCorpusRaw(docs, n, minDf)
     val contaminated = graft.ops.Dedup
       .minhashDecontaminationCollapsed(docs, tau)
@@ -1552,7 +1590,10 @@ object TextAnalysis {
     * [[trainingDataBuildSafe]] cannot drift on anything but their
     * split/decontamination front. `train` must carry (doc_id, source,
     * n_tokens, n_removed, text_clean, n_tok), cut by the caller (it is
-    * consumed twice: plan aggregate + keep pass).
+    * consumed twice: plan aggregate + keep pass). Returns UNORDERED
+    * rows — the registry entries append their doc_id total order
+    * themselves; composition consumers (the mixed release) take the
+    * rows as-is and impose their own layout.
     */
   private def buildMixShard(train: DataFrame, alpha: Double, budget: Long,
                             numShards: Int): DataFrame = {
@@ -1569,7 +1610,6 @@ object TextAnalysis {
       .withColumn("pos", row_number().over(w))
       .select(col("doc_id"), col("source"), col("shard"), col("pos"),
         col("n_tokens"), col("n_removed"), col("text_clean"))
-      .orderBy(col("doc_id"))
   }
 
   /** [[trainingDataBuild]] with LEAKAGE-SAFE splits — the n134
@@ -1651,6 +1691,7 @@ object TextAnalysis {
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .withColumn("n_tok", col("n_tokens")))
     buildMixShard(train, alpha, budget, numShards)
+      .orderBy(col("doc_id"))
   }
 
   /** Language-ID confusion matrix: labeled lang × predicted lang counts —

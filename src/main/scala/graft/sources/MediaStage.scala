@@ -117,10 +117,53 @@ object MediaStage {
       .resolve(s"${name}_${FixtureTag}_${dataFingerprint(sfDir)}")
   }
 
+  /** Tmp dirs older than this are presumed orphaned by a SIGKILLed
+    * writer (the catch-based cleanup only sees exceptions) — a LIVE
+    * writer's tmp is minutes old at most (stage builds are
+    * seconds-to-minutes), so an hour is conservatively past any
+    * in-flight build on this harness.
+    */
+  private val TmpOrphanAgeMs = 60L * 60 * 1000
+
+  /** Post-publish housekeeping (the unbounded-accumulation fix): a
+    * successful publish of `<name>_<tag>_<fp>` (a) prunes SIBLING
+    * publishes of the SAME corpus name with a stale tag or data
+    * fingerprint — nothing reads them again by construction (the key
+    * changed), yet each holds a full payload parquet copy, so repeated
+    * testdata regeneration would otherwise accumulate dead corpora
+    * forever — and (b) sweeps `.tmp-*` dirs older than
+    * [[TmpOrphanAgeMs]] (a writer killed mid-`write.parquet` never
+    * reaches its own cleanup). Both are best-effort: GC must never
+    * fail the read path, and a concurrent JVM's LIVE publish is never
+    * a candidate (its name is the CURRENT key = `keep`, and its tmp is
+    * young).
+    */
+  private def pruneStale(parent: Path, name: String, keep: Path): Unit = {
+    val stalePublish =
+      java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(name) + "_v\\d+_[0-9a-f]{12}")
+    val now = System.currentTimeMillis()
+    try {
+      val ls = Files.list(parent)
+      try ls.forEach { p =>
+        val fn = p.getFileName.toString
+        val staleTmp = fn.contains(".tmp-") &&
+          (try Files.getLastModifiedTime(p).toMillis < now - TmpOrphanAgeMs
+           catch { case _: Exception => false })
+        val stale = p != keep &&
+          (staleTmp || stalePublish.matcher(fn).matches())
+        if (stale)
+          try deleteRecursively(p) catch { case _: Exception => () }
+      } finally ls.close()
+    } catch { case _: Exception => () }
+  }
+
   /** The staged corpus at `dest`, building and publishing it first if
     * no valid publish exists. `build` runs at most once per key per
     * filesystem lifetime (and at most once per JVM even under the
-    * concurrent bench pass).
+    * concurrent bench pass). A fresh publish garbage-collects the
+    * corpus's STALE siblings (old tag/fingerprint) and any orphaned
+    * tmp dirs — see [[pruneStale]].
     */
   def staged(spark: SparkSession, sfDir: String, name: String)
             (build: => DataFrame): DataFrame = {
@@ -150,6 +193,7 @@ object MediaStage {
               s"stage rename onto $dest failed but no valid publish " +
                 "exists there")
         }
+        pruneStale(dest.getParent, name, dest)
       }
     }
     spark.read.parquet(dest.toString)

@@ -1614,8 +1614,13 @@ object Multimodal {
 
   /** The GATE form: media rows whose audit passes (payloads and
     * metadata intact — the filter a build pipeline composes ahead of
-    * its dedup stages). One semi join on media_id; the audit side
-    * carries no payloads.
+    * its dedup stages). One semi join on (media_id, KIND) — the
+    * codebase's media key contract (MixedBuild's stores legitimately
+    * hold the same id under two kinds, and a failing image must never
+    * ride through on a passing same-id audio row); the audit side
+    * carries no payloads. A null kind never matches a semi join, which
+    * is the right failure mode: the audit flags those rows
+    * `unknown_kind` (pass = false) anyway.
     */
   def mediaQualityGate(media: DataFrame,
                        minPixels: Int = 16, minContrast: Double = 8.0,
@@ -1625,8 +1630,8 @@ object Multimodal {
     media.join(
       mediaQualityAudit(media, minPixels, minContrast, minSamples,
         rmsFloor, clipCeil, minFrames, minMotion)
-        .filter(col("pass")).select(col("media_id")),
-      Seq("media_id"), "left_semi")
+        .filter(col("pass")).select(col("media_id"), col("kind")),
+      Seq("media_id", "kind"), "left_semi")
 
   /** Base media_id of the m15 fixture's planted DEGENERATES — above
     * every other planted family's range.

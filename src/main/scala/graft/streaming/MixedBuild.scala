@@ -89,17 +89,23 @@ object MixedBuild {
     * pure deterministic function of the batch, so the rejects
     * partition rewrites bit-same on replay and the downstream ingests
     * see a deterministic subset — the replay contracts compose
-    * unchanged. Text rows are untouched (their quality stages live in
-    * the n99 release, where corpus-global statistics exist);
-    * NULL/unknown kinds keep routing to `other` (the gate flags them
-    * `unknown_kind` only in audit contexts — the router, not the gate,
-    * owns them here). The audit's feature decode is a second map-side
-    * pass next to the signature hash pass — both O(batch), stated.
+    * unchanged. TEXT rows are gated symmetrically through the n138
+    * per-doc rules ([[graft.ops.TextAnalysis.qualityFlagsPerDoc]] —
+    * fixed thresholds, per-row, stream-legal), landing in the SAME
+    * rejects store under kind = 'text'; only the corpus-GLOBAL text
+    * stages (minDf vocab, mixing, terciles) stay release-side, where
+    * corpus statistics exist. NULL/unknown kinds keep routing to
+    * `other` (the gate flags them `unknown_kind` only in audit
+    * contexts — the router, not the gate, owns them here). The audit's
+    * feature decode is a second map-side pass next to the signature
+    * hash pass — both O(batch), stated.
     *
-    * Preconditions, stated: (doc_id, kind) is a KEY within a batch —
-    * the same contract every versioned ingest's replay join already
-    * holds on its id (two payloads under one key have no row identity
-    * to reconcile); and the gate setting is part of the stream's
+    * Preconditions: (doc_id, kind) is a KEY within a batch — the same
+    * contract every versioned ingest's replay join already holds on
+    * its id (two payloads under one key have no row identity to
+    * reconcile); the gated path ENFORCES it with a loud require (a
+    * violation would silently diverge the rejects store from the
+    * returned accounting); and the gate setting is part of the stream's
     * IDENTITY, like a state schema — a batch replayed under a flipped
     * setting disagrees with what its stores hold, so flipping requires
     * a fresh checkpoint + base (the Sessions state-schema precedent).
@@ -116,10 +122,6 @@ object MixedBuild {
   def ingestBatch(batch: DataFrame, batchId: Long, base: String,
                   textMaxDist: Int = 0, mediaMaxDist: Int = 4,
                   qualityGate: Boolean = false): Long = {
-    val text = IncrementalBuild.ingestBatch(
-      batch.filter(col("kind") <=> "text")
-        .select(col("doc_id"), col("text"), col("source")),
-      batchId, textBase(base), textMaxDist)
     val mediaRows = batch.filter(col("kind").isin(Multimodal.MediaKinds: _*))
     val (gated, nRejects) =
       if (!qualityGate) {
@@ -137,13 +139,42 @@ object MixedBuild {
           Multimodal.mediaQualityAudit(mediaRows
             .select(col("doc_id").as("media_id"), col("kind"),
               col("payload"), col("meta"))))
-        // distinct: under the (doc_id, kind)-key precondition this is
-        // one row per failing key either way; on malformed duplicate
-        // input it bounds the join to N×1 instead of N×N
+        // enforce the stated (doc_id, kind)-key precondition LOUDLY:
+        // on a duplicate-key batch the rejects store (written from a
+        // join with mediaRows) and the returned nRejects (counted off
+        // the audit) would silently diverge — and a same-key pass+fail
+        // twin would strip a row no store holds. Two count-only jobs
+        // on the CUT audit (id+kind columns, batch-sized).
+        val nAudit = audit.count()
+        val nKeys = audit.select(col("media_id"), col("kind"))
+          .distinct().count()
+        require(nAudit == nKeys,
+          s"(doc_id, kind) must be a key within a batch: $nAudit media " +
+            s"rows over $nKeys distinct keys — the gate's reject " +
+            "accounting and the replay contract both assume row identity")
+        // TEXT half of the gate (symmetric to the media half): the
+        // n138 per-doc rules are stream-legal — pure per-row functions
+        // of the text — so a degenerate doc is rejected HERE, before
+        // it costs a simhash, an index entry, or a release-stage seat.
+        // The corpus-GLOBAL text stages (minDf vocab, mix weights,
+        // terciles) stay in the release, where corpus statistics
+        // exist; this gate is the per-row prefix of that pipeline.
+        val textAudit = graft.ops.Checkpoints.cut(
+          graft.ops.TextAnalysis.qualityFlagsPerDoc(
+            batch.filter(col("kind") <=> "text")
+              .select(col("doc_id"), col("text"))))
+        val nTextKeys = textAudit.select(col("doc_id"))
+          .distinct().count()
+        require(textAudit.count() == nTextKeys,
+          "doc_id must be a key among a batch's text rows: the gate's " +
+            "reject accounting and the ingest replay join assume it")
         val fails = audit.filter(!col("pass"))
           .select(col("media_id").as("doc_id"), col("kind"),
-            col("quality_flags")).distinct()
-        val rejects = mediaRows
+            col("quality_flags"))
+          .unionByName(textAudit.filter(!col("pass"))
+            .select(col("doc_id"), lit("text").as("kind"),
+              col("quality_flags")))
+        val rejects = batch
           .join(fails, Seq("doc_id", "kind"))
           .withColumn("batch_id", lit(batchId))
         rejects.write.mode(SaveMode.Overwrite)
@@ -155,11 +186,15 @@ object MixedBuild {
         val accepted = batch.join(
           fails.select(col("doc_id"), col("kind")),
           Seq("doc_id", "kind"), "left_anti")
-        // count off the CUT audit (no payload columns, no re-executed
-        // join) — under the key precondition it equals the written
-        // row count
-        (accepted, audit.filter(!col("pass")).count())
+        // count off the CUT audits (no payload columns, no re-executed
+        // join) — under the enforced key preconditions it equals the
+        // written row count
+        (accepted, fails.count())
       }
+    val text = IncrementalBuild.ingestBatch(
+      gated.filter(col("kind") <=> "text")
+        .select(col("doc_id"), col("text"), col("source")),
+      batchId, textBase(base), textMaxDist)
     val img = ImageIngest.ingestBatch(mediaCols(gated, "image"), batchId,
       mediaIndex(base, "image"), mediaOut(base, "image"), mediaMaxDist)
     val aud = AudioIngest.ingestBatch(mediaCols(gated, "audio"), batchId,
@@ -243,21 +278,37 @@ object MixedBuild {
     Multimodal.mediaDedupCard(media)
   }
 
-  /** Cut a RELEASE over everything that survived ingest so far: the
-    * text half re-derives the corpus-global n99 stages over the text
-    * survivor store ([[IncrementalBuild.publishRelease]]'s machinery
-    * verbatim, minus its separate publish); the media half projects
-    * the survivor stores to the release schema (payloads ride as-is;
-    * shard = pmod(xxhash64(doc_id)) — deterministic and engine-stable,
-    * deliberately payload-agnostic). One frame, one versioned publish,
-    * per-kind counts stamped into the manifest.
+  /** The release frame [[publishRelease]] publishes, pre-publish and
+    * lineage-intact — split out so the plan is testable: the text half
+    * re-derives the corpus-global n99 stages over the text survivor
+    * store, the media half projects the survivor stores to the release
+    * schema (payloads ride as-is; shard = pmod(xxhash64(doc_id)) —
+    * deterministic and engine-stable, deliberately payload-agnostic).
+    *
+    * Layout discipline (round-14 verdict #1): the frame HASH-clusters
+    * on (kind, shard) and sorts WITHIN partitions — the
+    * [[Sinks.writeShards]] discipline, NOT a global orderBy. A global
+    * sort is a RangePartitioning exchange: it SAMPLES the child to
+    * pick range boundaries (a second pass over the release subtree)
+    * and funnels every payload byte through skew-prone range buckets —
+    * at 100 TB of media that one exchange dominates the whole build.
+    * Hash clustering shuffles each payload byte exactly once with no
+    * sampling pass, assignment is murmur3(kind, shard) — deterministic
+    * — and each output file is internally sorted by (kind, shard,
+    * doc_id), so file content is run-stable (the epoch-shuffle
+    * determinism [[Sinks.writeShards]] pins). The tradeoff, stated:
+    * distinct (kind, shard) cells can collide birthday-style into one
+    * partition (writeShards avoids that with a range partition — fine
+    * there, its rows are payload-free text), costing some write-task
+    * balance; with cells ≈ tasks that is bounded and the release
+    * reader filters on the shard COLUMN, not file layout. Plan pin:
+    * MixedBuildSpec asserts no RangePartitioning exchange carries the
+    * payload column.
     */
-  def publishRelease(spark: SparkSession, base: String, table: String,
-                     n: Int = 5, minDf: Int = 2, tau: Double = 0.5,
-                     alpha: Double = 0.5, budget: Long = 20000L,
-                     numShards: Int = 8,
-                     params: Map[String, String] = Map.empty,
-                     keepVersions: Int = 2): DataFrame = {
+  def releaseFrame(spark: SparkSession, base: String,
+                   n: Int = 5, minDf: Int = 2, tau: Double = 0.5,
+                   alpha: Double = 0.5, budget: Long = 20000L,
+                   numShards: Int = 8): DataFrame = {
     // schema-explicit like the media stores (a text-less corpus leaves
     // a file-less doc store), and the n99 stages only run when there
     // is text to build — their plan aggregates assume a non-empty
@@ -276,7 +327,10 @@ object MixedBuild {
           StructField("n_tokens", LongType, nullable = true),
           StructField("n_removed", LongType, nullable = true),
           StructField("text_clean", StringType, nullable = true))))
-    else graft.ops.TextAnalysis.trainingDataBuild(
+    // UNORDERED build: the (kind, shard) clustering below imposes the
+    // release layout — the registry form's doc_id total order would
+    // add a sampled range shuffle this frame immediately discards
+    else graft.ops.TextAnalysis.trainingDataBuildUnordered(
       textDocs, n, minDf, tau, alpha, budget, numShards))
       .select(col("doc_id"), lit("text").as("kind"), col("source"),
         col("shard"), col("pos"), col("n_tokens"), col("n_removed"),
@@ -296,8 +350,26 @@ object MixedBuild {
         coalesce(octet_length(col("payload")).cast("long"), lit(0L))
           .as("n_bytes"),
         col("payload"))
+    // one hash exchange, no sampling pass, no range boundaries — see
+    // the Scaladoc; 4 kinds × numShards cells ≈ one cell per task
+    textBuild.unionByName(media)
+      .repartition(4 * numShards, col("kind"), col("shard"))
+      .sortWithinPartitions(col("kind"), col("shard"), col("doc_id"))
+  }
+
+  /** Cut a RELEASE over everything that survived ingest so far —
+    * [[releaseFrame]] materialized once, published through
+    * [[Sinks.publishTrainingBuild]] with per-kind counts stamped into
+    * the manifest. One frame, one versioned publish.
+    */
+  def publishRelease(spark: SparkSession, base: String, table: String,
+                     n: Int = 5, minDf: Int = 2, tau: Double = 0.5,
+                     alpha: Double = 0.5, budget: Long = 20000L,
+                     numShards: Int = 8,
+                     params: Map[String, String] = Map.empty,
+                     keepVersions: Int = 2): DataFrame = {
     val release = graft.ops.Checkpoints.cut(
-      textBuild.unionByName(media).orderBy(col("kind"), col("doc_id")))
+      releaseFrame(spark, base, n, minDf, tau, alpha, budget, numShards))
     val kindCounts = release.groupBy(col("kind"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => s"n_${r.getString(0)}" -> r.getLong(1).toString).toMap

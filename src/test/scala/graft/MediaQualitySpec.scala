@@ -87,6 +87,26 @@ class MediaQualitySpec extends SparkSpec {
     assert(kept === Set(1L, 7L, 10L))
   }
 
+  test("the gate keys on (media_id, KIND): a failing row never rides " +
+    "through on a passing same-id row of another kind (ids are only " +
+    "unique per kind across the mixed stores — the MixedBuild " +
+    "contract)") {
+    val rows = Seq(
+      // id 21 as a healthy image AND as a silent (failing) audio clip
+      Row(21L, "image", Multimodal.pngBytes(0L), Row(4, 4, null)),
+      Row(21L, "audio", Multimodal.pcmToWav(new Array[Short](512),
+        Multimodal.WavRate), Row(null, null, Multimodal.WavRate)),
+      // and the mirror: failing image, healthy audio, same id
+      Row(22L, "image", png(8, 8)((_, _) => 0x808080), Row(8, 8, null)),
+      Row(22L, "audio", Multimodal.pcmToWav(
+        Multimodal.ladderPcm(Multimodal.AudioSurvivorBits),
+        Multimodal.WavRate), Row(null, null, Multimodal.WavRate)))
+    val kept = Multimodal.mediaQualityGate(media(rows))
+      .select(col("media_id"), col("kind")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept === Set((21L, "image"), (22L, "audio")))
+  }
+
   test("the audit is map-side pure: no exchange anywhere in its plan " +
     "(zero extra codec work — it reads the m1 decode pass's features)") {
     val p = Multimodal.mediaQualityAudit(media(degenerates))

@@ -216,6 +216,71 @@ class MixedBuildSpec extends SparkSpec {
         .collect().map(_.getLong(0))).toSet === releasedMedia)
   }
 
+  test("qualityGate = true gates TEXT symmetrically: a planted " +
+    "degenerate doc lands in the rejects store under kind 'text' with " +
+    "the n138 rule flags, never reaches the doc store or the release, " +
+    "and the healthy docs release exactly as an ungated run of the " +
+    "same survivors would") {
+    val tmp = Files.createTempDirectory("graft_mixed_tgate").toString
+    val base = s"$tmp/store"
+    val rows = Seq(
+      textRow(1L, "the quick brown fox jumps over the lazy dog", "s1"),
+      // note: needs a Stopwords-list hit ('a', 'of', 'in', 'the') to
+      // pass stopword_presence — the raw pangram has none
+      textRow(2L, "pack a box of five dozen jugs in the bay", "s1"),
+      // degenerate: 2 words (< 5) and zero stopwords — exactly two
+      // deterministic rule flags
+      textRow(3L, "aaa bbb", "s1"),
+      imgRow(101L, P(0)))
+    // 2 text survivors + 1 image + 1 reject
+    assert(MixedBuild.ingestBatch(df(rows), 0L, base,
+      qualityGate = true) === 4L)
+    val rej = MixedBuild.rejects(spark, base)
+      .select(col("doc_id"), col("kind"), col("quality_flags")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toSet))
+    assert(rej.toSeq === Seq((3L, "text",
+      Set("min_words", "stopword_presence"))))
+    val rel = MixedBuild.publishRelease(spark, base, s"$tmp/release")
+    val textIds = rel.filter(col("kind") === "text")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!textIds.contains(3L), "the degenerate doc must not release")
+    val expectText = graft.ops.TextAnalysis.trainingDataBuild(
+      df(rows.take(2)).select(col("doc_id"), col("text"), col("source")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(textIds === expectText,
+      "release text half ≡ one-shot n99 over the gate survivors")
+    // text conservation at the INGEST boundary (the release's n99
+    // split/mix stages may legitimately drop more): doc store
+    // survivors + rejects = every input text doc
+    val stored = spark.read.parquet(
+      graft.streaming.IncrementalBuild.docStore(
+        MixedBuild.textBase(base)))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(stored === Set(1L, 2L),
+      "the gate survivors — and only they — reach the doc store")
+    assert(stored + 3L === Set(1L, 2L, 3L))
+  }
+
+  test("releaseFrame plan: no RangePartitioning exchange carries the " +
+    "payload column — the release clusters by HASH on (kind, shard) " +
+    "and sorts within partitions (the writeShards discipline); a " +
+    "global orderBy would range-shuffle every payload byte through " +
+    "sampled boundaries (the round-14 scale-killer)") {
+    val tmp = Files.createTempDirectory("graft_mixed_plan").toString
+    val base = s"$tmp/store"
+    MixedBuild.ingestBatch(df(b0), 0L, base)
+    val plan = MixedBuild.releaseFrame(spark, base)
+      .queryExecution.executedPlan.toString
+    // the payload rides the release union — ANY rangepartitioning
+    // exchange in this plan would carry it (the text half is
+    // payload-free and window/hash-shaped, so the strong form holds)
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"release plan must not range-shuffle payloads:\n$plan")
+    assert(plan.toLowerCase.contains("exchange hashpartitioning"),
+      "release must still cluster on (kind, shard) for the sorted-" +
+        s"file layout:\n$plan")
+  }
+
   test("a corpus missing whole kinds still releases: the component " +
     "ingests write empty-but-existing stores (a _SUCCESS-only parquet " +
     "dir), which must read as empty frames, not crash schema " +
