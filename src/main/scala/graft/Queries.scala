@@ -4319,13 +4319,20 @@ object Queries {
     // DISTINCT hash, member expansion is closed-form exact — measured
     // necessity, not taste: the synthetic formula is periodic in id,
     // so at sweep multipliers the uncollapsed all-pairs form spills
-    // quadratically in identical-hash group size. Rows-only
-    // (signatures are codec-bound); the spec proves rep pairs EQUAL
-    // brute-force hamming over distinct signatures and every planted
-    // one-pixel-edited twin is group- or rep-connected.
+    // quadratically in identical-hash group size. ORACLED by capture
+    // (round-14 verdict #4): the hash computation is codec-bound, but
+    // the PAIR RELATION over the signatures is pure 64-bit math —
+    // DuckDB recomputes it by brute force over the captured signature
+    // values (OracleVals), so the pigeonhole front, collapse, and
+    // member counts are differentially verified, not just spec-pinned.
     ("m5_image_neardup_pairs",
-      (s: SparkSession, d: String) =>
-        graft.sources.Multimodal.imageNearDupTable(s, d),
+      (s: SparkSession, d: String) => {
+        val ph = graft.sources.Multimodal.stagedImagePhash(s, d)
+          .filter(col("phash").isNotNull)
+        OracleVals.register("m5_image_neardup_pairs",
+          OracleVals.collapsedPairsSql(ph, "phash", 4))
+        graft.sources.Multimodal.imageNearDupPairsCollapsed(ph)
+      },
       None),
 
     // INCREMENTAL image dedup: the OLDER half of the originals as the
@@ -4339,9 +4346,7 @@ object Queries {
     // brute-force screening.
     ("m6_image_dedup_incremental",
       (s: SparkSession, d: String) => {
-        val ph = graft.ops.Checkpoints.cut(
-          graft.sources.Multimodal.imagePhash(
-            graft.sources.Multimodal.stagedEditedImages(s, d)))
+        val ph = graft.sources.Multimodal.stagedImagePhash(s, d)
         val off = graft.sources.Multimodal.EditIdOffset
         val half = ph.filter(col("media_id") < off)
           .agg(expr("max(media_id) div 2").as("h"))
@@ -4368,11 +4373,16 @@ object Queries {
     // pigeonhole front at 64 bits (8 blocks / keep 4 — the m5
     // machinery verbatim), in the collapsed rep-level form (identical
     // fingerprints pre-group; pair volume bounded by DISTINCT-signature
-    // structure). Rows-only; the spec proves rep pairs EQUAL brute
-    // force and every planted twin group- or rep-connected.
+    // structure). ORACLED by capture like m5: DuckDB brute-forces the
+    // rep pair relation over the captured fingerprints.
     ("m8_audio_neardup_pairs",
-      (s: SparkSession, d: String) =>
-        graft.sources.Multimodal.audioNearDupTable(s, d),
+      (s: SparkSession, d: String) => {
+        val ah = graft.sources.Multimodal.stagedAudioHash(s, d)
+          .filter(col("ahash").isNotNull)
+        OracleVals.register("m8_audio_neardup_pairs",
+          OracleVals.collapsedPairsSql(ah, "ahash", 4))
+        graft.sources.Multimodal.audioNearDupPairsCollapsed(ah)
+      },
       None),
 
     // INCREMENTAL audio dedup: older half of the originals as the
@@ -4383,9 +4393,7 @@ object Queries {
     // survivors equal brute-force screening.
     ("m9_audio_dedup_incremental",
       (s: SparkSession, d: String) => {
-        val ah = graft.ops.Checkpoints.cut(
-          graft.sources.Multimodal.audioHash(
-            graft.sources.Multimodal.stagedEditedAudio(s, d)))
+        val ah = graft.sources.Multimodal.stagedAudioHash(s, d)
         val off = graft.sources.Multimodal.AudioEditIdOffset
         val half = ah.filter(col("media_id") < off)
           .agg(expr("max(media_id) div 2").as("h"))
@@ -4411,12 +4419,18 @@ object Queries {
     // frame-hash sequences group under a min-id rep (re-posted clips
     // collapse), the m5 permuted pigeonhole front pairs rep FRAMES, and
     // frame pairs aggregate to (rep_a, rep_b, n_a, n_b, n_frame_pairs,
-    // min_hamming). Rows-only; spec proves rep pairs equal brute force
-    // over distinct clip signatures and every planted twin group- or
-    // rep-connected.
+    // min_hamming). ORACLED by capture: DuckDB rebuilds the clip-key
+    // groups (canonical-string twin of clipKeyAgg), brute-forces rep
+    // frame pairs, and re-aggregates — the whole multi-signature
+    // composition differentially verified over the captured frames.
     ("m11_video_neardup_clips",
-      (s: SparkSession, d: String) =>
-        graft.sources.Multimodal.videoNearDupTable(s, d),
+      (s: SparkSession, d: String) => {
+        val fh = graft.sources.Multimodal.stagedVideoFrameHashes(s, d)
+          .filter(col("fhash").isNotNull)
+        OracleVals.register("m11_video_neardup_clips",
+          OracleVals.clipPairsSql(fh, 4))
+        graft.sources.Multimodal.videoNearDupClipsCollapsed(fh)
+      },
       None),
 
     // INCREMENTAL video dedup through the GROUP-level screening core
@@ -4428,9 +4442,7 @@ object Queries {
     // screening.
     ("m12_video_dedup_incremental",
       (s: SparkSession, d: String) => {
-        val fh = graft.ops.Checkpoints.cut(
-          graft.sources.Multimodal.videoFrameHashes(
-            graft.sources.Multimodal.stagedEditedVideos(s, d)))
+        val fh = graft.sources.Multimodal.stagedVideoFrameHashes(s, d)
         val off = graft.sources.Multimodal.VideoEditIdOffset
         val half = fh.filter(col("media_id") < off)
           .agg(expr("max(media_id) div 2").as("h"))
@@ -4468,17 +4480,23 @@ object Queries {
     // fingerprints), where the image/video member relations on this
     // synthetic corpus are inherently group-size²-sized — those autos
     // are API + spec surfaces and their registry encodings stay the
-    // bounded rep-level m5/m11 forms. Rows-only (codec-bound, the m1
-    // exemption).
+    // bounded rep-level m5/m11 forms. ORACLED by capture: whichever
+    // front the measured auto picks, DuckDB brute-forces the MEMBER
+    // pair relation over the captured fingerprints — so the
+    // "both fronts bit-equal" spec claim is also differentially
+    // checked against an engine that knows neither front.
     ("m14_audio_neardup_auto",
-      (s: SparkSession, d: String) =>
-        // cut: the EAGER inflation probe and the executed query both
-        // consume the fingerprints — uncut, the WAV decode of the
-        // staged corpus (the query's dominant cost) would run twice
-        // (review-caught; the m6/m9/m12 cut convention)
-        graft.sources.Multimodal.mediaNearDupPairsAuto(
-          graft.ops.Checkpoints.cut(graft.sources.Multimodal.audioHash(
-            graft.sources.Multimodal.stagedEditedAudio(s, d))), "ahash"),
+      (s: SparkSession, d: String) => {
+        // staged signature table: the inflation probe, the oracle
+        // capture, and the executed query all consume the fingerprints
+        // — the staged parquet is the one materialization (previously
+        // a cut guarded a triple WAV decode; now no run decodes here)
+        val ah = graft.sources.Multimodal.stagedAudioHash(s, d)
+        OracleVals.register("m14_audio_neardup_auto",
+          OracleVals.memberPairsSql(
+            ah.filter(col("ahash").isNotNull), "ahash", 4))
+        graft.sources.Multimodal.mediaNearDupPairsAuto(ah, "ahash")
+      },
       None),
 
     // Media QUALITY audit rolled up per kind — the n13/n22 quality
@@ -4498,27 +4516,75 @@ object Queries {
     // within hamming 4 of any test image's dHash drop (exact recall by
     // pigeonhole; test side broadcast — benchmarks are bounded; corpus
     // signatures stream map-side). Test set = the deterministic
-    // media_id ≡ 0 (mod 97) sample of the originals. Rows-only; the
-    // spec pins kept set ≡ brute force.
+    // media_id ≡ 0 (mod 97) sample of the originals. ORACLED by
+    // capture (round-14 verdict #3): the screening over the signature
+    // relation is pure integer math — DuckDB replays the hit set and
+    // anti join by brute force over the captured signatures.
     ("m16_image_decontamination",
-      (s: SparkSession, d: String) =>
-        graft.sources.Multimodal.imageDecontaminationTable(s, d),
+      (s: SparkSession, d: String) => {
+        val ph = graft.sources.Multimodal.stagedImagePhash(s, d)
+          .filter(col("phash").isNotNull)
+        OracleVals.register("m16_image_decontamination",
+          OracleVals.decontaminateSql(ph, "phash", 4,
+            graft.sources.Multimodal.EditIdOffset, "phash"))
+        graft.sources.Multimodal.imageDecontaminate(ph,
+          ph.filter(col("media_id") <
+            graft.sources.Multimodal.EditIdOffset &&
+            pmod(col("media_id"), lit(97)) === 0))
+      },
       None),
 
     // VIDEO decontamination — the multi-signature composition: a clip
     // drops iff ANY sampled frame nears any test clip's frame (the one
     // signature core does the group lift — a hit on one frame
-    // anti-joins away every row of that clip). Rows-only; spec-pinned
-    // vs brute force.
+    // anti-joins away every row of that clip). ORACLED by capture like
+    // m16, at frame granularity with the clip-level group lift
+    // replayed in SQL.
     ("m17_video_decontamination",
+      (s: SparkSession, d: String) => {
+        val fh = graft.sources.Multimodal.stagedVideoFrameHashes(s, d)
+          .filter(col("fhash").isNotNull)
+        OracleVals.register("m17_video_decontamination",
+          OracleVals.groupDecontaminateSql(fh, "fhash", 4,
+            graft.sources.Multimodal.VideoEditIdOffset))
+        graft.sources.Multimodal.videoDecontaminate(fh,
+          fh.filter(col("media_id") <
+            graft.sources.Multimodal.VideoEditIdOffset &&
+            pmod(col("media_id"), lit(97)) === 0))
+      },
+      None),
+
+    // MIXED text+media one-call BUILD (m18) — the composition pillar
+    // as a driver-visible receipt (round-14 verdict #2): one gated
+    // ingest batch (text + three media kinds + an unknown kind, with
+    // planted in-batch copies and degenerates) and one versioned
+    // release over a FIXED base-id-window fixture (size-stable across
+    // scale factors — the receipt costs the same at every sf), emitting
+    // the per-bucket count frame; the release ↔ manifest
+    // reconciliation requires loudly inside. Cost decomposition,
+    // measured: the entry literally runs one n99 release (~22 jobs) +
+    // four component ingests (image/audio/video/text, ~60 jobs,
+    // submitted CONCURRENTLY — the kind routes are independent) + the
+    // gate — each individually in the bench band; ~12 s warm is the
+    // composition's fixed job overhead, not data volume (rows are
+    // window-bounded). Rows-only (codec-bound fixture; the count
+    // VALUES are deterministic, the conservation equation is
+    // MixedBuildSpec's).
+    ("m18_mixed_build",
       (s: SparkSession, d: String) =>
-        graft.sources.Multimodal.videoDecontaminationTable(s, d),
+        graft.streaming.MixedBuild.registryTable(s, d),
       None),
   )
 
   def queries: Map[String, Q] =
     all.map { case (n, f, _) => n -> f }.toMap
 
+  /** Static oracles from the registry PLUS the runtime-captured media
+    * screening oracles ([[OracleVals]]) — Verify evaluates this after
+    * every query ran, so captures made during execution are included;
+    * a query that never ran captures nothing and stays rows-only.
+    */
   def oracleSql: Map[String, String] =
-    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
+      OracleVals.snapshot
 }

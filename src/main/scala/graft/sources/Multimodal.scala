@@ -204,6 +204,57 @@ object Multimodal {
     MediaStage.staged(spark, dir, "video_edit")(
       mediaWithEditedVideos(spark, dir))
 
+  // ---- staged SIGNATURE tables ----
+  //
+  // The production seam, applied to the registry (the round-13 staging
+  // lesson taken one derivation further): at 100 TB the pairing /
+  // screening / decontamination operators "never re-read or re-decode
+  // a payload, they join 16-byte signature rows" — their own contract,
+  // and the incremental ingests already persist exactly such an index
+  // per batch. Yet every REGISTRY query over a hash relation was
+  // re-running the corpus decode + DSP per execution (the audio
+  // fingerprint pass alone is ~14 s of the sf0.1 bench, paid FOUR
+  // times by m8/m9/m14 plus m7). These accessors stage each corpus's
+  // signature table once per (corpus, fixture tag, source-data
+  // fingerprint) key — the same staleness contract as the payload
+  // stages, and the signature-deriving code is ONE definition shared
+  // with the live path. The DECODE RECEIPTS stay honest: m4/m7/m10
+  // still run the hash computation live every execution; these staged
+  // tables serve the operators whose production input is the persisted
+  // index, not the codec.
+
+  /** Staged [[imagePhash]] over [[stagedEditedImages]] — the
+    * m5/m6/m16 signature read surface.
+    */
+  def stagedImagePhash(spark: SparkSession, dir: String): DataFrame =
+    MediaStage.staged(spark, dir, "image_phash")(
+      imagePhash(stagedEditedImages(spark, dir)))
+
+  /** Staged [[audioHash]] over [[stagedEditedAudio]] — the m8/m9/m14
+    * signature read surface.
+    */
+  def stagedAudioHash(spark: SparkSession, dir: String): DataFrame =
+    MediaStage.staged(spark, dir, "audio_hash")(
+      audioHash(stagedEditedAudio(spark, dir)))
+
+  /** Staged [[videoFrameHashes]] over [[stagedEditedVideos]] — the
+    * m11/m12/m17 signature read surface.
+    */
+  def stagedVideoFrameHashes(spark: SparkSession, dir: String): DataFrame =
+    MediaStage.staged(spark, dir, "video_fhash")(
+      videoFrameHashes(stagedEditedVideos(spark, dir)))
+
+  /** Staged [[extractFeatures]] over the three kind-scoped fixture
+    * corpora — the m15 audit's read surface (the quality rules are
+    * pure column math over this frame).
+    */
+  def stagedEditedFeatures(spark: SparkSession, dir: String): DataFrame =
+    MediaStage.staged(spark, dir, "edited_feat")(
+      extractFeatures(
+        stagedEditedImages(spark, dir).filter(col("kind") === "image")
+          .unionByName(stagedEditedAudio(spark, dir))
+          .unionByName(stagedEditedVideos(spark, dir))))
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     // nullable: extractFeatures pipes the INPUT kind straight through,
@@ -1601,12 +1652,26 @@ object Multimodal {
                         minPixels: Int = 16, minContrast: Double = 8.0,
                         minSamples: Int = 64, rmsFloor: Double = 50.0,
                         clipCeil: Int = 32700, minFrames: Int = 2,
+                        minMotion: Double = 0.5): DataFrame =
+    mediaQualityAuditFromFeatures(extractFeatures(media), minPixels,
+      minContrast, minSamples, rmsFloor, clipCeil, minFrames, minMotion)
+
+  /** [[mediaQualityAudit]] over a PRE-COMPUTED [[extractFeatures]]
+    * frame — the flag rules are pure column expressions, so a pipeline
+    * that already holds the decode pass's features (a staged feature
+    * table, the m1 output) audits without re-touching a codec. ONE
+    * rule definition ([[qualityArms]]) across both forms.
+    */
+  def mediaQualityAuditFromFeatures(features: DataFrame,
+                        minPixels: Int = 16, minContrast: Double = 8.0,
+                        minSamples: Int = 64, rmsFloor: Double = 50.0,
+                        clipCeil: Int = 32700, minFrames: Int = 2,
                         minMotion: Double = 0.5): DataFrame = {
     val flags = array_compact(array(
       qualityArms(minPixels, minContrast, minSamples, rmsFloor,
         clipCeil, minFrames, minMotion)
         .map { case (f, cond) => when(cond, lit(f)) }: _*))
-    extractFeatures(media)
+    features
       .select(col("media_id"), col("kind"),
         flags.as("quality_flags"),
         (size(flags) === 0).as("pass"))
@@ -1700,11 +1765,13 @@ object Multimodal {
     * spec-pinned on MediaQualitySpec's fixture.
     */
   def mediaQualityTable(spark: SparkSession, dir: String): DataFrame = {
-    val audit = mediaQualityAudit(
-      stagedEditedImages(spark, dir).filter(col("kind") === "image")
-        .unionByName(stagedEditedAudio(spark, dir))
-        .unionByName(stagedEditedVideos(spark, dir))
-        .unionByName(plantedDegenerates(spark)))
+    // staged FEATURES for the three fixture corpora (the decode pass
+    // runs once per stage key — the staged-signature discipline on the
+    // m1 feature table); the planted degenerates stay a live decode
+    // (they are constructed here, tiny by definition)
+    val audit = mediaQualityAuditFromFeatures(
+      stagedEditedFeatures(spark, dir)
+        .unionByName(extractFeatures(plantedDegenerates(spark))))
     def flagCount(f: String): Column =
       sum(array_contains(col("quality_flags"), f).cast("long"))
         .as(s"n_$f")
@@ -2053,13 +2120,25 @@ object Multimodal {
       .filter(col("kind").isNull || !col("kind").isin(MediaKinds: _*))
       .select(lit("other").as("kind"), col("media_id"),
         lit(null).cast("string").as("sig"), lit(false).as("has_err"))
-    // cut: perUnit and the group stats are two aggregations over the
-    // SAME unit frame — uncut, each would re-run the three codec
-    // decode passes over the whole corpus (review-caught: the card is
-    // codec-bound, so the double decode doubled its dominant cost);
-    // lazy (share-inside-one-query, the n139 measure()/build lesson)
-    val units = graft.ops.Checkpoints.cutLazy(
+    mediaDedupCardFromUnits(
       img.unionByName(aud).unionByName(vid).unionByName(other))
+  }
+
+  /** The m13 card aggregation over a PRE-BUILT unit frame
+    * (kind, media_id, sig, has_err — [[mediaDedupCard]]'s unit
+    * semantics): the seam that lets a pipeline holding persisted
+    * signature tables stamp its card without re-touching a codec (the
+    * staged-signature discipline; [[mediaDedupCardTable]] uses it over
+    * the staged hash tables).
+    */
+  def mediaDedupCardFromUnits(unitFrame: DataFrame): DataFrame = {
+    // cut: perUnit and the group stats are two aggregations over the
+    // SAME unit frame — uncut, each would re-run the unit derivation
+    // (for the live [[mediaDedupCard]] form, three codec decode passes
+    // over the whole corpus — review-caught: the card was codec-bound,
+    // so the double decode doubled its dominant cost); lazy
+    // (share-inside-one-query, the n139 measure()/build lesson)
+    val units = graft.ops.Checkpoints.cutLazy(unitFrame)
     val perUnit = units.groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
         count(col("sig")).as("n_decoded"),
@@ -2108,14 +2187,36 @@ object Multimodal {
     * `other` bucket — the rows no modality pass can touch — shows up
     * in the driver's receipt, not just in spec.
     */
-  def mediaDedupCardTable(spark: SparkSession, dir: String): DataFrame =
-    mediaDedupCard(
-      // scope each planted corpus to its modality — the image
-      // constructor returns the WHOLE media table plus edited images
-      // (the audio/video ones are already kind-scoped)
-      stagedEditedImages(spark, dir).filter(col("kind") === "image")
-        .unionByName(stagedEditedAudio(spark, dir))
-        .unionByName(stagedEditedVideos(spark, dir))
-        .unionByName(plantedRow(spark, OtherKindProbeId, null, null,
-          Row(null, null, null))))
+  def mediaDedupCardTable(spark: SparkSession, dir: String): DataFrame = {
+    // units from the STAGED signature tables — bit-identical to
+    // running [[mediaDedupCard]] over the payload corpora (the staged
+    // tables ARE those corpora's hash relations: imagePhash scopes to
+    // kind = image internally, and the audio/video corpora are
+    // kind-scoped by construction), minus the per-query codec decode.
+    // The `other` bucket is the planted NULL-kind probe — the card's
+    // covers-every-row invariant, as a literal unit.
+    val img = stagedImagePhash(spark, dir)
+      .select(lit("image").as("kind"), col("media_id"),
+        hex(col("phash")).as("sig"),
+        col("decode_err").isNotNull.as("has_err"))
+    val aud = stagedAudioHash(spark, dir)
+      .select(lit("audio").as("kind"), col("media_id"),
+        hex(col("ahash")).as("sig"),
+        col("decode_err").isNotNull.as("has_err"))
+    val vid = stagedVideoFrameHashes(spark, dir)
+      .groupBy(col("media_id"))
+      .agg(count(col("fhash")).as("n_ok"), clipKeyAgg.as("ck"),
+        (count(col("decode_err")) > 0).as("has_err"))
+      .select(lit("video").as("kind"), col("media_id"),
+        when(col("n_ok") > 0, col("ck")).as("sig"), col("has_err"))
+    val other = spark.createDataFrame(java.util.Arrays.asList(
+      Row("other", OtherKindProbeId, null, false)),
+      StructType(Seq(
+        StructField("kind", StringType, nullable = true),
+        StructField("media_id", LongType, nullable = false),
+        StructField("sig", StringType, nullable = true),
+        StructField("has_err", BooleanType, nullable = false))))
+    mediaDedupCardFromUnits(
+      img.unionByName(aud).unionByName(vid).unionByName(other))
+  }
 }
