@@ -152,6 +152,58 @@ object OracleVals {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** Oracle for the GREEDY incremental screening relation (m6/m9
+    * shape): index = rows below `half`, batch = the rest; the batch
+    * collapses to one min-id rep per distinct signature, and a rep
+    * survives iff NO index signature and NO smaller-id rep sits
+    * within hamming ≤ maxDist — the "any earlier arrival, kept or
+    * dropped" policy, which is non-recursive and therefore exactly
+    * replayable by brute force. `half` is computed by the CALLER over
+    * the FULL staged relation (nulls included — the Spark side's
+    * max-div-2 sees them) and inlined.
+    */
+  def incrementalScreenSql(sigs: DataFrame, sigCol: String,
+                           maxDist: Int, half: Long,
+                           outSigCol: String): String = {
+    val vals = intValues(sigs, Seq("media_id", sigCol))
+    s"""${sigCte(vals)},
+       |ix AS (SELECT * FROM sigs WHERE media_id < $half),
+       |reps AS (SELECT sig, MIN(media_id) AS media_id FROM sigs
+       |         WHERE media_id >= $half GROUP BY sig)
+       |SELECT r.media_id, r.sig AS $outSigCol FROM reps r
+       |WHERE NOT EXISTS (SELECT 1 FROM ix i
+       |        WHERE bit_count(xor(i.sig, r.sig)) <= $maxDist)
+       |  AND NOT EXISTS (SELECT 1 FROM reps r2
+       |        WHERE r2.media_id < r.media_id
+       |          AND bit_count(xor(r2.sig, r.sig)) <= $maxDist)
+       |ORDER BY media_id""".stripMargin
+  }
+
+  /** Oracle for the GROUP-level greedy incremental screening (m12
+    * shape): a batch CLIP survives iff none of its frames sits within
+    * maxDist of any index frame or any frame of an earlier batch clip
+    * (own frames never screen each other); kept clips report their
+    * non-null frame counts.
+    */
+  def groupIncrementalScreenSql(frames: DataFrame, sigCol: String,
+                                maxDist: Int, half: Long): String = {
+    val vals = intValues(frames, Seq("media_id", sigCol))
+    s"""${sigCte(vals)},
+       |ix AS (SELECT * FROM sigs WHERE media_id < $half),
+       |b AS (SELECT * FROM sigs WHERE media_id >= $half),
+       |dropped AS (SELECT DISTINCT f.media_id FROM b f
+       |  WHERE EXISTS (SELECT 1 FROM ix i
+       |          WHERE bit_count(xor(i.sig, f.sig)) <= $maxDist)
+       |     OR EXISTS (SELECT 1 FROM b f2
+       |          WHERE f2.media_id < f.media_id
+       |            AND bit_count(xor(f2.sig, f.sig)) <= $maxDist))
+       |SELECT media_id, COUNT(*) AS n_frames FROM b
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped d
+       |                  WHERE d.media_id = b.media_id)
+       |GROUP BY media_id
+       |ORDER BY media_id""".stripMargin
+  }
+
   /** Oracle for the CLIP-level collapsed near-dup relation (m11
     * shape): clips with identical (frame_idx, fhash) multisets group
     * under a min-id rep (the canonical-string twin of clipKeyAgg's

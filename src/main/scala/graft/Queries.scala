@@ -4350,6 +4350,14 @@ object Queries {
         val off = graft.sources.Multimodal.EditIdOffset
         val half = ph.filter(col("media_id") < off)
           .agg(expr("max(media_id) div 2").as("h"))
+        // captured oracle: the greedy policy is "any earlier arrival"
+        // (non-recursive), so DuckDB replays index + earlier-rep
+        // screening by brute force; the half boundary is computed over
+        // the FULL relation (nulls included), matching the join below
+        OracleVals.register("m6_image_dedup_incremental",
+          OracleVals.incrementalScreenSql(
+            ph.filter(col("phash").isNotNull), "phash", 4,
+            half.head().getLong(0), "phash"))
         graft.sources.Multimodal.imagePhashDedupFromIndex(
           ph.join(broadcast(half), col("media_id") < col("h"))
             .select(col("media_id"), col("phash")),
@@ -4389,14 +4397,17 @@ object Queries {
     // persisted fingerprint index, newer originals + all planted twins
     // as the arriving batch (the m6 half-split convention), screened
     // at hamming <= 4 through the ONE signature-generic core shared
-    // with the text and image ingests. Rows-only; the spec proves
-    // survivors equal brute-force screening.
+    // with the text and image ingests. ORACLED by capture like m6.
     ("m9_audio_dedup_incremental",
       (s: SparkSession, d: String) => {
         val ah = graft.sources.Multimodal.stagedAudioHash(s, d)
         val off = graft.sources.Multimodal.AudioEditIdOffset
         val half = ah.filter(col("media_id") < off)
           .agg(expr("max(media_id) div 2").as("h"))
+        OracleVals.register("m9_audio_dedup_incremental",
+          OracleVals.incrementalScreenSql(
+            ah.filter(col("ahash").isNotNull), "ahash", 4,
+            half.head().getLong(0), "ahash"))
         graft.sources.Multimodal.audioHashDedupFromIndex(
           ah.join(broadcast(half), col("media_id") < col("h"))
             .select(col("media_id"), col("ahash")),
@@ -4438,14 +4449,18 @@ object Queries {
     // half of the originals' frames as the index, newer + edits as the
     // batch; a clip drops if ANY frame nears an indexed or
     // earlier-in-batch clip's frame (own frames never screen each
-    // other). Rows-only; spec proves survivors equal brute-force
-    // screening.
+    // other). ORACLED by capture: the group-level "any earlier clip"
+    // policy replayed by brute force in DuckDB.
     ("m12_video_dedup_incremental",
       (s: SparkSession, d: String) => {
         val fh = graft.sources.Multimodal.stagedVideoFrameHashes(s, d)
         val off = graft.sources.Multimodal.VideoEditIdOffset
         val half = fh.filter(col("media_id") < off)
           .agg(expr("max(media_id) div 2").as("h"))
+        OracleVals.register("m12_video_dedup_incremental",
+          OracleVals.groupIncrementalScreenSql(
+            fh.filter(col("fhash").isNotNull), "fhash", 4,
+            half.head().getLong(0)))
         graft.sources.Multimodal.videoDedupFromIndex(
           fh.join(broadcast(half), col("media_id") < col("h"))
             .select(col("media_id"), col("frame_idx"), col("fhash")),
