@@ -106,6 +106,21 @@ object Checkpoints {
     * neutrality is local-mode (the registry autos are eager on a
     * cluster anyway, per their documented contract).
     */
+  /** Barrier between an expensive EXCHANGE-FREE segment and a global
+    * (presentation) sort. A range sort SAMPLES its child to pick
+    * partition boundaries, then executes the child again for the real
+    * shuffle — when the child segment has no exchange of its own (a
+    * chain of broadcast joins / generated columns), the whole segment
+    * runs TWICE per action. A hash repartition here materializes the
+    * segment once as shuffle files; the sampling pass then replays
+    * those files instead of the compute. Lazy and job-free at
+    * construction (unlike [[cutLazy]] on an exchanging subtree — see
+    * the AQE caveat above), at the cost of one extra exchange of the
+    * (usually small) verified rows.
+    */
+  def sortBarrier(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(key)
+
   def cutLazy(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable =

@@ -237,7 +237,21 @@ object Dedup {
   /** Candidate pairs from any shared bucket, verified with exact Jaccard
     * over distinct word sets.
     */
-  def minhashNearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    // sortBarrier: the Jaccard-verify joins sit between the candidate
+    // front's last exchange and the presentation sort, so the range
+    // boundary sampling would re-run the whole verify per action
+    Checkpoints.sortBarrier(minhashNearDupPairsRaw(docs, threshold),
+        col("doc_a"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashNearDupPairs]] without the presentation sort — the
+    * composable form every aggregate/graph consumer reads (their own
+    * shuffles make the sort, and the barrier that guards it, pure
+    * overhead; EliminateSorts drops the sort but not the exchange).
+    */
+  private[graft] def minhashNearDupPairsRaw(docs: DataFrame,
+                                            threshold: Double): DataFrame = {
     val pairs = lshCandidatePairs(docs)
     val w = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
@@ -248,7 +262,6 @@ object Dedup {
         round(size(array_intersect(col("wa.ws"), col("wb.ws"))).cast("double") /
           size(array_union(col("wa.ws"), col("wb.ws"))), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Split-leakage MATRIX — the "did my split leak" dashboard: count
@@ -274,7 +287,7 @@ object Dedup {
                          threshold: Double = 0.3): DataFrame = {
     val sa = TextAnalysis.splitOf(col("doc_a"))
     val sb = TextAnalysis.splitOf(col("doc_b"))
-    val m = minhashNearDupPairs(docs, threshold)
+    val m = minhashNearDupPairsRaw(docs, threshold)
       .select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"))
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -323,7 +336,7 @@ object Dedup {
   def sourceLeakageMatrix(docs: DataFrame,
                           threshold: Double = 0.3): DataFrame =
     sourceLeakageCore(docs,
-      minhashNearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b")),
+      minhashNearDupPairsRaw(docs, threshold).select(col("doc_a"), col("doc_b")),
       broadcast)
 
   /** [[sourceLeakageMatrix]] with the pair-side broadcast hints DROPPED
@@ -336,7 +349,7 @@ object Dedup {
   def sourceLeakageMatrixShuffle(docs: DataFrame,
                                  threshold: Double = 0.3): DataFrame =
     sourceLeakageCore(docs,
-      minhashNearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b")),
+      minhashNearDupPairsRaw(docs, threshold).select(col("doc_a"), col("doc_b")),
       identity)
 
   /** Default ceiling for [[sourceLeakageMatrixAuto]]'s broadcast branch:
@@ -370,7 +383,7 @@ object Dedup {
       docs: DataFrame, threshold: Double = 0.3,
       maxBroadcastPairs: Long = MaxBroadcastPairs): DataFrame = {
     val pairs = Checkpoints.cut(
-      minhashNearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b")))
+      minhashNearDupPairsRaw(docs, threshold).select(col("doc_a"), col("doc_b")))
     sourceLeakageMatrixFromPairs(docs, pairs, pairs.count(),
       maxBroadcastPairs)
   }
@@ -449,7 +462,7 @@ object Dedup {
     */
   def leakageSafeSplits(docs: DataFrame, threshold: Double = 0.3): DataFrame =
     leakageSafeSplitsFromPairs(docs, Checkpoints.cut(
-      minhashNearDupPairs(docs, threshold)
+      minhashNearDupPairsRaw(docs, threshold)
         .select(col("doc_a"), col("doc_b"))))
 
   /** [[leakageSafeSplits]] over an ALREADY-VERIFIED (and cut) pair
@@ -485,7 +498,7 @@ object Dedup {
     */
   def leakageSafeMatrix(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
     val pairs = Checkpoints.cut(
-      minhashNearDupPairs(docs, threshold)
+      minhashNearDupPairsRaw(docs, threshold)
         .select(col("doc_a"), col("doc_b")))
     val asg = Checkpoints.cut(
       leakageSafeSplitsFromPairs(docs, pairs)
@@ -622,7 +635,10 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
         lit(1.0).as("cont_a_in_b"), lit(1.0).as("cont_b_in_a"))
-    cross.unionAll(within)
+    // sortBarrier: the range exchange's boundary-sampling pass would
+    // otherwise re-run the verify + expansion segment (no exchange of
+    // its own) a second time per action
+    Checkpoints.sortBarrier(cross.unionAll(within), col("doc_a"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1140,7 +1156,14 @@ object Dedup {
     */
   def containmentPairsPrefix(docs: DataFrame,
                              threshold: Double): DataFrame =
-    containmentPairsPrefixRaw(docs, threshold)
+    // sortBarrier BEFORE the presentation sort: a global orderBy's
+    // range exchange SAMPLES its child to pick boundaries, and the
+    // verify segment above it has no exchange of its own — without the
+    // barrier the whole candidate-verify pass (the operator's dominant
+    // cost) runs TWICE per action, once for sampling and once for real
+    // (measured 2× the intersect pass at sf0.1).
+    Checkpoints.sortBarrier(containmentPairsPrefixRaw(docs, threshold),
+        col("doc_a"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[containmentPairsPrefix]] without the presentation sort — the
@@ -1163,19 +1186,31 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         array_distinct(TextAnalysis.ngramsOf(col("ws"), 3)).as("sg")))
-    val ds = sets.select(col("doc_id"), explode(col("sg")).as("sh"))
+    // nsh travels WITH the explode (sg is already distinct, so the
+    // per-doc shingle count is size(sg)) — the count-over-doc window
+    // this replaces was a second full pass over the sorted partition
+    val ds = sets.select(col("doc_id"), size(col("sg")).as("nsh"),
+      explode(col("sg")).as("sh"))
     val dfr = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("sh").asc)
+    // Candidate generation joins on xxhash64(sh), not the string: two
+    // docs sharing a shingle always share its hash, so the candidate
+    // set is a SUPERSET of the string-keyed one (a 64-bit collision can
+    // only ADD a pair) and the exact verify below keeps the output
+    // provably identical — while the join/broadcast side carries 8-byte
+    // longs instead of ~30-byte shingle strings (guide §2.3: narrower
+    // shuffle/broadcast keys). The PREFIX itself (df rarity order) stays
+    // computed on strings, so recall keeps the PPJoin argument verbatim.
+    //
     val pf = ds.join(dfr, Seq("sh"))
       .withColumn("rn", row_number().over(w))
-      .withColumn("nsh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("rn") <=
         col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val cand = pf.as("p")
-      .join(ds.as("d"), col("p.sh") === col("d.sh") &&
+      .join(ds.select(col("doc_id"), xxhash64(col("sh")).as("sh")).as("d"),
+        col("p.sh") === col("d.sh") &&
         col("p.doc_id") =!= col("d.doc_id"))
       .select(least(col("p.doc_id"), col("d.doc_id")).as("doc_a"),
         greatest(col("p.doc_id"), col("d.doc_id")).as("doc_b"))
@@ -1266,7 +1301,10 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
         lit(1.0).as("cont_a_in_b"), lit(1.0).as("cont_b_in_a"))
-    cross.unionAll(within)
+    // sortBarrier — the rep-level prefix verify and the member
+    // expansion sit between the last exchange and the range sort, so
+    // boundary sampling would re-run them per action
+    Checkpoints.sortBarrier(cross.unionAll(within), col("doc_a"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1452,7 +1490,10 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
         lit(0).cast("int").as("hamming"))
-    cross.unionAll(within)
+    // sortBarrier: same boundary-sampling double-execution guard as
+    // the containment collapses (the pairing front + expansion above
+    // has no exchange between it and the range sort)
+    Checkpoints.sortBarrier(cross.unionAll(within), col("doc_a"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1594,11 +1635,15 @@ object Dedup {
     // cannot reach across a lambda boundary, and at 250k windowed pairs
     // per sf0.1 that re-split dominated the whole harness (measured
     // ~4.6 s per scan side)
-    val sg = docs
+    // cutLazy: BOTH sides of the windowed truth self-join read this
+    // frame — uncut, the scan + split + shingle build runs once per
+    // side (the subtree is exchange-free, so the lazy cut keeps
+    // construction job-free and materializes at first action)
+    val sg = Checkpoints.cutLazy(docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         array_distinct(TextAnalysis.ngramsOf(col("ws"), 3)).as("sg"),
-        (col("doc_id") / window).cast("long").as("blk"))
+        (col("doc_id") / window).cast("long").as("blk")))
     val left = sg.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"),
       explode(array(col("blk"), col("blk") + 1)).as("pblk"))
     // jaccard via ONE array_intersect per pair: the sets are distinct, so
@@ -1807,7 +1852,7 @@ object Dedup {
     */
   def clusterChainingAudit(docs: DataFrame,
                            threshold: Double = 0.3): DataFrame = {
-    val pairs = Checkpoints.cut(minhashNearDupPairs(docs, threshold))
+    val pairs = Checkpoints.cut(minhashNearDupPairsRaw(docs, threshold))
     // one (cluster, n_docs) row per cluster already — bind it so the
     // final join reuses it instead of distinct()-ing the exploded
     // member frame back together and re-running the rollup
@@ -1845,7 +1890,7 @@ object Dedup {
     * n119's per-band volume and n59/n65's recall.
     */
   def lshPrecision(docs: DataFrame, threshold: Double = 0.3): DataFrame =
-    minhashNearDupPairs(docs, 0.0)
+    minhashNearDupPairsRaw(docs, 0.0)
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("jaccard") >= threshold, 1L).otherwise(0L))
           .as("n_verified"))
@@ -1867,7 +1912,7 @@ object Dedup {
     * compares.
     */
   def dedupSavings(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val pairs = Checkpoints.cut(minhashNearDupPairs(docs, threshold))
+    val pairs = Checkpoints.cut(minhashNearDupPairsRaw(docs, threshold))
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("t"))
     def stats(policy: String, lbl: DataFrame): DataFrame =
@@ -1905,7 +1950,7 @@ object Dedup {
     */
   def starClusters(docs: DataFrame, threshold: Double = 0.3): DataFrame =
     starClustersFromPairs(Checkpoints.cut(
-      minhashNearDupPairs(docs, threshold)
+      minhashNearDupPairsRaw(docs, threshold)
         .select(col("doc_a"), col("doc_b"))))
 
   /** [[starClusters]] over an ALREADY-VERIFIED (and cut) pair frame —

@@ -1668,7 +1668,7 @@ object TextAnalysis {
         "decontamination drop set reuses the split-threshold pair " +
         "front, which only covers pairs at jaccard >= splitThreshold")
     val pairs = graft.ops.Checkpoints.cut(
-      graft.ops.Dedup.minhashNearDupPairs(docs, splitThreshold))
+      graft.ops.Dedup.minhashNearDupPairsRaw(docs, splitThreshold))
     val asg = graft.ops.Dedup.leakageSafeSplitsFromPairs(
       docs, pairs.select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("split"))
