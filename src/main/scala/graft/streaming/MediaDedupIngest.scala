@@ -79,9 +79,6 @@ private[streaming] object MediaDedupIngest {
     // stamped-survivors arm, which rewrites exactly this partition
     val rows = screened.unionByName(passThrough)
       .withColumn("batch_id", lit(batchId))
-    rows.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(out)
-    rows.count()
+    VersionedIngest.writeBatchPartition(rows, out)
   }
 }

@@ -129,7 +129,17 @@ object MixedBuild {
     // (and per job inside each component ingest). A micro-batch is
     // batch-sized by contract, so one materialization is the stream
     // shape; pure performance, replay semantics unchanged.
-    val b = graft.ops.Checkpoints.cut(batch)
+    //
+    // coalesce to the session's shuffle-partition setting first: a
+    // batch assembled from unions of small scans CONCATENATES their
+    // partitions (measured 145 for a ~500-row fixture batch), and
+    // every downstream job in all five routes would relaunch that many
+    // tasks — scheduling overhead, not work. coalesce is narrow (no
+    // payload shuffle), a no-op when the batch is already at or below
+    // the setting, and conf-driven so a cluster batch keeps its
+    // parallelism knob.
+    val target = batch.sparkSession.sessionState.conf.numShufflePartitions
+    val b = graft.ops.Checkpoints.cut(batch.coalesce(target))
     val mediaRows = b.filter(col("kind").isin(Multimodal.MediaKinds: _*))
     val (gated, nRejects) =
       if (!qualityGate) {
@@ -151,11 +161,11 @@ object MixedBuild {
         // on a duplicate-key batch the rejects store (written from a
         // join with mediaRows) and the returned nRejects (counted off
         // the audit) would silently diverge — and a same-key pass+fail
-        // twin would strip a row no store holds. Two count-only jobs
-        // on the CUT audit (id+kind columns, batch-sized).
-        val nAudit = audit.count()
-        val nKeys = audit.select(col("media_id"), col("kind"))
-          .distinct().count()
+        // twin would strip a row no store holds. ONE count+distinct
+        // aggregate job on the CUT audit (id+kind columns, batch-sized).
+        val keyRow = audit.agg(count(lit(1)).as("n"),
+          count_distinct(col("media_id"), col("kind")).as("k")).head()
+        val (nAudit, nKeys) = (keyRow.getLong(0), keyRow.getLong(1))
         require(nAudit == nKeys,
           s"(doc_id, kind) must be a key within a batch: $nAudit media " +
             s"rows over $nKeys distinct keys — the gate's reject " +
@@ -171,9 +181,9 @@ object MixedBuild {
           graft.ops.TextAnalysis.qualityFlagsPerDoc(
             b.filter(col("kind") <=> "text")
               .select(col("doc_id"), col("text"))))
-        val nTextKeys = textAudit.select(col("doc_id"))
-          .distinct().count()
-        require(textAudit.count() == nTextKeys,
+        val textKeyRow = textAudit.agg(count(lit(1)).as("n"),
+          count_distinct(col("doc_id")).as("k")).head()
+        require(textKeyRow.getLong(0) == textKeyRow.getLong(1),
           "doc_id must be a key among a batch's text rows: the gate's " +
             "reject accounting and the ingest replay join assume it")
         val fails = audit.filter(!col("pass"))
@@ -185,19 +195,19 @@ object MixedBuild {
         val rejects = b
           .join(fails, Seq("doc_id", "kind"))
           .withColumn("batch_id", lit(batchId))
-        rejects.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(rejectsOut(base))
+        // nRejects observed DURING the store write — under the enforced
+        // key preconditions the written count equals the fails count,
+        // so the separate fails.count() job (a re-run of both audit
+        // filters + the union) is folded into the write's one execution
+        val nRejects =
+          VersionedIngest.writeBatchPartition(rejects, rejectsOut(base))
         // anti-join on (id, kind): two kinds may legitimately share an
         // id, and a failing image must never strip a healthy
         // same-id audio row (which would vanish without a store)
         val accepted = b.join(
           fails.select(col("doc_id"), col("kind")),
           Seq("doc_id", "kind"), "left_anti")
-        // count off the CUT audits (no payload columns, no re-executed
-        // join) — under the enforced key preconditions it equals the
-        // written row count
-        (accepted, fails.count())
+        (accepted, nRejects)
       }
     // the five kind routes are INDEPENDENT (disjoint row sets, disjoint
     // stores) — submit them concurrently so the batch's wall is the
@@ -232,10 +242,7 @@ object MixedBuild {
       val otherRows = b.filter(col("kind").isNull ||
           !col("kind").isin("text" +: Multimodal.MediaKinds: _*))
         .withColumn("batch_id", lit(batchId))
-      otherRows.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(otherOut(base))
-      otherRows.count()
+      VersionedIngest.writeBatchPartition(otherRows, otherOut(base))
     }
     (fText +: fMedia :+ fOther)
       .map(Await.result(_, scala.concurrent.duration.Duration.Inf))

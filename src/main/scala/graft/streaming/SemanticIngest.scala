@@ -95,10 +95,7 @@ object SemanticIngest {
     // is a PER-WRITE option, not a session-conf mutation that would
     // silently change every later partitioned write on this session.
     val rows = survivors.withColumn("batch_id", lit(batchId))
-    rows.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(out)
-    rows.count()
+    VersionedIngest.writeBatchPartition(rows, out)
   }
 
   /** Start the checkpointed streaming ingest over a parquet directory of

@@ -88,10 +88,7 @@ object SimhashIngest {
     // sink write AFTER the publish: a crash in between replays into the
     // stamped-survivors arm, which rewrites exactly this partition
     val rows = survivors.withColumn("batch_id", lit(batchId))
-    rows.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(out)
-    rows.count()
+    VersionedIngest.writeBatchPartition(rows, out)
   }
 
   /** Checkpointed streaming ingest over a parquet directory of document

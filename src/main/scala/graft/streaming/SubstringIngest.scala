@@ -96,10 +96,7 @@ object SubstringIngest {
     // sink write AFTER the publish: a crash in between replays into the
     // deterministic recompute, which rewrites exactly this partition
     val rows = result.withColumn("batch_id", lit(batchId))
-    rows.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(out)
-    rows.count()
+    VersionedIngest.writeBatchPartition(rows, out)
   }
 
   /** Checkpointed streaming ingest over a parquet directory of document

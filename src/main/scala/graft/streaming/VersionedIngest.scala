@@ -64,6 +64,23 @@ private[streaming] object VersionedIngest {
       Sinks.Versioned.publish(delta, table,
         meta = Map(BatchIdMeta -> batchId.toString))
 
+  /** Write `rows` to the batch-partitioned sink (dynamic partition
+    * overwrite — the exactly-once rewrite discipline every ingest
+    * shares) and return the row count observed DURING the write: the
+    * historical `rows.write; rows.count()` tail executed the emit plan
+    * twice per batch (the count re-ran the screening joins and payload
+    * union); an `observe` aggregate rides the write's one execution.
+    */
+  def writeBatchPartition(rows: DataFrame, out: String): Long = {
+    val obs = org.apache.spark.sql.Observation(
+      graft.ops.Checkpoints.freshMetricName("ingest_rows"))
+    rows.observe(obs, count(lit(1)).as("n"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(out)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   /** The checkpointed AvailableNow foreachBatch wiring every ingest
     * stream runs: owner-side lease break, per-batch `ingest` callback,
     * index compaction every `compactEvery` batches (guarded on
