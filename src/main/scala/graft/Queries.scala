@@ -962,12 +962,16 @@ object Queries {
         |ORDER BY hour""".stripMargin)),
 
     ("b9_parse_log_lines",
-      (s: SparkSession, d: String) => LogLines.parsedFromEvents(s, d)
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
-          col("remote_host"), col("usr"), col("db"), col("pid"),
-          col("level"), col("duration_ms"), col("query"))
-        .orderBy(col("event_id")),
+      // sortBarrier: the synthesize+regex-parse segment is exchange-free,
+      // so the presentation sort's boundary sampling would parse every
+      // line twice per action
+      (s: SparkSession, d: String) => Checkpoints.sortBarrier(
+        LogLines.parsedFromEvents(s, d)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+            col("remote_host"), col("usr"), col("db"), col("pid"),
+            col("level"), col("duration_ms"), col("query")),
+        col("event_id")).orderBy(col("event_id")),
       Some(s"""WITH lines AS ($LinesCte)
         |SELECT event_id,
         |  regexp_extract(line, '$PrefixRe', 1) AS ts_str,
@@ -2416,8 +2420,10 @@ object Queries {
     // letters, digits, or single punctuation — the common pre-tokenizer
     // regex shape); the per-doc twin of n12's per-source roll-up.
     ("n58_subword_tokens",
-      (s: SparkSession, d: String) =>
-        TextAnalysis.tokenCounts(docs(s, d)).orderBy(col("doc_id")),
+      // sortBarrier: three regex extractions per row below the sort
+      (s: SparkSession, d: String) => Checkpoints.sortBarrier(
+        TextAnalysis.tokenCounts(docs(s, d)), col("doc_id"))
+        .orderBy(col("doc_id")),
       Some("""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS subword_tokens,
         |  len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9\s]')) AS bpe_pieces,

@@ -637,6 +637,10 @@ object TextAnalysis {
         when(col("n_bg") > 0,
           round(lit(1.0) - col("n_bg_uniq").cast("double") / col("n_bg"), 6))
           .as("dup_bigram_frac"))
+      .transform(f =>
+        // sortBarrier: the whole scan->ngram->stats segment is
+        // exchange-free; the sort's sampling pass would run it twice
+        graft.ops.Checkpoints.sortBarrier(f, col("doc_id")))
       .orderBy(col("doc_id"))
   }
 
@@ -750,6 +754,10 @@ object TextAnalysis {
         coalesce(col("n_cov"), lit(0L)).as("n_cov"),
         round(coalesce(col("n_cov"), lit(0L)).cast("double") /
           col("n_tokens"), 6).as("boilerplate_frac"))
+      .transform(f =>
+        // sortBarrier: guard the join+projection segment from the
+        // range sort's boundary-sampling re-execution
+        graft.ops.Checkpoints.sortBarrier(f, col("doc_id")))
       .orderBy(col("doc_id"))
   }
 
@@ -775,7 +783,12 @@ object TextAnalysis {
     */
   def boilerplateTrim(docs: DataFrame, n: Int = 5, minDf: Int = 2,
                       hotHint: DataFrame => DataFrame = identity): DataFrame =
-    boilerplateTrimRaw(docs, n, minDf, hotHint).orderBy(col("doc_id"))
+    // sortBarrier: the text-rebuild projection above the cov join is
+    // exchange-free, so the presentation sort's boundary sampling
+    // would re-run it per action (the containmentPairsPrefix lesson)
+    graft.ops.Checkpoints.sortBarrier(
+        boilerplateTrimRaw(docs, n, minDf, hotHint), col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** [[boilerplateTrim]] without the presentation sort — the composable
     * form ([[cleanCorpus]] sorts once at its own tail).
@@ -956,7 +969,11 @@ object TextAnalysis {
     * fold over the words array (split once, never re-split).
     */
   def dupSubstringDedup(docs: DataFrame, k: Int = 5): DataFrame =
-    dupSubstringDedupRaw(docs, k).orderBy(col("doc_id"))
+    // sortBarrier: the rebuild projection is exchange-free above the
+    // cov join — see boilerplateTrim
+    graft.ops.Checkpoints.sortBarrier(dupSubstringDedupRaw(docs, k),
+        col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** [[dupSubstringDedup]] without the presentation sort — the
     * composable form the collapsed twin expands.
@@ -998,7 +1015,9 @@ object TextAnalysis {
     * string-keyed n122 on the fixtures, where collisions are absent.
     */
   def dupSubstringDedupHashed(docs: DataFrame, k: Int = 5): DataFrame =
-    dupSubstringDedupRaw(docs, k, hashed = true).orderBy(col("doc_id"))
+    graft.ops.Checkpoints.sortBarrier(
+        dupSubstringDedupRaw(docs, k, hashed = true), col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** [[dupSubstringDedup]] with the exact-dup pre-collapse — the
     * production default on dup-heavy corpora (the n118/n53 move applied
@@ -1083,7 +1102,11 @@ object TextAnalysis {
           .as("n_removed"),
         when(col("n_tokens") >= k, lit("")).otherwise(col("text"))
           .as("text_dedup"))
-    repRes.unionByName(members).orderBy(col("doc_id"))
+    // sortBarrier: repRes's rebuild + the member expansion sit between
+    // the groups cut and the sort
+    graft.ops.Checkpoints.sortBarrier(repRes.unionByName(members),
+        col("doc_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** The gram INDEX for incremental keep-first substring dedup: the
@@ -1184,7 +1207,11 @@ object TextAnalysis {
     * doc_id join), and the output is corpus-sized by definition.
     */
   def cleanCorpus(docs: DataFrame, n: Int = 5, minDf: Int = 2): DataFrame =
-    cleanCorpusRaw(docs, n, minDf).orderBy(col("doc_id"))
+    // sortBarrier: the trim rebuild + quality gate above the cov join
+    // are exchange-free — without the barrier they run twice per action
+    graft.ops.Checkpoints.sortBarrier(cleanCorpusRaw(docs, n, minDf),
+        col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** [[cleanCorpus]] without the presentation sort — the composable form
     * ([[trainingDataBuild]] sorts once at its own tail).
@@ -1473,7 +1500,9 @@ object TextAnalysis {
     * paragraph-hash shuffle vs the gram machinery's positional streams.
     */
   def cleanCorpusParagraph(docs: DataFrame, k: Int = 20): DataFrame =
-    cleanCorpusParagraphRaw(docs, k).orderBy(col("doc_id"))
+    graft.ops.Checkpoints.sortBarrier(cleanCorpusParagraphRaw(docs, k),
+        col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** [[cleanCorpusParagraph]] without the presentation sort — the
     * composable form ([[trainingDataBuildSafeWith]] sorts once at its
@@ -1502,7 +1531,9 @@ object TextAnalysis {
     * join), same as n83.
     */
   def cleanCorpusSubstring(docs: DataFrame, k: Int = 5): DataFrame =
-    cleanCorpusSubstringRaw(docs, k).orderBy(col("doc_id"))
+    graft.ops.Checkpoints.sortBarrier(cleanCorpusSubstringRaw(docs, k),
+        col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** [[cleanCorpusSubstring]] without the presentation sort — the
     * composable form ([[trainingDataBuildSafeWith]] sorts once at its
@@ -2995,7 +3026,11 @@ object TextAnalysis {
     * emitted as an md5 so the output stays bounded at any corpus size.
     */
   def normalizeRedact(docs: DataFrame): DataFrame =
-    normalizeRedactRaw(docs).orderBy(col("doc_id"))
+    // sortBarrier: pure regex map below the sort — boundary sampling
+    // would run every regex twice per action
+    graft.ops.Checkpoints.sortBarrier(normalizeRedactRaw(docs),
+        col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** [[normalizeRedact]] without the presentation sort — pure per-row
     * projection, so the SAME code runs on a streaming frame (sorts are
@@ -3048,7 +3083,9 @@ object TextAnalysis {
     * contract).
     */
   def piiRedact(docs: DataFrame): DataFrame =
-    piiRedactRaw(docs).orderBy(col("doc_id"))
+    // sortBarrier: see normalizeRedact
+    graft.ops.Checkpoints.sortBarrier(piiRedactRaw(docs), col("doc_id"))
+      .orderBy(col("doc_id"))
 
   /** [[piiRedact]] without the presentation sort (stream-legal). */
   def piiRedactRaw(docs: DataFrame): DataFrame = {

@@ -965,7 +965,11 @@ object Multimodal {
     * but DuckDB has no PNG decoder to oracle them).
     */
   def imagePhashTable(spark: SparkSession, dir: String): DataFrame =
-    imagePhash(stagedEditedImages(spark, dir))
+    // sortBarrier: the decode pass is exchange-free below the
+    // presentation sort, so boundary sampling would re-decode the
+    // whole corpus per action (the containmentPairsPrefix lesson)
+    graft.ops.Checkpoints.sortBarrier(
+        imagePhash(stagedEditedImages(spark, dir)), col("media_id"))
       .orderBy(col("media_id"))
 
   /** INCREMENTAL image dedup — screen a new batch of dHash signatures
@@ -1312,7 +1316,9 @@ object Multimodal {
     * WAV), hash values spec-pinned deterministic.
     */
   def audioHashTable(spark: SparkSession, dir: String): DataFrame =
-    audioHash(stagedEditedAudio(spark, dir))
+    // sortBarrier: decode-once below the sort — see imagePhashTable
+    graft.ops.Checkpoints.sortBarrier(
+        audioHash(stagedEditedAudio(spark, dir)), col("media_id"))
       .orderBy(col("media_id"))
 
   /** Rows-only registry surface (m8): rep-level audio near-dup pairs
@@ -1548,7 +1554,9 @@ object Multimodal {
     * spec-pinned deterministic).
     */
   def videoFrameHashTable(spark: SparkSession, dir: String): DataFrame =
-    videoFrameHashes(stagedEditedVideos(spark, dir))
+    // sortBarrier: decode-once below the sort — see imagePhashTable
+    graft.ops.Checkpoints.sortBarrier(
+        videoFrameHashes(stagedEditedVideos(spark, dir)), col("media_id"))
       .orderBy(col("media_id"), col("frame_idx"))
 
   /** Rows-only registry surface (m11): rep-level clip near-dup pairs

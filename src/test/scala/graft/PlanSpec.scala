@@ -245,10 +245,18 @@ class PlanSpec extends SparkSpec {
       "interval join must use the equi key:\n" + p)
   }
 
-  test("n30: repetition signals are per-row — no hash shuffle at all") {
+  test("n30: repetition signals are per-row — the only pre-sort " +
+    "exchange is the sort barrier, and it never carries the text") {
     val p = plan("n30_repetition_quality")
-    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
-      "repetition quality must not shuffle:\n" + p)
+    // ONE hash exchange: the r15 sortBarrier (REPARTITION_BY_COL on the
+    // sort key) that keeps the range sort's boundary sampling from
+    // re-running the whole scan+stats segment; its input is the
+    // audit-sized stats projection — the text column must be gone
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1 && p.contains("REPARTITION_BY_COL"),
+      "expected exactly the sortBarrier exchange:\n" + p)
+    assert(!p.split("REPARTITION_BY_COL")(0).contains("text#"),
+      "the barrier exchange must carry stats, not text:\n" + p)
   }
 
   test("n31: gram decontamination joins on the gram key, never cartesian") {
@@ -714,11 +722,17 @@ class PlanSpec extends SparkSpec {
       "the (grp, pos) sums must partial-aggregate map-side:\n" + p)
   }
 
-  test("n103: PII scrub is a pure per-row projection — no exchange " +
-    "before the presentation sort") {
+  test("n103: PII scrub is a pure per-row projection — the only " +
+    "pre-sort exchange is the sort barrier, and it never carries the " +
+    "text") {
     val p = plan("n103_pii_redact")
-    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
-      "piiRedact must not shuffle; found an exchange in:\n" + p)
+    // see the n30 pin: one REPARTITION_BY_COL barrier under the range
+    // sort, carrying the md5+counts projection, never the text
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1 && p.contains("REPARTITION_BY_COL"),
+      "expected exactly the sortBarrier exchange:\n" + p)
+    assert(!p.split("REPARTITION_BY_COL")(0).contains("text#"),
+      "the barrier exchange must carry the scrub digest, not text:\n" + p)
   }
 
   test("n104: the HLL sketch partial-aggregates map-side — the exchange " +
