@@ -39,18 +39,28 @@ object OracleVals {
   val MaxRows = 200000
 
   private val sqls =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
 
-  def register(name: String, sql: String): Unit = sqls.put(name, sql)
+  /** LAZY registration: the SQL (and the bounded signature collect
+    * behind it) is captured as a thunk and forced only in [[snapshot]]
+    * — i.e. only when Verify evaluates the oracle surface. Bench calls
+    * the same query constructors but never snapshots, so it no longer
+    * pays the 9 capture collects + VALUES-megastring builds per pass
+    * (measured round 15: m11 +43%, m12 +44% from exactly this).
+    */
+  def register(name: String, sql: => String): Unit =
+    sqls.put(name, () => sql)
 
   /** Everything registered so far — merged into [[Queries.oracleSql]]
     * (evaluated post-run by Verify, so registrations made while the
     * query functions executed are visible). A query that never ran
     * registers nothing and stays rows-only — the graceful fallback.
+    * Forcing the thunks here is where the capture collects actually
+    * run; Verify is the only snapshot caller.
     */
   def snapshot: Map[String, String] = {
     import scala.jdk.CollectionConverters._
-    sqls.asScala.toMap
+    sqls.asScala.map { case (k, thunk) => k -> thunk() }.toMap
   }
 
   private[graft] def clear(): Unit = sqls.clear()

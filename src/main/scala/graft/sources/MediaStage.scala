@@ -181,8 +181,16 @@ object MediaStage {
         // a failed build must not orphan its partial tmp dir (each
         // retry gets a fresh uuid — failing runs would accumulate
         // unbounded payload garbage under the shared stage root)
+        val t0 = System.nanoTime()
         try build.write.parquet(tmp.toString)
         catch { case e: Throwable => deleteRecursively(tmp); throw e }
+        // one receipt line per actual stage build: the cold−warm bench
+        // delta decomposes off these instead of being guessed at
+        // (round-15 verdict #2 — the FixtureTag bump invalidated every
+        // staged corpus and the 140 s cold-wall swing had no in-artifact
+        // attribution)
+        System.err.println(f"[media-stage] built $name in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1fs -> $dest")
         try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
         catch {
           case _: java.nio.file.FileAlreadyExistsException |
