@@ -121,6 +121,44 @@ object Checkpoints {
   def sortBarrier(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
     df.repartition(key)
 
+  /** Optimizer barrier between an EXPENSIVE per-row projection and the
+    * filter that consumes it. Predicate pushdown substitutes aliases
+    * into the pushed predicate — and into a join's post-condition — so
+    * a verify like `select(intersect-size as x).filter(f(x))` ends up
+    * evaluating the intersect once per reference in the predicate PLUS
+    * once in the surviving projection (measured: 3 `array_intersect`
+    * evaluations per candidate pair on the containment verify, 2
+    * intersect+union pairs on the Jaccard verify). Filters cannot cross
+    * a CollectMetrics node, so a free-riding count barrier pins the
+    * projection to exactly one evaluation; no exchange, no row change,
+    * and the candidate count lands in the query's observed metrics as a
+    * bonus. Name is per-call unique so two barriered operators compose
+    * in one query.
+    */
+  def exprBarrier(df: DataFrame, prefix: String): DataFrame =
+    df.observe(freshMetricName(prefix),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+
+  /** [[cut]] with aggregate metrics OBSERVED during the materialization
+    * job (guide §1: fewer passes). Iterative operators (connected
+    * components) previously paid TWO actions per round — the cut plus a
+    * separate convergence aggregate over the fresh checkpoint; a
+    * `CollectMetrics` node rides the cut's one job and delivers the same
+    * scalars through the [[org.apache.spark.sql.Observation]] listener
+    * (the [[graft.streaming.VersionedIngest.writeBatchPartition]]
+    * precedent, applied to the checkpoint action). Returns the cut frame
+    * (the observe node is NOT part of the returned plan — it already
+    * fired) and the observed metric row as a name → value map.
+    */
+  def cutObserved(df: DataFrame,
+                  aggs: org.apache.spark.sql.Column*)
+      : (DataFrame, Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation(freshMetricName("cut_obs"))
+    val out = cut(df.observe(obs, aggs.head, aggs.tail: _*))
+    (out, obs.get)
+  }
+
   def cutLazy(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable =

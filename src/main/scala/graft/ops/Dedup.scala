@@ -261,6 +261,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("wa.ws"), col("wb.ws"))).cast("double") /
           size(array_union(col("wa.ws"), col("wb.ws"))), 6).as("jaccard"))
+      // barrier: without it the threshold lands in the verify join's
+      // condition and the intersect+union pair is evaluated twice per
+      // candidate (Checkpoints.exprBarrier — plan-pinned in PlanSpec)
+      .transform(Checkpoints.exprBarrier(_, "mh_verify"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -566,6 +570,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("wa.ws"), col("wb.ws"))).as("inter"),
         size(col("wa.ws")).as("na"), size(col("wb.ws")).as("nb"))
+      // barrier below the threshold: see minhashNearDupPairsRaw — the
+      // pushed predicate would re-evaluate the intersect per reference
+      .transform(Checkpoints.exprBarrier(_, "cont_verify"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("na"), 6).as("cont_a_in_b"),
         round(col("inter").cast("double") / col("nb"), 6).as("cont_b_in_a"))
@@ -610,6 +617,9 @@ object Dedup {
         size(array_intersect(col("wa.ws"), col("wb.ws"))).as("inter"),
         size(col("wa.ws")).as("na"), size(col("wb.ws")).as("nb"),
         col("wa.ids").as("ids_a"), col("wb.ids").as("ids_b"))
+      // barrier below the threshold (Checkpoints.exprBarrier): the
+      // pushed predicate would re-evaluate the rep intersect twice
+      .transform(Checkpoints.exprBarrier(_, "contc_verify"))
       .select(round(col("inter").cast("double") / col("na"), 6).as("ca"),
         round(col("inter").cast("double") / col("nb"), 6).as("cb"),
         col("ids_a"), col("ids_b"))
@@ -683,6 +693,9 @@ object Dedup {
       .select(col("test_doc"), col("train_doc"),
         round(size(array_intersect(col("wa.ws"), col("wb.ws"))).cast("double") /
           size(array_union(col("wa.ws"), col("wb.ws"))), 6).as("jaccard"))
+      // barrier: keep the intersect+union verify single-eval (see
+      // minhashNearDupPairsRaw)
+      .transform(Checkpoints.exprBarrier(_, "mhdecon_verify"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("test_doc"), col("train_doc"))
   }
@@ -781,6 +794,10 @@ object Dedup {
           size(array_union(col("wa.ws"), col("wb.ws"))), 6).as("jaccard"),
         col("wa.test_ids").as("test_a"), col("wa.train_ids").as("train_a"),
         col("wb.test_ids").as("test_b"), col("wb.train_ids").as("train_b"))
+      // barrier: keep the rep-level intersect+union single-eval (see
+      // minhashNearDupPairsRaw) — doubly important here, where the
+      // verified frame feeds TWO expansion branches
+      .transform(Checkpoints.exprBarrier(_, "mhdeconc_verify"))
       .filter(col("jaccard") >= threshold)
     def cross(tests: Column, trains: Column) = explode(flatten(
       transform(tests, t => transform(trains, r =>
@@ -1221,6 +1238,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("wa.sg"), col("wb.sg"))).as("inter"),
         size(col("wa.sg")).as("na"), size(col("wb.sg")).as("nb"))
+      // barrier: without it the threshold is pushed into the verify
+      // join's condition and the shingle-set intersect runs THREE times
+      // per candidate (twice in the pushed greatest(), once in the
+      // surviving projection) — measured ~2 s of the sf0.1 bench per
+      // containment query (Checkpoints.exprBarrier; PlanSpec pins one
+      // array_intersect in the n115 plan)
+      .transform(Checkpoints.exprBarrier(_, "contp_verify"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("na"), 6).as("cont_a_in_b"),
         round(col("inter").cast("double") / col("nb"), 6).as("cont_b_in_a"))
@@ -1629,43 +1653,56 @@ object Dedup {
     */
   def lshTuning(docs: DataFrame, window: Int = 50,
                 threshold: Double = 0.5): DataFrame = {
+    // τ = 0 would make every windowed pair a truth pair — including
+    // pairs sharing NO shingle, which the inverted-index intersection
+    // below never materializes. A zero threshold is also not a tuning
+    // run (recall is 1.0 by definition); state the contract loudly.
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     // hoist the split BEFORE shingling (ngramsOf over a materialized word
     // array): the one-shot `shingles` form re-splits the text for every
     // element inside the transform lambda — subexpression elimination
-    // cannot reach across a lambda boundary, and at 250k windowed pairs
-    // per sf0.1 that re-split dominated the whole harness (measured
-    // ~4.6 s per scan side)
-    // cutLazy: BOTH sides of the windowed truth self-join read this
-    // frame — uncut, the scan + split + shingle build runs once per
-    // side (the subtree is exchange-free, so the lazy cut keeps
-    // construction job-free and materializes at first action)
+    // cannot reach across a lambda boundary
+    // cutLazy: the per-doc shingle frame feeds the size projection and
+    // both sides of the inverted-index join — one materialization
     val sg = Checkpoints.cutLazy(docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         array_distinct(TextAnalysis.ngramsOf(col("ws"), 3)).as("sg"),
         (col("doc_id") / window).cast("long").as("blk")))
-    val left = sg.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"),
-      explode(array(col("blk"), col("blk") + 1)).as("pblk"))
-    // jaccard via ONE array_intersect per pair: the sets are distinct, so
-    // |A ∪ B| = |A| + |B| - |A ∩ B| — integer arithmetic instead of two
-    // more hash-set builds (the CASE's union guard would otherwise
-    // evaluate array_union twice per pair). The intersect is hoisted into
-    // its own projection level so it is computed once, not re-inlined
-    // into both the guard and the ratio. Empty sets (< 3-word docs) give
-    // union size 0 → null jaccard, which fails every threshold instead
-    // of tripping ANSI DIVIDE_BY_ZERO.
-    val unionSz = col("na") + col("nb") - col("inter")
-    val truth = left
-      .join(sg.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"),
-        col("blk")), col("pblk") === col("blk"))
+    // Truth intersections via the INVERTED INDEX instead of per-pair
+    // array_intersect (guide §2.3/§4: the old form shuffled every doc's
+    // full shingle-STRING array twice through the block join and then
+    // built a fresh hash set per windowed pair — ~250k pairs × O(|A|+|B|)
+    // string hashings at sf0.1, the harness's dominant cost). Exploding
+    // (doc, shingle) once and equi-joining on (block, shingle) computes
+    // the SAME |A ∩ B| as one map-side-combined count per pair: the sets
+    // are distinct per doc, so each shared shingle contributes exactly
+    // one row. Pairs sharing no shingle never materialize — at any
+    // τ > 0 they fail the threshold anyway (jaccard 0, or null on empty
+    // unions, both < τ), so the truth set is identical.
+    val ds = sg.select(col("doc_id"), col("blk"), explode(col("sg")).as("sh"))
+    val inter = ds
+      .select(col("doc_id").as("doc_a"), col("sh"),
+        explode(array(col("blk"), col("blk") + 1)).as("pblk"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("blk")),
+        col("pblk") === col("blk") && col("sh") === col("shb"))
       .filter(col("doc_b") > col("doc_a") &&
         col("doc_b") <= col("doc_a") + window)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    // |A ∪ B| = |A| + |B| - |A ∩ B| over the distinct sets — integer
+    // arithmetic off the tiny per-doc size frame (never the arrays)
+    val sizes = sg.select(col("doc_id"), size(col("sg")).as("n"))
+    val unionSz = col("na") + col("nb") - col("inter")
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sg_a"), col("sg_b"))).as("inter"),
-        size(col("sg_a")).as("na"), size(col("sg_b")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        when(unionSz > 0, col("inter").cast("double") / unionSz)
-          .as("jaccard"))
+        (col("inter").cast("double") / unionSz).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
     val cand = lshCandidatePairs(docs)
@@ -1990,48 +2027,40 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     // Min-label propagation strictly decreases Σlabel until the fixpoint,
-    // so convergence is a cheap scalar check on the checkpointed frame —
-    // no extra join per round.
+    // so convergence is a cheap scalar check — observed DURING the
+    // round's one materialization job (guide §1: the separate
+    // convergence aggregate was a second action per round, and the
+    // persist/unpersist dance around it churned the CacheManager).
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
-    var cached: Option[DataFrame] = None
     while (!converged && i < maxIters) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      // truncate lineage per round; the cut also makes the frame a plain
-      // scan so the pointer-jump self-join below can't trip Catalyst's
-      // Union constraint-rewrite on duplicate attributes
-      val propagated = Checkpoints.cut(
-        labels.union(viaNeighbors)
-          .groupBy(col("id")).agg(min(col("label")).as("label")))
-      // the cut job above was the last reader of the previous round's
-      // cached jump frame
-      cached.foreach(_.unpersist(blocking = false))
+      val propagated = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
       // pointer jumping: label ← label(label). Labels are always node
       // ids, so every label has its own row; composing the hop with the
       // neighbor step doubles the propagation distance per round —
-      // O(log diameter) rounds instead of O(diameter), one extra
-      // (AQE-sized) shuffle per round over the checkpointed frame.
-      // Persisted because it is read three times (the convergence agg
-      // below, then both union branches of the next round's cut); every
-      // cache is explicitly unpersisted — the previous round's above,
-      // the final round's in the finally below (the CacheManager holds
-      // persisted plans strongly; nothing is GC-reclaimed).
+      // O(log diameter) rounds instead of O(diameter). Both sides of
+      // the self-join read the SAME aggregate subtree (same expr ids),
+      // so its exchange is planned once and the probe side arrives as a
+      // ReusedExchange — the propagate pipeline executes once per round
+      // even though `propagated` is uncut (DedupSpec pins the reuse).
       val updated = propagated
         .join(propagated.select(col("id").as("label"),
           col("label").as("l2")), "label")
         .select(col("id"), col("l2").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached = Some(updated)
-      // decimal sum: a BIGINT Σlabel would overflow ANSI arithmetic once
-      // ids × rows get large (this agg also materializes the cache)
-      val row = updated.agg(sum(col("label").cast("decimal(38,0)"))).head()
-      val s = if (row.isNullAt(0)) null else row.getDecimal(0)
-      converged = row.isNullAt(0) || s == prevSum // empty graph → done
+      // ONE job per round: the cut materializes the new labels and the
+      // observe rides it with the decimal Σlabel (BIGINT would overflow
+      // ANSI arithmetic once ids × rows get large).
+      val (next, m) = Checkpoints.cutObserved(updated,
+        sum(col("label").cast("decimal(38,0)")).as("s"))
+      val s = m("s").asInstanceOf[java.math.BigDecimal] // null on empty
+      converged = s == null || s == prevSum // empty graph → done
       prevSum = s
-      labels = updated
+      labels = next
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"CC_ROUND minlabel $i sum=$s")
@@ -2039,20 +2068,15 @@ object Dedup {
     // silent truncation would return SPLIT clusters — fail loudly instead
     // (min-label needs O(diameter) rounds; for long chains at scale use
     // dupClustersLogN)
-    try {
-      require(converged,
-        s"dupClusters did not converge in $maxIters rounds; " +
-          "component diameter exceeds the iteration bound — use dupClustersLogN")
-      // freeze the final labels OFF the cache before releasing it: a
-      // persisted Dataset is strongly held by the session CacheManager
-      // (the ContextCleaner never reclaims it), so returning a plan that
-      // reads the cache would leak one cached frame per call
-      Checkpoints.cut(labels)
-        .groupBy(col("label").as("cluster"))
-        .agg(count(lit(1)).as("n_docs"),
-          sort_array(collect_list(col("id"))).as("members"))
-        .orderBy(col("cluster"))
-    } finally cached.foreach(_.unpersist(blocking = false))
+    require(converged,
+      s"dupClusters did not converge in $maxIters rounds; " +
+        "component diameter exceeds the iteration bound — use dupClustersLogN")
+    // labels is already a cut frame — the rollup reads checkpoint blocks
+    labels
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .orderBy(col("cluster"))
   }
 
   /** O(log n)-round connected components: alternating large-star /
@@ -2094,27 +2118,29 @@ object Dedup {
       canonical(linked)
     }
 
-    def edgeFingerprint(e: DataFrame): (Long, Long) = {
-      // ONE job for the convergence check: the canonical edge SET (distinct
-      // by construction) is unchanged iff (count, XOR of xxhash64(u,v)) is
-      // unchanged (collision odds ~2⁻⁶⁴ — the count+exceptAll form costs
-      // two extra jobs per round; xor, unlike sum, can't overflow under
-      // ANSI mode)
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    def cutWithFingerprint(e: DataFrame): (DataFrame, (Long, Long)) = {
+      // ZERO extra jobs for the convergence check: the canonical edge
+      // SET (distinct by construction) is unchanged iff
+      // (count, XOR of xxhash64(u,v)) is unchanged (collision odds
+      // ~2⁻⁶⁴; xor, unlike sum, can't overflow under ANSI mode) — and
+      // the fingerprint aggregate is OBSERVED during the round's cut
+      // job instead of running as its own action per round (guide §1).
+      val (cutE, m) = Checkpoints.cutObserved(e,
+        count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("u"), col("v"))).as("x"))
+      (cutE, (m("n").asInstanceOf[Long],
+        m("x") match { case null => 0L case v => v.asInstanceOf[Long] }))
     }
 
-    var edges = Checkpoints.cut(canonical(
+    var (edges, prev) = cutWithFingerprint(canonical(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
-    var prev = edgeFingerprint(edges)
     var converged = prev._1 == 0 // empty graph → done
     var i = 0
     while (!converged && i < maxIters) {
-      val next = Checkpoints.cut(
+      val (next, fp) = cutWithFingerprint(
         star(star(edges, large = true), large = false))
       // star edges always point (larger -> smaller); fixpoint when the
       // canonical edge set is unchanged
-      val fp = edgeFingerprint(next)
       converged = fp == prev
       prev = fp
       edges = next

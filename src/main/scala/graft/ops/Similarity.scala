@@ -875,6 +875,10 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         cosOrNull(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm"))
           .as("cos"))
+      // barrier: without it the threshold is pushed into the join's
+      // condition and the dot product runs twice per candidate pair
+      // (graft.ops.Checkpoints.exprBarrier — the verify-family fix)
+      .transform(graft.ops.Checkpoints.exprBarrier(_, "cos_verify"))
       .filter(col("cos") >= threshold)
   }
 

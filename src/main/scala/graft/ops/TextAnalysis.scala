@@ -1247,6 +1247,14 @@ object TextAnalysis {
     stage(keepers)
       .select(col("doc_id"), col("n_removed"), col("cleaned"),
         words(col("cleaned")).as("ws"))
+      // barrier: the quality-gate filter would otherwise be pushed into
+      // the cleaning stage's projection with `cleaned` (the whole trim
+      // rebuild) and `ws` (its re-split) INLINED per reference —
+      // measured 4 evaluations of the rebuild per doc in the n83 plan
+      // (3 inside the pushed nw/sr condition, 1 in the projection);
+      // Checkpoints.exprBarrier pins the rebuild+split to one
+      // evaluation, the gate then tests cheap attributes
+      .transform(graft.ops.Checkpoints.exprBarrier(_, "clean_gate"))
       .select(col("doc_id"), col("n_removed"), col("cleaned"),
         size(col("ws")).as("nw"), stopRatio.as("sr"))
       .filter(col("nw") >= 30 && col("sr") <= 0.3)

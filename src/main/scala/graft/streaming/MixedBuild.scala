@@ -138,10 +138,12 @@ object MixedBuild {
     // payload shuffle), a no-op when the batch is already at or below
     // the setting, and conf-driven so a cluster batch keeps its
     // parallelism knob.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
     val target = batch.sparkSession.sessionState.conf.numShufflePartitions
     val b = graft.ops.Checkpoints.cut(batch.coalesce(target))
     val mediaRows = b.filter(col("kind").isin(Multimodal.MediaKinds: _*))
-    val (gated, nRejects) =
+    val (gated, fRejects) =
       if (!qualityGate) {
         // converge the on → off flip: this batch's rejects partition,
         // if an earlier gated run left one, no longer reflects the
@@ -151,25 +153,12 @@ object MixedBuild {
         val fs = part.getFileSystem(
           b.sparkSession.sparkContext.hadoopConfiguration)
         if (fs.exists(part)) fs.delete(part, true)
-        (b, 0L)
+        (b, Future.successful(0L))
       } else {
         val audit = graft.ops.Checkpoints.cut(
           Multimodal.mediaQualityAudit(mediaRows
             .select(col("doc_id").as("media_id"), col("kind"),
               col("payload"), col("meta"))))
-        // enforce the stated (doc_id, kind)-key precondition LOUDLY:
-        // on a duplicate-key batch the rejects store (written from a
-        // join with mediaRows) and the returned nRejects (counted off
-        // the audit) would silently diverge — and a same-key pass+fail
-        // twin would strip a row no store holds. ONE count+distinct
-        // aggregate job on the CUT audit (id+kind columns, batch-sized).
-        val keyRow = audit.agg(count(lit(1)).as("n"),
-          count_distinct(col("media_id"), col("kind")).as("k")).head()
-        val (nAudit, nKeys) = (keyRow.getLong(0), keyRow.getLong(1))
-        require(nAudit == nKeys,
-          s"(doc_id, kind) must be a key within a batch: $nAudit media " +
-            s"rows over $nKeys distinct keys — the gate's reject " +
-            "accounting and the replay contract both assume row identity")
         // TEXT half of the gate (symmetric to the media half): the
         // n138 per-doc rules are stream-legal — pure per-row functions
         // of the text — so a degenerate doc is rejected HERE, before
@@ -181,11 +170,25 @@ object MixedBuild {
           graft.ops.TextAnalysis.qualityFlagsPerDoc(
             b.filter(col("kind") <=> "text")
               .select(col("doc_id"), col("text"))))
-        val textKeyRow = textAudit.agg(count(lit(1)).as("n"),
-          count_distinct(col("doc_id")).as("k")).head()
-        require(textKeyRow.getLong(0) == textKeyRow.getLong(1),
-          "doc_id must be a key among a batch's text rows: the gate's " +
-            "reject accounting and the ingest replay join assume it")
+        // enforce the stated (doc_id, kind)-key precondition LOUDLY:
+        // on a duplicate-key batch the rejects store (written from a
+        // join with mediaRows) and the returned nRejects (counted off
+        // the audit) would silently diverge — and a same-key pass+fail
+        // twin would strip a row no store holds. ONE count+distinct
+        // aggregate job over BOTH cut audits (media kinds and 'text'
+        // are disjoint, so the global n == k test is exactly the two
+        // per-half tests the gate ran as separate jobs before r16).
+        val keyRow = audit
+          .select(col("media_id").as("id"), col("kind"))
+          .unionByName(textAudit
+            .select(col("doc_id").as("id"), lit("text").as("kind")))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("id"), col("kind")).as("k")).head()
+        val (nAudit, nKeys) = (keyRow.getLong(0), keyRow.getLong(1))
+        require(nAudit == nKeys,
+          s"(doc_id, kind) must be a key within a batch: $nAudit gated " +
+            s"rows over $nKeys distinct keys — the gate's reject " +
+            "accounting and the replay contracts assume row identity")
         val fails = audit.filter(!col("pass"))
           .select(col("media_id").as("doc_id"), col("kind"),
             col("quality_flags"))
@@ -198,16 +201,21 @@ object MixedBuild {
         // nRejects observed DURING the store write — under the enforced
         // key preconditions the written count equals the fails count,
         // so the separate fails.count() job (a re-run of both audit
-        // filters + the union) is folded into the write's one execution
-        val nRejects =
-          VersionedIngest.writeBatchPartition(rejects, rejectsOut(base))
+        // filters + the union) is folded into the write's one execution.
+        // SUBMITTED CONCURRENTLY with the kind routes below: the rejects
+        // store is disjoint from every route's store and the write reads
+        // only the cut batch + cut audits, so serializing it in front of
+        // the routes was pure wall (replay is unaffected — every store
+        // rewrite is deterministic dynamic overwrite).
+        val fRejects = Future(
+          VersionedIngest.writeBatchPartition(rejects, rejectsOut(base)))
         // anti-join on (id, kind): two kinds may legitimately share an
         // id, and a failing image must never strip a healthy
         // same-id audio row (which would vanish without a store)
         val accepted = b.join(
           fails.select(col("doc_id"), col("kind")),
           Seq("doc_id", "kind"), "left_anti")
-        (accepted, nRejects)
+        (accepted, fRejects)
       }
     // the five kind routes are INDEPENDENT (disjoint row sets, disjoint
     // stores) — submit them concurrently so the batch's wall is the
@@ -218,8 +226,6 @@ object MixedBuild {
     // scheduler is thread-safe for concurrent job submission; `gated`
     // reads from the one cut batch, so no route re-executes another's
     // work.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
     val fText = Future(IncrementalBuild.ingestBatch(
       gated.filter(col("kind") <=> "text")
         .select(col("doc_id"), col("text"), col("source")),
@@ -244,9 +250,9 @@ object MixedBuild {
         .withColumn("batch_id", lit(batchId))
       VersionedIngest.writeBatchPartition(otherRows, otherOut(base))
     }
-    (fText +: fMedia :+ fOther)
+    (fRejects +: fText +: fMedia :+ fOther)
       .map(Await.result(_, scala.concurrent.duration.Duration.Inf))
-      .sum + nRejects
+      .sum
   }
 
   /** Quality-rejected media rows (flags attached) — the gate's

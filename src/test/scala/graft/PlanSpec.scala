@@ -174,6 +174,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan("n83_clean_corpus").contains("CartesianProduct"))
   }
 
+  test("verify single-eval (r16): the threshold filter must sit above " +
+    "the exprBarrier, not be pushed into the verify join — one " +
+    "array_intersect in the containment plan, one intersect+union in " +
+    "the Jaccard plan, one dot-product chain in the cosine plan") {
+    // pre-barrier plans carried 3 array_intersect evals per candidate
+    // (two inside the pushed greatest(), one in the projection) — ~2 s
+    // of the sf0.1 bench per containment query
+    val cont = plan("n115_containment_prefix")
+    assert("array_intersect".r.findAllIn(cont).size == 1,
+      s"containment verify must evaluate its intersect once:\n$cont")
+    val jac = plan("n6_minhash_neardup_pairs")
+    assert("array_intersect".r.findAllIn(jac).size == 1 &&
+      "array_union".r.findAllIn(jac).size == 1,
+      s"jaccard verify must evaluate intersect+union once:\n$jac")
+    assert(cont.contains("CollectMetrics") && jac.contains("CollectMetrics"),
+      "the barrier node vanished — a Catalyst upgrade may have started " +
+        "collapsing CollectMetrics; re-audit the verify family")
+  }
+
   test("n59: tuning truth is a block equi-join and candidates a band-key " +
     "equi-join — never a cartesian/range nested loop") {
     val p = plan("n59_lsh_tuning")
@@ -596,10 +615,13 @@ class PlanSpec extends SparkSpec {
       "n54_semantic_dedup_collapsed" -> Set("rep", "vec_id"),
       "n55_incremental_semantic_dedup" -> Set("vec_id"),
       "n57_semantic_dup_clusters_collapsed" -> Set("rep"),
-      "n59_lsh_tuning" -> Set("doc_a", "doc_b"),
+      // r16: truth intersections moved to the inverted-index join on
+      // (block, shingle) — the per-pair string-set intersects were the
+      // harness's dominant cost; the size joins stay doc-keyed
+      "n59_lsh_tuning" -> Set("doc_a", "doc_b", "sh"),
       "n62_ann_recall" -> Set("q_id", "vec_id"),
       "n64_ann_recall_curve" -> Set("bits", "q_id", "vec_id"),
-      "n65_lsh_tuning_sampled" -> Set("doc_a", "doc_b"),
+      "n65_lsh_tuning_sampled" -> Set("doc_a", "doc_b", "sh"),
       "n68_ann_recall_curve_mp" -> Set("bits", "q_id", "vec_id"),
       "n74_contamination_report" -> Set("test_doc"),
       "n75_ivf_recall" -> Set("q_id", "vec_id"),
@@ -628,7 +650,13 @@ class PlanSpec extends SparkSpec {
       "n99_training_data_build" -> Set("g", "doc_id"),
       // chaining audit / star clusters / savings: CC-label and hub
       // joins over the verified edge list — aggregate-fed, legitimate
-      "n130_cluster_chaining" -> Set("id", "nbr", "hub", "doc_id"),
+      // "cluster": the per-cluster stats join — both sides are
+      // cluster-count-shaped aggregate outputs off the cut pair frame,
+      // deliberately hint-free (AQE localizes when they fit); it planned
+      // broadcast while the rollup read a fresh eager cut, and surfaced
+      // as the designed SMJ when r16 folded that cut away
+      "n130_cluster_chaining" -> Set("id", "nbr", "hub", "doc_id",
+        "cluster"),
       "n131_star_clusters" -> Set("id", "nbr", "hub"),
       "n133_dedup_savings" -> Set("id", "nbr", "hub", "doc_id"),
       // leakage-safe splits: the CC label frame (and in n135 the
